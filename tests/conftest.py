@@ -1,0 +1,43 @@
+"""Test harness configuration.
+
+Tests run on CPU with 8 virtual devices so the real `shard_map` /
+`jax.sharding.Mesh` data-parallel code paths execute without TPU hardware
+(the SURVEY.md §4 "distributed-without-a-cluster" idiom). Environment
+variables must be set before jax initializes its backends, hence the
+os.environ writes at import time.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+# Keep TF (used only as a differential-test oracle) quiet and off any GPU/TPU.
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+os.environ.setdefault("CUDA_VISIBLE_DEVICES", "-1")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)
+
+
+@pytest.fixture(scope="session")
+def toy_corpus():
+    """A small deterministic caption corpus (no network / no Flickr8k)."""
+    return [
+        "startseq a black dog runs across the green grass endseq",
+        "startseq a dog is running on grass endseq",
+        "startseq two children play soccer in the park endseq",
+        "startseq a child kicks a ball endseq",
+        "startseq a man rides a red bicycle down the street endseq",
+        "startseq the man is riding his bike endseq",
+        "startseq a woman in a blue shirt climbs a rock wall endseq",
+        "startseq a climber scales the rock face endseq",
+    ]

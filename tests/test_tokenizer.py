@@ -1,0 +1,104 @@
+"""Differential tests: tpucap.text.Tokenizer vs tf_keras Tokenizer.
+
+These pin the compat traps from SURVEY.md §2.1 #4: index-0 reserve, oov at
+index 1, frequency-sorted vocab with stable ties, num_words applied at encode
+time, and the default filter set.
+"""
+
+import pytest
+
+from tpucap.text import Tokenizer, text_to_word_sequence
+
+tf_keras_text = pytest.importorskip("tf_keras.src.preprocessing.text")
+
+CORPORA = [
+    ["the cat sat on the mat", "the dog ate the cat", "a cat! a CAT? yes."],
+    ["startseq a black dog runs endseq", "startseq a dog runs fast endseq"],
+    ["it's a don't-stop world", "punct: [a](b){c}|d~e`f", "tabs\tand\nnewlines"],
+    ["x " * 50 + "y", "y " * 50 + "x", "z"],
+    [""],
+]
+
+
+def make_pair(**kwargs):
+    ours = Tokenizer(**kwargs)
+    theirs = tf_keras_text.Tokenizer(**kwargs)
+    return ours, theirs
+
+
+@pytest.mark.parametrize("corpus", CORPORA)
+@pytest.mark.parametrize(
+    "kwargs",
+    [
+        {},
+        {"num_words": 5},
+        {"oov_token": "<unk>"},
+        {"num_words": 4, "oov_token": "<unk>"},
+        {"lower": False},
+    ],
+)
+def test_tokenizer_matches_tf_keras(corpus, kwargs):
+    ours, theirs = make_pair(**kwargs)
+    ours.fit_on_texts(corpus)
+    theirs.fit_on_texts(corpus)
+
+    assert ours.word_index == theirs.word_index
+    assert dict(ours.word_counts) == dict(theirs.word_counts)
+    assert ours.texts_to_sequences(corpus) == theirs.texts_to_sequences(corpus)
+
+    seqs = theirs.texts_to_sequences(corpus)
+    assert ours.sequences_to_texts(seqs) == theirs.sequences_to_texts(seqs)
+
+
+def test_index_zero_reserved(toy_corpus):
+    tok = Tokenizer()
+    tok.fit_on_texts(toy_corpus)
+    assert 0 not in tok.index_word
+    assert min(tok.word_index.values()) == 1
+
+
+def test_oov_forced_to_index_one(toy_corpus):
+    tok = Tokenizer(oov_token="<unk>")
+    tok.fit_on_texts(toy_corpus)
+    assert tok.word_index["<unk>"] == 1
+    # Unknown words encode to 1.
+    [seq] = tok.texts_to_sequences(["zzz unknownword"])
+    assert seq == [1, 1]
+
+
+def test_num_words_applied_at_encode_time(toy_corpus):
+    tok = Tokenizer(num_words=3)
+    tok.fit_on_texts(toy_corpus)
+    # Full vocab retained in word_index...
+    assert len(tok.word_index) > 3
+    # ...but encoded indices are < num_words.
+    for seq in tok.texts_to_sequences(toy_corpus):
+        assert all(i < 3 for i in seq)
+
+
+def test_text_to_word_sequence_matches():
+    for text in ["Hello, World! it's ME.", "a-b c_d e'f", "", "  spaced  out  "]:
+        assert text_to_word_sequence(text) == tf_keras_text.text_to_word_sequence(
+            text
+        )
+
+
+def test_json_round_trip(toy_corpus):
+    tok = Tokenizer(num_words=10, oov_token="<unk>")
+    tok.fit_on_texts(toy_corpus)
+    tok2 = Tokenizer.from_json(tok.to_json())
+    assert tok2.word_index == tok.word_index
+    assert tok2.texts_to_sequences(toy_corpus) == tok.texts_to_sequences(
+        toy_corpus
+    )
+    assert tok2.num_words == tok.num_words
+    assert tok2.vocab_size == tok.vocab_size
+
+
+def test_word_for_id(toy_corpus):
+    tok = Tokenizer()
+    tok.fit_on_texts(toy_corpus)
+    for w, i in tok.word_index.items():
+        assert tok.word_for_id(i) == w
+    assert tok.word_for_id(0) is None
+    assert tok.word_for_id(10**9) is None
