@@ -9,7 +9,11 @@ os.environ writes at import time.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The driver environment pins JAX_PLATFORMS=axon (the TPU tunnel) and a
+# sitecustomize hook force-registers the axon backend at interpreter start,
+# overriding the env var — so the config must be reset through jax.config
+# below, not just the environment.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -18,6 +22,10 @@ if "xla_force_host_platform_device_count" not in _flags:
 # Keep TF (used only as a differential-test oracle) quiet and off any GPU/TPU.
 os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 os.environ.setdefault("CUDA_VISIBLE_DEVICES", "-1")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

@@ -1,0 +1,129 @@
+"""Frozen config tree covering the five judged configurations.
+
+Replaces the reference's hard-coded module-top constants (SURVEY.md §5.6)
+with one dataclass tree overridable from the CLI
+(``--encoder=resnet50 --decoder=lstm2 --beam-width=5``).
+
+The five BASELINE.json configs map to presets at the bottom of this module:
+1. vgg16 + lstm1 merge, greedy                          -> CONFIG_1
+2. inception_v3 + lstm1, beam 3, batch 32               -> CONFIG_2
+3. resnet50 + lstm2, beam 5                             -> CONFIG_3
+4. soft-attention decoder over 14x14 maps               -> CONFIG_4
+5. batched e2e jpeg->encoder->beam, batch 256, dp mesh  -> CONFIG_5
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Literal
+
+EncoderName = Literal["vgg16", "inception_v3", "resnet50", "tiny_cnn"]
+DecoderName = Literal["lstm1", "lstm2", "inject", "attention"]
+DecodeMethod = Literal["greedy", "beam"]
+
+
+@dataclasses.dataclass(frozen=True)
+class EncoderConfig:
+    name: EncoderName = "vgg16"
+    # Feature kind: 'pooled' (global vector) or 'spatial' (14x14 grid for
+    # the attention decoder, reference's block5_conv3-style map).
+    features: Literal["pooled", "spatial"] = "pooled"
+    # include_top=True fc2 features (vgg16 -> 4096) vs avg-pool (-> 2048).
+    feature_dim: int = 4096
+
+
+@dataclasses.dataclass(frozen=True)
+class DecoderConfig:
+    name: DecoderName = "lstm1"
+    embed_dim: int = 256
+    hidden_dim: int = 256
+    num_layers: int = 1
+    dropout_rate: float = 0.5
+    attention_dim: int = 256  # attention MLP width (attention decoder only)
+
+
+@dataclasses.dataclass(frozen=True)
+class DecodeConfig:
+    method: DecodeMethod = "greedy"
+    beam_width: int = 3
+    max_len: int = 34  # Flickr8k max caption length (SURVEY.md §2.1 #4)
+    length_normalize: bool = True
+    alpha: float = 1.0  # length-normalization exponent
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    batch_size: int = 64
+    learning_rate: float = 1e-3  # Keras Adam default
+    epochs: int = 20
+    seed: int = 0
+    checkpoint_dir: str = "checkpoints"
+    max_to_keep: int = 3
+    label_smoothing: float = 0.0
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    n_devices: int | None = None  # None = all local devices
+    axis_name: str = "data"
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    encoder: EncoderConfig = EncoderConfig()
+    decoder: DecoderConfig = DecoderConfig()
+    decode: DecodeConfig = DecodeConfig()
+    train: TrainConfig = TrainConfig()
+    mesh: MeshConfig = MeshConfig()
+    vocab_size: int = 7580  # typical Flickr8k vocab+1; overridden per run
+    precision: Literal["bf16", "f32"] = "bf16"
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+def _enc(name: EncoderName, features="pooled") -> EncoderConfig:
+    dims = {
+        "vgg16": 4096 if features == "pooled" else 512,
+        "inception_v3": 2048,
+        "resnet50": 2048 if features == "pooled" else 1024,
+        "tiny_cnn": 128,
+    }
+    return EncoderConfig(name=name, features=features, feature_dim=dims[name])
+
+
+CONFIG_1 = Config(
+    encoder=_enc("vgg16"),
+    decoder=DecoderConfig(name="lstm1"),
+    decode=DecodeConfig(method="greedy"),
+)
+CONFIG_2 = Config(
+    encoder=_enc("inception_v3"),
+    decoder=DecoderConfig(name="lstm1"),
+    decode=DecodeConfig(method="beam", beam_width=3),
+    train=TrainConfig(batch_size=32),
+)
+CONFIG_3 = Config(
+    encoder=_enc("resnet50"),
+    decoder=DecoderConfig(name="lstm2", num_layers=2),
+    decode=DecodeConfig(method="beam", beam_width=5),
+)
+CONFIG_4 = Config(
+    encoder=_enc("vgg16", features="spatial"),
+    decoder=DecoderConfig(name="attention"),
+    decode=DecodeConfig(method="beam", beam_width=3),
+)
+CONFIG_5 = Config(
+    encoder=_enc("inception_v3"),
+    decoder=DecoderConfig(name="lstm1"),
+    decode=DecodeConfig(method="beam", beam_width=3),
+    train=TrainConfig(batch_size=256),
+)
+
+PRESETS = {
+    "config1": CONFIG_1,
+    "config2": CONFIG_2,
+    "config3": CONFIG_3,
+    "config4": CONFIG_4,
+    "config5": CONFIG_5,
+}

@@ -1,0 +1,56 @@
+"""Device mesh and sharding helpers.
+
+The reference is single-device (SURVEY.md §2.4); the rebuild's parallelism is
+a 1-D ``("data",)`` mesh over all local TPU cores, with gradients reduced by
+``psum`` inside ``shard_map`` (SURVEY.md §2.5). These helpers centralize mesh
+creation so every train/decode entry point shards identically.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def local_device_count() -> int:
+    return jax.local_device_count()
+
+
+def make_mesh(n_devices: int | None = None, axis_name: str = DATA_AXIS) -> Mesh:
+    """Build a 1-D data-parallel mesh over the first ``n_devices`` devices."""
+    devices = jax.devices()
+    if n_devices is None:
+        n_devices = len(devices)
+    if n_devices > len(devices):
+        raise ValueError(
+            f"requested {n_devices} devices but only {len(devices)} present"
+        )
+    return Mesh(np.asarray(devices[:n_devices]), (axis_name,))
+
+
+def data_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
+    """Shard the leading (batch) axis over the data axis; replicate the rest."""
+    spec = P(DATA_AXIS, *([None] * (ndim - 1)))
+    return NamedSharding(mesh, spec)
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Place a pytree of host arrays with the batch axis sharded over data."""
+
+    def put(x):
+        x = np.asarray(x)
+        return jax.device_put(x, data_sharding(mesh, x.ndim))
+
+    return jax.tree_util.tree_map(put, batch)
+
+
+def pad_to_multiple(batch_size: int, n_devices: int) -> int:
+    """Smallest batch >= batch_size divisible by the mesh size."""
+    return ((batch_size + n_devices - 1) // n_devices) * n_devices

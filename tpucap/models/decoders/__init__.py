@@ -1,0 +1,67 @@
+"""Caption decoder zoo.
+
+All decoders expose a uniform interface (tpucap.models.decoders.base) so the
+batched greedy/beam engines in tpucap.decode drive any of them:
+
+- ``lstm.MergeDecoder``   — the reference's merge model (SURVEY.md §2.1 #6),
+                            1- or 2-layer LSTM branch added to the image branch
+- ``lstm.InjectDecoder``  — image feature injected as the LSTM initial state
+                            (SURVEY.md §2.1 #7)
+- ``attention.AttentionDecoder`` — Show-Attend-Tell soft attention over a
+                            spatial feature grid (SURVEY.md §2.1 #8)
+"""
+
+from tpucap.models.decoders.base import CaptionDecoder
+from tpucap.models.decoders.lstm import MergeDecoder, InjectDecoder
+from tpucap.models.decoders.attention import AttentionDecoder
+
+
+def build_decoder(
+    name: str,
+    vocab_size: int,
+    feature_dim: int,
+    embed_dim: int = 256,
+    hidden_dim: int = 256,
+    num_layers: int = 1,
+    dropout_rate: float = 0.5,
+    attention_dim: int = 256,
+) -> CaptionDecoder:
+    """Factory keyed by config.DecoderConfig.name."""
+    if name in ("lstm1", "lstm2"):
+        layers = 2 if name == "lstm2" else num_layers
+        return MergeDecoder(
+            vocab_size=vocab_size,
+            feature_dim=feature_dim,
+            embed_dim=embed_dim,
+            hidden_dim=hidden_dim,
+            num_layers=layers,
+            dropout_rate=dropout_rate,
+        )
+    if name == "inject":
+        return InjectDecoder(
+            vocab_size=vocab_size,
+            feature_dim=feature_dim,
+            embed_dim=embed_dim,
+            hidden_dim=hidden_dim,
+            num_layers=num_layers,
+            dropout_rate=dropout_rate,
+        )
+    if name == "attention":
+        return AttentionDecoder(
+            vocab_size=vocab_size,
+            feature_dim=feature_dim,
+            embed_dim=embed_dim,
+            hidden_dim=hidden_dim,
+            attention_dim=attention_dim,
+            dropout_rate=dropout_rate,
+        )
+    raise ValueError(f"unknown decoder {name!r}")
+
+
+__all__ = [
+    "CaptionDecoder",
+    "MergeDecoder",
+    "InjectDecoder",
+    "AttentionDecoder",
+    "build_decoder",
+]

@@ -1,0 +1,141 @@
+"""Functional neural-net primitives with Keras-default initialization.
+
+Pure param-pytree style (init_* returns a dict of jnp arrays; apply is a pure
+function) — chosen over a module framework for the decoder stack because the
+decode engines thread state through ``lax.while_loop`` and reshape it for
+beam search, which is simplest with explicit pytrees.
+
+Keras parity notes (differentially tested in tests/test_lstm_parity.py):
+- Dense: glorot_uniform kernel, zeros bias [keras defaults].
+- Embedding: uniform(-0.05, 0.05) ("random_uniform" Keras default).
+- LSTM: kernel (in, 4*units) glorot_uniform, recurrent (units, 4*units)
+  orthogonal, bias zeros with the forget-gate quarter set to 1
+  (unit_forget_bias). Gate order i, f, c(g), o; recurrent_activation
+  sigmoid, activation tanh [keras/src/layers/rnn/lstm.py:223-249].
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+# ---------------------------------------------------------------------------
+# Dense
+
+
+def init_dense(key, in_dim: int, out_dim: int, dtype=jnp.float32):
+    kernel = jax.nn.initializers.glorot_uniform()(key, (in_dim, out_dim), dtype)
+    return {"kernel": kernel, "bias": jnp.zeros((out_dim,), dtype)}
+
+
+def dense(p, x, activation=None):
+    y = jnp.dot(x, p["kernel"], preferred_element_type=x.dtype) + p["bias"]
+    return activation(y) if activation is not None else y
+
+
+# ---------------------------------------------------------------------------
+# Embedding
+
+
+def init_embedding(key, vocab_size: int, embed_dim: int, dtype=jnp.float32):
+    table = jax.random.uniform(
+        key, (vocab_size, embed_dim), dtype, minval=-0.05, maxval=0.05
+    )
+    return {"table": table}
+
+
+def embed(p, token_ids):
+    """Lookup: (...,) int -> (..., embed_dim)."""
+    return jnp.take(p["table"], token_ids, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# LSTM cell (Keras gate order/equations)
+
+
+def init_lstm_cell(key, in_dim: int, units: int, dtype=jnp.float32):
+    k_kernel, k_rec = jax.random.split(key)
+    kernel = jax.nn.initializers.glorot_uniform()(
+        k_kernel, (in_dim, 4 * units), dtype
+    )
+    recurrent = jax.nn.initializers.orthogonal()(
+        k_rec, (units, 4 * units), dtype
+    )
+    # unit_forget_bias: f-gate bias = 1 (second quarter in i,f,c,o order).
+    bias = jnp.concatenate(
+        [
+            jnp.zeros((units,), dtype),
+            jnp.ones((units,), dtype),
+            jnp.zeros((2 * units,), dtype),
+        ]
+    )
+    return {"kernel": kernel, "recurrent": recurrent, "bias": bias}
+
+
+def lstm_cell_step(p, x, h, c):
+    """One LSTM step. x (B, in), h/c (B, units) -> (h', c').
+
+    z = x@W + h@U + b split into gates i, f, g, o:
+      i = sigmoid(z0); f = sigmoid(z1); c' = f*c + i*tanh(z2);
+      h' = sigmoid(z3) * tanh(c')     [keras lstm.py:223-249]
+    """
+    z = (
+        jnp.dot(x, p["kernel"], preferred_element_type=x.dtype)
+        + jnp.dot(h, p["recurrent"], preferred_element_type=h.dtype)
+        + p["bias"]
+    )
+    units = h.shape[-1]
+    zi, zf, zg, zo = jnp.split(z, 4, axis=-1)
+    i = jax.nn.sigmoid(zi)
+    f = jax.nn.sigmoid(zf)
+    c_new = f * c + i * jnp.tanh(zg)
+    h_new = jax.nn.sigmoid(zo) * jnp.tanh(c_new)
+    del units
+    return h_new, c_new
+
+
+def lstm_forward(p, xs, mask=None, h0=None, c0=None, return_sequences=False):
+    """Run an LSTM over time with Keras masking semantics.
+
+    xs: (B, T, in). mask: (B, T) bool; masked (False) steps carry state AND
+    output through unchanged — matching Keras `mask_zero=True` so a model fed
+    pre-padded prefixes produces the same final hidden state as the reference
+    [keras RNN masking semantics; SURVEY.md §7 "Keras parity traps"].
+    """
+    B, T, _ = xs.shape
+    units = p["recurrent"].shape[0]
+    h = jnp.zeros((B, units), xs.dtype) if h0 is None else h0
+    c = jnp.zeros((B, units), xs.dtype) if c0 is None else c0
+
+    xs_t = jnp.swapaxes(xs, 0, 1)  # time-major for scan
+    mask_t = (
+        jnp.swapaxes(mask, 0, 1)
+        if mask is not None
+        else jnp.ones((T, B), bool)
+    )
+
+    def body(carry, inp):
+        h, c = carry
+        x, m = inp
+        h2, c2 = lstm_cell_step(p, x, h, c)
+        m = m[:, None]
+        h = jnp.where(m, h2, h)
+        c = jnp.where(m, c2, c)
+        return (h, c), h
+
+    (h, c), hs = jax.lax.scan(body, (h, c), (xs_t, mask_t))
+    if return_sequences:
+        return jnp.swapaxes(hs, 0, 1), (h, c)
+    return h, (h, c)
+
+
+# ---------------------------------------------------------------------------
+# Dropout (inverted, Keras/flax-identical scaling)
+
+
+def dropout(rng, x, rate: float, deterministic: bool):
+    if deterministic or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep, x.shape)
+    return jnp.where(mask, x / keep, jnp.zeros_like(x))
