@@ -1,0 +1,167 @@
+"""Token-exact tests: while_loop decode engines vs Python step-loop oracles.
+
+SURVEY.md §4 "Greedy/beam decode on a tiny fixed-weight model: lax.while_loop
+output == step-by-step Python oracle, token-exact."
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpucap.decode import beam_decode, greedy_decode, ids_to_captions
+from tpucap.decode.oracle import beam_oracle, greedy_oracle
+from tpucap.models.decoders import build_decoder
+
+VOCAB = 23
+FEAT = 11
+START, END = 1, 2
+MAXLEN = 12
+B = 5
+
+
+def make(name, **kw):
+    dec = build_decoder(
+        name,
+        vocab_size=VOCAB,
+        feature_dim=FEAT,
+        embed_dim=8,
+        hidden_dim=16,
+        **kw,
+    )
+    params = dec.init(jax.random.key(0))
+    return dec, params
+
+
+def features_for(name, key):
+    if name == "attention":
+        return jax.random.normal(key, (B, 9, FEAT))  # 3x3 "spatial" grid
+    return jax.random.normal(key, (B, FEAT))
+
+
+DECODERS = ["lstm1", "lstm2", "inject", "attention"]
+
+
+@pytest.mark.parametrize("name", DECODERS)
+def test_greedy_matches_oracle(name):
+    dec, params = make(name)
+    feats = features_for(name, jax.random.key(1))
+    state = dec.init_state(params, feats)
+
+    res = jax.jit(
+        lambda p, s: greedy_decode(
+            dec.step, p, s, start_id=START, end_id=END, max_len=MAXLEN
+        )
+    )(params, state)
+
+    ot, ol, osc = greedy_oracle(
+        dec.step, params, state, start_id=START, end_id=END, max_len=MAXLEN
+    )
+    np.testing.assert_array_equal(np.asarray(res.tokens), ot)
+    np.testing.assert_array_equal(np.asarray(res.lengths), ol)
+    np.testing.assert_allclose(np.asarray(res.scores), osc, atol=1e-5)
+
+
+@pytest.mark.parametrize("name", DECODERS)
+@pytest.mark.parametrize("k", [1, 3, 5])
+def test_beam_matches_oracle(name, k):
+    dec, params = make(name)
+    feats = features_for(name, jax.random.key(2))
+    state = dec.init_state(params, feats)
+
+    res = jax.jit(
+        lambda p, s: beam_decode(
+            dec.step,
+            p,
+            s,
+            start_id=START,
+            end_id=END,
+            max_len=MAXLEN,
+            beam_width=k,
+        )
+    )(params, state)
+
+    bt, bl, bs, all_t, all_l, all_s = beam_oracle(
+        dec.step,
+        params,
+        state,
+        start_id=START,
+        end_id=END,
+        max_len=MAXLEN,
+        beam_width=k,
+    )
+    np.testing.assert_array_equal(np.asarray(res.beam_tokens), all_t)
+    np.testing.assert_array_equal(np.asarray(res.beam_lengths), all_l)
+    np.testing.assert_array_equal(np.asarray(res.tokens), bt)
+    np.testing.assert_array_equal(np.asarray(res.lengths), bl)
+    np.testing.assert_allclose(np.asarray(res.scores), bs, atol=1e-4)
+
+
+def test_beam_width_1_equals_greedy():
+    """Beam k=1 without length norm must reproduce greedy's token path."""
+    dec, params = make("lstm1")
+    feats = features_for("lstm1", jax.random.key(3))
+    state = dec.init_state(params, feats)
+    g = greedy_decode(
+        dec.step, params, state, start_id=START, end_id=END, max_len=MAXLEN
+    )
+    b = beam_decode(
+        dec.step,
+        params,
+        state,
+        start_id=START,
+        end_id=END,
+        max_len=MAXLEN,
+        beam_width=1,
+        length_normalize=False,
+    )
+    np.testing.assert_array_equal(np.asarray(g.tokens), np.asarray(b.tokens))
+
+
+def test_greedy_stops_at_end_token():
+    dec, params = make("lstm1")
+    feats = features_for("lstm1", jax.random.key(4))
+    state = dec.init_state(params, feats)
+    res = greedy_decode(
+        dec.step, params, state, start_id=START, end_id=END, max_len=MAXLEN
+    )
+    tokens = np.asarray(res.tokens)
+    lengths = np.asarray(res.lengths)
+    for b in range(B):
+        n = lengths[b]
+        # Everything after the generated span is pad.
+        assert (tokens[b, n:] == 0).all()
+        if n < MAXLEN:
+            assert tokens[b, n - 1] == END
+
+
+def test_ids_to_captions(toy_corpus):
+    from tpucap.text import Tokenizer
+
+    tok = Tokenizer()
+    tok.fit_on_texts(toy_corpus)
+    end_id = tok.word_index["endseq"]
+    dog = tok.word_index["dog"]
+    runs = tok.word_index["runs"]
+    tokens = np.array([[dog, runs, end_id, 0, 0], [dog, 0, 0, 0, 0]])
+    lengths = np.array([3, 1])
+    caps = ids_to_captions(tok, tokens, lengths, end_id=end_id)
+    assert caps == ["dog runs", "dog"]
+
+
+def test_beam_scores_sorted_and_finite():
+    dec, params = make("lstm1")
+    feats = features_for("lstm1", jax.random.key(5))
+    state = dec.init_state(params, feats)
+    res = beam_decode(
+        dec.step,
+        params,
+        state,
+        start_id=START,
+        end_id=END,
+        max_len=MAXLEN,
+        beam_width=4,
+    )
+    s = np.asarray(res.beam_scores)
+    assert np.isfinite(s).all()
+    assert (np.diff(s, axis=1) <= 1e-6).all()  # top_k returns descending

@@ -1,0 +1,195 @@
+"""Vectorized batched beam search as a single lax.while_loop program.
+
+The reference expands each live beam with its own model.predict per step
+(SURVEY.md §3.4 — the worst hot loop). Here hypotheses are vectorized
+(cf. arXiv:1811.04568, PAPERS.md): decoder state has shape (B*k, ...), one
+fused step scores all B*k hypotheses, and ``lax.top_k`` over the flattened
+(k*V) candidate scores does the beam bookkeeping on-device under fixed
+shapes.
+
+Semantics (mirrored token-exactly by tests/oracle):
+- beams start identical with scores [0, -inf, ...] so the first expansion
+  selects the global top-k first words;
+- a beam that emits ``end_id`` is *frozen*: it keeps its slot, and its only
+  continuation is ``pad_id`` with score unchanged;
+- ``pad_id`` (reserved index 0) is masked out of live expansions;
+- final ranking is score / length**alpha when length_normalize (length
+  includes the end token), ties broken by lower flattened candidate index
+  (lax.top_k order).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30  # avoid inf-inf NaNs inside score arithmetic
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class BeamResult:
+    """tokens: (B, max_len) best beam; lengths/scores: (B,);
+    beam_tokens: (B, k, max_len) all beams; beam_lengths/beam_scores: (B, k)
+    (raw, un-normalized log-prob sums)."""
+
+    tokens: Any
+    lengths: Any
+    scores: Any
+    beam_tokens: Any
+    beam_lengths: Any
+    beam_scores: Any
+
+
+def _tile_state(state, k: int):
+    """(B, ...) -> (B*k, ...) with each row repeated k times (beam-major)."""
+
+    def tile(x):
+        return jnp.repeat(x, k, axis=0)
+
+    return jax.tree_util.tree_map(tile, state)
+
+
+def _gather_beams(tree, parent, B: int, k: int):
+    """Reindex (B*k, ...) state by parent (B, k) beam indices."""
+
+    def gather(x):
+        xr = x.reshape((B, k) + x.shape[1:])
+        out = jax.vmap(lambda rows, idx: rows[idx])(xr, parent)
+        return out.reshape((B * k,) + x.shape[1:])
+
+    return jax.tree_util.tree_map(gather, tree)
+
+
+def beam_decode(
+    step_fn: Callable,
+    params,
+    state,
+    *,
+    start_id: int,
+    end_id: int,
+    max_len: int,
+    beam_width: int,
+    pad_id: int = 0,
+    length_normalize: bool = True,
+    alpha: float = 1.0,
+) -> BeamResult:
+    """Beam-search a batch. ``step_fn(params, state, token) -> (logits, state)``
+    where state leaves carry a leading hypothesis axis."""
+    k = beam_width
+    B = jax.tree_util.tree_leaves(state)[0].shape[0]
+    state = _tile_state(state, k)
+
+    tokens0 = jnp.full((B, k, max_len), pad_id, jnp.int32)
+    scores0 = jnp.tile(
+        jnp.concatenate(
+            [jnp.zeros((1,)), jnp.full((k - 1,), NEG_INF)]
+        )[None, :],
+        (B, 1),
+    ).astype(jnp.float32)
+
+    def cond(carry):
+        t, _, _, _, finished, _, _ = carry
+        return jnp.logical_and(t < max_len, ~jnp.all(finished))
+
+    def body(carry):
+        t, tokens, state, last, finished, lengths, scores = carry
+        logits, new_state = step_fn(params, state, last)  # (B*k, V)
+        V = logits.shape[-1]
+        logp = jax.nn.log_softmax(logits, axis=-1).reshape(B, k, V)
+        # Live beams may not emit pad.
+        logp = logp.at[:, :, pad_id].set(NEG_INF)
+
+        live_cand = scores[:, :, None] + logp
+        # Frozen beams: only pad continues, score unchanged.
+        frozen_row = jnp.full((V,), NEG_INF).at[pad_id].set(0.0)
+        frozen_cand = scores[:, :, None] + frozen_row[None, None, :]
+        cand = jnp.where(finished[:, :, None], frozen_cand, live_cand)
+
+        flat = cand.reshape(B, k * V)
+        top_scores, top_idx = jax.lax.top_k(flat, k)  # (B, k)
+        parent = top_idx // V
+        word = (top_idx % V).astype(jnp.int32)
+
+        take = lambda arr: jnp.take_along_axis(arr, parent, axis=1)
+        tokens = jax.vmap(lambda rows, idx: rows[idx])(tokens, parent)
+        parent_finished = take(finished)
+        lengths = take(lengths)
+
+        emit = ~parent_finished
+        word = jnp.where(parent_finished, pad_id, word)
+        tokens = jax.lax.dynamic_update_slice(
+            tokens, word[:, :, None], (0, 0, t)
+        )
+        lengths = lengths + emit.astype(jnp.int32)
+        finished = parent_finished | (word == end_id)
+
+        state = _gather_beams(new_state, parent, B, k)
+        last = word.reshape(B * k)
+        return t + 1, tokens, state, last, finished, lengths, top_scores
+
+    carry = (
+        jnp.array(0, jnp.int32),
+        tokens0,
+        state,
+        jnp.full((B * k,), start_id, jnp.int32),
+        jnp.zeros((B, k), bool),
+        jnp.zeros((B, k), jnp.int32),
+        scores0,
+    )
+    _, tokens, _, _, finished, lengths, scores = jax.lax.while_loop(
+        cond, body, carry
+    )
+
+    if length_normalize:
+        norm = scores / jnp.maximum(lengths, 1).astype(scores.dtype) ** alpha
+    else:
+        norm = scores
+    best = jnp.argmax(norm, axis=1)  # ties -> lowest beam slot (top_k order)
+
+    pick = lambda arr: jnp.take_along_axis(
+        arr, best.reshape((B,) + (1,) * (arr.ndim - 1)), axis=1
+    ).squeeze(1)
+    return BeamResult(
+        tokens=pick(tokens),
+        lengths=pick(lengths),
+        scores=pick(scores),
+        beam_tokens=tokens,
+        beam_lengths=lengths,
+        beam_scores=scores,
+    )
+
+
+def make_beam_fn(
+    decoder,
+    *,
+    start_id,
+    end_id,
+    max_len,
+    beam_width,
+    pad_id=0,
+    length_normalize=True,
+    alpha=1.0,
+):
+    """Build a jittable (params, features) -> BeamResult closure."""
+
+    @jax.jit
+    def fn(params, features):
+        state = decoder.init_state(params, features)
+        return beam_decode(
+            decoder.step,
+            params,
+            state,
+            start_id=start_id,
+            end_id=end_id,
+            max_len=max_len,
+            beam_width=beam_width,
+            pad_id=pad_id,
+            length_normalize=length_normalize,
+            alpha=alpha,
+        )
+
+    return fn

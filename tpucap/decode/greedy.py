@@ -1,0 +1,105 @@
+"""Batched greedy decoding as a single lax.while_loop program.
+
+Replaces the reference's `generate_desc` host loop (SURVEY.md §3.3): instead
+of padding the growing prefix and re-running the full forward per token
+(O(L^2) compute + one host<->device round trip per token), the decoder state
+(h, c, image branch) is carried on-device and each iteration is one
+incremental step for the whole batch. Token-for-token equivalent to the
+reference because the LSTM recurrence over the unpadded prefix equals the
+masked forward over the padded prefix (tests/test_lstm_parity.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class DecodeResult:
+    """tokens: (B, max_len) generated ids (end token included, pad after);
+    lengths: (B,) number of generated tokens incl. the end token;
+    scores: (B,) sum of per-token log-probs of the generated tokens."""
+
+    tokens: Any
+    lengths: Any
+    scores: Any
+
+
+def _batch_size(state) -> int:
+    return jax.tree_util.tree_leaves(state)[0].shape[0]
+
+
+def greedy_decode(
+    step_fn: Callable,
+    params,
+    state,
+    *,
+    start_id: int,
+    end_id: int,
+    max_len: int,
+    pad_id: int = 0,
+) -> DecodeResult:
+    """Greedy-decode a batch. ``step_fn(params, state, token) -> (logits, state)``.
+
+    ``pad_id`` (the tokenizer's reserved index 0) is masked out of the argmax
+    — the reference's `word_for_id(0)` returns None and would abort the
+    caption; a trained model never predicts it, so masking is behavior-
+    preserving while keeping shapes static.
+    """
+    B = _batch_size(state)
+    tokens0 = jnp.full((B, max_len), pad_id, jnp.int32)
+
+    def cond(carry):
+        t, _, _, _, done, _, _ = carry
+        return jnp.logical_and(t < max_len, ~jnp.all(done))
+
+    def body(carry):
+        t, tokens, state, last, done, lengths, scores = carry
+        logits, new_state = step_fn(params, state, last)
+        logits = logits.at[:, pad_id].set(-jnp.inf)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nxt = jnp.argmax(logp, axis=-1).astype(jnp.int32)
+        tok_logp = jnp.take_along_axis(logp, nxt[:, None], axis=-1)[:, 0]
+        nxt = jnp.where(done, pad_id, nxt)
+        tokens = jax.lax.dynamic_update_slice(tokens, nxt[:, None], (0, t))
+        lengths = lengths + jnp.where(done, 0, 1)
+        scores = scores + jnp.where(done, 0.0, tok_logp)
+        done = jnp.logical_or(done, nxt == end_id)
+        return t + 1, tokens, new_state, nxt, done, lengths, scores
+
+    carry = (
+        jnp.array(0, jnp.int32),
+        tokens0,
+        state,
+        jnp.full((B,), start_id, jnp.int32),
+        jnp.zeros((B,), bool),
+        jnp.zeros((B,), jnp.int32),
+        jnp.zeros((B,), jnp.float32),
+    )
+    _, tokens, _, _, _, lengths, scores = jax.lax.while_loop(cond, body, carry)
+    return DecodeResult(tokens=tokens, lengths=lengths, scores=scores)
+
+
+def make_greedy_fn(decoder, *, start_id, end_id, max_len, pad_id=0):
+    """Build a jittable (params, features) -> DecodeResult closure."""
+
+    @partial(jax.jit, static_argnums=())
+    def fn(params, features):
+        state = decoder.init_state(params, features)
+        return greedy_decode(
+            decoder.step,
+            params,
+            state,
+            start_id=start_id,
+            end_id=end_id,
+            max_len=max_len,
+            pad_id=pad_id,
+        )
+
+    return fn
