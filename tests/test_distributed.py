@@ -1,0 +1,137 @@
+"""Distributed-without-a-cluster tests on the 8-device virtual CPU mesh.
+
+SURVEY.md §4: (a) real shard_map code on a faked 8-device mesh;
+(b) DP-8 gradient/update == single-device update on the concatenated batch;
+(c) sharded decode == single-device decode.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from tpucap.core import make_mesh, shard_batch
+from tpucap.decode import beam_decode, greedy_decode
+from tpucap.models.decoders import build_decoder
+from tpucap.parallel import make_dp_decode_fn, make_dp_train_step
+from tpucap.train import TrainState, make_train_step
+
+VOCAB, FEAT, EMB, HID = 21, 9, 8, 16
+B = 16  # divisible by 8
+START, END, MAXLEN = 1, 2, 10
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert jax.device_count() == 8, "conftest must provide 8 virtual devices"
+    return make_mesh(8)
+
+
+def setup(name="lstm1"):
+    dec = build_decoder(
+        name, vocab_size=VOCAB, feature_dim=FEAT, embed_dim=EMB, hidden_dim=HID
+    )
+    params = dec.init(jax.random.key(0))
+    rng = np.random.default_rng(0)
+    feats = rng.normal(size=(B, FEAT)).astype(np.float32)
+    tokens = rng.integers(1, VOCAB, size=(B, 8)).astype(np.int32)
+    tokens[:, 0] = START
+    tokens[:, -2:] = 0  # some padding
+    return dec, params, feats, tokens
+
+
+def test_dp_update_matches_single_device(mesh):
+    # SGD so the param delta is proportional to the gradient — a direct
+    # gradient-equivalence check without Adam's 1/sqrt(v) amplification of
+    # f32 reduction-order noise.
+    dec, params, feats, tokens = setup()
+    optimizer = optax.sgd(0.5)
+
+    single = make_train_step(dec, optimizer, deterministic=True)
+    state1 = TrainState.create(params, optimizer, jax.random.key(1))
+    state1, m1 = single(state1, jnp.asarray(feats), jnp.asarray(tokens))
+
+    dp = make_dp_train_step(dec, optimizer, mesh, deterministic=True)
+    state8 = TrainState.create(params, optimizer, jax.random.key(1))
+    fs, ts = shard_batch(mesh, (feats, tokens))
+    state8, m8 = dp(state8, fs, ts)
+
+    np.testing.assert_allclose(
+        float(m1["loss"]), float(m8["loss"]), rtol=1e-6
+    )
+    for p1, p8 in zip(
+        jax.tree_util.tree_leaves(state1.params),
+        jax.tree_util.tree_leaves(state8.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(p1), np.asarray(p8), atol=1e-6
+        )
+
+
+def test_dp_multi_step_training_descends(mesh):
+    dec, params, feats, tokens = setup()
+    optimizer = optax.adam(1e-2)
+    dp = make_dp_train_step(dec, optimizer, mesh, deterministic=False)
+    state = TrainState.create(params, optimizer, jax.random.key(2))
+    fs, ts = shard_batch(mesh, (feats, tokens))
+    first = None
+    for _ in range(20):
+        state, metrics = dp(state, fs, ts)
+        if first is None:
+            first = float(metrics["loss"])
+    assert float(metrics["loss"]) < first
+
+
+def test_dp_greedy_decode_matches_single(mesh):
+    dec, params, feats, _ = setup()
+    state = dec.init_state(params, jnp.asarray(feats))
+    ref = greedy_decode(
+        dec.step, params, state, start_id=START, end_id=END, max_len=MAXLEN
+    )
+
+    dp_fn = make_dp_decode_fn(
+        dec,
+        greedy_decode,
+        mesh,
+        start_id=START,
+        end_id=END,
+        max_len=MAXLEN,
+    )
+    out = dp_fn(params, shard_batch(mesh, feats))
+    np.testing.assert_array_equal(
+        np.asarray(ref.tokens), np.asarray(out.tokens)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ref.lengths), np.asarray(out.lengths)
+    )
+
+
+def test_dp_beam_decode_matches_single(mesh):
+    dec, params, feats, _ = setup()
+    state = dec.init_state(params, jnp.asarray(feats))
+    ref = beam_decode(
+        dec.step,
+        params,
+        state,
+        start_id=START,
+        end_id=END,
+        max_len=MAXLEN,
+        beam_width=3,
+    )
+    dp_fn = make_dp_decode_fn(
+        dec,
+        beam_decode,
+        mesh,
+        start_id=START,
+        end_id=END,
+        max_len=MAXLEN,
+        beam_width=3,
+    )
+    out = dp_fn(params, shard_batch(mesh, feats))
+    np.testing.assert_array_equal(
+        np.asarray(ref.tokens), np.asarray(out.tokens)
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref.scores), np.asarray(out.scores), atol=1e-5
+    )

@@ -1,0 +1,15 @@
+"""Data-parallel training/inference over a TPU mesh.
+
+The reference is single-device with no parallelism of its own
+(SURVEY.md §2.4); this module is the rebuild's replacement for the entire
+missing distributed tier: a 1-D ``("data",)`` mesh, ``shard_map`` bodies with
+XLA collectives over ICI — ``psum`` for gradient/metric reduction — and
+sharded batch placement. Gradients are reduced in sum form and normalized by
+the psum'd global token count, so the DP-N step is bit-for-bit the
+single-device step on the concatenated batch
+(tests/test_distributed.py::test_dp_gradients_match_single_device).
+"""
+
+from tpucap.parallel.dp import make_dp_train_step, make_dp_decode_fn
+
+__all__ = ["make_dp_train_step", "make_dp_decode_fn"]

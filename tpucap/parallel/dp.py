@@ -1,0 +1,113 @@
+"""shard_map data-parallel train/decode steps with psum over ICI.
+
+One compiled program per step: each shard runs the teacher-forced forward +
+backward on its slice of the batch, loss pieces are kept in sum form and
+reduced with ``lax.psum`` before normalizing by the *global* token count, and
+per-shard gradients are psum'd — making the DP-N update bit-equivalent to a
+single-device update on the concatenated batch (the SURVEY.md §4 distributed
+property test). Optimizer state and params are replicated (out_spec P()),
+and every shard computes the identical update.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import PartitionSpec as P
+from jax import shard_map
+
+from tpucap.train.loop import TrainState
+from tpucap.train.loss import caption_loss_sums, loss_from_sums
+
+
+def make_dp_train_step(
+    decoder,
+    optimizer,
+    mesh,
+    *,
+    axis: str = "data",
+    pad_id: int = 0,
+    label_smoothing: float = 0.0,
+    attention_reg: float = 0.0,
+    deterministic: bool = False,
+):
+    """(state, features, tokens) -> (state, metrics), batch sharded over axis."""
+
+    def local_loss(params, features, tokens, rng):
+        sums = caption_loss_sums(
+            decoder,
+            params,
+            features,
+            tokens,
+            rng=rng,
+            deterministic=deterministic,
+            pad_id=pad_id,
+            label_smoothing=label_smoothing,
+            attention_reg=attention_reg,
+        )
+        global_sums = jax.tree_util.tree_map(
+            lambda s: jax.lax.psum(s, axis), sums
+        )
+        return loss_from_sums(global_sums, attention_reg=attention_reg)
+
+    def shard_body(state: TrainState, features, tokens):
+        rng, dropout_rng = jax.random.split(state.rng)
+        # Decorrelate dropout across shards; deterministic runs ignore it.
+        dropout_rng = jax.random.fold_in(
+            dropout_rng, jax.lax.axis_index(axis)
+        )
+        (loss, metrics), grads = jax.value_and_grad(
+            local_loss, has_aux=True
+        )(state.params, features, tokens, dropout_rng)
+        # Each shard's grad is its local contribution to the global loss
+        # (the psum'd normalizers are already inside); sum across shards.
+        grads = jax.lax.psum(grads, axis)
+        updates, opt_state = optimizer.update(
+            grads, state.opt_state, state.params
+        )
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            step=state.step + 1, params=params, opt_state=opt_state, rng=rng
+        )
+        return new_state, metrics
+
+    sharded = shard_map(
+        shard_body,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(axis)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def make_dp_decode_fn(
+    decoder,
+    decode_fn,
+    mesh,
+    *,
+    axis: str = "data",
+    **decode_kwargs,
+):
+    """Shard a batched decode over the mesh.
+
+    ``decode_fn`` is tpucap.decode.greedy_decode or beam_decode; features are
+    sharded over the data axis, params replicated, results gathered
+    (out_spec P(axis) keeps results sharded; callers device_get as needed).
+    """
+
+    def shard_body(params, features):
+        state = decoder.init_state(params, features)
+        return decode_fn(decoder.step, params, state, **decode_kwargs)
+
+    sharded = shard_map(
+        shard_body,
+        mesh=mesh,
+        in_specs=(P(), P(axis)),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    return jax.jit(sharded)

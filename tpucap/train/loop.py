@@ -1,0 +1,131 @@
+"""Train loop: jit'd train step, optax Adam, epoch driver.
+
+Replaces the reference's Keras `model.fit(generator, callbacks=[...])`
+(SURVEY.md §3.2) with one compiled program per step. The data-parallel
+variant lives in tpucap.parallel.dp; this module is the single-device step
+it must match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from tpucap.train.loss import caption_loss
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrainState:
+    step: Any
+    params: Any
+    opt_state: Any
+    rng: Any
+
+    @classmethod
+    def create(cls, params, optimizer, rng):
+        return cls(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            opt_state=optimizer.init(params),
+            rng=rng,
+        )
+
+
+def make_train_step(
+    decoder,
+    optimizer,
+    *,
+    pad_id: int = 0,
+    label_smoothing: float = 0.0,
+    attention_reg: float = 0.0,
+    deterministic: bool = False,
+) -> Callable:
+    """Single-device jit'd step: (state, features, tokens) -> (state, metrics)."""
+
+    def loss_fn(params, features, tokens, rng):
+        return caption_loss(
+            decoder,
+            params,
+            features,
+            tokens,
+            rng=rng,
+            deterministic=deterministic,
+            pad_id=pad_id,
+            label_smoothing=label_smoothing,
+            attention_reg=attention_reg,
+        )
+
+    @jax.jit
+    def step(state: TrainState, features, tokens):
+        rng, dropout_rng = jax.random.split(state.rng)
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, features, tokens, dropout_rng
+        )
+        updates, opt_state = optimizer.update(
+            grads, state.opt_state, state.params
+        )
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            step=state.step + 1, params=params, opt_state=opt_state, rng=rng
+        )
+        return new_state, metrics
+
+    return step
+
+
+def make_eval_step(
+    decoder, *, pad_id: int = 0, attention_reg: float = 0.0
+) -> Callable:
+    @jax.jit
+    def step(params, features, tokens):
+        _, metrics = caption_loss(
+            decoder,
+            params,
+            features,
+            tokens,
+            deterministic=True,
+            pad_id=pad_id,
+            attention_reg=attention_reg,
+        )
+        return metrics
+
+    return step
+
+
+def train_epoch(
+    step_fn,
+    state: TrainState,
+    batches,
+    *,
+    log_every: int = 0,
+    logger=None,
+) -> tuple[TrainState, dict]:
+    """Drive one epoch over an iterable of (features, tokens) host batches."""
+    totals: dict[str, float] = {}
+    n = 0
+    t0 = time.perf_counter()
+    for features, tokens in batches:
+        state, metrics = step_fn(state, features, tokens)
+        n += 1
+        if log_every and n % log_every == 0:
+            metrics = jax.device_get(metrics)
+            if logger is not None:
+                logger.log(
+                    {
+                        "step": int(jax.device_get(state.step)),
+                        **{k: float(v) for k, v in metrics.items()},
+                    }
+                )
+        for k, v in jax.device_get(metrics).items():
+            totals[k] = totals.get(k, 0.0) + float(v)
+    elapsed = time.perf_counter() - t0
+    avg = {k: v / max(n, 1) for k, v in totals.items()}
+    avg["steps"] = n
+    avg["seconds"] = elapsed
+    return state, avg

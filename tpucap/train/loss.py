@@ -1,0 +1,159 @@
+"""Masked cross-entropy over padded caption batches.
+
+The reference trains categorical CE on per-prefix samples (one sample per
+caption prefix, SURVEY.md §2.1 #5). Summed over a caption's prefixes that
+equals the per-timestep CE summed over the sequence, so the rebuild trains
+the O(T)-cheaper sequence form: logits (B, T, V) vs next-token targets
+(B, T) with pad positions (target == 0) masked out. ``reduction='sum_per
+_sample_mean'`` divides by the number of real tokens, matching Keras's
+mean-over-samples when each prefix is its own sample.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def masked_cross_entropy_sums(
+    logits, targets, *, pad_id: int = 0, label_smoothing: float = 0.0
+):
+    """Sum-form masked CE: -> (nll_sum, token_count, correct_count).
+
+    Sum form (not mean) is what data-parallel shards psum before normalizing
+    by the global token count, making DP-N gradients exactly equal the
+    single-device gradients on the concatenated batch.
+    """
+    vocab = logits.shape[-1]
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    mask = (targets != pad_id).astype(jnp.float32)
+
+    target_logp = jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    if label_smoothing > 0.0:
+        on = 1.0 - label_smoothing
+        off = label_smoothing / (vocab - 1)
+        target_logp = on * target_logp + off * (
+            jnp.sum(logp, axis=-1) - target_logp
+        )
+    nll = -target_logp
+
+    nll_sum = jnp.sum(nll * mask)
+    n_tokens = jnp.sum(mask)
+    n_correct = jnp.sum((jnp.argmax(logits, -1) == targets) * mask)
+    return nll_sum, n_tokens, n_correct
+
+
+def masked_cross_entropy(
+    logits, targets, *, pad_id: int = 0, label_smoothing: float = 0.0
+):
+    """-> (loss scalar, metrics dict). logits (B, T, V), targets (B, T)."""
+    nll_sum, n_tokens, n_correct = masked_cross_entropy_sums(
+        logits, targets, pad_id=pad_id, label_smoothing=label_smoothing
+    )
+    denom = jnp.maximum(n_tokens, 1.0)
+    loss = nll_sum / denom
+    return loss, {
+        "loss": loss,
+        "accuracy": n_correct / denom,
+        "tokens": n_tokens,
+        "perplexity": jnp.exp(jnp.minimum(loss, 20.0)),
+    }
+
+
+def caption_loss_sums(
+    decoder,
+    params,
+    features,
+    tokens,
+    *,
+    rng=None,
+    deterministic=True,
+    pad_id: int = 0,
+    label_smoothing: float = 0.0,
+    attention_reg: float = 0.0,
+):
+    """Sum-form teacher-forced loss pieces for a (local) batch.
+
+    -> dict(nll_sum, tokens, correct, reg_sum, batch). Normalization
+    (dividing by token count / batch size — locally, or by the psum'd global
+    counts in the DP step) happens in the caller, so single-device and
+    data-parallel training compute identical gradients.
+    """
+    inputs = tokens[:, :-1]
+    targets = tokens[:, 1:]
+    use_attention_reg = attention_reg > 0.0 and hasattr(
+        decoder, "forward_train_with_alphas"
+    )
+    if use_attention_reg:
+        logits, alphas = decoder.forward_train_with_alphas(
+            params, features, inputs, rng=rng, deterministic=deterministic
+        )
+        # Doubly-stochastic coverage over live timesteps only.
+        live = (inputs != pad_id).astype(alphas.dtype)[:, :, None]
+        coverage = jnp.sum(alphas * live, axis=1)  # (B, L)
+        reg_sum = jnp.sum(jnp.sum((1.0 - coverage) ** 2, axis=-1))
+    else:
+        logits = decoder.forward_train(
+            params, features, inputs, rng=rng, deterministic=deterministic
+        )
+        reg_sum = jnp.zeros((), jnp.float32)
+    nll_sum, n_tokens, n_correct = masked_cross_entropy_sums(
+        logits, targets, pad_id=pad_id, label_smoothing=label_smoothing
+    )
+    return {
+        "nll_sum": nll_sum,
+        "tokens": n_tokens,
+        "correct": n_correct,
+        "reg_sum": reg_sum,
+        "batch": jnp.asarray(tokens.shape[0], jnp.float32),
+    }
+
+
+def loss_from_sums(sums, *, attention_reg: float = 0.0):
+    """Normalize sum-form pieces into (loss, metrics)."""
+    denom = jnp.maximum(sums["tokens"], 1.0)
+    loss = sums["nll_sum"] / denom
+    reg = sums["reg_sum"] / jnp.maximum(sums["batch"], 1.0)
+    if attention_reg > 0.0:
+        loss = loss + attention_reg * reg
+    metrics = {
+        "loss": loss,
+        "accuracy": sums["correct"] / denom,
+        "tokens": sums["tokens"],
+        "perplexity": jnp.exp(jnp.minimum(sums["nll_sum"] / denom, 20.0)),
+    }
+    if attention_reg > 0.0:
+        metrics["attention_reg"] = reg
+    return loss, metrics
+
+
+def caption_loss(
+    decoder,
+    params,
+    features,
+    tokens,
+    *,
+    rng=None,
+    deterministic=True,
+    pad_id: int = 0,
+    label_smoothing: float = 0.0,
+    attention_reg: float = 0.0,
+):
+    """Teacher-forced loss. tokens (B, T) post-padded full captions
+    (startseq ... endseq); inputs = tokens[:, :-1], targets = tokens[:, 1:].
+
+    ``attention_reg`` adds Show-Attend-Tell's doubly-stochastic regularizer
+    lambda * mean_b sum_i (1 - sum_t alpha_bti)^2 for attention decoders.
+    """
+    sums = caption_loss_sums(
+        decoder,
+        params,
+        features,
+        tokens,
+        rng=rng,
+        deterministic=deterministic,
+        pad_id=pad_id,
+        label_smoothing=label_smoothing,
+        attention_reg=attention_reg,
+    )
+    return loss_from_sums(sums, attention_reg=attention_reg)
