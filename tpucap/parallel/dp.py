@@ -62,9 +62,13 @@ def make_dp_train_step(
         (loss, metrics), grads = jax.value_and_grad(
             local_loss, has_aux=True
         )(state.params, features, tokens, dropout_rng)
-        # Each shard's grad is its local contribution to the global loss
-        # (the psum'd normalizers are already inside); sum across shards.
-        grads = jax.lax.psum(grads, axis)
+        # shard_map AD transposes the forward psum in local_loss into a psum
+        # of the (replicated) cotangent, so each shard's grad comes out as
+        # N * (its local contribution to the global loss). pmean therefore
+        # reconstructs exactly the single-device gradient: (1/N) * sum_i
+        # N*local_i = sum_i local_i — verified bitwise-ish 8-way vs single
+        # device in tests/test_distributed.py.
+        grads = jax.lax.pmean(grads, axis)
         updates, opt_state = optimizer.update(
             grads, state.opt_state, state.params
         )
