@@ -1,0 +1,68 @@
+"""Differential tests: preprocessing vs keras.applications numpy path."""
+
+import numpy as np
+import pytest
+
+from tpucap.data.preprocess import load_image, preprocess_input
+
+keras_iu = pytest.importorskip("keras.src.applications.imagenet_utils")
+
+
+@pytest.mark.parametrize("mode", ["caffe", "tf", "torch"])
+def test_preprocess_matches_keras(mode, rng):
+    x = rng.uniform(0, 255, size=(2, 8, 8, 3)).astype(np.float32)
+    ours = preprocess_input(x.copy(), mode)
+    theirs = keras_iu.preprocess_input(x.copy(), mode=mode)
+    np.testing.assert_allclose(ours, np.asarray(theirs), atol=1e-5)
+
+
+def test_caffe_is_bgr_mean_subtract(rng):
+    x = rng.uniform(0, 255, size=(4, 4, 3)).astype(np.float32)
+    out = preprocess_input(x, "caffe")
+    np.testing.assert_allclose(out[..., 0], x[..., 2] - 103.939, atol=1e-5)
+    np.testing.assert_allclose(out[..., 2], x[..., 0] - 123.68, atol=1e-5)
+
+
+def test_load_image_matches_keras_load_img(tmp_path, rng):
+    from PIL import Image
+
+    keras_img = pytest.importorskip("keras.src.utils.image_utils")
+
+    arr = rng.integers(0, 255, size=(37, 53, 3)).astype(np.uint8)
+    path = tmp_path / "x.png"
+    Image.fromarray(arr).save(path)
+
+    ours = load_image(path, target_size=(24, 24))
+    theirs = keras_img.img_to_array(
+        keras_img.load_img(path, target_size=(24, 24))
+    )
+    np.testing.assert_array_equal(ours, np.asarray(theirs))
+
+
+def test_fixture_dataset_round_trip(tmp_path):
+    from tpucap.data import (
+        generate_fixture_dataset,
+        load_descriptions,
+        load_split,
+        prepare_descriptions,
+    )
+
+    img_dir, token_file, train_file, test_file = generate_fixture_dataset(
+        tmp_path, n_images=6, image_size=32
+    )
+    desc = load_descriptions(token_file)
+    assert len(desc) == 6
+    assert all(len(v) == 5 for v in desc.values())
+
+    train_ids = load_split(train_file)
+    test_ids = load_split(test_file)
+    assert len(train_ids) + len(test_ids) == 6
+
+    prepared = prepare_descriptions(desc, train_ids)
+    assert set(prepared) == set(train_ids)
+    for caps in prepared.values():
+        for c in caps:
+            assert c.startswith("startseq ") and c.endswith(" endseq")
+
+    img = load_image(f"{img_dir}/{train_ids[0]}.jpg", target_size=(32, 32))
+    assert img.shape == (32, 32, 3)

@@ -1,0 +1,134 @@
+"""Import pretrained Keras encoder weights into tpucap param pytrees.
+
+The reference gets its encoders from keras.applications with downloaded
+ImageNet weights (SURVEY.md §2.2). This tool converts a live tf_keras /
+keras model object (or an .h5 file via keras.models.load_model) into the
+matching tpucap encoder params:
+
+- VGG16 / ResNet-50: matched by Keras layer *names* (stable in the Keras
+  source; our param keys are identical).
+- InceptionV3: matched by layer *order* (Keras auto-names those layers with
+  process-global counters, so names aren't reproducible; creation order is —
+  tpucap's ``conv_{i}`` keys follow the same source order).
+
+Kernel layouts need no transposition: Keras stores Conv2D kernels HWIO and
+Dense kernels (in, out), the layouts tpucap uses natively.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _conv_params(layer):
+    w = layer.get_weights()
+    p = {"kernel": np.asarray(w[0])}
+    if getattr(layer, "use_bias", True) and len(w) > 1:
+        p["bias"] = np.asarray(w[1])
+    return p
+
+
+def _dense_params(layer):
+    w = layer.get_weights()
+    return {"kernel": np.asarray(w[0]), "bias": np.asarray(w[1])}
+
+
+def _bn_params(layer):
+    w = [np.asarray(x) for x in layer.get_weights()]
+    scale = getattr(layer, "scale", True)
+    center = getattr(layer, "center", True)
+    out = {}
+    i = 0
+    if scale:
+        out["gamma"] = w[i]
+        i += 1
+    if center:
+        out["beta"] = w[i]
+        i += 1
+    else:
+        out["beta"] = np.zeros_like(w[i])
+    out["mean"] = w[i]
+    out["var"] = w[i + 1]
+    return out
+
+
+def _layer_type(layer) -> str:
+    return type(layer).__name__
+
+
+def vgg16_params_from_keras(model, features: str = "fc2") -> dict:
+    by_name = {l.name: l for l in model.layers}
+    params = {}
+    for name, layer in by_name.items():
+        if _layer_type(layer) == "Conv2D":
+            params[name] = _conv_params(layer)
+    if features == "fc2":
+        for name in ("fc1", "fc2"):
+            params[name] = _dense_params(by_name[name])
+    return params
+
+
+def resnet50_params_from_keras(model) -> dict:
+    params = {}
+    for layer in model.layers:
+        t = _layer_type(layer)
+        if t == "Conv2D":
+            params[layer.name] = _conv_params(layer)
+        elif t == "BatchNormalization":
+            params[layer.name] = _bn_params(layer)
+    return params
+
+
+def _creation_index(layer) -> int:
+    """Creation order encoded in Keras auto-names ('conv2d', 'conv2d_7', ...).
+
+    model.layers is *topologically* sorted (branches interleaved), but the
+    auto-name counter increments at layer construction, i.e. source statement
+    order — which is the order tpucap's InceptionV3 uses for conv_{i} keys.
+    """
+    suffix = layer.name.rsplit("_", 1)[-1]
+    return int(suffix) if suffix.isdigit() else 0
+
+
+def inception_v3_params_from_keras(model) -> dict:
+    convs = sorted(
+        (l for l in model.layers if _layer_type(l) == "Conv2D"),
+        key=_creation_index,
+    )
+    bns = sorted(
+        (
+            l
+            for l in model.layers
+            if _layer_type(l) == "BatchNormalization"
+        ),
+        key=_creation_index,
+    )
+    if len(convs) != len(bns):
+        raise ValueError(
+            f"conv/bn count mismatch: {len(convs)} vs {len(bns)}"
+        )
+    params = {}
+    for i, (c, b) in enumerate(zip(convs, bns)):
+        params[f"conv_{i}"] = {
+            "conv": _conv_params(c),
+            "bn": _bn_params(b),
+        }
+    return params
+
+
+_IMPORTERS = {
+    "vgg16": vgg16_params_from_keras,
+    "resnet50": resnet50_params_from_keras,
+    "inception_v3": inception_v3_params_from_keras,
+}
+
+
+def params_from_keras(model, arch: str, **kwargs) -> dict:
+    """Convert a keras/tf_keras model (or h5 path) to tpucap encoder params."""
+    if isinstance(model, (str, bytes)):
+        import tf_keras
+
+        model = tf_keras.models.load_model(model, compile=False)
+    if arch not in _IMPORTERS:
+        raise ValueError(f"unknown arch {arch!r}; have {sorted(_IMPORTERS)}")
+    return _IMPORTERS[arch](model, **kwargs)

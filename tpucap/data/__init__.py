@@ -1,0 +1,23 @@
+"""Data layer: parsers, preprocessing, fixtures, input pipeline."""
+
+from tpucap.data.preprocess import (
+    preprocess_input,
+    load_image,
+    preprocess_batch,
+)
+from tpucap.data.flickr8k import (
+    load_descriptions,
+    load_split,
+    prepare_descriptions,
+)
+from tpucap.data.fixtures import generate_fixture_dataset
+
+__all__ = [
+    "preprocess_input",
+    "load_image",
+    "preprocess_batch",
+    "load_descriptions",
+    "load_split",
+    "prepare_descriptions",
+    "generate_fixture_dataset",
+]

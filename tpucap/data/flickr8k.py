@@ -1,0 +1,69 @@
+"""Flickr8k-format dataset parsers (SURVEY.md §2.1 #3).
+
+File formats:
+- ``Flickr8k.token.txt``: lines of ``<image>.jpg#<n>\\t<caption>`` —
+  5 captions per image.
+- ``Flickr_8k.{train,dev,test}Images.txt``: one ``<image>.jpg`` per line.
+
+Image ids are the filename minus extension, as in the reference. MSCOCO-style
+subsets (config 3) are served by the same structures via
+``load_descriptions_json`` (a {image_id: [captions]} JSON file).
+"""
+
+from __future__ import annotations
+
+import json
+
+from tpucap.text.clean import clean_descriptions, wrap_caption
+
+
+def load_descriptions(token_file) -> dict[str, list[str]]:
+    """Parse a Flickr8k token file -> {image_id: [raw captions]}."""
+    out: dict[str, list[str]] = {}
+    with open(token_file) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            tag, _, caption = line.partition("\t")
+            if not caption:
+                # whitespace-separated fallback
+                parts = line.split()
+                tag, caption = parts[0], " ".join(parts[1:])
+            image_id = tag.split("#")[0].rsplit(".", 1)[0]
+            out.setdefault(image_id, []).append(caption)
+    return out
+
+
+def load_descriptions_json(path) -> dict[str, list[str]]:
+    with open(path) as f:
+        return {str(k): list(v) for k, v in json.load(f).items()}
+
+
+def load_split(split_file) -> list[str]:
+    """Parse a split file -> list of image ids."""
+    ids = []
+    with open(split_file) as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                ids.append(line.rsplit(".", 1)[0])
+    return ids
+
+
+def prepare_descriptions(
+    descriptions: dict[str, list[str]],
+    split_ids: list[str] | None = None,
+) -> dict[str, list[str]]:
+    """Clean + wrap captions with startseq/endseq, optionally filtered to a
+    split. Mirrors the reference's clean_descriptions + load_clean pipeline."""
+    if split_ids is not None:
+        descriptions = {
+            i: descriptions[i] for i in split_ids if i in descriptions
+        }
+    else:
+        descriptions = dict(descriptions)
+    cleaned = clean_descriptions(descriptions)
+    return {
+        i: [wrap_caption(c) for c in caps] for i, caps in cleaned.items()
+    }
