@@ -1,0 +1,83 @@
+"""End-to-end integration (SURVEY.md §4): fixtures -> tokenizer -> encoder
+-> train -> decode -> BLEU, on CPU with the tiny encoder (config-1 shape)."""
+
+import numpy as np
+import pytest
+
+from tpucap.config import Config, DecodeConfig, DecoderConfig, EncoderConfig, TrainConfig
+from tpucap.data import (
+    generate_fixture_dataset,
+    load_descriptions,
+    load_split,
+    prepare_descriptions,
+)
+from tpucap.pipeline import CaptioningPipeline
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("fixture_ds")
+    img_dir, token_file, train_file, test_file = generate_fixture_dataset(
+        root, n_images=8, image_size=32, seed=7
+    )
+    desc = load_descriptions(token_file)
+    train_ids = load_split(train_file)
+    test_ids = load_split(test_file)
+    return img_dir, desc, train_ids, test_ids
+
+
+def make_pipeline():
+    cfg = Config(
+        encoder=EncoderConfig(name="tiny_cnn", feature_dim=128),
+        decoder=DecoderConfig(embed_dim=16, hidden_dim=32, dropout_rate=0.0),
+        decode=DecodeConfig(max_len=12),
+        train=TrainConfig(batch_size=8, learning_rate=5e-3, epochs=1, seed=0),
+    )
+    return CaptioningPipeline(cfg)
+
+
+def test_end_to_end_overfits_and_scores(dataset):
+    img_dir, desc, train_ids, test_ids = dataset
+    pipe = make_pipeline()
+
+    prepared = prepare_descriptions(desc, train_ids)
+    pipe.fit_tokenizer(prepared)
+    assert pipe.tokenizer.word_index["startseq"]
+    pipe.build()
+
+    paths = [f"{img_dir}/{i}.jpg" for i in train_ids]
+    feats_arr = pipe.extract_features(paths, batch_size=4)
+    assert feats_arr.shape == (len(train_ids), 128)
+    feats = dict(zip(train_ids, feats_arr))
+
+    history = pipe.fit(prepared, feats, epochs=40, log=None)
+    assert history[-1]["loss"] < history[0]["loss"] * 0.5
+
+    # Greedy and beam generation produce non-empty captions from the vocab.
+    caps_g = pipe.generate(feats_arr[:4], method="greedy")
+    caps_b = pipe.generate(feats_arr[:4], method="beam", beam_width=3)
+    vocab = set(pipe.tokenizer.word_index)
+    for c in caps_g + caps_b:
+        assert c, "empty caption"
+        assert set(c.split()) <= vocab
+
+    # BLEU on the training set after overfitting should be well above zero.
+    scores = pipe.evaluate(prepared, feats, method="greedy")
+    assert set(scores) == {"bleu1", "bleu2", "bleu3", "bleu4"}
+    assert scores["bleu1"] > 0.2, scores
+
+    # Single-image demo path (reference §2.1 #13).
+    [cap] = pipe.caption_images(paths[:1], method="beam", beam_width=3)
+    assert isinstance(cap, str) and cap
+
+
+def test_generation_deterministic(dataset):
+    img_dir, desc, train_ids, _ = dataset
+    pipe = make_pipeline()
+    prepared = prepare_descriptions(desc, train_ids)
+    pipe.fit_tokenizer(prepared)
+    pipe.build()
+    feats = np.random.default_rng(0).normal(size=(3, 128)).astype(np.float32)
+    a = pipe.generate(feats, method="beam", beam_width=3)
+    b = pipe.generate(feats, method="beam", beam_width=3)
+    assert a == b

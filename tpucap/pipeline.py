@@ -1,0 +1,286 @@
+"""High-level captioning pipeline — the reference's public API, TPU-native.
+
+`CaptioningPipeline` ties together encoder, decoder, tokenizer, decode
+engines, training, checkpointing and evaluation, mirroring the reference's
+script surface (SURVEY.md §2.1, §3):
+
+    reference                          tpucap
+    ---------                          ------
+    extract_features(dir)          ->  pipeline.extract_features(paths)
+    create_tokenizer(descriptions) ->  pipeline.fit_tokenizer(descriptions)
+    define_model(...)              ->  CaptioningPipeline(config)
+    train loop                     ->  pipeline.fit(...)
+    generate_desc(model, tok, ...) ->  pipeline.generate(features)
+    beam_search_desc(...)          ->  pipeline.generate(features, beam_width=k)
+    evaluate_model(...)            ->  pipeline.evaluate(...)
+
+The decode path is batched and jit-compiled once per (batch, beam) shape;
+features flow encoder -> decoder fully on device.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Iterable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from tpucap.config import Config
+from tpucap.core import make_mesh, shard_batch
+from tpucap.data.preprocess import preprocess_batch
+from tpucap.decode import beam_decode, greedy_decode, ids_to_captions
+from tpucap.models.decoders import build_decoder
+from tpucap.models.encoders import build_encoder
+from tpucap.parallel import make_dp_train_step
+from tpucap.text import Tokenizer
+from tpucap.text.clean import END_TOKEN, START_TOKEN
+from tpucap.train import TrainState, build_training_batch, make_train_step
+from tpucap.train.evaluate import evaluate_captions
+from tpucap.train.sequences import batch_iterator
+
+
+class CaptioningPipeline:
+    def __init__(self, config: Config, tokenizer: Tokenizer | None = None):
+        self.config = config
+        self.encoder = build_encoder(
+            config.encoder.name, config.encoder.features
+        )
+        self.tokenizer = tokenizer
+        self.decoder = None
+        self.params: dict = {}
+        self.state: TrainState | None = None
+        self._mesh = None
+        self._decode_cache: dict = {}
+        self._encode_fn = None
+
+    # -- tokenizer ---------------------------------------------------------
+
+    def fit_tokenizer(self, descriptions: dict[str, list[str]]) -> Tokenizer:
+        tok = Tokenizer()
+        all_caps = [c for caps in descriptions.values() for c in caps]
+        tok.fit_on_texts(all_caps)
+        self.tokenizer = tok
+        return tok
+
+    @property
+    def vocab_size(self) -> int:
+        if self.tokenizer is None:
+            return self.config.vocab_size
+        return self.tokenizer.vocab_size
+
+    def _token_ids(self):
+        wi = self.tokenizer.word_index
+        return wi[START_TOKEN], wi[END_TOKEN]
+
+    # -- model construction ------------------------------------------------
+
+    def build(self, rng=None):
+        d = self.config.decoder
+        self.decoder = build_decoder(
+            d.name,
+            vocab_size=self.vocab_size,
+            feature_dim=self.config.encoder.feature_dim,
+            embed_dim=d.embed_dim,
+            hidden_dim=d.hidden_dim,
+            num_layers=d.num_layers,
+            dropout_rate=d.dropout_rate,
+            attention_dim=d.attention_dim,
+        )
+        rng = rng if rng is not None else jax.random.key(
+            self.config.train.seed
+        )
+        enc_rng, dec_rng = jax.random.split(rng)
+        self.params = {
+            "encoder": self.encoder.init(enc_rng),
+            "decoder": self.decoder.init(dec_rng),
+        }
+        self._decode_cache.clear()
+        self._encode_fn = None
+        return self.params
+
+    # -- feature extraction (reference: extract_features) ------------------
+
+    def extract_features(
+        self, image_paths: Iterable, batch_size: int = 32
+    ) -> np.ndarray:
+        """Decode+preprocess on host, encode on device, batched."""
+        paths = list(image_paths)
+        if self._encode_fn is None:
+            self._encode_fn = jax.jit(self.encoder.apply)
+        size = self.encoder.input_size
+        mode = self.encoder.preprocess_mode
+        outs = []
+        for s in range(0, len(paths), batch_size):
+            chunk = paths[s : s + batch_size]
+            x = preprocess_batch(chunk, size=size, mode=mode)
+            outs.append(
+                np.asarray(self._encode_fn(self.params["encoder"], x))
+            )
+        return np.concatenate(outs, axis=0)
+
+    def encode_images(self, images) -> jnp.ndarray:
+        """Preprocessed image batch -> features, on device."""
+        if self._encode_fn is None:
+            self._encode_fn = jax.jit(self.encoder.apply)
+        return self._encode_fn(self.params["encoder"], images)
+
+    # -- training ----------------------------------------------------------
+
+    def fit(
+        self,
+        descriptions: dict[str, list[str]],
+        features: dict[str, np.ndarray],
+        *,
+        epochs: int | None = None,
+        batch_size: int | None = None,
+        data_parallel: bool = False,
+        checkpoint_manager=None,
+        val_data=None,
+        log=print,
+    ):
+        cfg = self.config.train
+        epochs = epochs or cfg.epochs
+        batch_size = batch_size or cfg.batch_size
+        if self.decoder is None:
+            self.build()
+
+        F, T = build_training_batch(
+            self.tokenizer, descriptions, features, self.config.decode.max_len
+        )
+        optimizer = optax.adam(cfg.learning_rate)
+        self.state = TrainState.create(
+            self.params["decoder"], optimizer, jax.random.key(cfg.seed)
+        )
+
+        if data_parallel:
+            self._mesh = make_mesh(self.config.mesh.n_devices)
+            step = make_dp_train_step(
+                self.decoder,
+                optimizer,
+                self._mesh,
+                pad_id=0,
+                label_smoothing=cfg.label_smoothing,
+            )
+        else:
+            step = make_train_step(
+                self.decoder,
+                optimizer,
+                pad_id=0,
+                label_smoothing=cfg.label_smoothing,
+            )
+
+        rng = np.random.default_rng(cfg.seed)
+        history = []
+        for epoch in range(epochs):
+            metrics_sum: dict[str, float] = {}
+            n = 0
+            for bf, bt in batch_iterator((F, T), batch_size, rng=rng):
+                if data_parallel:
+                    bf, bt = shard_batch(self._mesh, (bf, bt))
+                self.state, metrics = step(self.state, bf, bt)
+                n += 1
+                for k, v in jax.device_get(metrics).items():
+                    metrics_sum[k] = metrics_sum.get(k, 0.0) + float(v)
+            epoch_metrics = {k: v / max(n, 1) for k, v in metrics_sum.items()}
+            epoch_metrics["epoch"] = epoch
+            history.append(epoch_metrics)
+            if log:
+                log(
+                    f"epoch {epoch}: loss={epoch_metrics.get('loss', 0):.4f} "
+                    f"acc={epoch_metrics.get('accuracy', 0):.4f}"
+                )
+            if checkpoint_manager is not None:
+                checkpoint_manager.save(
+                    self.state, metrics={"val_loss": epoch_metrics["loss"]}
+                )
+        self.params["decoder"] = self.state.params
+        self._decode_cache.clear()
+        return history
+
+    # -- generation (reference: generate_desc / beam_search_desc) ----------
+
+    def _decode_fn(self, method: str, beam_width: int):
+        key = (method, beam_width)
+        if key in self._decode_cache:
+            return self._decode_cache[key]
+        start_id, end_id = self._token_ids()
+        dcfg = self.config.decode
+
+        if method == "greedy":
+
+            @jax.jit
+            def fn(params, features):
+                state = self.decoder.init_state(params, features)
+                return greedy_decode(
+                    self.decoder.step,
+                    params,
+                    state,
+                    start_id=start_id,
+                    end_id=end_id,
+                    max_len=dcfg.max_len,
+                )
+
+        else:
+
+            @jax.jit
+            def fn(params, features):
+                state = self.decoder.init_state(params, features)
+                return beam_decode(
+                    self.decoder.step,
+                    params,
+                    state,
+                    start_id=start_id,
+                    end_id=end_id,
+                    max_len=dcfg.max_len,
+                    beam_width=beam_width,
+                    length_normalize=dcfg.length_normalize,
+                    alpha=dcfg.alpha,
+                )
+
+        self._decode_cache[key] = fn
+        return fn
+
+    def generate(
+        self,
+        features,
+        *,
+        method: str | None = None,
+        beam_width: int | None = None,
+    ) -> list[str]:
+        """Features (B, ...) -> caption strings (sentinels stripped)."""
+        method = method or self.config.decode.method
+        beam_width = beam_width or self.config.decode.beam_width
+        fn = self._decode_fn(method, beam_width)
+        res = fn(self.params["decoder"], jnp.asarray(features))
+        _, end_id = self._token_ids()
+        return ids_to_captions(
+            self.tokenizer, res.tokens, res.lengths, end_id=end_id
+        )
+
+    def caption_images(self, image_paths, **kw) -> list[str]:
+        """One-call demo path (reference's single-image script, §2.1 #13)."""
+        feats = self.extract_features(list(image_paths))
+        return self.generate(feats, **kw)
+
+    # -- evaluation (reference: evaluate_model) ----------------------------
+
+    def evaluate(
+        self,
+        descriptions: dict[str, list[str]],
+        features: dict[str, np.ndarray],
+        *,
+        batch_size: int = 64,
+        method: str | None = None,
+        beam_width: int | None = None,
+    ) -> dict[str, float]:
+        ids = list(descriptions.keys())
+        generated = {}
+        for s in range(0, len(ids), batch_size):
+            chunk = ids[s : s + batch_size]
+            feats = np.stack([features[i] for i in chunk])
+            caps = self.generate(feats, method=method, beam_width=beam_width)
+            generated.update(dict(zip(chunk, caps)))
+        return evaluate_captions(descriptions, generated)

@@ -1,0 +1,66 @@
+"""BLEU evaluation (SURVEY.md §2.1 #12, §3.5).
+
+Batched sharded decode produces all test captions in a few device programs;
+the corpus BLEU-1..4 computation itself uses NLTK's corpus_bleu — the same
+function the reference calls — so the ±0.1 BLEU-4 parity gate compares like
+with like [nltk/translate/bleu_score.py:137].
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def bleu_scores(
+    references: list[list[list[str]]], hypotheses: list[list[str]]
+) -> dict[str, float]:
+    """references: per-image list of tokenized reference captions;
+    hypotheses: per-image tokenized generated caption. -> BLEU-1..4."""
+    from nltk.translate.bleu_score import SmoothingFunction, corpus_bleu
+
+    smoothing = SmoothingFunction().method0  # reference default: none
+    weights = {
+        "bleu1": (1.0, 0, 0, 0),
+        "bleu2": (0.5, 0.5, 0, 0),
+        "bleu3": (1 / 3, 1 / 3, 1 / 3, 0),
+        "bleu4": (0.25, 0.25, 0.25, 0.25),
+    }
+    return {
+        k: float(
+            corpus_bleu(
+                references, hypotheses, weights=w, smoothing_function=smoothing
+            )
+        )
+        for k, w in weights.items()
+    }
+
+
+def evaluate_captions(
+    descriptions: dict[str, list[str]],
+    generated: dict[str, str],
+    *,
+    strip_sentinels: bool = True,
+) -> dict[str, float]:
+    """Reference-parity evaluate_model: compare generated captions against
+    the 5 reference captions per image, corpus-level BLEU-1..4.
+
+    descriptions values are the cleaned, wrapped captions; sentinels are
+    stripped from both sides (the reference keeps them in the refs it
+    compares against — controlled by strip_sentinels=False for strict
+    compat)."""
+    refs, hyps = [], []
+    for image_id, hyp in generated.items():
+        caps = descriptions[image_id]
+        ref_tokens = [c.split() for c in caps]
+        hyp_tokens = hyp.split()
+        if strip_sentinels:
+            ref_tokens = [
+                [w for w in r if w not in ("startseq", "endseq")]
+                for r in ref_tokens
+            ]
+            hyp_tokens = [
+                w for w in hyp_tokens if w not in ("startseq", "endseq")
+            ]
+        refs.append(ref_tokens)
+        hyps.append(hyp_tokens)
+    return bleu_scores(refs, hyps)
