@@ -1,0 +1,151 @@
+"""Benchmark harness — prints ONE JSON line with the headline metric.
+
+Headline (BASELINE.md): captions/sec at beam width 3 through the full
+device pipeline (preprocessed images -> InceptionV3 encoder -> merge-LSTM
+decoder -> vectorized beam search -> token ids), Flickr8k-shaped workload:
+batch 256, vocab ~7.6k, max caption length 34.
+
+vs_baseline is measured against the north-star per-chip rate: 10,000
+captions/sec on v5e-8 => 1250 captions/sec/chip [BASELINE.json:2,5].
+
+Usage: python bench.py [--batch 256] [--beam 3] [--iters 5] [--no-encoder]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--beam", type=int, default=3)
+    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--warmup", type=int, default=2)
+    ap.add_argument("--vocab", type=int, default=7579)
+    ap.add_argument("--max-len", type=int, default=34)
+    ap.add_argument("--encoder", default="inception_v3")
+    ap.add_argument(
+        "--no-encoder",
+        action="store_true",
+        help="bench decode only (features -> captions)",
+    )
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from tpucap.decode import beam_decode
+    from tpucap.models.decoders import build_decoder
+    from tpucap.models.encoders import build_encoder
+
+    print(
+        f"# devices: {jax.devices()} backend={jax.default_backend()}",
+        file=sys.stderr,
+    )
+
+    encoder = build_encoder(args.encoder)
+    decoder = build_decoder(
+        "lstm1",
+        vocab_size=args.vocab,
+        feature_dim=encoder.feature_dim,
+        embed_dim=256,
+        hidden_dim=256,
+    )
+    rng = jax.random.key(0)
+    k_enc, k_dec = jax.random.split(rng)
+    enc_params = None if args.no_encoder else encoder.init(k_enc)
+    dec_params = decoder.init(k_dec)
+
+    START, END = 1, 2
+
+    if args.no_encoder:
+
+        @jax.jit
+        def run(dp, feats):
+            state = decoder.init_state(dp, feats)
+            return beam_decode(
+                decoder.step,
+                dp,
+                state,
+                start_id=START,
+                end_id=END,
+                max_len=args.max_len,
+                beam_width=args.beam,
+            )
+
+        feats = jax.random.normal(
+            jax.random.key(1), (args.batch, encoder.feature_dim), jnp.float32
+        )
+        inputs = (dec_params, feats)
+    else:
+
+        @jax.jit
+        def run(ep, dp, images):
+            feats = encoder.apply(ep, images)
+            state = decoder.init_state(dp, feats)
+            return beam_decode(
+                decoder.step,
+                dp,
+                state,
+                start_id=START,
+                end_id=END,
+                max_len=args.max_len,
+                beam_width=args.beam,
+            )
+
+        size = encoder.input_size
+        images = jax.random.uniform(
+            jax.random.key(1),
+            (args.batch, size, size, 3),
+            jnp.float32,
+            minval=-1,
+            maxval=1,
+        )
+        inputs = (enc_params, dec_params, images)
+
+    # Synchronize via a small host transfer: on the remote-TPU (axon)
+    # platform block_until_ready returns before execution finishes; only a
+    # device_get truly drains the queue.
+    def sync(res):
+        return np.asarray(res.lengths)
+
+    # Warmup / compile.
+    t0 = time.perf_counter()
+    sync(run(*inputs))
+    compile_s = time.perf_counter() - t0
+    for _ in range(args.warmup - 1):
+        sync(run(*inputs))
+
+    times = []
+    for _ in range(args.iters):
+        t0 = time.perf_counter()
+        sync(run(*inputs))
+        times.append(time.perf_counter() - t0)
+
+    med = float(np.median(times))
+    cps = args.batch / med
+    per_chip_target = 10000.0 / 8.0  # north-star on v5e-8, per chip
+    result = {
+        "metric": f"captions/sec (beam {args.beam}, batch {args.batch}, "
+        f"{'decode-only' if args.no_encoder else args.encoder + '+decode'})",
+        "value": round(cps, 2),
+        "unit": "captions/sec/chip",
+        "vs_baseline": round(cps / per_chip_target, 4),
+    }
+    print(
+        f"# compile={compile_s:.1f}s median_step={med * 1000:.1f}ms "
+        f"p50_latency_per_image={med / args.batch * 1000:.3f}ms "
+        f"times={[round(t, 4) for t in times]}",
+        file=sys.stderr,
+    )
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -47,19 +47,24 @@ class InceptionV3:
     def feature_dim(self) -> int:
         return 2048 if self.features == "pooled" else 768
 
-    def init(self, key):
-        kg = KeyGen(key)
-        store: dict = {}
-        counter = {"i": 0}
+    def _conv_shapes(self):
+        """Trace the topology once with numpy dummy params to record each
+        conv's (cin, cout, kh, kw) in creation order. numpy constants (not
+        jnp) so the eval_shape trace stages nothing that could leak."""
+        import numpy as np
+
+        shapes: list[tuple[int, int, int, int]] = []
 
         def get(cin, cout, kh, kw):
-            name = f"conv_{counter['i']}"
-            counter["i"] += 1
-            store[name] = {
-                "conv": init_conv(kg(), kh, kw, cin, cout, use_bias=False),
-                "bn": init_bn(cout, scale=False),
+            shapes.append((cin, cout, kh, kw))
+            return {
+                "conv": {"kernel": np.zeros((kh, kw, cin, cout), np.float32)},
+                "bn": {
+                    "beta": np.zeros((cout,), np.float32),
+                    "mean": np.zeros((cout,), np.float32),
+                    "var": np.ones((cout,), np.float32),
+                },
             }
-            return store[name]
 
         jax.eval_shape(
             lambda x: self._forward(x, get),
@@ -67,6 +72,16 @@ class InceptionV3:
                 (1, self.input_size, self.input_size, 3), jnp.float32
             ),
         )
+        return shapes
+
+    def init(self, key):
+        kg = KeyGen(key)
+        store: dict = {}
+        for i, (cin, cout, kh, kw) in enumerate(self._conv_shapes()):
+            store[f"conv_{i}"] = {
+                "conv": init_conv(kg(), kh, kw, cin, cout, use_bias=False),
+                "bn": init_bn(cout, scale=False),
+            }
         return store
 
     def apply(self, params, x):
