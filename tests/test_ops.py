@@ -1,0 +1,149 @@
+"""ops tier tests: C++ JPEG decode vs PIL, fused preprocessing vs host
+oracle, pallas LSTM step vs reference cell (interpret mode on CPU)."""
+
+import io
+
+import numpy as np
+import pytest
+
+from tpucap.data.preprocess import preprocess_input
+
+
+def _make_jpegs(rng, n=4, hw=(48, 64)):
+    from PIL import Image
+
+    blobs = []
+    for _ in range(n):
+        arr = rng.integers(0, 255, size=(*hw, 3)).astype(np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, format="JPEG", quality=95)
+        blobs.append(buf.getvalue())
+    return blobs
+
+
+class TestJpegDecode:
+    def test_native_builds(self):
+        from tpucap.ops import jpeg
+
+        assert jpeg.native_available(), "C++ jpeg extension failed to build"
+
+    def test_native_matches_pil_no_resize(self, rng):
+        from tpucap.ops import jpeg
+
+        blobs = _make_jpegs(rng, n=3, hw=(32, 32))
+        native = jpeg.decode_jpeg_batch(blobs, 32)
+        pil = jpeg.decode_jpeg_batch(blobs, 32, force_fallback=True)
+        # Same codec (libjpeg under PIL too) at native size -> identical.
+        np.testing.assert_array_equal(native, pil)
+
+    def test_native_exact_resize_matches_pil(self, rng):
+        """fast_scale=False: full decode + nearest resize == PIL bit-exact."""
+        from tpucap.ops import jpeg
+
+        blobs = _make_jpegs(rng, n=2, hw=(96, 80))
+        native = jpeg.decode_jpeg_batch(blobs, 48, fast_scale=False)
+        pil = jpeg.decode_jpeg_batch(blobs, 48, force_fallback=True)
+        np.testing.assert_array_equal(native, pil)
+
+    def test_native_fast_scale_close_on_smooth_images(self):
+        """The scaled-IDCT fast path resamples on a different grid; on
+        smooth (real-photo-like) content it must stay close to PIL."""
+        from PIL import Image
+
+        from tpucap.ops import jpeg
+
+        yy, xx = np.mgrid[0:96, 0:80].astype(np.float32)
+        img = np.stack(
+            [100 + yy, 50 + xx, 80 + (yy + xx) / 2], axis=-1
+        ).clip(0, 255).astype(np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(img).save(buf, format="JPEG", quality=95)
+        blobs = [buf.getvalue()]
+
+        native = jpeg.decode_jpeg_batch(blobs, 48, fast_scale=True)
+        pil = jpeg.decode_jpeg_batch(blobs, 48, force_fallback=True)
+        diff = np.abs(native.astype(int) - pil.astype(int))
+        assert np.mean(diff) < 3.0, np.mean(diff)
+
+    def test_decode_files(self, tmp_path, rng):
+        from tpucap.ops import jpeg
+
+        blobs = _make_jpegs(rng, n=2)
+        paths = []
+        for i, b in enumerate(blobs):
+            p = tmp_path / f"{i}.jpg"
+            p.write_bytes(b)
+            paths.append(p)
+        out = jpeg.decode_jpeg_files(paths, 32)
+        assert out.shape == (2, 32, 32, 3)
+
+    def test_bad_jpeg_raises(self):
+        from tpucap.ops import jpeg
+
+        if not jpeg.native_available():
+            pytest.skip("no native extension")
+        with pytest.raises(ValueError):
+            jpeg.decode_jpeg_batch([b"not a jpeg"], 32)
+
+
+class TestFusedPreprocess:
+    @pytest.mark.parametrize("mode", ["caffe", "tf", "torch"])
+    def test_normalize_matches_host_oracle(self, mode, rng):
+        from tpucap.ops.preprocess import normalize_images
+
+        x = rng.integers(0, 255, size=(2, 8, 8, 3)).astype(np.uint8)
+        ours = np.asarray(normalize_images(x, mode, use_pallas=False))
+        ref = preprocess_input(x.astype(np.float32), mode)
+        np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+    def test_resize_nearest_matches_pil_convention(self, rng):
+        from PIL import Image
+
+        from tpucap.ops.preprocess import resize_nearest
+
+        arr = rng.integers(0, 255, size=(40, 56, 3)).astype(np.uint8)
+        ours = np.asarray(resize_nearest(arr[None], 24))[0]
+        ref = np.asarray(
+            Image.fromarray(arr).resize((24, 24), Image.Resampling.NEAREST)
+        )
+        np.testing.assert_array_equal(ours, ref)
+
+    def test_fused_pipeline(self, rng):
+        from tpucap.ops.preprocess import fused_preprocess
+
+        x = rng.integers(0, 255, size=(2, 40, 40, 3)).astype(np.uint8)
+        out = np.asarray(fused_preprocess(x, 32, "caffe", use_pallas=False))
+        assert out.shape == (2, 32, 32, 3)
+        # Spot-check one pixel: caffe = BGR - mean.
+        from tpucap.ops.preprocess import _nearest_indices
+
+        r = _nearest_indices(32, 40)
+        pix = x[0, r[0], r[0]].astype(np.float32)
+        np.testing.assert_allclose(
+            out[0, 0, 0],
+            pix[::-1] - np.array([103.939, 116.779, 123.68]),
+            atol=1e-4,
+        )
+
+
+class TestPallasLSTM:
+    def test_fused_step_matches_reference(self, rng):
+        import jax
+
+        from tpucap.models.layers import init_lstm_cell, lstm_cell_step
+        from tpucap.ops.pallas.lstm_step import fused_lstm_step
+
+        B, E, U = 8, 16, 32
+        p = init_lstm_cell(jax.random.key(0), E, U)
+        x = rng.normal(size=(B, E)).astype(np.float32)
+        h = rng.normal(size=(B, U)).astype(np.float32)
+        c = rng.normal(size=(B, U)).astype(np.float32)
+
+        h_ref, c_ref = lstm_cell_step(p, x, h, c)
+        h_out, c_out = fused_lstm_step(p, x, h, c, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(h_out), np.asarray(h_ref), atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(c_out), np.asarray(c_ref), atol=1e-6
+        )
