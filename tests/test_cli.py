@@ -1,0 +1,49 @@
+"""CLI smoke test: extract -> train -> caption -> evaluate on fixtures."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from tpucap.cli.main import main
+from tpucap.data import generate_fixture_dataset
+
+
+@pytest.mark.slow
+def test_cli_full_workflow(tmp_path, capsys):
+    img_dir, token_file, train_file, test_file = generate_fixture_dataset(
+        tmp_path, n_images=6, image_size=32, seed=3
+    )
+    feats = str(tmp_path / "features.npz")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(ckpt, exist_ok=True)
+
+    common = ["--encoder", "tiny_cnn", "--max-len", "12"]
+
+    main(["extract", *common, "--images", str(img_dir), "--out", feats,
+          "--batch-size", "4"])
+    out = capsys.readouterr().out
+    assert "wrote 6 features" in out
+    loaded = np.load(feats)
+    assert len(loaded.files) == 6
+
+    main(["train", *common, "--tokens", token_file, "--split", train_file,
+          "--features", feats, "--checkpoint-dir", ckpt,
+          "--epochs", "2", "--batch-size", "4"])
+    out = capsys.readouterr().out
+    assert "trained 2 epochs" in out
+    assert os.path.exists(os.path.join(ckpt, "tokenizer.json"))
+
+    img0 = os.path.join(str(img_dir), sorted(os.listdir(img_dir))[0])
+    main(["caption", *common, "--image", img0, "--checkpoint-dir", ckpt,
+          "--method", "greedy"])
+    out = capsys.readouterr().out
+    assert img0 in out
+
+    main(["evaluate", *common, "--tokens", token_file, "--split", test_file,
+          "--features", feats, "--checkpoint-dir", ckpt,
+          "--method", "greedy", "--batch-size", "4"])
+    out = capsys.readouterr().out
+    scores = json.loads(out.strip().splitlines()[-1])
+    assert set(scores) == {"bleu1", "bleu2", "bleu3", "bleu4"}

@@ -1,0 +1,251 @@
+"""CLI dispatcher and subcommand implementations.
+
+Artifacts use open formats instead of the reference's pickles: features as
+.npz (image_id -> array), tokenizer as JSON, checkpoints via orbax.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def _add_common_model_flags(p):
+    p.add_argument("--encoder", default="vgg16",
+                   choices=["vgg16", "inception_v3", "resnet50", "tiny_cnn"])
+    p.add_argument("--decoder", default="lstm1",
+                   choices=["lstm1", "lstm2", "inject", "attention"])
+    p.add_argument("--features-kind", default="pooled",
+                   choices=["pooled", "spatial"])
+    p.add_argument("--embed-dim", type=int, default=256)
+    p.add_argument("--hidden-dim", type=int, default=256)
+    p.add_argument("--max-len", type=int, default=34)
+    p.add_argument("--preset", default=None,
+                   help="config preset name (config1..config5), overrides "
+                   "encoder/decoder flags")
+
+
+def _build_config(args):
+    from tpucap.config import (
+        Config,
+        DecodeConfig,
+        DecoderConfig,
+        EncoderConfig,
+        PRESETS,
+        TrainConfig,
+    )
+
+    if getattr(args, "preset", None):
+        return PRESETS[args.preset]
+    feats = args.features_kind
+    if args.decoder == "attention":
+        feats = "spatial"
+    dims = {"vgg16": 4096 if feats == "pooled" else 512,
+            "inception_v3": 2048 if feats == "pooled" else 768,
+            "resnet50": 2048 if feats == "pooled" else 1024,
+            "tiny_cnn": 128}
+    return Config(
+        encoder=EncoderConfig(
+            name=args.encoder, features=feats, feature_dim=dims[args.encoder]
+        ),
+        decoder=DecoderConfig(
+            name=args.decoder,
+            embed_dim=args.embed_dim,
+            hidden_dim=args.hidden_dim,
+            num_layers=2 if args.decoder == "lstm2" else 1,
+        ),
+        decode=DecodeConfig(
+            method=getattr(args, "method", "greedy"),
+            beam_width=getattr(args, "beam_width", 3),
+            max_len=args.max_len,
+        ),
+        train=TrainConfig(
+            batch_size=getattr(args, "batch_size", 64),
+            learning_rate=getattr(args, "lr", 1e-3),
+            epochs=getattr(args, "epochs", 20),
+        ),
+    )
+
+
+def cmd_extract(args):
+    """Feature extraction over an image directory -> .npz artifact."""
+    from tpucap.pipeline import CaptioningPipeline
+
+    cfg = _build_config(args)
+    pipe = CaptioningPipeline(cfg)
+    # Random-init encoder unless weights are provided (no network here;
+    # pretrained import goes through --keras-h5).
+    import jax
+
+    pipe.params["encoder"] = pipe.encoder.init(jax.random.key(0))
+    if args.keras_h5:
+        from tpucap.checkpoint import params_from_keras
+
+        pipe.params["encoder"] = params_from_keras(
+            args.keras_h5, cfg.encoder.name
+        )
+
+    paths = sorted(glob.glob(os.path.join(args.images, "*.jpg")))
+    feats = pipe.extract_features(paths, batch_size=args.batch_size)
+    ids = [os.path.splitext(os.path.basename(p))[0] for p in paths]
+    np.savez(args.out, **dict(zip(ids, feats)))
+    print(f"wrote {len(ids)} features to {args.out}")
+
+
+def _load_dataset(args):
+    from tpucap.data import load_descriptions, load_split, prepare_descriptions
+
+    desc = load_descriptions(args.tokens)
+    split_ids = load_split(args.split) if args.split else None
+    return prepare_descriptions(desc, split_ids)
+
+
+def cmd_train(args):
+    from tpucap.checkpoint import CheckpointManager
+    from tpucap.pipeline import CaptioningPipeline
+    from tpucap.utils import MetricsLogger
+
+    cfg = _build_config(args)
+    pipe = CaptioningPipeline(cfg)
+    prepared = _load_dataset(args)
+    features = dict(np.load(args.features))
+
+    pipe.fit_tokenizer(prepared)
+    pipe.build()
+    pipe.tokenizer.save(os.path.join(args.checkpoint_dir, "tokenizer.json"))
+
+    mgr = CheckpointManager(args.checkpoint_dir)
+    logger = MetricsLogger(args.metrics_log) if args.metrics_log else None
+    history = pipe.fit(
+        prepared,
+        features,
+        epochs=args.epochs,
+        batch_size=args.batch_size,
+        data_parallel=args.data_parallel,
+        checkpoint_manager=mgr,
+    )
+    if logger:
+        for h in history:
+            logger.log(h)
+        logger.close()
+    mgr.close()
+    print(f"trained {args.epochs} epochs; final loss "
+          f"{history[-1]['loss']:.4f}; checkpoints in {args.checkpoint_dir}")
+
+
+def _restore_pipeline(args):
+    import jax
+    import optax
+
+    from tpucap.checkpoint import CheckpointManager
+    from tpucap.pipeline import CaptioningPipeline
+    from tpucap.text import Tokenizer
+    from tpucap.train import TrainState
+
+    cfg = _build_config(args)
+    tok = Tokenizer.load(os.path.join(args.checkpoint_dir, "tokenizer.json"))
+    pipe = CaptioningPipeline(cfg, tokenizer=tok)
+    pipe.build()
+    mgr = CheckpointManager(args.checkpoint_dir)
+    fresh = TrainState.create(
+        pipe.params["decoder"], optax.adam(1e-3), jax.random.key(0)
+    )
+    restored = mgr.restore(fresh)
+    pipe.params["decoder"] = restored.params
+    mgr.close()
+    return pipe
+
+
+def cmd_caption(args):
+    pipe = _restore_pipeline(args)
+    caps = pipe.caption_images(
+        args.image, method=args.method, beam_width=args.beam_width
+    )
+    for path, cap in zip(args.image, caps):
+        print(f"{path}\t{cap}")
+
+
+def cmd_evaluate(args):
+    pipe = _restore_pipeline(args)
+    prepared = _load_dataset(args)
+    features = dict(np.load(args.features))
+    scores = pipe.evaluate(
+        prepared,
+        features,
+        method=args.method,
+        beam_width=args.beam_width,
+        batch_size=args.batch_size,
+    )
+    print(json.dumps(scores))
+
+
+def cmd_bench(args, extra):
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    sys.exit(subprocess.call(
+        [sys.executable, os.path.join(repo, "bench.py"), *extra]
+    ))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="tpucap")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("extract", help="extract CNN features to .npz")
+    _add_common_model_flags(p)
+    p.add_argument("--images", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--keras-h5", default=None,
+                   help="pretrained Keras .h5 to import encoder weights from")
+    p.set_defaults(fn=cmd_extract)
+
+    p = sub.add_parser("train", help="train a caption decoder")
+    _add_common_model_flags(p)
+    p.add_argument("--tokens", required=True)
+    p.add_argument("--split", default=None)
+    p.add_argument("--features", required=True)
+    p.add_argument("--checkpoint-dir", default="checkpoints")
+    p.add_argument("--epochs", type=int, default=20)
+    p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--data-parallel", action="store_true")
+    p.add_argument("--metrics-log", default=None)
+    p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("caption", help="caption image files")
+    _add_common_model_flags(p)
+    p.add_argument("--image", nargs="+", required=True)
+    p.add_argument("--checkpoint-dir", default="checkpoints")
+    p.add_argument("--method", default="beam", choices=["greedy", "beam"])
+    p.add_argument("--beam-width", type=int, default=3)
+    p.set_defaults(fn=cmd_caption)
+
+    p = sub.add_parser("evaluate", help="BLEU-1..4 over a split")
+    _add_common_model_flags(p)
+    p.add_argument("--tokens", required=True)
+    p.add_argument("--split", default=None)
+    p.add_argument("--features", required=True)
+    p.add_argument("--checkpoint-dir", default="checkpoints")
+    p.add_argument("--method", default="greedy", choices=["greedy", "beam"])
+    p.add_argument("--beam-width", type=int, default=3)
+    p.add_argument("--batch-size", type=int, default=64)
+    p.set_defaults(fn=cmd_evaluate)
+
+    p = sub.add_parser("bench", help="run the benchmark harness")
+    p.set_defaults(fn=None)
+
+    args, extra = ap.parse_known_args(argv)
+    if args.cmd == "bench":
+        cmd_bench(args, extra)
+        return
+    if extra:
+        ap.error(f"unrecognized arguments: {extra}")
+    args.fn(args)
