@@ -116,6 +116,73 @@ def inception_v3_params_from_keras(model) -> dict:
     return params
 
 
+def merge_decoder_params_from_keras(model) -> dict:
+    """Import a reference-style Keras merge caption model into MergeDecoder
+    params (SURVEY.md §2.1 #6; §5.4 '.h5->orbax import tool for parity
+    testing against reference checkpoints').
+
+    Expected topology (the genre-standard `define_model`):
+        Dense(feature_dim -> hidden, relu)   image branch ('feat_proj')
+        Embedding(vocab, embed)              token branch
+        LSTM(hidden) (x1 or x2 stacked)      token branch
+        Dense(hidden -> hidden, relu)        after add ('pre_out')
+        Dense(hidden -> vocab, softmax)      output ('out')
+
+    Dense layers are disambiguated by kernel shape; LSTMs by model.layers
+    (topological) order, which for a stack equals depth order.
+    """
+    embeddings = [l for l in model.layers if _layer_type(l) == "Embedding"]
+    lstms = [l for l in model.layers if _layer_type(l) == "LSTM"]
+    denses = [l for l in model.layers if _layer_type(l) == "Dense"]
+    if len(embeddings) != 1 or not lstms:
+        raise ValueError(
+            f"unexpected topology: {len(embeddings)} embeddings, "
+            f"{len(lstms)} lstms"
+        )
+    table = np.asarray(embeddings[0].get_weights()[0])
+    vocab = table.shape[0]
+    hidden = lstms[0].get_weights()[1].shape[0]  # recurrent kernel (U, 4U)
+
+    out = None
+    hidden_denses = []
+    for l in denses:
+        dout = l.get_weights()[0].shape[1]
+        if dout == vocab and out is None:
+            out = _dense_params(l)
+        else:
+            hidden_denses.append(l)
+    if out is None or len(hidden_denses) != 2:
+        raise ValueError("could not identify the three Dense layers")
+    # model.layers is depth-ordered: the image-branch Dense (fe) precedes
+    # the post-add Dense; when feature_dim != hidden the kernel shapes
+    # disambiguate regardless of order.
+    a, b = hidden_denses
+    if a.get_weights()[0].shape[0] != hidden:
+        feat_proj, pre_out = _dense_params(a), _dense_params(b)
+    elif b.get_weights()[0].shape[0] != hidden:
+        feat_proj, pre_out = _dense_params(b), _dense_params(a)
+    else:
+        feat_proj, pre_out = _dense_params(a), _dense_params(b)
+
+    cells = []
+    for l in lstms:
+        w = l.get_weights()
+        cells.append(
+            {
+                "kernel": np.asarray(w[0]),
+                "recurrent": np.asarray(w[1]),
+                "bias": np.asarray(w[2]),
+            }
+        )
+    return {
+        "feat_proj": feat_proj,
+        "embedding": {"table": table},
+        "cells": cells,
+        "pre_out": pre_out,
+        "out": out,
+    }
+
+
 _IMPORTERS = {
     "vgg16": vgg16_params_from_keras,
     "resnet50": resnet50_params_from_keras,
