@@ -1,0 +1,48 @@
+"""grain input-pipeline tests: batched decode ordering + worker decode."""
+
+import numpy as np
+import pytest
+
+from tpucap.data import generate_fixture_dataset
+from tpucap.data.pipeline import caption_batches, image_batch_loader
+from tpucap.ops import jpeg as jpeg_ops
+
+
+@pytest.fixture(scope="module")
+def images(tmp_path_factory):
+    root = tmp_path_factory.mktemp("pipe_ds")
+    img_dir, *_ = generate_fixture_dataset(root, n_images=10, image_size=48)
+    import os
+
+    return sorted(
+        os.path.join(img_dir, f) for f in os.listdir(img_dir)
+    )
+
+
+def test_loader_yields_all_batches_in_order(images):
+    batches = list(
+        image_batch_loader(images, size=32, batch_size=4, num_workers=0)
+    )
+    assert [len(c) for c, _ in batches] == [4, 4, 2]
+    for chunk, batch in batches:
+        assert batch.shape == (len(chunk), 32, 32, 3)
+        assert batch.dtype == np.uint8
+        # Batch content equals direct decode of the same files.
+        direct = jpeg_ops.decode_jpeg_files(chunk, 32)
+        np.testing.assert_array_equal(batch, direct)
+
+
+def test_loader_with_workers(images):
+    batches = list(
+        image_batch_loader(images, size=32, batch_size=5, num_workers=2)
+    )
+    assert sum(b.shape[0] for _, b in batches) == 10
+
+
+def test_caption_batches_partition():
+    F = np.arange(20).reshape(10, 2).astype(np.float32)
+    T = np.arange(30).reshape(10, 3).astype(np.int32)
+    batches = list(caption_batches(F, T, 4, seed=0))
+    assert len(batches) == 2
+    seen = np.concatenate([b[0][:, 0] for b in batches])
+    assert len(np.unique(seen)) == 8
