@@ -30,6 +30,7 @@ def main():
     ap.add_argument("--vocab", type=int, default=7579)
     ap.add_argument("--max-len", type=int, default=34)
     ap.add_argument("--encoder", default="inception_v3")
+    ap.add_argument("--dtype", default="f32", choices=["f32", "bf16"])
     ap.add_argument(
         "--no-encoder",
         action="store_true",
@@ -61,6 +62,14 @@ def main():
     k_enc, k_dec = jax.random.split(rng)
     enc_params = None if args.no_encoder else encoder.init(k_enc)
     dec_params = decoder.init(k_dec)
+    dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    if args.dtype == "bf16":
+        cast = lambda t: jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.bfloat16), t
+        )
+        if enc_params is not None:
+            enc_params = cast(enc_params)
+        dec_params = cast(dec_params)
 
     START, END = 1, 2
 
@@ -80,7 +89,7 @@ def main():
             )
 
         feats = jax.random.normal(
-            jax.random.key(1), (args.batch, encoder.feature_dim), jnp.float32
+            jax.random.key(1), (args.batch, encoder.feature_dim), dtype
         )
         inputs = (dec_params, feats)
     else:
@@ -103,7 +112,7 @@ def main():
         images = jax.random.uniform(
             jax.random.key(1),
             (args.batch, size, size, 3),
-            jnp.float32,
+            dtype,
             minval=-1,
             maxval=1,
         )
@@ -133,7 +142,8 @@ def main():
     per_chip_target = 10000.0 / 8.0  # north-star on v5e-8, per chip
     result = {
         "metric": f"captions/sec (beam {args.beam}, batch {args.batch}, "
-        f"{'decode-only' if args.no_encoder else args.encoder + '+decode'})",
+        f"{'decode-only' if args.no_encoder else args.encoder + '+decode'}, "
+        f"{args.dtype})",
         "value": round(cps, 2),
         "unit": "captions/sec/chip",
         "vs_baseline": round(cps / per_chip_target, 4),

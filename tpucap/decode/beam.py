@@ -99,7 +99,11 @@ def beam_decode(
         t, tokens, state, last, finished, lengths, scores = carry
         logits, new_state = step_fn(params, state, last)  # (B*k, V)
         V = logits.shape[-1]
-        logp = jax.nn.log_softmax(logits, axis=-1).reshape(B, k, V)
+        # Scores in f32 regardless of model compute dtype (bf16 logits are
+        # fine for ranking only after a f32 log_softmax).
+        logp = jax.nn.log_softmax(
+            logits.astype(jnp.float32), axis=-1
+        ).reshape(B, k, V)
         # Live beams may not emit pad.
         logp = logp.at[:, :, pad_id].set(NEG_INF)
 
@@ -109,10 +113,19 @@ def beam_decode(
         frozen_cand = scores[:, :, None] + frozen_row[None, None, :]
         cand = jnp.where(finished[:, :, None], frozen_cand, live_cand)
 
-        flat = cand.reshape(B, k * V)
-        top_scores, top_idx = jax.lax.top_k(flat, k)  # (B, k)
-        parent = top_idx // V
-        word = (top_idx % V).astype(jnp.int32)
+        # Exact two-stage top-k: per-beam top-k over V, then merge the k*k
+        # survivors — the global top-k of a union equals the top-k of
+        # per-set top-k's, and the tie order (score desc, then flattened
+        # parent*V+word asc) is preserved because candidates stay grouped
+        # by parent and per-beam top_k is index-ordered on ties. Sorting
+        # k*k instead of k*V cuts the top-k cost ~V/k times.
+        pb_scores, pb_words = jax.lax.top_k(cand, k)  # (B, k, k)
+        merged = pb_scores.reshape(B, k * k)
+        top_scores, idx2 = jax.lax.top_k(merged, k)  # (B, k)
+        parent = idx2 // k
+        word = jnp.take_along_axis(
+            pb_words.reshape(B, k * k), idx2, axis=1
+        ).astype(jnp.int32)
 
         take = lambda arr: jnp.take_along_axis(arr, parent, axis=1)
         tokens = jax.vmap(lambda rows, idx: rows[idx])(tokens, parent)

@@ -62,7 +62,7 @@ def greedy_decode(
     def body(carry):
         t, tokens, state, last, done, lengths, scores = carry
         logits, new_state = step_fn(params, state, last)
-        logits = logits.at[:, pad_id].set(-jnp.inf)
+        logits = logits.astype(jnp.float32).at[:, pad_id].set(-jnp.inf)
         logp = jax.nn.log_softmax(logits, axis=-1)
         nxt = jnp.argmax(logp, axis=-1).astype(jnp.int32)
         tok_logp = jnp.take_along_axis(logp, nxt[:, None], axis=-1)[:, 0]

@@ -27,13 +27,16 @@ def init_conv(key, kh, kw, cin, cout, use_bias=True, dtype=jnp.float32):
 
 
 def conv(p, x, stride=(1, 1), padding="SAME"):
+    # Multiply in the activation dtype (bf16 on a bf16 flow -> MXU rate),
+    # accumulate f32, flow on in the activation dtype.
     y = jax.lax.conv_general_dilated(
         x,
         p["kernel"].astype(x.dtype),
         window_strides=stride,
         padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    )
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
     if "bias" in p:
         y = y + p["bias"].astype(x.dtype)
     return y

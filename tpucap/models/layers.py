@@ -29,7 +29,12 @@ def init_dense(key, in_dim: int, out_dim: int, dtype=jnp.float32):
 
 
 def dense(p, x, activation=None):
-    y = jnp.dot(x, p["kernel"], preferred_element_type=x.dtype) + p["bias"]
+    # MXU-friendly mixed precision: multiply in the activation dtype (bf16
+    # when the caller runs a bf16 flow), accumulate in f32, flow on in the
+    # activation dtype. Exact no-op for a pure-f32 graph.
+    y = jnp.dot(
+        x, p["kernel"].astype(x.dtype), preferred_element_type=jnp.float32
+    ).astype(x.dtype) + p["bias"].astype(x.dtype)
     return activation(y) if activation is not None else y
 
 
@@ -79,19 +84,26 @@ def lstm_cell_step(p, x, h, c):
       i = sigmoid(z0); f = sigmoid(z1); c' = f*c + i*tanh(z2);
       h' = sigmoid(z3) * tanh(c')     [keras lstm.py:223-249]
     """
+    # Gate matmuls in the activation dtype with f32 accumulation; the gate
+    # nonlinearities and cell state update run in f32 for stability, then
+    # cast back so a bf16 flow stays bf16 across steps.
     z = (
-        jnp.dot(x, p["kernel"], preferred_element_type=x.dtype)
-        + jnp.dot(h, p["recurrent"], preferred_element_type=h.dtype)
-        + p["bias"]
+        jnp.dot(
+            x, p["kernel"].astype(x.dtype), preferred_element_type=jnp.float32
+        )
+        + jnp.dot(
+            h,
+            p["recurrent"].astype(h.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        + p["bias"].astype(jnp.float32)
     )
-    units = h.shape[-1]
     zi, zf, zg, zo = jnp.split(z, 4, axis=-1)
     i = jax.nn.sigmoid(zi)
     f = jax.nn.sigmoid(zf)
-    c_new = f * c + i * jnp.tanh(zg)
+    c_new = f * c.astype(jnp.float32) + i * jnp.tanh(zg)
     h_new = jax.nn.sigmoid(zo) * jnp.tanh(c_new)
-    del units
-    return h_new, c_new
+    return h_new.astype(h.dtype), c_new.astype(c.dtype)
 
 
 def lstm_forward(p, xs, mask=None, h0=None, c0=None, return_sequences=False):
