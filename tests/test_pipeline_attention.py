@@ -1,0 +1,75 @@
+"""Config-4 shape e2e: spatial features -> soft-attention decoder, plus
+val-loss-keyed best checkpointing through the pipeline."""
+
+import numpy as np
+
+from tpucap.checkpoint import CheckpointManager
+from tpucap.config import (
+    Config,
+    DecodeConfig,
+    DecoderConfig,
+    EncoderConfig,
+    TrainConfig,
+)
+from tpucap.data import (
+    generate_fixture_dataset,
+    load_descriptions,
+    load_split,
+    prepare_descriptions,
+)
+from tpucap.pipeline import CaptioningPipeline
+
+
+def test_attention_pipeline_end_to_end(tmp_path):
+    img_dir, token_file, train_file, test_file = generate_fixture_dataset(
+        tmp_path / "ds", n_images=8, image_size=32, seed=11
+    )
+    desc = load_descriptions(token_file)
+    train_ids = load_split(train_file)
+    test_ids = load_split(test_file)
+
+    cfg = Config(
+        encoder=EncoderConfig(
+            name="tiny_cnn", features="spatial", feature_dim=128
+        ),
+        decoder=DecoderConfig(
+            name="attention", embed_dim=16, hidden_dim=32, dropout_rate=0.0
+        ),
+        decode=DecodeConfig(method="beam", beam_width=3, max_len=12),
+        train=TrainConfig(batch_size=8, learning_rate=5e-3, seed=0),
+    )
+    pipe = CaptioningPipeline(cfg)
+    prepared = prepare_descriptions(desc, train_ids)
+    val_prepared = prepare_descriptions(
+        load_descriptions(token_file), test_ids
+    )
+    pipe.fit_tokenizer(prepared)
+    pipe.build()
+
+    paths = [f"{img_dir}/{i}.jpg" for i in train_ids]
+    feats_arr = pipe.extract_features(paths, batch_size=4)
+    assert feats_arr.shape == (len(train_ids), 16, 128)  # 4x4 grid flattened
+    feats = dict(zip(train_ids, feats_arr))
+
+    val_paths = [f"{img_dir}/{i}.jpg" for i in test_ids]
+    val_feats = dict(zip(test_ids, pipe.extract_features(val_paths)))
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    history = pipe.fit(
+        prepared,
+        feats,
+        epochs=8,
+        val_data=(val_prepared, val_feats),
+        checkpoint_manager=mgr,
+        log=None,
+    )
+    assert history[-1]["loss"] < history[0]["loss"]
+    assert "val_loss" in history[-1]
+    assert mgr.best_step() is not None
+    mgr.close()
+
+    caps = pipe.generate(feats_arr[:3], method="beam", beam_width=3)
+    assert len(caps) == 3 and all(isinstance(c, str) for c in caps)
+
+    scores = pipe.evaluate(prepared, feats, method="greedy")
+    assert 0.0 <= scores["bleu1"] <= 1.0

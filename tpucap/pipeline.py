@@ -103,13 +103,22 @@ class CaptioningPipeline:
 
     # -- feature extraction (reference: extract_features) ------------------
 
+    def _apply_encoder(self, params, x):
+        """Encoder apply + spatial flattening: the attention decoder
+        consumes (B, L, D) grids, encoders emit (B, H, W, C)."""
+        feats = self.encoder.apply(params, x)
+        if self.config.encoder.features == "spatial":
+            B, H, W, C = feats.shape
+            feats = feats.reshape(B, H * W, C)
+        return feats
+
     def extract_features(
         self, image_paths: Iterable, batch_size: int = 32
     ) -> np.ndarray:
         """Decode+preprocess on host, encode on device, batched."""
         paths = list(image_paths)
         if self._encode_fn is None:
-            self._encode_fn = jax.jit(self.encoder.apply)
+            self._encode_fn = jax.jit(self._apply_encoder)
         size = self.encoder.input_size
         mode = self.encoder.preprocess_mode
         outs = []
@@ -124,7 +133,7 @@ class CaptioningPipeline:
     def encode_images(self, images) -> jnp.ndarray:
         """Preprocessed image batch -> features, on device."""
         if self._encode_fn is None:
-            self._encode_fn = jax.jit(self.encoder.apply)
+            self._encode_fn = jax.jit(self._apply_encoder)
         return self._encode_fn(self.params["encoder"], images)
 
     # -- training ----------------------------------------------------------
@@ -172,6 +181,21 @@ class CaptioningPipeline:
                 label_smoothing=cfg.label_smoothing,
             )
 
+        eval_step = None
+        val_batch = None
+        if val_data is not None:
+            from tpucap.train.loop import make_eval_step
+
+            val_desc, val_features = val_data
+            VF, VT = build_training_batch(
+                self.tokenizer,
+                val_desc,
+                val_features,
+                self.config.decode.max_len,
+            )
+            val_batch = (jnp.asarray(VF), jnp.asarray(VT))
+            eval_step = make_eval_step(self.decoder, pad_id=0)
+
         rng = np.random.default_rng(cfg.seed)
         history = []
         for epoch in range(epochs):
@@ -186,15 +210,32 @@ class CaptioningPipeline:
                     metrics_sum[k] = metrics_sum.get(k, 0.0) + float(v)
             epoch_metrics = {k: v / max(n, 1) for k, v in metrics_sum.items()}
             epoch_metrics["epoch"] = epoch
+            if eval_step is not None:
+                vm = jax.device_get(
+                    eval_step(self.state.params, *val_batch)
+                )
+                epoch_metrics["val_loss"] = float(vm["loss"])
+                epoch_metrics["val_accuracy"] = float(vm["accuracy"])
             history.append(epoch_metrics)
             if log:
-                log(
+                msg = (
                     f"epoch {epoch}: loss={epoch_metrics.get('loss', 0):.4f} "
                     f"acc={epoch_metrics.get('accuracy', 0):.4f}"
                 )
+                if "val_loss" in epoch_metrics:
+                    msg += f" val_loss={epoch_metrics['val_loss']:.4f}"
+                log(msg)
             if checkpoint_manager is not None:
+                # Best-checkpoint keying mirrors the reference's
+                # ModelCheckpoint(save_best_only, monitor='val_loss'):
+                # val loss when a dev split is given, else train loss.
                 checkpoint_manager.save(
-                    self.state, metrics={"val_loss": epoch_metrics["loss"]}
+                    self.state,
+                    metrics={
+                        "val_loss": epoch_metrics.get(
+                            "val_loss", epoch_metrics["loss"]
+                        )
+                    },
                 )
         self.params["decoder"] = self.state.params
         self._decode_cache.clear()
