@@ -98,33 +98,40 @@ def beam_decode(
     def body(carry):
         t, tokens, state, last, finished, lengths, scores = carry
         logits, new_state = step_fn(params, state, last)  # (B*k, V)
-        V = logits.shape[-1]
-        # Scores in f32 regardless of model compute dtype (bf16 logits are
-        # fine for ranking only after a f32 log_softmax).
-        logp = jax.nn.log_softmax(
-            logits.astype(jnp.float32), axis=-1
-        ).reshape(B, k, V)
-        # Live beams may not emit pad.
-        logp = logp.at[:, :, pad_id].set(NEG_INF)
+        # Lazy log-softmax: log_softmax is a per-row monotonic shift of the
+        # raw logits, so per-beam top-k runs directly on the (pad-masked)
+        # logits and the logsumexp correction is applied to the k survivors
+        # only — one reduce instead of materializing the full (B*k, V) f32
+        # log-prob array (saves ~2 HBM passes per step). Scores stay f32
+        # regardless of the model's compute dtype.
+        logits = logits.astype(jnp.float32)
+        lse = jax.scipy.special.logsumexp(logits, axis=-1)  # (B*k,)
+        masked = logits.at[:, pad_id].set(NEG_INF)
+        # Per-beam top-k over V (stage 1 of the exact two-stage top-k).
+        pb_vals, pb_words = jax.lax.top_k(masked, k)  # (B*k, k)
+        pb_logp = (pb_vals - lse[:, None]).reshape(B, k, k)
+        pb_words = pb_words.reshape(B, k, k)
 
-        live_cand = scores[:, :, None] + logp
-        # Frozen beams: only pad continues, score unchanged.
-        frozen_row = jnp.full((V,), NEG_INF).at[pad_id].set(0.0)
-        frozen_cand = scores[:, :, None] + frozen_row[None, None, :]
-        cand = jnp.where(finished[:, :, None], frozen_cand, live_cand)
+        live_cand = scores[:, :, None] + pb_logp  # (B, k, k)
+        # Frozen beams contribute exactly one candidate: pad, score
+        # unchanged, in their rank-0 slot (preserving the flattened
+        # parent*V+word tie order of a single-stage top-k).
+        frozen_rank = jnp.full((k,), NEG_INF).at[0].set(0.0)
+        frozen_cand = scores[:, :, None] + frozen_rank[None, None, :]
+        fin = finished[:, :, None]
+        cand = jnp.where(fin, frozen_cand, live_cand)
+        cand_words = jnp.where(fin, pad_id, pb_words)
 
-        # Exact two-stage top-k: per-beam top-k over V, then merge the k*k
-        # survivors — the global top-k of a union equals the top-k of
-        # per-set top-k's, and the tie order (score desc, then flattened
-        # parent*V+word asc) is preserved because candidates stay grouped
-        # by parent and per-beam top_k is index-ordered on ties. Sorting
-        # k*k instead of k*V cuts the top-k cost ~V/k times.
-        pb_scores, pb_words = jax.lax.top_k(cand, k)  # (B, k, k)
-        merged = pb_scores.reshape(B, k * k)
+        # Stage 2: merge the k*k survivors. Exact: the global top-k of a
+        # union equals the top-k of per-set top-k's; tie order (score desc,
+        # then parent asc, then word-index asc) matches the single-stage
+        # flat ordering because candidates stay grouped by parent and
+        # per-beam top_k is index-ordered on ties.
+        merged = cand.reshape(B, k * k)
         top_scores, idx2 = jax.lax.top_k(merged, k)  # (B, k)
         parent = idx2 // k
         word = jnp.take_along_axis(
-            pb_words.reshape(B, k * k), idx2, axis=1
+            cand_words.reshape(B, k * k), idx2, axis=1
         ).astype(jnp.int32)
 
         take = lambda arr: jnp.take_along_axis(arr, parent, axis=1)

@@ -62,10 +62,18 @@ def greedy_decode(
     def body(carry):
         t, tokens, state, last, done, lengths, scores = carry
         logits, new_state = step_fn(params, state, last)
-        logits = logits.astype(jnp.float32).at[:, pad_id].set(-jnp.inf)
-        logp = jax.nn.log_softmax(logits, axis=-1)
-        nxt = jnp.argmax(logp, axis=-1).astype(jnp.int32)
-        tok_logp = jnp.take_along_axis(logp, nxt[:, None], axis=-1)[:, 0]
+        # Lazy log-softmax: argmax over raw (pad-masked) logits picks the
+        # same token; only the chosen token's log-prob needs the logsumexp
+        # correction — avoids materializing the full log-prob array.
+        logits = logits.astype(jnp.float32)
+        masked = logits.at[:, pad_id].set(-jnp.inf)
+        # lse over the masked row: pad is excluded from the distribution
+        # (matches the pre-softmax masking the oracle applies).
+        lse = jax.scipy.special.logsumexp(masked, axis=-1)
+        nxt = jnp.argmax(masked, axis=-1).astype(jnp.int32)
+        tok_logp = (
+            jnp.take_along_axis(masked, nxt[:, None], axis=-1)[:, 0] - lse
+        )
         nxt = jnp.where(done, pad_id, nxt)
         tokens = jax.lax.dynamic_update_slice(tokens, nxt[:, None], (0, t))
         lengths = lengths + jnp.where(done, 0, 1)
