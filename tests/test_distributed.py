@@ -135,3 +135,27 @@ def test_dp_beam_decode_matches_single(mesh):
     np.testing.assert_allclose(
         np.asarray(ref.scores), np.asarray(out.scores), atol=1e-5
     )
+
+
+def test_dp_decode_gathered_results(mesh):
+    """gather_results=True: every shard returns the full batch (all_gather
+    over ICI inside the compiled program)."""
+    dec, params, feats, _ = setup()
+    state = dec.init_state(params, jnp.asarray(feats))
+    ref = greedy_decode(
+        dec.step, params, state, start_id=START, end_id=END, max_len=MAXLEN
+    )
+    dp_fn = make_dp_decode_fn(
+        dec,
+        greedy_decode,
+        mesh,
+        gather_results=True,
+        start_id=START,
+        end_id=END,
+        max_len=MAXLEN,
+    )
+    out = dp_fn(params, shard_batch(mesh, feats))
+    assert out.tokens.shape == (B, MAXLEN)
+    np.testing.assert_array_equal(
+        np.asarray(ref.tokens), np.asarray(out.tokens)
+    )

@@ -94,24 +94,33 @@ def make_dp_decode_fn(
     mesh,
     *,
     axis: str = "data",
+    gather_results: bool = False,
     **decode_kwargs,
 ):
     """Shard a batched decode over the mesh.
 
     ``decode_fn`` is tpucap.decode.greedy_decode or beam_decode; features are
-    sharded over the data axis, params replicated, results gathered
-    (out_spec P(axis) keeps results sharded; callers device_get as needed).
+    sharded over the data axis, params replicated. By default results stay
+    sharded (out_spec P(axis)); ``gather_results=True`` all_gathers them over
+    ICI inside the program (SURVEY.md §2.5 eval-collection collective) so
+    every shard returns the full batch.
     """
 
     def shard_body(params, features):
         state = decoder.init_state(params, features)
-        return decode_fn(decoder.step, params, state, **decode_kwargs)
+        res = decode_fn(decoder.step, params, state, **decode_kwargs)
+        if gather_results:
+            res = jax.tree_util.tree_map(
+                lambda x: jax.lax.all_gather(x, axis, axis=0, tiled=True),
+                res,
+            )
+        return res
 
     sharded = shard_map(
         shard_body,
         mesh=mesh,
         in_specs=(P(), P(axis)),
-        out_specs=P(axis),
+        out_specs=P() if gather_results else P(axis),
         check_vma=False,
     )
     return jax.jit(sharded)
