@@ -81,3 +81,28 @@ def test_generation_deterministic(dataset):
     a = pipe.generate(feats, method="beam", beam_width=3)
     b = pipe.generate(feats, method="beam", beam_width=3)
     assert a == b
+
+
+def test_caption_dataset_full_pipeline(dataset):
+    """Config-5 path: JPEG bytes -> C++ decode -> on-device normalize ->
+    encoder -> beam decode, with tail-batch padding and overlap."""
+    img_dir, desc, train_ids, test_ids = dataset
+    pipe = make_pipeline()
+    prepared = __import__(
+        "tpucap.data", fromlist=["prepare_descriptions"]
+    ).prepare_descriptions(desc, train_ids)
+    pipe.fit_tokenizer(prepared)
+    pipe.build()
+
+    all_ids = train_ids + test_ids
+    paths = [f"{img_dir}/{i}.jpg" for i in all_ids]
+    caps = pipe.caption_dataset(
+        paths, batch_size=3, method="beam", beam_width=2
+    )
+    assert len(caps) == len(paths)
+    assert all(isinstance(c, str) for c in caps)
+
+    # Must agree with the two-stage extract+generate path on a full batch.
+    feats = pipe.extract_features(paths[:3])
+    ref = pipe.generate(feats, method="beam", beam_width=2)
+    assert caps[:3] == ref

@@ -21,7 +21,7 @@ features flow encoder -> decoder fully on device.
 from __future__ import annotations
 
 from functools import partial
-from typing import Iterable
+from typing import Any, Iterable
 
 import jax
 import jax.numpy as jnp
@@ -305,6 +305,97 @@ class CaptioningPipeline:
         """One-call demo path (reference's single-image script, §2.1 #13)."""
         feats = self.extract_features(list(image_paths))
         return self.generate(feats, **kw)
+
+    # -- config-5 serving path: JPEG -> encoder -> beam, batched + overlapped
+
+    def caption_dataset(
+        self,
+        image_paths,
+        *,
+        batch_size: int = 256,
+        method: str | None = None,
+        beam_width: int | None = None,
+        num_workers: int = 0,
+        fast_scale: bool = True,
+    ) -> list[str]:
+        """Full-pipeline batched captioning (BASELINE config 5): C++ JPEG
+        decode on the host -> uint8 device transfer -> fused on-device
+        resize/normalize -> encoder -> beam/greedy decode, ONE compiled
+        program per batch. Host decode of batch i+1 overlaps device compute
+        of batch i via JAX's async dispatch (results are fetched one batch
+        behind)."""
+        from tpucap.data.pipeline import image_batch_loader
+        from tpucap.ops.preprocess import normalize_images
+
+        method = method or self.config.decode.method
+        beam_width = beam_width or self.config.decode.beam_width
+        start_id, end_id = self._token_ids()
+        dcfg = self.config.decode
+        size = self.encoder.input_size
+        mode = self.encoder.preprocess_mode
+
+        @jax.jit
+        def run(enc_params, dec_params, images_u8):
+            x = normalize_images(images_u8, mode)
+            feats = self._apply_encoder(enc_params, x)
+            state = self.decoder.init_state(dec_params, feats)
+            if method == "greedy":
+                return greedy_decode(
+                    self.decoder.step,
+                    dec_params,
+                    state,
+                    start_id=start_id,
+                    end_id=end_id,
+                    max_len=dcfg.max_len,
+                )
+            return beam_decode(
+                self.decoder.step,
+                dec_params,
+                state,
+                start_id=start_id,
+                end_id=end_id,
+                max_len=dcfg.max_len,
+                beam_width=beam_width,
+                length_normalize=dcfg.length_normalize,
+                alpha=dcfg.alpha,
+            )
+
+        paths = list(image_paths)
+        pending: list[tuple[int, Any]] = []
+        results: dict[int, list[str]] = {}
+
+        def drain(entry):
+            idx, (res, n) = entry
+            caps = ids_to_captions(
+                self.tokenizer, res.tokens[:n], res.lengths[:n], end_id=end_id
+            )
+            results[idx] = caps
+
+        for i, (chunk, images) in enumerate(
+            image_batch_loader(
+                paths,
+                size=size,
+                batch_size=batch_size,
+                num_workers=num_workers,
+                fast_scale=fast_scale,
+            )
+        ):
+            n = images.shape[0]
+            if n < batch_size:  # static shapes: pad the tail batch
+                pad = np.zeros(
+                    (batch_size - n,) + images.shape[1:], images.dtype
+                )
+                images = np.concatenate([images, pad], axis=0)
+            res = run(
+                self.params["encoder"], self.params["decoder"], images
+            )
+            pending.append((i, (res, n)))
+            # Fetch one batch behind so host decode overlaps device compute.
+            if len(pending) > 1:
+                drain(pending.pop(0))
+        for entry in pending:
+            drain(entry)
+        return [c for _, caps in sorted(results.items()) for c in caps]
 
     # -- evaluation (reference: evaluate_model) ----------------------------
 
