@@ -36,6 +36,13 @@ def main():
         action="store_true",
         help="bench decode only (features -> captions)",
     )
+    ap.add_argument(
+        "--mode",
+        default="caption",
+        choices=["caption", "train"],
+        help="caption throughput (headline) or teacher-forced training "
+        "throughput (samples/sec)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -72,6 +79,51 @@ def main():
         dec_params = cast(dec_params)
 
     START, END = 1, 2
+
+    if args.mode == "train":
+        import optax
+
+        from tpucap.train import TrainState, make_train_step
+
+        optimizer = optax.adam(1e-3)
+        state = TrainState.create(dec_params, optimizer, jax.random.key(2))
+        step = make_train_step(decoder, optimizer)
+        feats = jax.random.normal(
+            jax.random.key(1), (args.batch, encoder.feature_dim), dtype
+        )
+        tokens = jax.random.randint(
+            jax.random.key(3), (args.batch, args.max_len + 1), 1, args.vocab
+        ).astype(jnp.int32)
+
+        def sync_train(out):
+            return float(np.asarray(out[1]["loss"]))
+
+        t0 = time.perf_counter()
+        state, m = step(state, feats, tokens)
+        sync_train((state, m))
+        compile_s = time.perf_counter() - t0
+        times = []
+        for _ in range(args.iters):
+            t0 = time.perf_counter()
+            state, m = step(state, feats, tokens)
+            sync_train((state, m))
+            times.append(time.perf_counter() - t0)
+        med = float(np.median(times))
+        sps = args.batch / med
+        result = {
+            "metric": f"training samples/sec (batch {args.batch}, "
+            f"T {args.max_len}, {args.dtype})",
+            "value": round(sps, 2),
+            "unit": "samples/sec/chip",
+            "vs_baseline": 0.0,
+        }
+        print(
+            f"# compile={compile_s:.1f}s median_step={med * 1000:.1f}ms "
+            f"tokens/sec={sps * args.max_len:.0f}",
+            file=sys.stderr,
+        )
+        print(json.dumps(result))
+        return
 
     if args.no_encoder:
 
