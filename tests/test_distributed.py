@@ -159,3 +159,41 @@ def test_dp_decode_gathered_results(mesh):
     np.testing.assert_array_equal(
         np.asarray(ref.tokens), np.asarray(out.tokens)
     )
+
+
+def test_dp_attention_decode_matches_single(mesh):
+    """Attention decoder under shard_map: the (B, L, D) spatial state
+    shards over batch like everything else."""
+    dec = build_decoder(
+        "attention",
+        vocab_size=VOCAB,
+        feature_dim=FEAT,
+        embed_dim=EMB,
+        hidden_dim=HID,
+    )
+    params = dec.init(jax.random.key(0))
+    rng = np.random.default_rng(1)
+    feats = rng.normal(size=(B, 5, FEAT)).astype(np.float32)
+    state = dec.init_state(params, jnp.asarray(feats))
+    ref = beam_decode(
+        dec.step,
+        params,
+        state,
+        start_id=START,
+        end_id=END,
+        max_len=MAXLEN,
+        beam_width=3,
+    )
+    dp_fn = make_dp_decode_fn(
+        dec,
+        beam_decode,
+        mesh,
+        start_id=START,
+        end_id=END,
+        max_len=MAXLEN,
+        beam_width=3,
+    )
+    out = dp_fn(params, shard_batch(mesh, feats))
+    np.testing.assert_array_equal(
+        np.asarray(ref.tokens), np.asarray(out.tokens)
+    )

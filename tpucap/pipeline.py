@@ -249,37 +249,45 @@ class CaptioningPipeline:
             return self._decode_cache[key]
         start_id, end_id = self._token_ids()
         dcfg = self.config.decode
+        # config.precision='f32' forces full-f32 matmul passes on TPU for
+        # exact caption parity with CPU/reference numerics; 'bf16' keeps the
+        # MXU's fast default (bf16 multiplies, f32 accumulation).
+        matmul_precision = (
+            "highest" if self.config.precision == "f32" else "default"
+        )
 
         if method == "greedy":
 
             @jax.jit
             def fn(params, features):
-                state = self.decoder.init_state(params, features)
-                return greedy_decode(
-                    self.decoder.step,
-                    params,
-                    state,
-                    start_id=start_id,
-                    end_id=end_id,
-                    max_len=dcfg.max_len,
-                )
+                with jax.default_matmul_precision(matmul_precision):
+                    state = self.decoder.init_state(params, features)
+                    return greedy_decode(
+                        self.decoder.step,
+                        params,
+                        state,
+                        start_id=start_id,
+                        end_id=end_id,
+                        max_len=dcfg.max_len,
+                    )
 
         else:
 
             @jax.jit
             def fn(params, features):
-                state = self.decoder.init_state(params, features)
-                return beam_decode(
-                    self.decoder.step,
-                    params,
-                    state,
-                    start_id=start_id,
-                    end_id=end_id,
-                    max_len=dcfg.max_len,
-                    beam_width=beam_width,
-                    length_normalize=dcfg.length_normalize,
-                    alpha=dcfg.alpha,
-                )
+                with jax.default_matmul_precision(matmul_precision):
+                    state = self.decoder.init_state(params, features)
+                    return beam_decode(
+                        self.decoder.step,
+                        params,
+                        state,
+                        start_id=start_id,
+                        end_id=end_id,
+                        max_len=dcfg.max_len,
+                        beam_width=beam_width,
+                        length_normalize=dcfg.length_normalize,
+                        alpha=dcfg.alpha,
+                    )
 
         self._decode_cache[key] = fn
         return fn
