@@ -1,0 +1,57 @@
+"""utils tests: JSONL logging, checkify guard, debug mode, step timer."""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpucap.utils import MetricsLogger, StepTimer
+from tpucap.utils.debug import checked, debug_mode
+
+
+def test_metrics_logger_jsonl(tmp_path):
+    path = tmp_path / "m.jsonl"
+    with MetricsLogger(path) as log:
+        log.log({"step": 1, "loss": 2.5})
+        log.log({"step": 2, "loss": 2.0})
+    lines = [json.loads(l) for l in path.read_text().splitlines()]
+    assert lines[0]["step"] == 1 and lines[1]["loss"] == 2.0
+    assert "wall_time" in lines[0]
+
+
+def test_checked_catches_nan():
+    @checked
+    def f(x):
+        return jnp.log(x)
+
+    np.testing.assert_allclose(f(jnp.asarray(1.0)), 0.0)
+    with pytest.raises(Exception):
+        f(jnp.asarray(-1.0))  # log of negative -> NaN check fires
+
+
+def test_checked_passes_through_kwargs():
+    @checked
+    def f(x, scale=2.0):
+        return x * scale
+
+    assert float(f(jnp.asarray(3.0), scale=4.0)) == 12.0
+
+
+def test_debug_mode_restores_flag():
+    before = jax.config.jax_debug_nans
+    with debug_mode(nans=True):
+        assert jax.config.jax_debug_nans is True
+    assert jax.config.jax_debug_nans == before
+
+
+def test_step_timer_sync():
+    t = StepTimer()
+    x = jnp.arange(1000.0)
+    t.start()
+    y = jnp.sum(x * 2)
+    dt = t.stop(sync_value=y)
+    assert dt > 0
+    assert t.median == dt
+    assert t.rate(100) > 0
