@@ -66,3 +66,29 @@ def test_fixture_dataset_round_trip(tmp_path):
 
     img = load_image(f"{img_dir}/{train_ids[0]}.jpg", target_size=(32, 32))
     assert img.shape == (32, 32, 3)
+
+
+def test_coco_annotations_parser(tmp_path):
+    import json
+
+    from tpucap.data.flickr8k import load_coco_annotations
+
+    payload = {
+        "images": [
+            {"id": 42, "file_name": "COCO_val2014_000000000042.jpg"},
+            {"id": 7, "file_name": "COCO_val2014_000000000007.jpg"},
+        ],
+        "annotations": [
+            {"image_id": 42, "caption": "a cat on a mat"},
+            {"image_id": 42, "caption": "feline resting"},
+            {"image_id": 7, "caption": "a dog"},
+        ],
+    }
+    p = tmp_path / "captions.json"
+    p.write_text(json.dumps(payload))
+    out = load_coco_annotations(p)
+    assert out["COCO_val2014_000000000042"] == [
+        "a cat on a mat",
+        "feline resting",
+    ]
+    assert out["COCO_val2014_000000000007"] == ["a dog"]

@@ -40,6 +40,23 @@ def load_descriptions_json(path) -> dict[str, list[str]]:
         return {str(k): list(v) for k, v in json.load(f).items()}
 
 
+def load_coco_annotations(path) -> dict[str, list[str]]:
+    """Parse a COCO captions annotation file (config 3's MSCOCO subset):
+    {"images": [{"id", "file_name"}], "annotations": [{"image_id",
+    "caption"}]} -> {image_id (file stem): [captions]}."""
+    with open(path) as f:
+        payload = json.load(f)
+    stems = {
+        img["id"]: str(img["file_name"]).rsplit(".", 1)[0]
+        for img in payload.get("images", [])
+    }
+    out: dict[str, list[str]] = {}
+    for ann in payload.get("annotations", []):
+        stem = stems.get(ann["image_id"], str(ann["image_id"]))
+        out.setdefault(stem, []).append(ann["caption"])
+    return out
+
+
 def load_split(split_file) -> list[str]:
     """Parse a split file -> list of image ids."""
     ids = []
