@@ -97,7 +97,9 @@ def beam_decode(
 
     def body(carry):
         t, tokens, state, last, finished, lengths, scores = carry
-        logits, new_state = step_fn(params, state, last)  # (B*k, V)
+        with jax.named_scope("beam_model_step"):
+            logits, new_state = step_fn(params, state, last)  # (B*k, V)
+        # (profiler scope: everything below is beam bookkeeping)
         # Lazy log-softmax: log_softmax is a per-row monotonic shift of the
         # raw logits, so per-beam top-k runs directly on the (pad-masked)
         # logits and the logsumexp correction is applied to the k survivors

@@ -61,7 +61,8 @@ def greedy_decode(
 
     def body(carry):
         t, tokens, state, last, done, lengths, scores = carry
-        logits, new_state = step_fn(params, state, last)
+        with jax.named_scope("greedy_model_step"):
+            logits, new_state = step_fn(params, state, last)
         # Lazy log-softmax: argmax over raw (pad-masked) logits picks the
         # same token; only the chosen token's log-prob needs the logsumexp
         # correction — avoids materializing the full log-prob array.
