@@ -26,6 +26,14 @@ def main():
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--beam", type=int, default=3)
     ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument(
+        "--inner",
+        type=int,
+        default=8,
+        help="async runs queued per timing sample; amortizes the host<->TPU "
+        "round-trip latency (the tunnel RTT here is ~30ms, comparable to "
+        "the work itself at small batch)",
+    )
     ap.add_argument("--warmup", type=int, default=2)
     ap.add_argument("--vocab", type=int, default=7579)
     ap.add_argument("--max-len", type=int, default=34)
@@ -46,6 +54,13 @@ def main():
     args = ap.parse_args()
 
     import jax
+
+    # Persistent compilation cache: programs survive across bench processes.
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from tpucap.decode import beam_decode
@@ -105,9 +120,11 @@ def main():
         times = []
         for _ in range(args.iters):
             t0 = time.perf_counter()
+            for _ in range(args.inner - 1):
+                state, m = step(state, feats, tokens)
             state, m = step(state, feats, tokens)
             sync_train((state, m))
-            times.append(time.perf_counter() - t0)
+            times.append((time.perf_counter() - t0) / args.inner)
         med = float(np.median(times))
         sps = args.batch / med
         result = {
@@ -186,8 +203,10 @@ def main():
     times = []
     for _ in range(args.iters):
         t0 = time.perf_counter()
-        sync(run(*inputs))
-        times.append(time.perf_counter() - t0)
+        for _ in range(args.inner - 1):
+            run(*inputs)  # async dispatch, queues on device
+        sync(run(*inputs))  # one host round-trip drains the queue
+        times.append((time.perf_counter() - t0) / args.inner)
 
     med = float(np.median(times))
     cps = args.batch / med
