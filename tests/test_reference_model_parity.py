@@ -136,3 +136,45 @@ def test_import_identifies_layers(keras_model):
     assert params["embedding"]["table"].shape == (VOCAB, EMB)
     assert len(params["cells"]) == 1
     assert params["cells"][0]["kernel"].shape == (EMB, 4 * HID)
+
+
+def test_two_layer_import_matches(rng):
+    """Config-3 topology: stacked LSTM merge model imports and matches."""
+    L = tf_keras.layers
+    inputs1 = L.Input(shape=(FEAT,))
+    fe2 = L.Dense(HID, activation="relu")(inputs1)
+    inputs2 = L.Input(shape=(MAXLEN,))
+    se1 = L.Embedding(VOCAB, EMB, mask_zero=True)(inputs2)
+    se2 = L.LSTM(HID, return_sequences=True)(se1)
+    se3 = L.LSTM(HID)(se2)
+    d1 = L.add([fe2, se3])
+    d2 = L.Dense(HID, activation="relu")(d1)
+    outputs = L.Dense(VOCAB, activation="softmax")(d2)
+    model = tf_keras.Model(inputs=[inputs1, inputs2], outputs=outputs)
+
+    params = merge_decoder_params_from_keras(model)
+    assert len(params["cells"]) == 2
+    params["cells"] = [
+        {k: jnp.asarray(v) for k, v in c.items()} for c in params["cells"]
+    ]
+    dec = build_decoder(
+        "lstm2",
+        vocab_size=VOCAB,
+        feature_dim=FEAT,
+        embed_dim=EMB,
+        hidden_dim=HID,
+    )
+
+    feats = rng.normal(size=(2, FEAT)).astype(np.float32)
+    prefix = [5, 7, 9]
+    padded = pad_sequences([prefix, prefix], maxlen=MAXLEN)
+    ref = model.predict(
+        [tf.constant(feats), tf.constant(padded.astype(np.float32))],
+        verbose=0,
+    )
+
+    st = dec.init_state(params, jnp.asarray(feats))
+    for tok in prefix:
+        logits, st = dec.step(params, st, jnp.asarray([tok, tok]))
+    ours = np.asarray(jax.nn.softmax(logits, axis=-1))
+    np.testing.assert_allclose(ours, ref, atol=2e-5)
