@@ -25,6 +25,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--beam", type=int, default=3)
+    ap.add_argument("--method", default="beam", choices=["beam", "greedy"])
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument(
         "--inner",
@@ -63,7 +64,7 @@ def main():
         pass
     import jax.numpy as jnp
 
-    from tpucap.decode import beam_decode
+    from tpucap.decode import beam_decode, greedy_decode
     from tpucap.models.decoders import build_decoder
     from tpucap.models.encoders import build_encoder
 
@@ -142,20 +143,32 @@ def main():
         print(json.dumps(result))
         return
 
-    if args.no_encoder:
-
-        @jax.jit
-        def run(dp, feats):
-            state = decoder.init_state(dp, feats)
-            return beam_decode(
+    def decode(dp, state):
+        if args.method == "greedy":
+            return greedy_decode(
                 decoder.step,
                 dp,
                 state,
                 start_id=START,
                 end_id=END,
                 max_len=args.max_len,
-                beam_width=args.beam,
             )
+        return beam_decode(
+            decoder.step,
+            dp,
+            state,
+            start_id=START,
+            end_id=END,
+            max_len=args.max_len,
+            beam_width=args.beam,
+        )
+
+    if args.no_encoder:
+
+        @jax.jit
+        def run(dp, feats):
+            state = decoder.init_state(dp, feats)
+            return decode(dp, state)
 
         feats = jax.random.normal(
             jax.random.key(1), (args.batch, encoder.feature_dim), dtype
@@ -167,15 +180,7 @@ def main():
         def run(ep, dp, images):
             feats = encoder.apply(ep, images)
             state = decoder.init_state(dp, feats)
-            return beam_decode(
-                decoder.step,
-                dp,
-                state,
-                start_id=START,
-                end_id=END,
-                max_len=args.max_len,
-                beam_width=args.beam,
-            )
+            return decode(dp, state)
 
         size = encoder.input_size
         images = jax.random.uniform(
@@ -212,7 +217,9 @@ def main():
     cps = args.batch / med
     per_chip_target = 10000.0 / 8.0  # north-star on v5e-8, per chip
     result = {
-        "metric": f"captions/sec (beam {args.beam}, batch {args.batch}, "
+        "metric": f"captions/sec ({args.method} "
+        f"{args.beam if args.method == 'beam' else ''}, "
+        f"batch {args.batch}, "
         f"{'decode-only' if args.no_encoder else args.encoder + '+decode'}, "
         f"{args.dtype})",
         "value": round(cps, 2),
