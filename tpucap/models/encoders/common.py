@@ -27,16 +27,20 @@ def init_conv(key, kh, kw, cin, cout, use_bias=True, dtype=jnp.float32):
 
 
 def conv(p, x, stride=(1, 1), padding="SAME"):
-    # Multiply in the activation dtype (bf16 on a bf16 flow -> MXU rate),
-    # accumulate f32, flow on in the activation dtype.
+    # f32 flow: f32 accumulation (a no-op change — XLA's DEFAULT precision
+    # already runs the multiplies as bf16 MXU passes). bf16 flow: native
+    # bf16 output — forcing an f32 accumulator + downcast materializes an
+    # f32 intermediate per conv and measured 2x SLOWER end-to-end on v5e;
+    # BatchNorm right after bounds any accumulation error for inference.
+    preferred = jnp.float32 if x.dtype == jnp.float32 else None
     y = jax.lax.conv_general_dilated(
         x,
         p["kernel"].astype(x.dtype),
         window_strides=stride,
         padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
+        preferred_element_type=preferred,
+    )
     if "bias" in p:
         y = y + p["bias"].astype(x.dtype)
     return y
