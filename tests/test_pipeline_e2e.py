@@ -106,3 +106,24 @@ def test_caption_dataset_full_pipeline(dataset):
     feats = pipe.extract_features(paths[:3])
     ref = pipe.generate(feats, method="beam", beam_width=2)
     assert caps[:3] == ref
+
+
+def test_pipeline_save_load_round_trip(dataset, tmp_path):
+    from tpucap.pipeline import CaptioningPipeline
+
+    img_dir, desc, train_ids, _ = dataset
+    pipe = make_pipeline()
+    prepared = prepare_descriptions(desc, train_ids)
+    pipe.fit_tokenizer(prepared)
+    pipe.build()
+
+    feats = np.random.default_rng(1).normal(size=(3, 128)).astype(np.float32)
+    ref_caps = pipe.generate(feats, method="beam", beam_width=2)
+
+    bundle = str(tmp_path / "bundle")
+    pipe.save(bundle)
+    loaded = CaptioningPipeline.load(bundle)
+    assert loaded.tokenizer.word_index == pipe.tokenizer.word_index
+    assert loaded.config.encoder.name == "tiny_cnn"
+    caps = loaded.generate(feats, method="beam", beam_width=2)
+    assert caps == ref_caps

@@ -405,6 +405,71 @@ class CaptioningPipeline:
             drain(entry)
         return [c for _, caps in sorted(results.items()) for c in caps]
 
+    # -- persistence -------------------------------------------------------
+
+    def save(self, directory: str) -> None:
+        """Save a self-contained inference bundle: config + tokenizer +
+        encoder/decoder params (orbax). Replaces the reference's scattered
+        tokenizer.pkl + model.h5 artifacts."""
+        import dataclasses
+        import json
+        import os
+
+        import orbax.checkpoint as ocp
+
+        directory = os.path.abspath(directory)
+        os.makedirs(directory, exist_ok=True)
+        with open(os.path.join(directory, "config.json"), "w") as f:
+            json.dump(dataclasses.asdict(self.config), f, indent=2)
+        if self.tokenizer is not None:
+            self.tokenizer.save(os.path.join(directory, "tokenizer.json"))
+        ckptr = ocp.StandardCheckpointer()
+        path = os.path.join(directory, "params")
+        if os.path.exists(path):
+            import shutil
+
+            shutil.rmtree(path)
+        ckptr.save(path, jax.device_get(self.params))
+        ckptr.wait_until_finished()
+
+    @classmethod
+    def load(cls, directory: str) -> "CaptioningPipeline":
+        import json
+        import os
+
+        import orbax.checkpoint as ocp
+
+        from tpucap.config import (
+            Config,
+            DecodeConfig,
+            DecoderConfig,
+            EncoderConfig,
+            MeshConfig,
+            TrainConfig,
+        )
+
+        directory = os.path.abspath(directory)
+        with open(os.path.join(directory, "config.json")) as f:
+            d = json.load(f)
+        config = Config(
+            encoder=EncoderConfig(**d["encoder"]),
+            decoder=DecoderConfig(**d["decoder"]),
+            decode=DecodeConfig(**d["decode"]),
+            train=TrainConfig(**d["train"]),
+            mesh=MeshConfig(**d["mesh"]),
+            vocab_size=d["vocab_size"],
+            precision=d["precision"],
+        )
+        tokenizer = Tokenizer.load(os.path.join(directory, "tokenizer.json"))
+        pipe = cls(config, tokenizer=tokenizer)
+        pipe.build()
+        ckptr = ocp.StandardCheckpointer()
+        pipe.params = ckptr.restore(
+            os.path.join(directory, "params"),
+            jax.device_get(pipe.params),
+        )
+        return pipe
+
     # -- evaluation (reference: evaluate_model) ----------------------------
 
     def evaluate(
