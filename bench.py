@@ -48,7 +48,7 @@ def main():
     ap.add_argument(
         "--mode",
         default="caption",
-        choices=["caption", "train"],
+        choices=["caption", "train", "e2e-jpeg"],
         help="caption throughput (headline) or teacher-forced training "
         "throughput (samples/sec)",
     )
@@ -95,6 +95,94 @@ def main():
         dec_params = cast(dec_params)
 
     START, END = 1, 2
+
+    if args.mode == "e2e-jpeg":
+        # Config 5 end-to-end: JPEG bytes -> C++ multithreaded decode ->
+        # uint8 device transfer -> fused on-device preprocess -> encoder ->
+        # beam search -> caption strings, host decode overlapped with
+        # device compute (pipeline.caption_dataset).
+        import os
+        import tempfile
+
+        from tpucap.config import (
+            Config,
+            DecodeConfig,
+            DecoderConfig,
+            EncoderConfig,
+        )
+        from tpucap.data.fixtures import generate_fixture_dataset
+        from tpucap.pipeline import CaptioningPipeline
+        from tpucap.text import Tokenizer
+
+        root = os.path.join(tempfile.gettempdir(), "tpucap_bench_ds")
+        n_images = args.batch * 2
+        img_dir = os.path.join(root, "images")
+        if (
+            not os.path.isdir(img_dir)
+            or len(os.listdir(img_dir)) < n_images
+        ):
+            generate_fixture_dataset(
+                root, n_images=n_images, image_size=375, seed=0
+            )
+        paths = sorted(
+            os.path.join(img_dir, f) for f in os.listdir(img_dir)
+        )[:n_images]
+
+        dims = {"vgg16": 4096, "inception_v3": 2048, "resnet50": 2048}
+        cfg = Config(
+            encoder=EncoderConfig(
+                name=args.encoder, feature_dim=dims[args.encoder]
+            ),
+            decoder=DecoderConfig(),
+            decode=DecodeConfig(
+                method=args.method,
+                beam_width=args.beam,
+                max_len=args.max_len,
+            ),
+            vocab_size=args.vocab,
+        )
+        tok = Tokenizer()
+        tok.word_index = {"startseq": 1, "endseq": 2}
+        tok.word_index.update(
+            {f"w{i}": i for i in range(3, args.vocab)}
+        )
+        tok.index_word = {i: w for w, i in tok.word_index.items()}
+        pipe = CaptioningPipeline(cfg, tokenizer=tok)
+        pipe.build()
+
+        # Warmup (includes compile).
+        t0 = time.perf_counter()
+        pipe.caption_dataset(
+            paths[: args.batch], batch_size=args.batch,
+            method=args.method, beam_width=args.beam,
+        )
+        compile_s = time.perf_counter() - t0
+
+        times = []
+        for _ in range(args.iters):
+            t0 = time.perf_counter()
+            caps = pipe.caption_dataset(
+                paths, batch_size=args.batch,
+                method=args.method, beam_width=args.beam,
+            )
+            times.append((time.perf_counter() - t0) / len(paths))
+        assert len(caps) == len(paths)
+        med = float(np.median(times))
+        cps = 1.0 / med
+        result = {
+            "metric": f"captions/sec e2e-jpeg ({args.method} {args.beam}, "
+            f"batch {args.batch}, {args.encoder}, {args.dtype})",
+            "value": round(cps, 2),
+            "unit": "captions/sec/chip",
+            "vs_baseline": round(cps / (10000.0 / 8.0), 4),
+        }
+        print(
+            f"# compile={compile_s:.1f}s per_image={med * 1000:.3f}ms "
+            f"(includes host JPEG decode, overlapped)",
+            file=sys.stderr,
+        )
+        print(json.dumps(result))
+        return
 
     if args.mode == "train":
         import optax
