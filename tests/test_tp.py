@@ -1,0 +1,90 @@
+"""Tensor-parallel vocab-sharded beam decode: token-exact vs the
+single-device engine on the virtual 8-device mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpucap.core.mesh import Mesh
+from tpucap.decode import beam_decode
+from tpucap.models.decoders import build_decoder
+from tpucap.parallel.tp import make_tp_beam_fn
+
+VOCAB, FEAT, EMB, HID = 32, 9, 8, 16  # vocab divisible by 8 shards
+B, START, END, MAXLEN = 6, 1, 2, 11
+
+
+@pytest.fixture(scope="module")
+def model_mesh():
+    import numpy as _np
+
+    devices = jax.devices()
+    assert len(devices) == 8
+    return Mesh(_np.asarray(devices), ("model",))
+
+
+@pytest.mark.parametrize("name", ["lstm1", "lstm2", "inject"])
+@pytest.mark.parametrize("k", [1, 3])
+def test_tp_beam_matches_single_device(model_mesh, name, k):
+    dec = build_decoder(
+        name, vocab_size=VOCAB, feature_dim=FEAT, embed_dim=EMB,
+        hidden_dim=HID,
+    )
+    params = dec.init(jax.random.key(0))
+    feats = jax.random.normal(jax.random.key(1), (B, FEAT))
+
+    ref = beam_decode(
+        dec.step,
+        params,
+        dec.init_state(params, feats),
+        start_id=START,
+        end_id=END,
+        max_len=MAXLEN,
+        beam_width=k,
+    )
+
+    tp_fn = make_tp_beam_fn(
+        dec,
+        model_mesh,
+        start_id=START,
+        end_id=END,
+        max_len=MAXLEN,
+        beam_width=k,
+    )
+    out = tp_fn(params, feats)
+
+    np.testing.assert_array_equal(
+        np.asarray(ref.tokens), np.asarray(out.tokens)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ref.lengths), np.asarray(out.lengths)
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref.scores), np.asarray(out.scores), atol=1e-5
+    )
+
+
+def test_tp_step_equals_full_projection():
+    """step == step_hidden + out projection (the TP seam is lossless)."""
+    from tpucap.models.layers import dense
+
+    dec = build_decoder(
+        "lstm1", vocab_size=VOCAB, feature_dim=FEAT, embed_dim=EMB,
+        hidden_dim=HID,
+    )
+    params = dec.init(jax.random.key(0))
+    feats = jax.random.normal(jax.random.key(2), (3, FEAT))
+    state = dec.init_state(params, feats)
+    tok = jnp.array([3, 4, 5])
+
+    logits_ref, st_ref = dec.step(params, state, tok)
+    hidden, st = dec.step_hidden(params, state, tok)
+    logits = dense(params["out"], hidden)
+    np.testing.assert_allclose(
+        np.asarray(logits), np.asarray(logits_ref), atol=1e-6
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(st_ref), jax.tree_util.tree_leaves(st)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -104,18 +104,21 @@ class AttentionDecoder:
             jnp.concatenate([h, ctx], axis=-1),
             jax.nn.relu,
         )
-        logits = dense(params["out"], merged)
         new_state = {
             "features": state["features"],
             "att_feat": state["att_feat"],
             "h": h,
             "c": c,
         }
-        return logits, new_state, alpha
+        return merged, new_state, alpha
+
+    def step_hidden(self, params, state, token):
+        hidden, new_state, _ = self._step_full(params, state, token)
+        return hidden, new_state
 
     def step(self, params, state, token):
-        logits, state, _ = self._step_full(params, state, token)
-        return logits, state
+        hidden, new_state, _ = self._step_full(params, state, token)
+        return dense(params["out"], hidden), new_state
 
     # -- training --------------------------------------------------------------
 

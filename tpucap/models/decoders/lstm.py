@@ -87,12 +87,18 @@ class MergeDecoder:
         zeros = jnp.zeros((B, self.num_layers, self.hidden_dim), fe.dtype)
         return {"fe": fe, "h": zeros, "c": zeros}
 
-    def step(self, params, state, token):
+    def step_hidden(self, params, state, token):
+        """Step up to (but excluding) the output projection — the seam the
+        vocab-sharded tensor-parallel decode (tpucap.parallel.tp) projects
+        through with a sharded kernel."""
         x = embed(params["embedding"], token)
         top, h, c = _stacked_step(params["cells"], x, state["h"], state["c"])
         merged = dense(params["pre_out"], state["fe"] + top, jax.nn.relu)
-        logits = dense(params["out"], merged)
-        return logits, {"fe": state["fe"], "h": h, "c": c}
+        return merged, {"fe": state["fe"], "h": h, "c": c}
+
+    def step(self, params, state, token):
+        hidden, new_state = self.step_hidden(params, state, token)
+        return dense(params["out"], hidden), new_state
 
     # -- training ------------------------------------------------------------
 
@@ -162,13 +168,14 @@ class InjectDecoder:
         c = jnp.repeat(c0[:, None, :], self.num_layers, axis=1)
         return {"h": h, "c": c}
 
-    def step(self, params, state, token):
+    def step_hidden(self, params, state, token):
         x = embed(params["embedding"], token)
         top, h, c = _stacked_step(params["cells"], x, state["h"], state["c"])
-        logits = dense(
-            params["out"], dense(params["pre_out"], top, jax.nn.relu)
-        )
-        return logits, {"h": h, "c": c}
+        return dense(params["pre_out"], top, jax.nn.relu), {"h": h, "c": c}
+
+    def step(self, params, state, token):
+        hidden, new_state = self.step_hidden(params, state, token)
+        return dense(params["out"], hidden), new_state
 
     def forward_train(
         self, params, features, tokens, rng=None, deterministic=True
