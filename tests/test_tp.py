@@ -88,3 +88,45 @@ def test_tp_step_equals_full_projection():
         jax.tree_util.tree_leaves(st_ref), jax.tree_util.tree_leaves(st)
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_2d_mesh_dp_x_tp_decode():
+    """Full 2-D serving layout: batch sharded over 'data' (4) x vocab
+    sharded over 'model' (2), token-exact vs single device."""
+    import numpy as _np
+
+    devices = _np.asarray(jax.devices()).reshape(4, 2)
+    mesh2d = Mesh(devices, ("data", "model"))
+
+    dec = build_decoder(
+        "lstm1", vocab_size=VOCAB, feature_dim=FEAT, embed_dim=EMB,
+        hidden_dim=HID,
+    )
+    params = dec.init(jax.random.key(0))
+    feats = jax.random.normal(jax.random.key(3), (8, FEAT))  # 4 x 2 rows
+
+    ref = beam_decode(
+        dec.step,
+        params,
+        dec.init_state(params, feats),
+        start_id=START,
+        end_id=END,
+        max_len=MAXLEN,
+        beam_width=3,
+    )
+    tp_fn = make_tp_beam_fn(
+        dec,
+        mesh2d,
+        data_axis="data",
+        start_id=START,
+        end_id=END,
+        max_len=MAXLEN,
+        beam_width=3,
+    )
+    out = tp_fn(params, feats)
+    np.testing.assert_array_equal(
+        np.asarray(ref.tokens), np.asarray(out.tokens)
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref.scores), np.asarray(out.scores), atol=1e-5
+    )

@@ -52,6 +52,7 @@ def make_tp_beam_fn(
     mesh,
     *,
     axis: str = MODEL_AXIS,
+    data_axis: str | None = None,
     start_id: int,
     end_id: int,
     max_len: int,
@@ -61,8 +62,11 @@ def make_tp_beam_fn(
     alpha: float = 1.0,
 ):
     """Build a jittable (params, features) -> BeamResult with the output
-    projection sharded over ``mesh``'s ``axis``. Batch is replicated (pair
-    with an outer data axis for 2-D TPxDP meshes)."""
+    projection sharded over ``mesh``'s ``axis``.
+
+    ``data_axis``: optional second mesh axis to shard the batch over — the
+    full 2-D serving layout (batch x vocab); results come back sharded over
+    ``data_axis``. With data_axis=None the batch is replicated."""
     k = beam_width
     n_shards = mesh.shape[axis]
 
@@ -193,12 +197,15 @@ def make_tp_beam_fn(
     def build_specs(params):
         return _param_specs(params, axis)
 
+    feat_spec = P(data_axis) if data_axis else P()
+    out_spec = P(data_axis) if data_axis else P()
+
     def fn(params, features):
         sharded = shard_map(
             shard_body,
             mesh=mesh,
-            in_specs=(build_specs(params), P()),
-            out_specs=P(),
+            in_specs=(build_specs(params), feat_spec),
+            out_specs=out_spec,
             check_vma=False,
         )
         return sharded(params, features)
