@@ -130,3 +130,49 @@ def test_2d_mesh_dp_x_tp_decode():
     np.testing.assert_allclose(
         np.asarray(ref.scores), np.asarray(out.scores), atol=1e-5
     )
+
+
+def test_tp_train_matches_single_device(model_mesh):
+    """Vocab-parallel CE training step == single-device step (SGD so the
+    param delta is the gradient)."""
+    import optax
+
+    from tpucap.parallel.tp import make_tp_train_step
+    from tpucap.train import TrainState, make_train_step
+
+    dec = build_decoder(
+        "lstm1", vocab_size=VOCAB, feature_dim=FEAT, embed_dim=EMB,
+        hidden_dim=HID,
+    )
+    params = dec.init(jax.random.key(0))
+    optimizer = optax.sgd(0.5)
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.normal(size=(B, FEAT)).astype(np.float32))
+    tokens = jnp.asarray(
+        rng.integers(1, VOCAB, size=(B, 7)).astype(np.int32)
+    )
+    tokens = tokens.at[:, -2:].set(0)
+
+    single = make_train_step(dec, optimizer, deterministic=True)
+    s1 = TrainState.create(params, optimizer, jax.random.key(1))
+    s1, m1 = single(s1, feats, tokens)
+
+    tp_step = make_tp_train_step(
+        dec, optimizer, model_mesh, deterministic=True
+    )
+    s8 = TrainState.create(params, optimizer, jax.random.key(1))
+    s8, m8 = tp_step(s8, feats, tokens)
+
+    np.testing.assert_allclose(
+        float(m1["loss"]), float(m8["loss"]), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(m1["accuracy"]), float(m8["accuracy"]), rtol=1e-5
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s1.params),
+        jax.tree_util.tree_leaves(s8.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-6
+        )

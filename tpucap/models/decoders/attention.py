@@ -122,10 +122,10 @@ class AttentionDecoder:
 
     # -- training --------------------------------------------------------------
 
-    def forward_train_with_alphas(
+    def forward_hidden_with_alphas(
         self, params, features, tokens, rng=None, deterministic=True
     ):
-        """-> (logits (B, T, V), alphas (B, T, L))."""
+        """-> (hidden (B, T, H) pre-projection, alphas (B, T, L))."""
         if rng is not None and not deterministic:
             r_feat, r_emb = jax.random.split(rng)
         else:
@@ -153,13 +153,29 @@ class AttentionDecoder:
                 jnp.concatenate([h, ctx], axis=-1),
                 jax.nn.relu,
             )
-            logits = dense(params["out"], merged)
-            return (h, c), (logits, alpha)
+            return (h, c), (merged, alpha)
 
-        _, (logits, alphas) = jax.lax.scan(
+        _, (hidden, alphas) = jax.lax.scan(
             body, (state["h"], state["c"]), jnp.swapaxes(xs, 0, 1)
         )
-        return jnp.swapaxes(logits, 0, 1), jnp.swapaxes(alphas, 0, 1)
+        return jnp.swapaxes(hidden, 0, 1), jnp.swapaxes(alphas, 0, 1)
+
+    def forward_hidden(
+        self, params, features, tokens, rng=None, deterministic=True
+    ):
+        hidden, _ = self.forward_hidden_with_alphas(
+            params, features, tokens, rng=rng, deterministic=deterministic
+        )
+        return hidden
+
+    def forward_train_with_alphas(
+        self, params, features, tokens, rng=None, deterministic=True
+    ):
+        """-> (logits (B, T, V), alphas (B, T, L))."""
+        hidden, alphas = self.forward_hidden_with_alphas(
+            params, features, tokens, rng=rng, deterministic=deterministic
+        )
+        return dense(params["out"], hidden), alphas
 
     def forward_train(
         self, params, features, tokens, rng=None, deterministic=True

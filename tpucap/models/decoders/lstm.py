@@ -102,10 +102,12 @@ class MergeDecoder:
 
     # -- training ------------------------------------------------------------
 
-    def forward_train(
+    def forward_hidden(
         self, params, features, tokens, rng=None, deterministic=True
     ):
-        """tokens (B, T) post-padded input ids -> logits (B, T, V)."""
+        """Teacher-forced hidden states before the output projection:
+        (B, T) -> (B, T, H). The vocab-parallel train step
+        (tpucap.parallel.tp) projects these through its sharded kernel."""
         if rng is not None and not deterministic:
             r_feat, r_emb = jax.random.split(rng)
         else:
@@ -125,10 +127,18 @@ class MergeDecoder:
         xs_t = jnp.swapaxes(xs, 0, 1)
         _, tops = jax.lax.scan(body, (state["h"], state["c"]), xs_t)
         tops = jnp.swapaxes(tops, 0, 1)  # (B, T, U)
-        merged = dense(
+        return dense(
             params["pre_out"], state["fe"][:, None, :] + tops, jax.nn.relu
         )
-        return dense(params["out"], merged)
+
+    def forward_train(
+        self, params, features, tokens, rng=None, deterministic=True
+    ):
+        """tokens (B, T) post-padded input ids -> logits (B, T, V)."""
+        hidden = self.forward_hidden(
+            params, features, tokens, rng=rng, deterministic=deterministic
+        )
+        return dense(params["out"], hidden)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -177,7 +187,7 @@ class InjectDecoder:
         hidden, new_state = self.step_hidden(params, state, token)
         return dense(params["out"], hidden), new_state
 
-    def forward_train(
+    def forward_hidden(
         self, params, features, tokens, rng=None, deterministic=True
     ):
         if rng is not None and not deterministic:
@@ -200,6 +210,12 @@ class InjectDecoder:
             body, (state["h"], state["c"]), jnp.swapaxes(xs, 0, 1)
         )
         tops = jnp.swapaxes(tops, 0, 1)
-        return dense(
-            params["out"], dense(params["pre_out"], tops, jax.nn.relu)
+        return dense(params["pre_out"], tops, jax.nn.relu)
+
+    def forward_train(
+        self, params, features, tokens, rng=None, deterministic=True
+    ):
+        hidden = self.forward_hidden(
+            params, features, tokens, rng=rng, deterministic=deterministic
         )
+        return dense(params["out"], hidden)

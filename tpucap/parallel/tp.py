@@ -31,6 +31,126 @@ from tpucap.decode.beam import (
 MODEL_AXIS = "model"
 
 
+def make_tp_train_step(
+    decoder,
+    optimizer,
+    mesh,
+    *,
+    axis: str = MODEL_AXIS,
+    pad_id: int = 0,
+    deterministic: bool = False,
+):
+    """Vocab-parallel training step: each shard computes only its (B, T,
+    V/p) logits slice from its columns of the (replicated) output kernel —
+    the full (B, T, V) logits tensor, the dominant training activation, is
+    never materialized on any one device. The cross-entropy is assembled
+    with ICI collectives:
+
+        lse      = pmax/psum two-pass logsumexp over vocab shards
+        tgt_logit= psum of the shard that owns each target column
+        nll      = lse - tgt_logit           (masked, sum-form, psum'd)
+
+    Params and optimizer state stay replicated (this model's params are
+    small; it's the activations that need sharding); dynamic-slice's
+    transpose scatters each shard's kernel-slice gradient back into the
+    full-size gradient, and the pmean reduction reconstructs exactly the
+    single-device gradient (tests/test_tp.py::test_tp_train_matches).
+    """
+    from tpucap.train.loop import TrainState
+
+    import optax
+
+    n_shards = mesh.shape[axis]
+
+    def local_loss(params, features, tokens, rng):
+        inputs = tokens[:, :-1]
+        targets = tokens[:, 1:]
+        hidden = decoder.forward_hidden(
+            params, features, inputs, rng=rng, deterministic=deterministic
+        )  # (B, T, H)
+        kernel = params["out"]["kernel"]
+        bias = params["out"]["bias"]
+        V = kernel.shape[-1]
+        vl = V // n_shards
+        my = jax.lax.axis_index(axis)
+        off = my * vl
+        k_local = jax.lax.dynamic_slice_in_dim(kernel, off, vl, axis=1)
+        b_local = jax.lax.dynamic_slice_in_dim(bias, off, vl, axis=0)
+        local = (
+            jnp.dot(
+                hidden, k_local, preferred_element_type=jnp.float32
+            )
+            + b_local
+        )  # (B, T, vl)
+
+        # Stability max is gradient-free (standard logsumexp shift; also
+        # pmax has no AD rule) — d lse/d local = softmax regardless of m.
+        # stop_gradient BEFORE pmax so the collective sees a zero tangent
+        # (pmax has no AD rule).
+        m = jax.lax.pmax(
+            jax.lax.stop_gradient(jnp.max(local, axis=-1)), axis
+        )  # (B, T)
+        s = jax.lax.psum(
+            jnp.sum(jnp.exp(local - m[..., None]), axis=-1), axis
+        )
+        lse = m + jnp.log(s)
+
+        is_local = (targets >= off) & (targets < off + vl)
+        idx = jnp.clip(targets - off, 0, vl - 1)
+        picked = jnp.take_along_axis(local, idx[..., None], axis=-1)[..., 0]
+        tgt_logit = jax.lax.psum(
+            jnp.where(is_local, picked, 0.0), axis
+        )
+
+        mask = (targets != pad_id).astype(jnp.float32)
+        nll_sum = jnp.sum((lse - tgt_logit) * mask)
+        n_tokens = jnp.maximum(jnp.sum(mask), 1.0)
+        loss = nll_sum / n_tokens
+
+        # Accuracy: global argmax via pmax value + pmin owning column.
+        # Metrics carry no gradient — stop it before the collectives.
+        local_max = jax.lax.stop_gradient(jnp.max(local, axis=-1))
+        local_arg = off + jnp.argmax(jax.lax.stop_gradient(local), axis=-1)
+        gmax = jax.lax.pmax(local_max, axis)
+        pred = jax.lax.pmin(
+            jnp.where(local_max == gmax, local_arg, jnp.iinfo(jnp.int32).max),
+            axis,
+        )
+        acc = jnp.sum((pred == targets) * mask) / n_tokens
+        return loss, {"loss": loss, "accuracy": acc, "tokens": jnp.sum(mask)}
+
+    def shard_body(state: TrainState, features, tokens):
+        rng, dropout_rng = jax.random.split(state.rng)
+        (loss, metrics), grads = jax.value_and_grad(
+            local_loss, has_aux=True
+        )(state.params, features, tokens, dropout_rng)
+        # Same psum-transpose behavior as the DP step: each shard's grad is
+        # p x (its contribution); pmean reconstructs the exact gradient.
+        grads = jax.lax.pmean(grads, axis)
+        updates, opt_state = optimizer.update(
+            grads, state.opt_state, state.params
+        )
+        params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(
+                step=state.step + 1,
+                params=params,
+                opt_state=opt_state,
+                rng=rng,
+            ),
+            metrics,
+        )
+
+    sharded = shard_map(
+        shard_body,
+        mesh=mesh,
+        in_specs=(P(), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
 def _param_specs(params, axis: str):
     """Spec tree: out-projection kernel/bias sharded on vocab, rest
     replicated."""
