@@ -39,7 +39,7 @@ def main():
     ap.add_argument("--vocab", type=int, default=7579)
     ap.add_argument("--max-len", type=int, default=34)
     ap.add_argument("--encoder", default="inception_v3")
-    ap.add_argument("--dtype", default="f32", choices=["f32", "bf16"])
+    ap.add_argument("--dtype", default="bf16", choices=["f32", "bf16"])
     ap.add_argument(
         "--no-encoder",
         action="store_true",
