@@ -11,5 +11,14 @@ single-device step on the concatenated batch
 """
 
 from tpucap.parallel.dp import make_dp_train_step, make_dp_decode_fn
+from tpucap.parallel.tp import (
+    make_tp_beam_fn,
+    make_tp_train_step,
+)
 
-__all__ = ["make_dp_train_step", "make_dp_decode_fn"]
+__all__ = [
+    "make_dp_train_step",
+    "make_dp_decode_fn",
+    "make_tp_beam_fn",
+    "make_tp_train_step",
+]
