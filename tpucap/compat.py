@@ -27,7 +27,7 @@ from tpucap.data.flickr8k import load_descriptions as _load_descriptions
 from tpucap.decode import beam_decode, greedy_decode, ids_to_captions
 from tpucap.text import Tokenizer
 from tpucap.text.clean import END_TOKEN, START_TOKEN, clean_descriptions
-from tpucap.text.padding import pad_sequences, to_categorical
+from tpucap.text.padding import to_categorical
 from tpucap.train.evaluate import evaluate_captions
 from tpucap.train.sequences import build_prefix_samples
 
@@ -74,8 +74,6 @@ def load_descriptions(doc_or_path) -> dict[str, list[str]]:
 
     if isinstance(doc_or_path, str) and not os.path.exists(doc_or_path):
         # Treat as file contents (the reference passes load_doc output).
-        import io
-
         out: dict[str, list[str]] = {}
         for line in doc_or_path.split("\n"):
             line = line.strip()

@@ -11,10 +11,8 @@ and every shard computes the identical update.
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
-import jax.numpy as jnp
 import optax
 from jax.sharding import PartitionSpec as P
 from jax import shard_map

@@ -20,7 +20,6 @@ features flow encoder -> decoder fully on device.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Iterable
 
 import jax

@@ -8,7 +8,6 @@ with like [nltk/translate/bleu_score.py:137].
 
 from __future__ import annotations
 
-import numpy as np
 
 
 def bleu_scores(
