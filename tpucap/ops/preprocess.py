@@ -53,8 +53,9 @@ def _mode_scale_bias(mode: str) -> tuple[np.ndarray, np.ndarray, bool]:
 
 def _normalize_kernel(x_ref, scale_ref, bias_ref, o_ref):
     """One image as (H, W*3): y = x * scale_col + bias_col, single VMEM pass
-    (uint8 load -> f32 multiply-add -> store)."""
-    x = x_ref[...].astype(jnp.float32)
+    (uint8 load -> f32 multiply-add -> store). Mosaic has no direct
+    uint8->f32 cast; widen through int32."""
+    x = x_ref[...].astype(jnp.int32).astype(jnp.float32)
     o_ref[...] = x * scale_ref[...] + bias_ref[...]
 
 
