@@ -41,6 +41,12 @@ def main():
     ap.add_argument("--encoder", default="inception_v3")
     ap.add_argument("--dtype", default="bf16", choices=["f32", "bf16"])
     ap.add_argument(
+        "--no-fold-bn",
+        action="store_true",
+        help="keep BatchNorm unfolded (folding into conv weights is the "
+        "default for frozen inference)",
+    )
+    ap.add_argument(
         "--no-encoder",
         action="store_true",
         help="bench decode only (features -> captions)",
@@ -84,6 +90,10 @@ def main():
     rng = jax.random.key(0)
     k_enc, k_dec = jax.random.split(rng)
     enc_params = None if args.no_encoder else encoder.init(k_enc)
+    if enc_params is not None and not args.no_fold_bn:
+        from tpucap.models.encoders.fold_bn import fold_batch_norms
+
+        enc_params = fold_batch_norms(args.encoder, enc_params)
     dec_params = decoder.init(k_dec)
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
     if args.dtype == "bf16":

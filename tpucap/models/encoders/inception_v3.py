@@ -99,7 +99,9 @@ class InceptionV3:
         def cb(x, f, kh, kw, stride=(1, 1), padding="SAME"):
             p = get(x.shape[-1], f, kh, kw)
             y = conv(p["conv"], x, stride, padding)
-            return jax.nn.relu(batch_norm(p["bn"], y, BN_EPS))
+            if p.get("bn") is not None:  # None after fold_batch_norms
+                y = batch_norm(p["bn"], y, BN_EPS)
+            return jax.nn.relu(y)
 
         # Stem [inception_v3.py:139-146]
         x = cb(x, 32, 3, 3, (2, 2), "VALID")

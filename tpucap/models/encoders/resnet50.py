@@ -68,27 +68,34 @@ class ResNet50:
                 cin = 4 * filters
         return p
 
+    @staticmethod
+    def _bn(p, name, y):
+        # name_bn keys are dropped after fold_batch_norms.
+        if name in p:
+            return batch_norm(p[name], y, BN_EPS)
+        return y
+
     def _block(self, p, x, blk, stride, conv_shortcut):
         if conv_shortcut:
             shortcut = conv(p[f"{blk}_0_conv"], x, stride=(stride, stride),
                             padding="VALID")
-            shortcut = batch_norm(p[f"{blk}_0_bn"], shortcut, BN_EPS)
+            shortcut = self._bn(p, f"{blk}_0_bn", shortcut)
         else:
             shortcut = x
         y = conv(p[f"{blk}_1_conv"], x, stride=(stride, stride),
                  padding="VALID")
-        y = jax.nn.relu(batch_norm(p[f"{blk}_1_bn"], y, BN_EPS))
+        y = jax.nn.relu(self._bn(p, f"{blk}_1_bn", y))
         y = conv(p[f"{blk}_2_conv"], y, padding="SAME")
-        y = jax.nn.relu(batch_norm(p[f"{blk}_2_bn"], y, BN_EPS))
+        y = jax.nn.relu(self._bn(p, f"{blk}_2_bn", y))
         y = conv(p[f"{blk}_3_conv"], y, padding="VALID")
-        y = batch_norm(p[f"{blk}_3_bn"], y, BN_EPS)
+        y = self._bn(p, f"{blk}_3_bn", y)
         return jax.nn.relu(shortcut + y)
 
     def apply(self, params, x):
         """x: (B, 224, 224, 3) preprocessed (caffe mode)."""
         x = zero_pad(x, ((3, 3), (3, 3)))
         x = conv(params["conv1_conv"], x, stride=(2, 2), padding="VALID")
-        x = jax.nn.relu(batch_norm(params["conv1_bn"], x, BN_EPS))
+        x = jax.nn.relu(self._bn(params, "conv1_bn", x))
         x = zero_pad(x, ((1, 1), (1, 1)))
         x = max_pool(x, 3, 2)
         for name, filters, blocks, stride1 in STACKS:

@@ -100,6 +100,18 @@ class CaptioningPipeline:
         self._encode_fn = None
         return self.params
 
+    def fold_bn(self) -> None:
+        """Fold inference BatchNorms into conv weights (exact; saves one
+        full-activation elementwise pass per conv). Call after loading
+        pretrained encoder params."""
+        from tpucap.models.encoders.fold_bn import fold_batch_norms
+
+        self.params["encoder"] = fold_batch_norms(
+            self.config.encoder.name, self.params["encoder"]
+        )
+        self._encode_fn = None
+        self._decode_cache.clear()
+
     # -- feature extraction (reference: extract_features) ------------------
 
     def _apply_encoder(self, params, x):
