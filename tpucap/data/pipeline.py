@@ -86,7 +86,9 @@ def image_batch_loader(
         sampler=sampler,
         operations=[transform],
         worker_count=num_workers,
-        read_options=grain.ReadOptions(prefetch_buffer_size=4),
+        read_options=grain.ReadOptions(
+            num_threads=4, prefetch_buffer_size=8
+        ),
     )
     # Pair each decoded batch back with its path chunk for id bookkeeping.
     # (Without shuffle, sampler order is chunk order.)
