@@ -73,3 +73,43 @@ def test_attention_pipeline_end_to_end(tmp_path):
 
     scores = pipe.evaluate(prepared, feats, method="greedy")
     assert 0.0 <= scores["bleu1"] <= 1.0
+
+
+def test_tp_parallelism_through_pipeline(tmp_path):
+    """fit(parallelism='tp') trains with the vocab-parallel CE step."""
+    import numpy as np
+
+    img_dir, token_file, train_file, _ = generate_fixture_dataset(
+        tmp_path / "ds2", n_images=6, image_size=32, seed=13
+    )
+    desc = load_descriptions(token_file)
+    train_ids = load_split(train_file)
+
+    cfg = Config(
+        encoder=EncoderConfig(name="tiny_cnn", feature_dim=128),
+        decoder=DecoderConfig(embed_dim=16, hidden_dim=32, dropout_rate=0.0),
+        decode=DecodeConfig(max_len=12),
+        train=TrainConfig(batch_size=4, learning_rate=5e-3, seed=0),
+    )
+    pipe = CaptioningPipeline(cfg)
+    prepared = prepare_descriptions(desc, train_ids)
+    pipe.fit_tokenizer(prepared)
+    # Pad vocab to a multiple of the 8-device mesh for the sharded CE.
+    V = pipe.tokenizer.vocab_size
+    pad = (-V) % 8
+    for i in range(pad):
+        pipe.tokenizer.word_index[f"<pad{i}>"] = V + i
+    pipe.tokenizer.index_word = {
+        v: k for k, v in pipe.tokenizer.word_index.items()
+    }
+    assert pipe.vocab_size % 8 == 0
+    pipe.build()
+
+    rng = np.random.default_rng(0)
+    feats = {
+        i: rng.normal(size=(128,)).astype(np.float32) for i in train_ids
+    }
+    history = pipe.fit(
+        prepared, feats, epochs=6, parallelism="tp", log=None
+    )
+    assert history[-1]["loss"] < history[0]["loss"]

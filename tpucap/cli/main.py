@@ -127,6 +127,7 @@ def cmd_train(args):
         epochs=args.epochs,
         batch_size=args.batch_size,
         data_parallel=args.data_parallel,
+        parallelism=args.parallelism,
         checkpoint_manager=mgr,
     )
     if logger:
@@ -217,6 +218,10 @@ def main(argv=None):
     p.add_argument("--batch-size", type=int, default=64)
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--data-parallel", action="store_true")
+    p.add_argument("--parallelism", default=None,
+                   choices=["none", "dp", "tp"],
+                   help="dp: batch-sharded shard_map+psum; tp: vocab-"
+                   "sharded CE (needs vocab divisible by mesh size)")
     p.add_argument("--metrics-log", default=None)
     p.set_defaults(fn=cmd_train)
 

@@ -157,13 +157,20 @@ class CaptioningPipeline:
         epochs: int | None = None,
         batch_size: int | None = None,
         data_parallel: bool = False,
+        parallelism: str | None = None,
         checkpoint_manager=None,
         val_data=None,
         log=print,
     ):
+        """parallelism: 'none' | 'dp' (batch sharded, psum grads) | 'tp'
+        (vocab-sharded CE over the mesh). ``data_parallel=True`` is the
+        back-compat spelling of parallelism='dp'."""
         cfg = self.config.train
         epochs = epochs or cfg.epochs
         batch_size = batch_size or cfg.batch_size
+        if parallelism is None:
+            parallelism = "dp" if data_parallel else "none"
+        data_parallel = parallelism == "dp"
         if self.decoder is None:
             self.build()
 
@@ -175,7 +182,7 @@ class CaptioningPipeline:
             self.params["decoder"], optimizer, jax.random.key(cfg.seed)
         )
 
-        if data_parallel:
+        if parallelism == "dp":
             self._mesh = make_mesh(self.config.mesh.n_devices)
             step = make_dp_train_step(
                 self.decoder,
@@ -184,13 +191,38 @@ class CaptioningPipeline:
                 pad_id=0,
                 label_smoothing=cfg.label_smoothing,
             )
-        else:
+        elif parallelism == "tp":
+            from jax.sharding import Mesh
+
+            from tpucap.parallel import make_tp_train_step
+
+            if cfg.label_smoothing:
+                raise NotImplementedError(
+                    "label smoothing is not supported by the vocab-parallel "
+                    "CE step"
+                )
+            n = self.config.mesh.n_devices or jax.device_count()
+            if self.vocab_size % n:
+                raise ValueError(
+                    f"tp parallelism needs vocab_size ({self.vocab_size}) "
+                    f"divisible by mesh size ({n}); pad the vocabulary or "
+                    "choose a different mesh"
+                )
+            self._mesh = Mesh(
+                np.asarray(jax.devices()[:n]), ("model",)
+            )
+            step = make_tp_train_step(
+                self.decoder, optimizer, self._mesh, pad_id=0
+            )
+        elif parallelism == "none":
             step = make_train_step(
                 self.decoder,
                 optimizer,
                 pad_id=0,
                 label_smoothing=cfg.label_smoothing,
             )
+        else:
+            raise ValueError(f"unknown parallelism {parallelism!r}")
 
         eval_step = None
         val_batch = None
