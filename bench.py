@@ -55,8 +55,10 @@ def main():
         "--mode",
         default="caption",
         choices=["caption", "train", "e2e-jpeg"],
-        help="caption throughput (headline) or teacher-forced training "
-        "throughput (samples/sec)",
+        help="caption throughput (headline; device-resident inputs), "
+        "teacher-forced training throughput, or the full JPEG->caption "
+        "path (e2e-jpeg; only meaningful with locally-attached TPU — "
+        "over the axon tunnel host->device runs at ~2MB/s and dominates)",
     )
     args = ap.parse_args()
 
