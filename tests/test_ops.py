@@ -147,3 +147,58 @@ class TestPallasLSTM:
         np.testing.assert_allclose(
             np.asarray(c_out), np.asarray(c_ref), atol=1e-6
         )
+
+
+class TestPallasDecoderStep:
+    def _setup(self, rng, B=8, E=16, U=32, V=64):
+        import jax
+
+        from tpucap.models.decoders import build_decoder
+
+        dec = build_decoder(
+            "lstm1", vocab_size=V, feature_dim=12, embed_dim=E, hidden_dim=U
+        )
+        params = dec.init(jax.random.key(0))
+        feats = rng.normal(size=(B, 12)).astype(np.float32)
+        import jax.numpy as jnp
+
+        state = dec.init_state(params, jnp.asarray(feats))
+        token = jnp.asarray(rng.integers(1, V, size=(B,)).astype(np.int32))
+        return dec, params, state, token
+
+    def test_fused_step_matches_reference(self, rng):
+        import jax
+
+        from tpucap.ops.pallas.decoder_step import make_fused_merge_step
+
+        dec, params, state, token = self._setup(rng)
+        logits_ref, st_ref = dec.step(params, state, token)
+        fused = make_fused_merge_step(dec, tile_v=32, interpret=True)
+        logits, st = fused(params, state, token)
+        np.testing.assert_allclose(
+            np.asarray(logits), np.asarray(logits_ref), atol=1e-5
+        )
+        for a, b in zip(
+            jax.tree_util.tree_leaves(st_ref),
+            jax.tree_util.tree_leaves(st),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-5
+            )
+
+    def test_fused_step_in_greedy_decode(self, rng):
+        """The fused step drives the greedy engine token-exactly."""
+        from tpucap.decode import greedy_decode
+        from tpucap.ops.pallas.decoder_step import make_fused_merge_step
+
+        dec, params, state, _ = self._setup(rng)
+        ref = greedy_decode(
+            dec.step, params, state, start_id=1, end_id=2, max_len=8
+        )
+        fused = make_fused_merge_step(dec, tile_v=32, interpret=True)
+        out = greedy_decode(
+            fused, params, state, start_id=1, end_id=2, max_len=8
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ref.tokens), np.asarray(out.tokens)
+        )
