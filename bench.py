@@ -95,7 +95,11 @@ def main():
     if enc_params is not None and not args.no_fold_bn:
         from tpucap.models.encoders.fold_bn import fold_batch_norms
 
-        enc_params = fold_batch_norms(args.encoder, enc_params)
+        # fold_batch_norms computes on host (numpy); device_put the result
+        # or every call would re-ship ~50MB of weights through the tunnel.
+        enc_params = jax.device_put(
+            fold_batch_norms(args.encoder, enc_params)
+        )
     dec_params = decoder.init(k_dec)
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
     if args.dtype == "bf16":
