@@ -257,8 +257,15 @@ def evaluate_model(model, descriptions, photos, tokenizer, max_len,
             start_id=start_id, end_id=end_id, max_len=max_len,
         )
     caps = ids_to_captions(tokenizer, res.tokens, res.lengths, end_id=end_id)
-    generated = dict(zip(ids, caps))
-    scores = evaluate_captions(descriptions, generated)
+    # The reference computes corpus BLEU over the *wrapped* captions —
+    # startseq/endseq count as tokens on both sides (SURVEY.md §3.5);
+    # tpucap.pipeline.evaluate strips them instead (the cleaner metric).
+    generated = {
+        i: f"{START_TOKEN} {c} {END_TOKEN}" for i, c in zip(ids, caps)
+    }
+    scores = evaluate_captions(
+        descriptions, generated, strip_sentinels=False
+    )
     print(f"BLEU-1: {scores['bleu1']:.6f}")
     print(f"BLEU-2: {scores['bleu2']:.6f}")
     print(f"BLEU-3: {scores['bleu3']:.6f}")
