@@ -39,6 +39,12 @@ def main():
     ap.add_argument("--vocab", type=int, default=7579)
     ap.add_argument("--max-len", type=int, default=34)
     ap.add_argument("--encoder", default="inception_v3")
+    ap.add_argument(
+        "--decoder",
+        default="lstm1",
+        choices=["lstm1", "lstm2", "attention"],
+        help="attention implies spatial encoder features (config 4)",
+    )
     ap.add_argument("--dtype", default="bf16", choices=["f32", "bf16"])
     ap.add_argument(
         "--no-fold-bn",
@@ -81,14 +87,25 @@ def main():
         file=sys.stderr,
     )
 
-    encoder = build_encoder(args.encoder)
+    spatial = args.decoder == "attention"
+    encoder = build_encoder(
+        args.encoder, "spatial" if spatial else "pooled"
+    )
     decoder = build_decoder(
-        "lstm1",
+        args.decoder,
         vocab_size=args.vocab,
         feature_dim=encoder.feature_dim,
         embed_dim=256,
         hidden_dim=256,
+        num_layers=2 if args.decoder == "lstm2" else 1,
     )
+
+    def encode(ep, images):
+        feats = encoder.apply(ep, images)
+        if spatial:
+            b, h, w, c = feats.shape
+            feats = feats.reshape(b, h * w, c)
+        return feats
     rng = jax.random.key(0)
     k_enc, k_dec = jax.random.split(rng)
     enc_params = None if args.no_encoder else encoder.init(k_enc)
@@ -274,15 +291,18 @@ def main():
             state = decoder.init_state(dp, feats)
             return decode(dp, state)
 
-        feats = jax.random.normal(
-            jax.random.key(1), (args.batch, encoder.feature_dim), dtype
+        feat_shape = (
+            (args.batch, 196, encoder.feature_dim)
+            if spatial
+            else (args.batch, encoder.feature_dim)
         )
+        feats = jax.random.normal(jax.random.key(1), feat_shape, dtype)
         inputs = (dec_params, feats)
     else:
 
         @jax.jit
         def run(ep, dp, images):
-            feats = encoder.apply(ep, images)
+            feats = encode(ep, images)
             state = decoder.init_state(dp, feats)
             return decode(dp, state)
 
@@ -324,6 +344,7 @@ def main():
         "metric": f"captions/sec ({args.method} "
         f"{args.beam if args.method == 'beam' else ''}, "
         f"batch {args.batch}, "
+        f"{args.decoder}, "
         f"{'decode-only' if args.no_encoder else args.encoder + '+decode'}, "
         f"{args.dtype})",
         "value": round(cps, 2),

@@ -1,0 +1,91 @@
+"""Real-chip smoke test: the full framework end-to-end on the TPU.
+
+Synthetic fixtures -> tokenizer -> TinyCNN features -> decoder training ->
+greedy + beam generation -> BLEU, all compute on the attached TPU. Small
+shapes keep remote compiles short. Exits non-zero if training fails to
+overfit or generation degenerates.
+
+Usage: python scripts/tpu_smoke.py [--decoder lstm1|attention]
+"""
+
+import argparse
+import sys
+import tempfile
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--decoder", default="lstm1")
+    ap.add_argument("--epochs", type=int, default=40)
+    args = ap.parse_args()
+
+    import jax
+
+    sys.path.insert(0, ".")
+    from tpucap.config import (
+        Config,
+        DecodeConfig,
+        DecoderConfig,
+        EncoderConfig,
+        TrainConfig,
+    )
+    from tpucap.data import (
+        generate_fixture_dataset,
+        load_descriptions,
+        load_split,
+        prepare_descriptions,
+    )
+    from tpucap.pipeline import CaptioningPipeline
+
+    print(f"devices: {jax.devices()}", file=sys.stderr)
+
+    root = tempfile.mkdtemp(prefix="tpucap_smoke_")
+    img_dir, token_file, train_file, _ = generate_fixture_dataset(
+        root, n_images=8, image_size=32, seed=7
+    )
+    desc = load_descriptions(token_file)
+    train_ids = load_split(train_file)
+    prepared = prepare_descriptions(desc, train_ids)
+
+    spatial = args.decoder == "attention"
+    cfg = Config(
+        encoder=EncoderConfig(
+            name="tiny_cnn",
+            features="spatial" if spatial else "pooled",
+            feature_dim=128,
+        ),
+        decoder=DecoderConfig(
+            name=args.decoder, embed_dim=16, hidden_dim=32, dropout_rate=0.0
+        ),
+        decode=DecodeConfig(max_len=12),
+        train=TrainConfig(batch_size=8, learning_rate=5e-3, seed=0),
+    )
+    pipe = CaptioningPipeline(cfg)
+    pipe.fit_tokenizer(prepared)
+    pipe.build()
+
+    paths = [f"{img_dir}/{i}.jpg" for i in train_ids]
+    feats_arr = pipe.extract_features(paths, batch_size=8)
+    feats = dict(zip(train_ids, feats_arr))
+
+    history = pipe.fit(prepared, feats, epochs=args.epochs, log=None)
+    first, last = history[0]["loss"], history[-1]["loss"]
+    print(f"loss {first:.3f} -> {last:.3f}")
+    assert last < first * 0.6, "training failed to descend on-chip"
+
+    caps_g = pipe.generate(feats_arr[:4], method="greedy")
+    caps_b = pipe.generate(feats_arr[:4], method="beam", beam_width=3)
+    for g, b in zip(caps_g, caps_b):
+        print(f"greedy: {g!r}  beam: {b!r}")
+        assert g and b, "degenerate caption"
+
+    scores = pipe.evaluate(prepared, feats, method="greedy")
+    print({k: round(v, 4) for k, v in scores.items()})
+    assert scores["bleu1"] > 0.15, scores
+    print("TPU SMOKE OK")
+
+
+if __name__ == "__main__":
+    main()
