@@ -178,3 +178,35 @@ def test_two_layer_import_matches(rng):
         logits, st = dec.step(params, st, jnp.asarray([tok, tok]))
     ours = np.asarray(jax.nn.softmax(logits, axis=-1))
     np.testing.assert_allclose(ours, ref, atol=2e-5)
+
+
+def test_h5_file_round_trip_import(keras_model, tmp_path, rng):
+    """Save the reference-style model to .h5, reload, import, and verify
+    next-word parity — the on-disk checkpoint path (SURVEY.md §5.4)."""
+    path = str(tmp_path / "reference_model.h5")
+    keras_model.save(path)
+    reloaded = tf_keras.models.load_model(path, compile=False)
+
+    params = merge_decoder_params_from_keras(reloaded)
+    params["cells"] = [
+        {k: jnp.asarray(v) for k, v in c.items()} for c in params["cells"]
+    ]
+    dec = build_decoder(
+        "lstm1",
+        vocab_size=VOCAB,
+        feature_dim=FEAT,
+        embed_dim=EMB,
+        hidden_dim=HID,
+    )
+    feats = rng.normal(size=(2, FEAT)).astype(np.float32)
+    prefix = [3, 8]
+    padded = pad_sequences([prefix, prefix], maxlen=MAXLEN)
+    ref = keras_model.predict(
+        [tf.constant(feats), tf.constant(padded.astype(np.float32))],
+        verbose=0,
+    )
+    st = dec.init_state(params, jnp.asarray(feats))
+    for tok in prefix:
+        logits, st = dec.step(params, st, jnp.asarray([tok, tok]))
+    ours = np.asarray(jax.nn.softmax(logits, axis=-1))
+    np.testing.assert_allclose(ours, ref, atol=2e-5)
