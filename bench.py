@@ -282,6 +282,7 @@ def main():
             end_id=END,
             max_len=args.max_len,
             beam_width=args.beam,
+            decoder=decoder,
         )
 
     if args.no_encoder:

@@ -165,3 +165,27 @@ def test_beam_scores_sorted_and_finite():
     s = np.asarray(res.beam_scores)
     assert np.isfinite(s).all()
     assert (np.diff(s, axis=1) <= 1e-6).all()  # top_k returns descending
+
+
+def test_beam_shared_state_matches_tiled_attention():
+    """Attention decoder with beam-shared feature grids (untiled, k-fold
+    less HBM traffic) produces the identical beam result."""
+    dec, params = make("attention")
+    feats = features_for("attention", jax.random.key(7))
+    state = dec.init_state(params, feats)
+
+    ref = beam_decode(
+        dec.step, params, state,
+        start_id=START, end_id=END, max_len=MAXLEN, beam_width=3,
+    )
+    shared = beam_decode(
+        dec.step, params, dec.init_state(params, feats),
+        start_id=START, end_id=END, max_len=MAXLEN, beam_width=3,
+        decoder=dec,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ref.tokens), np.asarray(shared.tokens)
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref.scores), np.asarray(shared.scores), atol=1e-5
+    )

@@ -44,23 +44,47 @@ class BeamResult:
     beam_scores: Any
 
 
-def _tile_state(state, k: int):
-    """(B, ...) -> (B*k, ...) with each row repeated k times (beam-major)."""
+def _shared_keys(decoder_or_none, state) -> frozenset:
+    """Top-level state keys that are per-image constants (identical across
+    a beam's hypotheses) — e.g. the attention decoder's feature grids. They
+    are neither tiled to (B*k, ...) nor parent-gathered, cutting their HBM
+    traffic k-fold; the decoder's step infers the hypothesis count from the
+    shape ratio."""
+    keys = getattr(decoder_or_none, "beam_shared_keys", frozenset())
+    if isinstance(state, dict):
+        return frozenset(k for k in keys if k in state)
+    return frozenset()
+
+
+def _tile_state(state, k: int, shared: frozenset = frozenset()):
+    """(B, ...) -> (B*k, ...) with each row repeated k times (beam-major),
+    leaving shared (per-image) entries untiled."""
 
     def tile(x):
         return jnp.repeat(x, k, axis=0)
 
+    if isinstance(state, dict) and shared:
+        return {
+            key: (v if key in shared else jax.tree_util.tree_map(tile, v))
+            for key, v in state.items()
+        }
     return jax.tree_util.tree_map(tile, state)
 
 
-def _gather_beams(tree, parent, B: int, k: int):
-    """Reindex (B*k, ...) state by parent (B, k) beam indices."""
+def _gather_beams(tree, parent, B: int, k: int, shared: frozenset = frozenset()):
+    """Reindex (B*k, ...) state by parent (B, k) beam indices; shared
+    entries are identical across beams so gathering is the identity."""
 
     def gather(x):
         xr = x.reshape((B, k) + x.shape[1:])
         out = jax.vmap(lambda rows, idx: rows[idx])(xr, parent)
         return out.reshape((B * k,) + x.shape[1:])
 
+    if isinstance(tree, dict) and shared:
+        return {
+            key: (v if key in shared else jax.tree_util.tree_map(gather, v))
+            for key, v in tree.items()
+        }
     return jax.tree_util.tree_map(gather, tree)
 
 
@@ -76,12 +100,15 @@ def beam_decode(
     pad_id: int = 0,
     length_normalize: bool = True,
     alpha: float = 1.0,
+    decoder=None,
 ) -> BeamResult:
     """Beam-search a batch. ``step_fn(params, state, token) -> (logits, state)``
-    where state leaves carry a leading hypothesis axis."""
+    where state leaves carry a leading hypothesis axis. Pass ``decoder`` to
+    honor its ``beam_shared_keys`` (per-image state kept untiled)."""
     k = beam_width
     B = jax.tree_util.tree_leaves(state)[0].shape[0]
-    state = _tile_state(state, k)
+    shared = _shared_keys(decoder, state)
+    state = _tile_state(state, k, shared)
 
     tokens0 = jnp.full((B, k, max_len), pad_id, jnp.int32)
     scores0 = jnp.tile(
@@ -149,7 +176,7 @@ def beam_decode(
         lengths = lengths + emit.astype(jnp.int32)
         finished = parent_finished | (word == end_id)
 
-        state = _gather_beams(new_state, parent, B, k)
+        state = _gather_beams(new_state, parent, B, k, shared)
         last = word.reshape(B * k)
         return t + 1, tokens, state, last, finished, lengths, top_scores
 
@@ -212,6 +239,7 @@ def make_beam_fn(
             pad_id=pad_id,
             length_normalize=length_normalize,
             alpha=alpha,
+            decoder=decoder,
         )
 
     return fn

@@ -44,6 +44,7 @@ def greedy_decode(
     end_id: int,
     max_len: int,
     pad_id: int = 0,
+    decoder=None,  # accepted for interface parity with beam_decode (unused)
 ) -> DecodeResult:
     """Greedy-decode a batch. ``step_fn(params, state, token) -> (logits, state)``.
 

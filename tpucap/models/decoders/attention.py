@@ -46,6 +46,11 @@ class AttentionDecoder:
     attention_dim: int = 256
     dropout_rate: float = 0.5
 
+    # The feature grids are identical across a beam's hypotheses; the beam
+    # engine keeps them untiled (k-fold less HBM traffic per attention
+    # step) and _attend infers the hypothesis count from the shape ratio.
+    beam_shared_keys = frozenset({"features", "att_feat"})
+
     def init(self, key):
         ks = jax.random.split(key, 10)
         return {
@@ -83,16 +88,34 @@ class AttentionDecoder:
         return {"features": features, "att_feat": att_feat, "h": h, "c": c}
 
     def _attend(self, params, state):
-        e = dense(
-            params["att_score"],
-            jnp.tanh(
-                state["att_feat"]
-                + dense(params["att_hidden"], state["h"])[:, None, :]
-            ),
-        )[..., 0]
-        alpha = jax.nn.softmax(e, axis=-1)  # (B, L)
-        ctx = jnp.einsum("bl,bld->bd", alpha, state["features"])
-        beta = jax.nn.sigmoid(dense(params["gate"], state["h"]))
+        """Additive attention. Supports beam-shared feature grids: when h is
+        (B*k, H) but features are (B, L, D), the per-image grids broadcast
+        over the k hypotheses instead of being materialized k times."""
+        h = state["h"]
+        att_feat = state["att_feat"]  # (B, L, A)
+        features = state["features"]  # (B, L, D)
+        B = att_feat.shape[0]
+        k = h.shape[0] // B  # static at trace time
+
+        wh = dense(params["att_hidden"], h)  # (B*k, A)
+        if k == 1:
+            e = dense(
+                params["att_score"], jnp.tanh(att_feat + wh[:, None, :])
+            )[..., 0]
+            alpha = jax.nn.softmax(e, axis=-1)  # (B, L)
+            ctx = jnp.einsum("bl,bld->bd", alpha, features)
+        else:
+            wh = wh.reshape(B, k, 1, -1)
+            e = dense(
+                params["att_score"],
+                jnp.tanh(att_feat[:, None, :, :] + wh),
+            )[..., 0]  # (B, k, L)
+            alpha_bk = jax.nn.softmax(e, axis=-1)
+            ctx = jnp.einsum("bkl,bld->bkd", alpha_bk, features).reshape(
+                B * k, -1
+            )
+            alpha = alpha_bk.reshape(B * k, -1)
+        beta = jax.nn.sigmoid(dense(params["gate"], h))
         return beta * ctx, alpha
 
     def _step_full(self, params, state, token):

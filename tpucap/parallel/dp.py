@@ -104,6 +104,8 @@ def make_dp_decode_fn(
     every shard returns the full batch.
     """
 
+    decode_kwargs.setdefault("decoder", decoder)
+
     def shard_body(params, features):
         state = decoder.init_state(params, features)
         res = decode_fn(decoder.step, params, state, **decode_kwargs)

@@ -25,6 +25,7 @@ from tpucap.decode.beam import (
     NEG_INF,
     BeamResult,
     _gather_beams,
+    _shared_keys,
     _tile_state,
 )
 
@@ -196,7 +197,9 @@ def make_tp_beam_fn(
         v_local = params["out"]["kernel"].shape[-1]
         col_offset = my * v_local
 
-        state = _tile_state(decoder.init_state(params, features), k)
+        state0 = decoder.init_state(params, features)
+        shared = _shared_keys(decoder, state0)
+        state = _tile_state(state0, k, shared)
         tokens0 = jnp.full((B, k, max_len), pad_id, jnp.int32)
         scores0 = jnp.tile(
             jnp.concatenate(
@@ -278,7 +281,7 @@ def make_tp_beam_fn(
             lengths = lengths + emit.astype(jnp.int32)
             finished = parent_finished | (word == end_id)
 
-            state = _gather_beams(new_state, parent, B, k)
+            state = _gather_beams(new_state, parent, B, k, shared)
             last = word.reshape(B * k)
             return t + 1, tokens, state, last, finished, lengths, top_scores
 

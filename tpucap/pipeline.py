@@ -330,6 +330,7 @@ class CaptioningPipeline:
                         beam_width=beam_width,
                         length_normalize=dcfg.length_normalize,
                         alpha=dcfg.alpha,
+                        decoder=self.decoder,
                     )
 
         self._decode_cache[key] = fn
@@ -409,6 +410,7 @@ class CaptioningPipeline:
                 beam_width=beam_width,
                 length_normalize=dcfg.length_normalize,
                 alpha=dcfg.alpha,
+                decoder=self.decoder,
             )
 
         paths = list(image_paths)
