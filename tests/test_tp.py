@@ -176,3 +176,37 @@ def test_tp_train_matches_single_device(model_mesh):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=2e-6
         )
+
+
+def test_tp_beam_attention_with_shared_grids(model_mesh):
+    """TP vocab-sharded beam decode over the attention decoder (shared
+    per-image grids + sharded projection together), token-exact."""
+    dec = build_decoder(
+        "attention", vocab_size=VOCAB, feature_dim=FEAT, embed_dim=EMB,
+        hidden_dim=HID,
+    )
+    params = dec.init(jax.random.key(0))
+    feats = jax.random.normal(jax.random.key(4), (B, 5, FEAT))
+
+    ref = beam_decode(
+        dec.step,
+        params,
+        dec.init_state(params, feats),
+        start_id=START,
+        end_id=END,
+        max_len=MAXLEN,
+        beam_width=3,
+        decoder=dec,
+    )
+    tp_fn = make_tp_beam_fn(
+        dec,
+        model_mesh,
+        start_id=START,
+        end_id=END,
+        max_len=MAXLEN,
+        beam_width=3,
+    )
+    out = tp_fn(params, feats)
+    np.testing.assert_array_equal(
+        np.asarray(ref.tokens), np.asarray(out.tokens)
+    )
