@@ -62,6 +62,11 @@ def make_tp_train_step(
     import optax
 
     n_shards = mesh.shape[axis]
+    if decoder.vocab_size % n_shards:
+        raise ValueError(
+            f"vocab_size {decoder.vocab_size} not divisible by the "
+            f"{n_shards}-way '{axis}' mesh axis; pad the vocabulary"
+        )
 
     def local_loss(params, features, tokens, rng):
         inputs = tokens[:, :-1]
