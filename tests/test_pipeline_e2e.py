@@ -127,3 +127,37 @@ def test_pipeline_save_load_round_trip(dataset, tmp_path):
     assert loaded.config.encoder.name == "tiny_cnn"
     caps = loaded.generate(feats, method="beam", beam_width=2)
     assert caps == ref_caps
+
+
+def test_bf16_inference_precision(dataset):
+    """config.precision='bf16' casts the inference flow; captions remain
+    coherent and the API contract (strings out) is unchanged."""
+    img_dir, desc, train_ids, _ = dataset
+    from tpucap.config import (
+        Config,
+        DecodeConfig,
+        DecoderConfig,
+        EncoderConfig,
+        TrainConfig,
+    )
+    from tpucap.pipeline import CaptioningPipeline
+
+    cfg = Config(
+        encoder=EncoderConfig(name="tiny_cnn", feature_dim=128),
+        decoder=DecoderConfig(embed_dim=16, hidden_dim=32, dropout_rate=0.0),
+        decode=DecodeConfig(max_len=12),
+        train=TrainConfig(batch_size=8, seed=0),
+        precision="bf16",
+    )
+    pipe = CaptioningPipeline(cfg)
+    prepared = prepare_descriptions(desc, train_ids)
+    pipe.fit_tokenizer(prepared)
+    pipe.build()
+
+    paths = [f"{img_dir}/{i}.jpg" for i in train_ids[:4]]
+    feats = pipe.extract_features(paths, batch_size=4)
+    assert feats.dtype == np.float32  # features returned in f32 for storage
+    caps = pipe.generate(feats, method="beam", beam_width=2)
+    assert len(caps) == 4 and all(isinstance(c, str) for c in caps)
+    caps2 = pipe.caption_dataset(paths, batch_size=4, method="greedy")
+    assert len(caps2) == 4

@@ -76,7 +76,11 @@ class Config:
     train: TrainConfig = TrainConfig()
     mesh: MeshConfig = MeshConfig()
     vocab_size: int = 7580  # typical Flickr8k vocab+1; overridden per run
-    precision: Literal["bf16", "f32"] = "bf16"
+    # Inference precision policy:
+    #   'bf16'  - params/activations cast to bf16 (fastest, ~34% on e2e)
+    #   'mixed' - f32 tensors, XLA DEFAULT matmul (bf16 MXU passes) [default]
+    #   'f32'   - highest-precision matmuls, exact caption parity with CPU
+    precision: Literal["bf16", "mixed", "f32"] = "mixed"
 
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)

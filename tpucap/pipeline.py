@@ -112,6 +112,30 @@ class CaptioningPipeline:
         self._encode_fn = None
         self._decode_cache.clear()
 
+    # -- precision ----------------------------------------------------------
+
+    def _infer_dtype(self):
+        return (
+            jnp.bfloat16
+            if self.config.precision == "bf16"
+            else jnp.float32
+        )
+
+    def _inference_params(self):
+        """Params used on the inference paths; a cached bf16 copy when
+        config.precision='bf16' (the ~34%-faster serving flow), the
+        training params otherwise."""
+        if self.config.precision != "bf16":
+            return self.params
+        cached = getattr(self, "_bf16_params", None)
+        if cached is not None and cached[0] is self.params:
+            return cached[1]
+        cast = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a, jnp.bfloat16), self.params
+        )
+        self._bf16_params = (self.params, cast)
+        return cast
+
     # -- feature extraction (reference: extract_features) ------------------
 
     def _apply_encoder(self, params, x):
@@ -132,12 +156,18 @@ class CaptioningPipeline:
             self._encode_fn = jax.jit(self._apply_encoder)
         size = self.encoder.input_size
         mode = self.encoder.preprocess_mode
+        dtype = self._infer_dtype()
+        enc_params = self._inference_params()["encoder"]
         outs = []
         for s in range(0, len(paths), batch_size):
             chunk = paths[s : s + batch_size]
-            x = preprocess_batch(chunk, size=size, mode=mode)
+            x = jnp.asarray(
+                preprocess_batch(chunk, size=size, mode=mode), dtype
+            )
             outs.append(
-                np.asarray(self._encode_fn(self.params["encoder"], x))
+                np.asarray(
+                    self._encode_fn(enc_params, x), dtype=np.float32
+                )
             )
         return np.concatenate(outs, axis=0)
 
@@ -145,7 +175,10 @@ class CaptioningPipeline:
         """Preprocessed image batch -> features, on device."""
         if self._encode_fn is None:
             self._encode_fn = jax.jit(self._apply_encoder)
-        return self._encode_fn(self.params["encoder"], images)
+        return self._encode_fn(
+            self._inference_params()["encoder"],
+            jnp.asarray(images, self._infer_dtype()),
+        )
 
     # -- training ----------------------------------------------------------
 
@@ -347,7 +380,10 @@ class CaptioningPipeline:
         method = method or self.config.decode.method
         beam_width = beam_width or self.config.decode.beam_width
         fn = self._decode_fn(method, beam_width)
-        res = fn(self.params["decoder"], jnp.asarray(features))
+        res = fn(
+            self._inference_params()["decoder"],
+            jnp.asarray(features, self._infer_dtype()),
+        )
         _, end_id = self._token_ids()
         return ids_to_captions(
             self.tokenizer, res.tokens, res.lengths, end_id=end_id
@@ -386,9 +422,13 @@ class CaptioningPipeline:
         size = self.encoder.input_size
         mode = self.encoder.preprocess_mode
 
+        inf_params = self._inference_params()
+
         @jax.jit
         def run(enc_params, dec_params, images_u8):
-            x = normalize_images(images_u8, mode)
+            x = normalize_images(
+                images_u8, mode, out_dtype=self._infer_dtype()
+            )
             feats = self._apply_encoder(enc_params, x)
             state = self.decoder.init_state(dec_params, feats)
             if method == "greedy":
@@ -440,7 +480,7 @@ class CaptioningPipeline:
                 )
                 images = np.concatenate([images, pad], axis=0)
             res = run(
-                self.params["encoder"], self.params["decoder"], images
+                inf_params["encoder"], inf_params["decoder"], images
             )
             pending.append((i, (res, n)))
             # Fetch one batch behind so host decode overlaps device compute.
