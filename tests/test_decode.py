@@ -189,3 +189,39 @@ def test_beam_shared_state_matches_tiled_attention():
     np.testing.assert_allclose(
         np.asarray(ref.scores), np.asarray(shared.scores), atol=1e-5
     )
+
+
+@pytest.mark.parametrize("name", ["lstm1", "attention"])
+def test_beam_score_equals_teacher_forced_logprob(name):
+    """Cross-check decode against training: the winning beam's raw score
+    must equal the sum of next-token log-probs under forward_train for the
+    same sequence (ties the incremental step path to the scan path)."""
+    dec, params = make(name)
+    feats = features_for(name, jax.random.key(11))
+    state = dec.init_state(params, feats)
+    res = beam_decode(
+        dec.step,
+        params,
+        state,
+        start_id=START,
+        end_id=END,
+        max_len=MAXLEN,
+        beam_width=3,
+        decoder=dec,
+    )
+    tokens = np.asarray(res.tokens)
+    lengths = np.asarray(res.lengths)
+    scores = np.asarray(res.scores)
+
+    # inputs = [START, w1..w_{n-1}]; targets = [w1..w_n]
+    inputs = np.zeros((B, MAXLEN), np.int32)
+    inputs[:, 0] = START
+    inputs[:, 1:] = tokens[:, : MAXLEN - 1]
+    logits = dec.forward_train(
+        params, feats, jnp.asarray(inputs), deterministic=True
+    )
+    logp = np.asarray(jax.nn.log_softmax(np.asarray(logits, np.float32), -1))
+    for b in range(B):
+        n = int(lengths[b])
+        total = sum(logp[b, t, tokens[b, t]] for t in range(n))
+        np.testing.assert_allclose(scores[b], total, atol=1e-4)
