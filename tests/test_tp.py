@@ -210,3 +210,44 @@ def test_tp_beam_attention_with_shared_grids(model_mesh):
     np.testing.assert_array_equal(
         np.asarray(ref.tokens), np.asarray(out.tokens)
     )
+
+
+def test_2d_dp_x_tp_train_matches_single_device():
+    """2-D training: batch over 'data' (4) x vocab over 'model' (2) == the
+    single-device step on the concatenated batch."""
+    import numpy as _np
+    import optax
+
+    from tpucap.parallel.tp import make_tp_train_step
+    from tpucap.train import TrainState, make_train_step
+
+    devices = _np.asarray(jax.devices()).reshape(4, 2)
+    mesh2d = Mesh(devices, ("data", "model"))
+
+    dec = build_decoder(
+        "lstm1", vocab_size=VOCAB, feature_dim=FEAT, embed_dim=EMB,
+        hidden_dim=HID,
+    )
+    params = dec.init(jax.random.key(0))
+    optimizer = optax.sgd(0.5)
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.normal(size=(8, FEAT)).astype(np.float32))
+    tokens = jnp.asarray(rng.integers(1, VOCAB, size=(8, 7)).astype(np.int32))
+    tokens = tokens.at[:, -2:].set(0)
+
+    single = make_train_step(dec, optimizer, deterministic=True)
+    s1 = TrainState.create(params, optimizer, jax.random.key(1))
+    s1, m1 = single(s1, feats, tokens)
+
+    step2d = make_tp_train_step(
+        dec, optimizer, mesh2d, data_axis="data", deterministic=True
+    )
+    s2 = TrainState.create(params, optimizer, jax.random.key(1))
+    s2, m2 = step2d(s2, feats, tokens)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s1.params),
+        jax.tree_util.tree_leaves(s2.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)

@@ -38,6 +38,7 @@ def make_tp_train_step(
     mesh,
     *,
     axis: str = MODEL_AXIS,
+    data_axis: str | None = None,
     pad_id: int = 0,
     deterministic: bool = False,
 ):
@@ -110,8 +111,15 @@ def make_tp_train_step(
 
         mask = (targets != pad_id).astype(jnp.float32)
         nll_sum = jnp.sum((lse - tgt_logit) * mask)
-        n_tokens = jnp.maximum(jnp.sum(mask), 1.0)
-        loss = nll_sum / n_tokens
+        n_tokens = jnp.sum(mask)
+        if data_axis is not None:
+            # 2-D DPxTP: batch is also sharded; globalize the sum-form
+            # pieces over the data axis so the loss (and thus gradients)
+            # match a single-device step on the concatenated batch.
+            nll_sum = jax.lax.psum(nll_sum, data_axis)
+            n_tokens = jax.lax.psum(n_tokens, data_axis)
+        denom = jnp.maximum(n_tokens, 1.0)
+        loss = nll_sum / denom
 
         # Accuracy: global argmax via pmax value + pmin owning column.
         # Metrics carry no gradient — stop it before the collectives.
@@ -122,17 +130,27 @@ def make_tp_train_step(
             jnp.where(local_max == gmax, local_arg, jnp.iinfo(jnp.int32).max),
             axis,
         )
-        acc = jnp.sum((pred == targets) * mask) / n_tokens
-        return loss, {"loss": loss, "accuracy": acc, "tokens": jnp.sum(mask)}
+        n_correct = jnp.sum((pred == targets) * mask)
+        if data_axis is not None:
+            n_correct = jax.lax.psum(n_correct, data_axis)
+        acc = n_correct / denom
+        return loss, {"loss": loss, "accuracy": acc, "tokens": n_tokens}
 
     def shard_body(state: TrainState, features, tokens):
         rng, dropout_rng = jax.random.split(state.rng)
+        if data_axis is not None:
+            dropout_rng = jax.random.fold_in(
+                dropout_rng, jax.lax.axis_index(data_axis)
+            )
         (loss, metrics), grads = jax.value_and_grad(
             local_loss, has_aux=True
         )(state.params, features, tokens, dropout_rng)
         # Same psum-transpose behavior as the DP step: each shard's grad is
-        # p x (its contribution); pmean reconstructs the exact gradient.
+        # (shard count) x (its contribution); pmean over every sharded axis
+        # reconstructs the exact gradient.
         grads = jax.lax.pmean(grads, axis)
+        if data_axis is not None:
+            grads = jax.lax.pmean(grads, data_axis)
         updates, opt_state = optimizer.update(
             grads, state.opt_state, state.params
         )
@@ -147,10 +165,11 @@ def make_tp_train_step(
             metrics,
         )
 
+    batch_spec = P(data_axis) if data_axis else P()
     sharded = shard_map(
         shard_body,
         mesh=mesh,
-        in_specs=(P(), P(), P()),
+        in_specs=(P(), batch_spec, batch_spec),
         out_specs=(P(), P()),
         check_vma=False,
     )
