@@ -161,3 +161,39 @@ def test_bf16_inference_precision(dataset):
     assert len(caps) == 4 and all(isinstance(c, str) for c in caps)
     caps2 = pipe.caption_dataset(paths, batch_size=4, method="greedy")
     assert len(caps2) == 4
+
+
+def test_bf16_param_cache_invalidated_after_fit(dataset):
+    """Training must refresh the bf16 inference-param cache (regression:
+    in-place params mutation left a stale cast copy)."""
+    img_dir, desc, train_ids, _ = dataset
+    from tpucap.config import (
+        Config,
+        DecodeConfig,
+        DecoderConfig,
+        EncoderConfig,
+        TrainConfig,
+    )
+    from tpucap.pipeline import CaptioningPipeline
+
+    cfg = Config(
+        encoder=EncoderConfig(name="tiny_cnn", feature_dim=128),
+        decoder=DecoderConfig(embed_dim=16, hidden_dim=32, dropout_rate=0.0),
+        decode=DecodeConfig(max_len=12),
+        train=TrainConfig(batch_size=8, learning_rate=5e-3, seed=0),
+        precision="bf16",
+    )
+    pipe = CaptioningPipeline(cfg)
+    prepared = prepare_descriptions(desc, train_ids)
+    pipe.fit_tokenizer(prepared)
+    pipe.build()
+    before = np.asarray(
+        pipe._inference_params()["decoder"]["out"]["kernel"], np.float32
+    )
+    rng = np.random.default_rng(0)
+    feats = {i: rng.normal(size=(128,)).astype(np.float32) for i in train_ids}
+    pipe.fit(prepared, feats, epochs=2, log=None)
+    after = np.asarray(
+        pipe._inference_params()["decoder"]["out"]["kernel"], np.float32
+    )
+    assert not np.array_equal(before, after), "stale bf16 param cache"

@@ -98,6 +98,7 @@ class CaptioningPipeline:
         }
         self._decode_cache.clear()
         self._encode_fn = None
+        self._bf16_params = None
         return self.params
 
     def fold_bn(self) -> None:
@@ -111,6 +112,7 @@ class CaptioningPipeline:
         )
         self._encode_fn = None
         self._decode_cache.clear()
+        self._bf16_params = None
 
     # -- precision ----------------------------------------------------------
 
@@ -124,16 +126,18 @@ class CaptioningPipeline:
     def _inference_params(self):
         """Params used on the inference paths; a cached bf16 copy when
         config.precision='bf16' (the ~34%-faster serving flow), the
-        training params otherwise."""
+        training params otherwise. The cache is invalidated wherever
+        self.params changes (build/fit/fold_bn/load) — self.params is
+        mutated in place, so identity checks can't detect staleness."""
         if self.config.precision != "bf16":
             return self.params
         cached = getattr(self, "_bf16_params", None)
-        if cached is not None and cached[0] is self.params:
-            return cached[1]
+        if cached is not None:
+            return cached
         cast = jax.tree_util.tree_map(
             lambda a: jnp.asarray(a, jnp.bfloat16), self.params
         )
-        self._bf16_params = (self.params, cast)
+        self._bf16_params = cast
         return cast
 
     # -- feature extraction (reference: extract_features) ------------------
@@ -315,6 +319,7 @@ class CaptioningPipeline:
                 )
         self.params["decoder"] = self.state.params
         self._decode_cache.clear()
+        self._bf16_params = None
         return history
 
     # -- generation (reference: generate_desc / beam_search_desc) ----------
@@ -553,6 +558,7 @@ class CaptioningPipeline:
             os.path.join(directory, "params"),
             jax.device_get(pipe.params),
         )
+        pipe._bf16_params = None
         return pipe
 
     # -- evaluation (reference: evaluate_model) ----------------------------
