@@ -429,34 +429,42 @@ class CaptioningPipeline:
 
         inf_params = self._inference_params()
 
-        @jax.jit
-        def run(enc_params, dec_params, images_u8):
-            x = normalize_images(
-                images_u8, mode, out_dtype=self._infer_dtype()
-            )
-            feats = self._apply_encoder(enc_params, x)
-            state = self.decoder.init_state(dec_params, feats)
-            if method == "greedy":
-                return greedy_decode(
+        # Cache the compiled program across caption_dataset calls (a fresh
+        # closure per call would retrace/recompile every time).
+        cache_key = ("dataset", method, beam_width)
+        run = self._decode_cache.get(cache_key)
+        if run is None:
+
+            @jax.jit
+            def run(enc_params, dec_params, images_u8):
+                x = normalize_images(
+                    images_u8, mode, out_dtype=self._infer_dtype()
+                )
+                feats = self._apply_encoder(enc_params, x)
+                state = self.decoder.init_state(dec_params, feats)
+                if method == "greedy":
+                    return greedy_decode(
+                        self.decoder.step,
+                        dec_params,
+                        state,
+                        start_id=start_id,
+                        end_id=end_id,
+                        max_len=dcfg.max_len,
+                    )
+                return beam_decode(
                     self.decoder.step,
                     dec_params,
                     state,
                     start_id=start_id,
                     end_id=end_id,
                     max_len=dcfg.max_len,
+                    beam_width=beam_width,
+                    length_normalize=dcfg.length_normalize,
+                    alpha=dcfg.alpha,
+                    decoder=self.decoder,
                 )
-            return beam_decode(
-                self.decoder.step,
-                dec_params,
-                state,
-                start_id=start_id,
-                end_id=end_id,
-                max_len=dcfg.max_len,
-                beam_width=beam_width,
-                length_normalize=dcfg.length_normalize,
-                alpha=dcfg.alpha,
-                decoder=self.decoder,
-            )
+
+            self._decode_cache[cache_key] = run
 
         paths = list(image_paths)
         pending: list[tuple[int, Any]] = []
