@@ -225,9 +225,12 @@ def main():
         optimizer = optax.adam(1e-3)
         state = TrainState.create(dec_params, optimizer, jax.random.key(2))
         step = make_train_step(decoder, optimizer)
-        feats = jax.random.normal(
-            jax.random.key(1), (args.batch, encoder.feature_dim), dtype
+        feat_shape = (
+            (args.batch, 196, encoder.feature_dim)
+            if spatial
+            else (args.batch, encoder.feature_dim)
         )
+        feats = jax.random.normal(jax.random.key(1), feat_shape, dtype)
         tokens = jax.random.randint(
             jax.random.key(3), (args.batch, args.max_len + 1), 1, args.vocab
         ).astype(jnp.int32)
