@@ -210,3 +210,59 @@ def test_h5_file_round_trip_import(keras_model, tmp_path, rng):
         logits, st = dec.step(params, st, jnp.asarray([tok, tok]))
     ours = np.asarray(jax.nn.softmax(logits, axis=-1))
     np.testing.assert_allclose(ours, ref, atol=2e-5)
+
+
+def test_pipeline_generate_matches_reference_loop(keras_model, rng):
+    """The user-facing path: CaptioningPipeline.generate (precision='f32')
+    with imported reference weights produces the reference's captions."""
+    from tpucap.config import (
+        Config,
+        DecodeConfig,
+        DecoderConfig,
+        EncoderConfig,
+    )
+    from tpucap.pipeline import CaptioningPipeline
+    from tpucap.text import Tokenizer
+
+    # Tokenizer whose ids 1/2 are the start/end sentinels used below.
+    tok = Tokenizer()
+    tok.word_index = {"startseq": 1, "endseq": 2}
+    tok.word_index.update({f"w{i}": i for i in range(3, VOCAB)})
+    tok.index_word = {v: k for k, v in tok.word_index.items()}
+
+    cfg = Config(
+        encoder=EncoderConfig(name="tiny_cnn", feature_dim=FEAT),
+        decoder=DecoderConfig(embed_dim=EMB, hidden_dim=HID),
+        decode=DecodeConfig(method="greedy", max_len=MAXLEN),
+        vocab_size=VOCAB,
+        precision="f32",
+    )
+    pipe = CaptioningPipeline(cfg, tokenizer=tok)
+    pipe.build()
+    params = merge_decoder_params_from_keras(keras_model)
+    params["cells"] = [
+        {k: jnp.asarray(v) for k, v in c.items()} for c in params["cells"]
+    ]
+    pipe.params["decoder"] = params
+
+    feats = rng.normal(size=(3, FEAT)).astype(np.float32)
+    caps = pipe.generate(feats, method="greedy")
+
+    for b in range(3):
+        seq = [1]
+        words = []
+        for _ in range(MAXLEN):
+            padded = pad_sequences([seq], maxlen=MAXLEN)
+            probs = keras_model.predict(
+                [tf.constant(feats[b : b + 1]),
+                 tf.constant(padded.astype(np.float32))],
+                verbose=0,
+            )[0]
+            probs[0] = 0.0
+            w = int(np.argmax(probs))
+            seq.append(w)
+            if w == 2:
+                break
+            words.append(tok.index_word.get(w, ""))
+        expected = " ".join(words)
+        assert caps[b] == expected, (b, caps[b], expected)
