@@ -12,7 +12,6 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 def init_conv(key, kh, kw, cin, cout, use_bias=True, dtype=jnp.float32):
