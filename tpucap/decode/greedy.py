@@ -12,7 +12,6 @@ masked forward over the padded prefix (tests/test_lstm_parity.py).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any, Callable
 
 import jax
@@ -99,7 +98,7 @@ def greedy_decode(
 def make_greedy_fn(decoder, *, start_id, end_id, max_len, pad_id=0):
     """Build a jittable (params, features) -> DecodeResult closure."""
 
-    @partial(jax.jit, static_argnums=())
+    @jax.jit
     def fn(params, features):
         state = decoder.init_state(params, features)
         return greedy_decode(

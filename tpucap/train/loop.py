@@ -113,16 +113,15 @@ def train_epoch(
     for features, tokens in batches:
         state, metrics = step_fn(state, features, tokens)
         n += 1
-        if log_every and n % log_every == 0:
-            metrics = jax.device_get(metrics)
-            if logger is not None:
-                logger.log(
-                    {
-                        "step": int(jax.device_get(state.step)),
-                        **{k: float(v) for k, v in metrics.items()},
-                    }
-                )
-        for k, v in jax.device_get(metrics).items():
+        metrics = jax.device_get(metrics)
+        if log_every and logger is not None and n % log_every == 0:
+            logger.log(
+                {
+                    "step": int(jax.device_get(state.step)),
+                    **{k: float(v) for k, v in metrics.items()},
+                }
+            )
+        for k, v in metrics.items():
             totals[k] = totals.get(k, 0.0) + float(v)
     elapsed = time.perf_counter() - t0
     avg = {k: v / max(n, 1) for k, v in totals.items()}
