@@ -225,3 +225,63 @@ def test_beam_score_equals_teacher_forced_logprob(name):
         n = int(lengths[b])
         total = sum(logp[b, t, tokens[b, t]] for t in range(n))
         np.testing.assert_allclose(scores[b], total, atol=1e-4)
+
+
+class TestSampling:
+    def test_sampling_deterministic_by_key(self):
+        from tpucap.decode.sample import sample_decode
+
+        dec, params = make("lstm1")
+        feats = features_for("lstm1", jax.random.key(8))
+        state = dec.init_state(params, feats)
+        kw = dict(start_id=START, end_id=END, max_len=MAXLEN)
+        a = sample_decode(
+            dec.step, params, state, rng=jax.random.key(5), **kw
+        )
+        b = sample_decode(
+            dec.step, params, state, rng=jax.random.key(5), **kw
+        )
+        c = sample_decode(
+            dec.step, params, state, rng=jax.random.key(6), **kw
+        )
+        np.testing.assert_array_equal(np.asarray(a.tokens), np.asarray(b.tokens))
+        assert not np.array_equal(np.asarray(a.tokens), np.asarray(c.tokens))
+
+    def test_zero_temperature_limit_equals_greedy(self):
+        """temperature -> 0 concentrates the categorical on the argmax."""
+        from tpucap.decode.sample import sample_decode
+
+        dec, params = make("lstm1")
+        feats = features_for("lstm1", jax.random.key(9))
+        state = dec.init_state(params, feats)
+        g = greedy_decode(
+            dec.step, params, state, start_id=START, end_id=END,
+            max_len=MAXLEN,
+        )
+        s = sample_decode(
+            dec.step, params, dec.init_state(params, feats),
+            rng=jax.random.key(0), start_id=START, end_id=END,
+            max_len=MAXLEN, temperature=1e-4,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(g.tokens), np.asarray(s.tokens)
+        )
+
+    def test_top_k_restricts_support(self):
+        from tpucap.decode.sample import sample_decode
+
+        dec, params = make("lstm1")
+        feats = features_for("lstm1", jax.random.key(10))
+        # With top_k=1 sampling is greedy regardless of key.
+        s1 = sample_decode(
+            dec.step, params, dec.init_state(params, feats),
+            rng=jax.random.key(1), start_id=START, end_id=END,
+            max_len=MAXLEN, top_k=1,
+        )
+        g = greedy_decode(
+            dec.step, params, dec.init_state(params, feats),
+            start_id=START, end_id=END, max_len=MAXLEN,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(s1.tokens), np.asarray(g.tokens)
+        )

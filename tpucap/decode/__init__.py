@@ -10,11 +10,13 @@ has finished.
 
 from tpucap.decode.greedy import greedy_decode, DecodeResult
 from tpucap.decode.beam import beam_decode, BeamResult
+from tpucap.decode.sample import sample_decode
 from tpucap.decode.text import ids_to_captions
 
 __all__ = [
     "greedy_decode",
     "beam_decode",
+    "sample_decode",
     "DecodeResult",
     "BeamResult",
     "ids_to_captions",

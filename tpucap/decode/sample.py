@@ -1,0 +1,79 @@
+"""Stochastic sampling decode (temperature / top-k), fully on-device.
+
+Not part of the reference surface (it only ships greedy + beam,
+SURVEY.md §2.1 #10-11) — provided as a framework extra on the same
+while_loop engine: one compiled program per batch, PRNG key threaded
+through the carry, early exit when every sequence has finished.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from tpucap.decode.greedy import DecodeResult
+
+NEG_INF = -1e30
+
+
+def sample_decode(
+    step_fn,
+    params,
+    state,
+    *,
+    rng,
+    start_id: int,
+    end_id: int,
+    max_len: int,
+    temperature: float = 1.0,
+    top_k: int | None = None,
+    pad_id: int = 0,
+) -> DecodeResult:
+    """Ancestral sampling with optional temperature and top-k truncation.
+
+    rng: jax PRNG key; the same key reproduces the same captions.
+    """
+    B = jax.tree_util.tree_leaves(state)[0].shape[0]
+    tokens0 = jnp.full((B, max_len), pad_id, jnp.int32)
+
+    def cond(carry):
+        t, *_ = carry
+        done = carry[4]
+        return jnp.logical_and(t < max_len, ~jnp.all(done))
+
+    def body(carry):
+        t, tokens, state, last, done, lengths, scores, key = carry
+        logits, new_state = step_fn(params, state, last)
+        logits = logits.astype(jnp.float32).at[:, pad_id].set(NEG_INF)
+        if temperature != 1.0:
+            logits = logits / temperature
+        if top_k is not None:
+            kth = jax.lax.top_k(logits, top_k)[0][:, -1:]
+            logits = jnp.where(logits < kth, NEG_INF, logits)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+
+        key, sub = jax.random.split(key)
+        nxt = jax.random.categorical(sub, logits, axis=-1).astype(jnp.int32)
+        tok_logp = jnp.take_along_axis(logp, nxt[:, None], axis=-1)[:, 0]
+
+        nxt = jnp.where(done, pad_id, nxt)
+        tokens = jax.lax.dynamic_update_slice(tokens, nxt[:, None], (0, t))
+        lengths = lengths + jnp.where(done, 0, 1)
+        scores = scores + jnp.where(done, 0.0, tok_logp)
+        done = jnp.logical_or(done, nxt == end_id)
+        return t + 1, tokens, new_state, nxt, done, lengths, scores, key
+
+    carry = (
+        jnp.array(0, jnp.int32),
+        tokens0,
+        state,
+        jnp.full((B,), start_id, jnp.int32),
+        jnp.zeros((B,), bool),
+        jnp.zeros((B,), jnp.int32),
+        jnp.zeros((B,), jnp.float32),
+        rng,
+    )
+    _, tokens, _, _, _, lengths, scores, _ = jax.lax.while_loop(
+        cond, body, carry
+    )
+    return DecodeResult(tokens=tokens, lengths=lengths, scores=scores)
