@@ -90,3 +90,31 @@ def test_encoder_init_shapes_match_keras_import():
     for k in ours:
         for sub in ours[k]:
             assert ours[k][sub].shape == theirs[k][sub].shape, (k, sub)
+
+
+@pytest.mark.slow
+def test_inception_spatial_matches_keras(rng):
+    """spatial mode == keras mixed7 output (17x17x768)."""
+    m = tf_keras.applications.InceptionV3(weights=None, include_top=False)
+    feat = tf_keras.Model(m.input, m.get_layer("mixed7").output)
+    enc = InceptionV3(features="spatial")
+    params = params_from_keras(m, "inception_v3")
+    x = rng.normal(0, 1, size=(1, 299, 299, 3)).astype(np.float32)
+    ref = feat(tf.constant(x), training=False).numpy()
+    ours = np.asarray(enc.apply(params, x))
+    assert ours.shape == (1, 17, 17, 768)
+    np.testing.assert_allclose(ours, ref, atol=5e-4, rtol=1e-3)
+
+
+@pytest.mark.slow
+def test_resnet_spatial_matches_keras(rng):
+    """spatial mode == keras conv4 block output (14x14x1024)."""
+    m = tf_keras.applications.ResNet50(weights=None, include_top=False)
+    feat = tf_keras.Model(m.input, m.get_layer("conv4_block6_out").output)
+    enc = ResNet50(features="spatial")
+    params = params_from_keras(m, "resnet50")
+    x = rng.normal(0, 1, size=(1, 224, 224, 3)).astype(np.float32)
+    ref = feat(tf.constant(x), training=False).numpy()
+    ours = np.asarray(enc.apply(params, x))
+    assert ours.shape == (1, 14, 14, 1024)
+    np.testing.assert_allclose(ours, ref, atol=5e-4, rtol=1e-3)
