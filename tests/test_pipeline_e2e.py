@@ -96,8 +96,10 @@ def test_caption_dataset_full_pipeline(dataset):
 
     all_ids = train_ids + test_ids
     paths = [f"{img_dir}/{i}.jpg" for i in all_ids]
+    # fast_scale=False: bit-exact PIL decode parity, so the caption
+    # comparison below cannot flip on scaled-IDCT pixel differences.
     caps = pipe.caption_dataset(
-        paths, batch_size=3, method="beam", beam_width=2
+        paths, batch_size=3, method="beam", beam_width=2, fast_scale=False
     )
     assert len(caps) == len(paths)
     assert all(isinstance(c, str) for c in caps)
