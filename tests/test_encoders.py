@@ -1,6 +1,8 @@
 """Differential tests: flax-functional encoders vs tf_keras.applications
 with copied (random) weights — architecture-level parity without network
-access (SURVEY.md §7 step 5)."""
+access (SURVEY.md §7 step 5). The tf_keras model builds are expensive, so
+each architecture is built once per module and shared between the pooled
+and spatial tests."""
 
 import numpy as np
 import pytest
@@ -12,55 +14,109 @@ tf = pytest.importorskip("tensorflow")
 tf_keras = pytest.importorskip("tf_keras")
 
 
-def _keras_feature_model(name):
-    apps = tf_keras.applications
-    if name == "vgg16":
-        full = apps.VGG16(weights=None, include_top=True)
-        return tf_keras.Model(full.input, full.get_layer("fc2").output), full
-    if name == "resnet50":
-        m = apps.ResNet50(weights=None, include_top=False, pooling="avg")
-        return m, m
-    if name == "inception_v3":
-        m = apps.InceptionV3(weights=None, include_top=False, pooling="avg")
-        return m, m
-    raise ValueError(name)
+@pytest.fixture(scope="module")
+def keras_vgg16():
+    return tf_keras.applications.VGG16(weights=None, include_top=True)
+
+
+@pytest.fixture(scope="module")
+def keras_resnet50():
+    return tf_keras.applications.ResNet50(weights=None, include_top=False)
+
+
+@pytest.fixture(scope="module")
+def keras_inception():
+    return tf_keras.applications.InceptionV3(weights=None, include_top=False)
+
+
+def _pooled(model):
+    import tf_keras.layers as L
+
+    return tf_keras.Model(
+        model.input, L.GlobalAveragePooling2D()(model.output)
+    )
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize(
-    "name,enc,atol",
-    [
-        ("vgg16", VGG16(), 5e-4),
-        ("resnet50", ResNet50(), 5e-4),
-        ("inception_v3", InceptionV3(), 5e-4),
-    ],
-)
-def test_encoder_matches_keras(name, enc, atol, rng):
-    feat_model, weight_model = _keras_feature_model(name)
-    params = params_from_keras(weight_model, name)
-
-    size = enc.input_size
-    x = rng.normal(0, 1, size=(2, size, size, 3)).astype(np.float32)
-
-    ref = feat_model(tf.constant(x), training=False).numpy()
-    ours = np.asarray(enc.apply(params, x))
-
-    assert ours.shape == ref.shape == (2, enc.feature_dim)
-    np.testing.assert_allclose(ours, ref, atol=atol, rtol=1e-3)
-
-
-@pytest.mark.slow
-def test_vgg16_spatial_matches_keras(rng):
-    full = tf_keras.applications.VGG16(weights=None, include_top=False)
+def test_vgg16_matches_keras(keras_vgg16, rng):
     feat = tf_keras.Model(
-        full.input, full.get_layer("block5_conv3").output
+        keras_vgg16.input, keras_vgg16.get_layer("fc2").output
+    )
+    enc = VGG16()
+    params = params_from_keras(keras_vgg16, "vgg16")
+    x = rng.normal(0, 1, size=(2, 224, 224, 3)).astype(np.float32)
+    ref = feat(tf.constant(x), training=False).numpy()
+    ours = np.asarray(enc.apply(params, x))
+    assert ours.shape == ref.shape == (2, 4096)
+    np.testing.assert_allclose(ours, ref, atol=5e-4, rtol=1e-3)
+
+
+@pytest.mark.slow
+def test_vgg16_spatial_matches_keras(keras_vgg16, rng):
+    feat = tf_keras.Model(
+        keras_vgg16.input, keras_vgg16.get_layer("block5_conv3").output
     )
     enc = VGG16(features="spatial")
-    params = params_from_keras(full, "vgg16", features="spatial")
+    params = params_from_keras(keras_vgg16, "vgg16", features="spatial")
     x = rng.normal(0, 1, size=(1, 224, 224, 3)).astype(np.float32)
     ref = feat(tf.constant(x), training=False).numpy()
     ours = np.asarray(enc.apply(params, x))
     assert ours.shape == (1, 14, 14, 512)
+    np.testing.assert_allclose(ours, ref, atol=5e-4, rtol=1e-3)
+
+
+@pytest.mark.slow
+def test_resnet50_matches_keras(keras_resnet50, rng):
+    feat = _pooled(keras_resnet50)
+    enc = ResNet50()
+    params = params_from_keras(keras_resnet50, "resnet50")
+    x = rng.normal(0, 1, size=(2, 224, 224, 3)).astype(np.float32)
+    ref = feat(tf.constant(x), training=False).numpy()
+    ours = np.asarray(enc.apply(params, x))
+    assert ours.shape == ref.shape == (2, 2048)
+    np.testing.assert_allclose(ours, ref, atol=5e-4, rtol=1e-3)
+
+
+@pytest.mark.slow
+def test_resnet_spatial_matches_keras(keras_resnet50, rng):
+    """spatial mode == keras conv4 block output (14x14x1024)."""
+    feat = tf_keras.Model(
+        keras_resnet50.input,
+        keras_resnet50.get_layer("conv4_block6_out").output,
+    )
+    enc = ResNet50(features="spatial")
+    params = params_from_keras(keras_resnet50, "resnet50")
+    x = rng.normal(0, 1, size=(1, 224, 224, 3)).astype(np.float32)
+    ref = feat(tf.constant(x), training=False).numpy()
+    ours = np.asarray(enc.apply(params, x))
+    assert ours.shape == (1, 14, 14, 1024)
+    np.testing.assert_allclose(ours, ref, atol=5e-4, rtol=1e-3)
+
+
+@pytest.mark.slow
+def test_inception_matches_keras(keras_inception, rng):
+    feat = _pooled(keras_inception)
+    enc = InceptionV3()
+    params = params_from_keras(keras_inception, "inception_v3")
+    x = rng.normal(0, 1, size=(2, 299, 299, 3)).astype(np.float32)
+    ref = feat(tf.constant(x), training=False).numpy()
+    ours = np.asarray(enc.apply(params, x))
+    assert ours.shape == ref.shape == (2, 2048)
+    np.testing.assert_allclose(ours, ref, atol=5e-4, rtol=1e-3)
+
+
+@pytest.mark.slow
+def test_inception_spatial_matches_keras(keras_inception, rng):
+    """spatial mode == keras mixed7 output (17x17x768)."""
+    feat = tf_keras.Model(
+        keras_inception.input, keras_inception.get_layer("mixed7").output
+    )
+    enc = InceptionV3(features="spatial")
+    params = params_from_keras(keras_inception, "inception_v3")
+    x = rng.normal(0, 1, size=(1, 299, 299, 3)).astype(np.float32)
+    ref = feat(tf.constant(x), training=False).numpy()
+    ours = np.asarray(enc.apply(params, x))
+    assert ours.shape == (1, 17, 17, 768)
     np.testing.assert_allclose(ours, ref, atol=5e-4, rtol=1e-3)
 
 
@@ -78,43 +134,14 @@ def test_tiny_cnn_shapes(rng):
     assert out.shape == (3, 4, 4, 128)
 
 
-def test_encoder_init_shapes_match_keras_import():
+def test_encoder_init_shapes_match_keras_import(keras_vgg16):
     """init() must produce the same tree structure the importer emits."""
     import jax
 
     enc = VGG16()
     ours = enc.init(jax.random.key(0))
-    full = tf_keras.applications.VGG16(weights=None, include_top=True)
-    theirs = params_from_keras(full, "vgg16")
+    theirs = params_from_keras(keras_vgg16, "vgg16")
     assert set(ours) == set(theirs)
     for k in ours:
         for sub in ours[k]:
             assert ours[k][sub].shape == theirs[k][sub].shape, (k, sub)
-
-
-@pytest.mark.slow
-def test_inception_spatial_matches_keras(rng):
-    """spatial mode == keras mixed7 output (17x17x768)."""
-    m = tf_keras.applications.InceptionV3(weights=None, include_top=False)
-    feat = tf_keras.Model(m.input, m.get_layer("mixed7").output)
-    enc = InceptionV3(features="spatial")
-    params = params_from_keras(m, "inception_v3")
-    x = rng.normal(0, 1, size=(1, 299, 299, 3)).astype(np.float32)
-    ref = feat(tf.constant(x), training=False).numpy()
-    ours = np.asarray(enc.apply(params, x))
-    assert ours.shape == (1, 17, 17, 768)
-    np.testing.assert_allclose(ours, ref, atol=5e-4, rtol=1e-3)
-
-
-@pytest.mark.slow
-def test_resnet_spatial_matches_keras(rng):
-    """spatial mode == keras conv4 block output (14x14x1024)."""
-    m = tf_keras.applications.ResNet50(weights=None, include_top=False)
-    feat = tf_keras.Model(m.input, m.get_layer("conv4_block6_out").output)
-    enc = ResNet50(features="spatial")
-    params = params_from_keras(m, "resnet50")
-    x = rng.normal(0, 1, size=(1, 224, 224, 3)).astype(np.float32)
-    ref = feat(tf.constant(x), training=False).numpy()
-    ours = np.asarray(enc.apply(params, x))
-    assert ours.shape == (1, 14, 14, 1024)
-    np.testing.assert_allclose(ours, ref, atol=5e-4, rtol=1e-3)
