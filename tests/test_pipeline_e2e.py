@@ -199,3 +199,20 @@ def test_bf16_param_cache_invalidated_after_fit(dataset):
         pipe._inference_params()["decoder"]["out"]["kernel"], np.float32
     )
     assert not np.array_equal(before, after), "stale bf16 param cache"
+
+
+def test_generate_sample_method(dataset):
+    img_dir, desc, train_ids, _ = dataset
+    pipe = make_pipeline()
+    prepared = prepare_descriptions(desc, train_ids)
+    pipe.fit_tokenizer(prepared)
+    pipe.build()
+    feats = np.random.default_rng(2).normal(size=(3, 128)).astype(np.float32)
+    a = pipe.generate(feats, method="sample", temperature=0.8, seed=1)
+    b = pipe.generate(feats, method="sample", temperature=0.8, seed=1)
+    c = pipe.generate(feats, method="sample", temperature=0.8, seed=2)
+    assert a == b
+    assert a != c
+    vocab = set(pipe.tokenizer.word_index)
+    for cap in a:
+        assert set(cap.split()) <= vocab

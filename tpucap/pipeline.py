@@ -380,16 +380,47 @@ class CaptioningPipeline:
         *,
         method: str | None = None,
         beam_width: int | None = None,
+        temperature: float = 1.0,
+        top_k: int | None = None,
+        seed: int = 0,
     ) -> list[str]:
-        """Features (B, ...) -> caption strings (sentinels stripped)."""
+        """Features (B, ...) -> caption strings (sentinels stripped).
+
+        method: 'greedy' | 'beam' | 'sample' (temperature/top_k/seed apply
+        to sampling only)."""
         method = method or self.config.decode.method
         beam_width = beam_width or self.config.decode.beam_width
-        fn = self._decode_fn(method, beam_width)
-        res = fn(
-            self._inference_params()["decoder"],
-            jnp.asarray(features, self._infer_dtype()),
-        )
+        params = self._inference_params()["decoder"]
+        feats = jnp.asarray(features, self._infer_dtype())
         _, end_id = self._token_ids()
+        if method == "sample":
+            from tpucap.decode import sample_decode
+
+            start_id, _ = self._token_ids()
+            key = ("sample", temperature, top_k)
+            fn = self._decode_cache.get(key)
+            if fn is None:
+
+                @jax.jit
+                def fn(params, features, rng):
+                    state = self.decoder.init_state(params, features)
+                    return sample_decode(
+                        self.decoder.step,
+                        params,
+                        state,
+                        rng=rng,
+                        start_id=start_id,
+                        end_id=end_id,
+                        max_len=self.config.decode.max_len,
+                        temperature=temperature,
+                        top_k=top_k,
+                    )
+
+                self._decode_cache[key] = fn
+            res = fn(params, feats, jax.random.key(seed))
+        else:
+            fn = self._decode_fn(method, beam_width)
+            res = fn(params, feats)
         return ids_to_captions(
             self.tokenizer, res.tokens, res.lengths, end_id=end_id
         )
