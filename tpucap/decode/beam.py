@@ -101,14 +101,44 @@ def beam_decode(
     length_normalize: bool = True,
     alpha: float = 1.0,
     decoder=None,
+    scorer=None,
 ) -> BeamResult:
     """Beam-search a batch. ``step_fn(params, state, token) -> (logits, state)``
     where state leaves carry a leading hypothesis axis. Pass ``decoder`` to
-    honor its ``beam_shared_keys`` (per-image state kept untiled)."""
+    honor its ``beam_shared_keys`` (per-image state kept untiled).
+
+    ``scorer`` (advanced): replaces the default scoring stage. Called as
+    ``scorer(params, state, last) -> (cand_logp (B, k, C), cand_words
+    (B, k, C) int32, new_state)`` where the C candidates per live beam must
+    be sorted the way ``lax.top_k`` sorts (score desc, index-ordered ties,
+    grouped so that candidate order within a beam follows ascending global
+    word index on ties) and must already exclude ``pad_id``. Used by the
+    tensor-parallel engine to plug in vocab-sharded scoring while sharing
+    this loop's bookkeeping, backpointers, and reconstruction."""
     k = beam_width
     B = jax.tree_util.tree_leaves(state)[0].shape[0]
     shared = _shared_keys(decoder, state)
     state = _tile_state(state, k, shared)
+
+    if scorer is None:
+
+        def scorer(params, state, last):
+            with jax.named_scope("beam_model_step"):
+                logits, new_state = step_fn(params, state, last)  # (B*k, V)
+            # Lazy log-softmax: log_softmax is a per-row monotonic shift of
+            # the raw logits, so per-beam top-k runs directly on the
+            # (pad-masked) logits and the logsumexp correction is applied
+            # to the k survivors only — one reduce instead of
+            # materializing the full (B*k, V) f32 log-prob array. Scores
+            # stay f32 regardless of the model's compute dtype.
+            logits = logits.astype(jnp.float32)
+            lse = jax.scipy.special.logsumexp(logits, axis=-1)  # (B*k,)
+            masked = logits.at[:, pad_id].set(NEG_INF)
+            # Per-beam top-k over V (stage 1 of the exact two-stage top-k).
+            pb_vals, pb_words = jax.lax.top_k(masked, k)  # (B*k, k)
+            pb_logp = (pb_vals - lse[:, None]).reshape(B, k, k)
+            pb_words = pb_words.reshape(B, k, k)
+            return pb_logp, pb_words, new_state
 
     # Backpointer accumulators instead of carrying materialized sequences:
     # the loop only appends (word, parent) at step t — write-only buffers
@@ -134,43 +164,29 @@ def beam_decode(
 
     def body(carry):
         t, words_acc, parents_acc, state, last, finished, lengths, scores = carry
-        with jax.named_scope("beam_model_step"):
-            logits, new_state = step_fn(params, state, last)  # (B*k, V)
-        # (profiler scope: everything below is beam bookkeeping)
-        # Lazy log-softmax: log_softmax is a per-row monotonic shift of the
-        # raw logits, so per-beam top-k runs directly on the (pad-masked)
-        # logits and the logsumexp correction is applied to the k survivors
-        # only — one reduce instead of materializing the full (B*k, V) f32
-        # log-prob array (saves ~2 HBM passes per step). Scores stay f32
-        # regardless of the model's compute dtype.
-        logits = logits.astype(jnp.float32)
-        lse = jax.scipy.special.logsumexp(logits, axis=-1)  # (B*k,)
-        masked = logits.at[:, pad_id].set(NEG_INF)
-        # Per-beam top-k over V (stage 1 of the exact two-stage top-k).
-        pb_vals, pb_words = jax.lax.top_k(masked, k)  # (B*k, k)
-        pb_logp = (pb_vals - lse[:, None]).reshape(B, k, k)
-        pb_words = pb_words.reshape(B, k, k)
+        pb_logp, pb_words, new_state = scorer(params, state, last)
+        C = pb_logp.shape[-1]  # candidates per live beam (k, or shards*k)
 
-        live_cand = scores[:, :, None] + pb_logp  # (B, k, k)
+        live_cand = scores[:, :, None] + pb_logp  # (B, k, C)
         # Frozen beams contribute exactly one candidate: pad, score
         # unchanged, in their rank-0 slot (preserving the flattened
         # parent*V+word tie order of a single-stage top-k).
-        frozen_rank = jnp.full((k,), NEG_INF).at[0].set(0.0)
+        frozen_rank = jnp.full((C,), NEG_INF).at[0].set(0.0)
         frozen_cand = scores[:, :, None] + frozen_rank[None, None, :]
         fin = finished[:, :, None]
         cand = jnp.where(fin, frozen_cand, live_cand)
         cand_words = jnp.where(fin, pad_id, pb_words)
 
-        # Stage 2: merge the k*k survivors. Exact: the global top-k of a
+        # Stage 2: merge the k*C survivors. Exact: the global top-k of a
         # union equals the top-k of per-set top-k's; tie order (score desc,
         # then parent asc, then word-index asc) matches the single-stage
         # flat ordering because candidates stay grouped by parent and
         # per-beam top_k is index-ordered on ties.
-        merged = cand.reshape(B, k * k)
+        merged = cand.reshape(B, k * C)
         top_scores, idx2 = jax.lax.top_k(merged, k)  # (B, k)
-        parent = idx2 // k
+        parent = idx2 // C
         word = jnp.take_along_axis(
-            cand_words.reshape(B, k * k), idx2, axis=1
+            cand_words.reshape(B, k * C), idx2, axis=1
         ).astype(jnp.int32)
 
         take = lambda arr: jnp.take_along_axis(arr, parent, axis=1)

@@ -21,13 +21,7 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import PartitionSpec as P
 
-from tpucap.decode.beam import (
-    NEG_INF,
-    BeamResult,
-    _gather_beams,
-    _shared_keys,
-    _tile_state,
-)
+from tpucap.decode.beam import NEG_INF, beam_decode
 
 MODEL_AXIS = "model"
 
@@ -221,25 +215,13 @@ def make_tp_beam_fn(
         v_local = params["out"]["kernel"].shape[-1]
         col_offset = my * v_local
 
-        state0 = decoder.init_state(params, features)
-        shared = _shared_keys(decoder, state0)
-        state = _tile_state(state0, k, shared)
-        tokens0 = jnp.full((B, k, max_len), pad_id, jnp.int32)
-        scores0 = jnp.tile(
-            jnp.concatenate(
-                [jnp.zeros((1,)), jnp.full((k - 1,), NEG_INF)]
-            )[None, :],
-            (B, 1),
-        ).astype(jnp.float32)
-
-        def cond(carry):
-            t, _, _, _, finished, _, _ = carry
-            return jnp.logical_and(t < max_len, ~jnp.all(finished))
-
-        def body(carry):
-            t, tokens, state, last, finished, lengths, scores = carry
+        def tp_scorer(params, state, last):
+            """Distributed scoring stage plugged into the shared beam
+            engine: local vocab-slice logits, global logsumexp over ICI,
+            per-shard top-k, all_gather of the k-per-shard candidates
+            (shard-major = ascending vocab offset — the tie order the
+            engine's merge stage requires)."""
             hidden, new_state = decoder.step_hidden(params, state, last)
-            # Local vocab slice of the logits: (B*k, V/p).
             local = (
                 jnp.dot(
                     hidden,
@@ -247,9 +229,9 @@ def make_tp_beam_fn(
                     preferred_element_type=jnp.float32,
                 )
                 + params["out"]["bias"].astype(jnp.float32)
-            )
-            # Global logsumexp assembled over ICI (pad mass included, the
-            # same convention as the single-device beam engine).
+            )  # (B*k, V/p)
+            # Global logsumexp (pad mass included, matching the
+            # single-device engine's convention).
             m = jax.lax.pmax(jnp.max(local, axis=-1), axis)  # (B*k,)
             s = jax.lax.psum(
                 jnp.sum(jnp.exp(local - m[:, None]), axis=-1), axis
@@ -262,83 +244,33 @@ def make_tp_beam_fn(
             )
             local = jnp.where(cols == pad_id, NEG_INF, local)
 
-            # Per-shard top-k, then gather k-per-shard candidates.
             pv, pw = jax.lax.top_k(local, k)  # (B*k, k) local
             pw = pw + col_offset
-            # all_gather stacks shard-major: (p, B*k, k) -> (B*k, p*k) in
-            # ascending-vocab-offset order (tie-order preservation).
             av = jnp.moveaxis(
                 jax.lax.all_gather(pv, axis, axis=0), 0, 1
             ).reshape(B * k, n_shards * k)
             aw = jnp.moveaxis(
                 jax.lax.all_gather(pw, axis, axis=0), 0, 1
             ).reshape(B * k, n_shards * k)
-
             C = n_shards * k
             logp = (av - lse[:, None]).reshape(B, k, C)
             words = aw.reshape(B, k, C)
+            return logp, words, new_state
 
-            live_cand = scores[:, :, None] + logp
-            frozen_rank = jnp.full((C,), NEG_INF).at[0].set(0.0)
-            frozen_cand = scores[:, :, None] + frozen_rank[None, None, :]
-            fin = finished[:, :, None]
-            cand = jnp.where(fin, frozen_cand, live_cand)
-            cand_words = jnp.where(fin, pad_id, words)
-
-            merged = cand.reshape(B, k * C)
-            top_scores, idx2 = jax.lax.top_k(merged, k)
-            parent = idx2 // C
-            word = jnp.take_along_axis(
-                cand_words.reshape(B, k * C), idx2, axis=1
-            ).astype(jnp.int32)
-
-            take = lambda arr: jnp.take_along_axis(arr, parent, axis=1)
-            tokens = jax.vmap(lambda rows, idx: rows[idx])(tokens, parent)
-            parent_finished = take(finished)
-            lengths = take(lengths)
-
-            emit = ~parent_finished
-            word = jnp.where(parent_finished, pad_id, word)
-            tokens = jax.lax.dynamic_update_slice(
-                tokens, word[:, :, None], (0, 0, t)
-            )
-            lengths = lengths + emit.astype(jnp.int32)
-            finished = parent_finished | (word == end_id)
-
-            state = _gather_beams(new_state, parent, B, k, shared)
-            last = word.reshape(B * k)
-            return t + 1, tokens, state, last, finished, lengths, top_scores
-
-        carry = (
-            jnp.array(0, jnp.int32),
-            tokens0,
+        state = decoder.init_state(params, features)
+        return beam_decode(
+            decoder.step,
+            params,
             state,
-            jnp.full((B * k,), start_id, jnp.int32),
-            jnp.zeros((B, k), bool),
-            jnp.zeros((B, k), jnp.int32),
-            scores0,
-        )
-        _, tokens, _, _, finished, lengths, scores = jax.lax.while_loop(
-            cond, body, carry
-        )
-
-        if length_normalize:
-            norm = scores / jnp.maximum(lengths, 1).astype(
-                scores.dtype
-            ) ** alpha
-        else:
-            norm = scores
-        best = jnp.argmax(norm, axis=1)
-        pick = lambda arr: jnp.take_along_axis(
-            arr, best.reshape((arr.shape[0],) + (1,) * (arr.ndim - 1)), axis=1
-        ).squeeze(1)
-        return BeamResult(
-            tokens=pick(tokens),
-            lengths=pick(lengths),
-            scores=pick(scores),
-            beam_tokens=tokens,
-            beam_lengths=lengths,
-            beam_scores=scores,
+            start_id=start_id,
+            end_id=end_id,
+            max_len=max_len,
+            beam_width=k,
+            pad_id=pad_id,
+            length_normalize=length_normalize,
+            alpha=alpha,
+            decoder=decoder,
+            scorer=tp_scorer,
         )
 
     def build_specs(params):
