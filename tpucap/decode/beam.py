@@ -129,14 +129,22 @@ def beam_decode(
             # the raw logits, so per-beam top-k runs directly on the
             # (pad-masked) logits and the logsumexp correction is applied
             # to the k survivors only — one reduce instead of
-            # materializing the full (B*k, V) f32 log-prob array. Scores
-            # stay f32 regardless of the model's compute dtype.
-            logits = logits.astype(jnp.float32)
-            lse = jax.scipy.special.logsumexp(logits, axis=-1)  # (B*k,)
-            masked = logits.at[:, pad_id].set(NEG_INF)
+            # materializing the full (B*k, V) f32 log-prob array. The
+            # stage-1 top_k stays in the model's native dtype (half the
+            # sort bandwidth on bf16 flows; bf16->f32 is order-preserving
+            # so the selection is identical to upcasting first); scores
+            # are f32 regardless.
+            lse = jax.scipy.special.logsumexp(
+                logits.astype(jnp.float32), axis=-1
+            )  # (B*k,)
+            masked = logits.at[:, pad_id].set(
+                jnp.asarray(NEG_INF, logits.dtype)
+            )
             # Per-beam top-k over V (stage 1 of the exact two-stage top-k).
             pb_vals, pb_words = jax.lax.top_k(masked, k)  # (B*k, k)
-            pb_logp = (pb_vals - lse[:, None]).reshape(B, k, k)
+            pb_logp = (
+                pb_vals.astype(jnp.float32) - lse[:, None]
+            ).reshape(B, k, k)
             pb_words = pb_words.reshape(B, k, k)
             return pb_logp, pb_words, new_state
 
