@@ -251,3 +251,43 @@ def test_2d_dp_x_tp_train_matches_single_device():
         jax.tree_util.tree_leaves(s2.params),
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
+
+
+def test_pad_vocab_params_preserves_decode(model_mesh):
+    """Padding the vocab to shard evenly must not change any caption: the
+    padded columns carry a -1e9 bias and can never win."""
+    import dataclasses
+
+    from tpucap.parallel.tp import pad_vocab_params
+
+    V0 = 29  # not divisible by 8
+    dec = build_decoder(
+        "lstm1", vocab_size=V0, feature_dim=FEAT, embed_dim=EMB,
+        hidden_dim=HID,
+    )
+    params = dec.init(jax.random.key(0))
+    feats = jax.random.normal(jax.random.key(1), (4, FEAT))
+
+    ref = beam_decode(
+        dec.step, params, dec.init_state(params, feats),
+        start_id=START, end_id=END, max_len=MAXLEN, beam_width=3,
+    )
+
+    padded, V1 = pad_vocab_params(params, 8)
+    assert V1 % 8 == 0 and V1 > V0
+    dec_p = dataclasses.replace(dec, vocab_size=V1)
+    tp_fn = make_tp_beam_fn(
+        dec_p, model_mesh,
+        start_id=START, end_id=END, max_len=MAXLEN, beam_width=3,
+    )
+    out = tp_fn(padded, feats)
+    np.testing.assert_array_equal(
+        np.asarray(ref.tokens), np.asarray(out.tokens)
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref.scores), np.asarray(out.scores), atol=1e-4
+    )
+
+    # No-op when already aligned.
+    same, V2 = pad_vocab_params(padded, 8)
+    assert V2 == V1 and same is padded

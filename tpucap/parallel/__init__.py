@@ -14,6 +14,7 @@ from tpucap.parallel.dp import make_dp_train_step, make_dp_decode_fn
 from tpucap.parallel.tp import (
     make_tp_beam_fn,
     make_tp_train_step,
+    pad_vocab_params,
 )
 
 __all__ = [
@@ -21,4 +22,5 @@ __all__ = [
     "make_dp_decode_fn",
     "make_tp_beam_fn",
     "make_tp_train_step",
+    "pad_vocab_params",
 ]

@@ -26,6 +26,34 @@ from tpucap.decode.beam import NEG_INF, beam_decode
 MODEL_AXIS = "model"
 
 
+def pad_vocab_params(params: dict, multiple: int):
+    """Pad a decoder's vocab dimension (embedding rows + output projection
+    columns) up to a multiple of the mesh's model-axis size so it shards
+    evenly. Padded output columns get a -1e9 bias so they can never win a
+    decode step; padded embedding rows are zeros and are never indexed.
+
+    -> (padded params, new vocab size). No-op when already aligned.
+    """
+    V = params["out"]["kernel"].shape[-1]
+    pad = (-V) % multiple
+    if pad == 0:
+        return params, V
+    out = dict(params)
+    out["embedding"] = {
+        "table": jnp.pad(params["embedding"]["table"], ((0, pad), (0, 0)))
+    }
+    out["out"] = {
+        "kernel": jnp.pad(params["out"]["kernel"], ((0, 0), (0, pad))),
+        "bias": jnp.concatenate(
+            [
+                params["out"]["bias"],
+                jnp.full((pad,), -1e9, params["out"]["bias"].dtype),
+            ]
+        ),
+    }
+    return out, V + pad
+
+
 def make_tp_train_step(
     decoder,
     optimizer,
