@@ -94,16 +94,8 @@ def test_tp_parallelism_through_pipeline(tmp_path):
     pipe = CaptioningPipeline(cfg)
     prepared = prepare_descriptions(desc, train_ids)
     pipe.fit_tokenizer(prepared)
-    # Pad vocab to a multiple of the 8-device mesh for the sharded CE.
-    V = pipe.tokenizer.vocab_size
-    pad = (-V) % 8
-    for i in range(pad):
-        pipe.tokenizer.word_index[f"<pad{i}>"] = V + i
-    pipe.tokenizer.index_word = {
-        v: k for k, v in pipe.tokenizer.word_index.items()
-    }
-    assert pipe.vocab_size % 8 == 0
     pipe.build()
+    # fit(parallelism='tp') auto-pads the vocab to shard evenly.
 
     rng = np.random.default_rng(0)
     feats = {

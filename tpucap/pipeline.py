@@ -239,12 +239,26 @@ class CaptioningPipeline:
                     "CE step"
                 )
             n = self.config.mesh.n_devices or jax.device_count()
-            if self.vocab_size % n:
-                raise ValueError(
-                    f"tp parallelism needs vocab_size ({self.vocab_size}) "
-                    f"divisible by mesh size ({n}); pad the vocabulary or "
-                    "choose a different mesh"
+            if self.decoder.vocab_size % n:
+                # Auto-pad the vocab dimension to shard evenly; padded
+                # columns carry a -1e9 bias and never decode
+                # (tests/test_tp.py::test_pad_vocab_params_preserves_decode).
+                import dataclasses
+
+                from tpucap.parallel import pad_vocab_params
+
+                padded, new_v = pad_vocab_params(
+                    self.params["decoder"], n
                 )
+                self.params["decoder"] = padded
+                self.decoder = dataclasses.replace(
+                    self.decoder, vocab_size=new_v
+                )
+                self.state = TrainState.create(
+                    padded, optimizer, jax.random.key(cfg.seed)
+                )
+                self._decode_cache.clear()
+                self._bf16_params = None
             self._mesh = Mesh(
                 np.asarray(jax.devices()[:n]), ("model",)
             )
