@@ -47,3 +47,30 @@ def test_cli_full_workflow(tmp_path, capsys):
     out = capsys.readouterr().out
     scores = json.loads(out.strip().splitlines()[-1])
     assert set(scores) == {"bleu1", "bleu2", "bleu3", "bleu4"}
+
+
+def test_cli_preset_config_resolution():
+    """--preset maps to the judged config presets without building models."""
+    import argparse
+
+    from tpucap.cli.main import _build_config
+
+    ns = argparse.Namespace(
+        preset="config3",
+        encoder="vgg16",
+        decoder="lstm1",
+        features_kind="pooled",
+        embed_dim=256,
+        hidden_dim=256,
+        max_len=34,
+    )
+    cfg = _build_config(ns)
+    assert cfg.encoder.name == "resnet50"
+    assert cfg.decoder.num_layers == 2
+    assert cfg.decode.beam_width == 5
+
+    ns.preset = None
+    ns.decoder = "attention"
+    cfg = _build_config(ns)
+    assert cfg.encoder.features == "spatial"
+    assert cfg.encoder.feature_dim == 512  # vgg16 spatial
