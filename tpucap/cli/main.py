@@ -41,7 +41,15 @@ def _build_config(args):
     )
 
     if getattr(args, "preset", None):
-        return PRESETS[args.preset]
+        import dataclasses
+
+        cfg = PRESETS[args.preset]
+        ar = getattr(args, "attention_reg", 0.0)
+        if ar:
+            cfg = cfg.replace(
+                train=dataclasses.replace(cfg.train, attention_reg=ar)
+            )
+        return cfg
     feats = args.features_kind
     if args.decoder == "attention":
         feats = "spatial"
@@ -68,6 +76,7 @@ def _build_config(args):
             batch_size=getattr(args, "batch_size", 64),
             learning_rate=getattr(args, "lr", 1e-3),
             epochs=getattr(args, "epochs", 20),
+            attention_reg=getattr(args, "attention_reg", 0.0),
         ),
     )
 
@@ -117,6 +126,7 @@ def cmd_train(args):
 
     pipe.fit_tokenizer(prepared)
     pipe.build()
+    os.makedirs(args.checkpoint_dir, exist_ok=True)
     pipe.tokenizer.save(os.path.join(args.checkpoint_dir, "tokenizer.json"))
 
     mgr = CheckpointManager(args.checkpoint_dir)
@@ -181,6 +191,7 @@ def cmd_evaluate(args):
         method=args.method,
         beam_width=args.beam_width,
         batch_size=args.batch_size,
+        parallelism=args.parallelism,
     )
     print(json.dumps(scores))
 
@@ -222,6 +233,9 @@ def main(argv=None):
                    choices=["none", "dp", "tp"],
                    help="dp: batch-sharded shard_map+psum; tp: vocab-"
                    "sharded CE (needs vocab divisible by mesh size)")
+    p.add_argument("--attention-reg", type=float, default=0.0,
+                   help="doubly-stochastic attention regularizer weight "
+                   "(Show-Attend-Tell; attention decoder only)")
     p.add_argument("--metrics-log", default=None)
     p.set_defaults(fn=cmd_train)
 
@@ -242,6 +256,10 @@ def main(argv=None):
     p.add_argument("--method", default="greedy", choices=["greedy", "beam"])
     p.add_argument("--beam-width", type=int, default=3)
     p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--parallelism", default=None,
+                   choices=["none", "dp", "tp", "dp_tp"],
+                   help="mesh-sharded decode: dp (batch), tp (vocab), "
+                   "dp_tp (2-D batch x vocab)")
     p.set_defaults(fn=cmd_evaluate)
 
     p = sub.add_parser("bench", help="run the benchmark harness")

@@ -60,12 +60,20 @@ class TrainConfig:
     checkpoint_dir: str = "checkpoints"
     max_to_keep: int = 3
     label_smoothing: float = 0.0
+    # Show-Attend-Tell doubly-stochastic attention regularizer weight
+    # (SURVEY.md §2.1 #8); applies to the attention decoder only, ignored
+    # (with a warning at the loss layer) for non-attention decoders.
+    attention_reg: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)
 class MeshConfig:
     n_devices: int | None = None  # None = all local devices
     axis_name: str = "data"
+    # Model-axis width for the 2-D DPxTP serving layout
+    # (parallelism='dp_tp'): the mesh is (n_devices // model_devices,
+    # model_devices) over ("data", "model"). 1 = no tensor parallelism.
+    model_devices: int = 1
 
 
 @dataclasses.dataclass(frozen=True)

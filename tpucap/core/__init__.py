@@ -6,6 +6,7 @@ from tpucap.core.mesh import (
     replicated_sharding,
     shard_batch,
     local_device_count,
+    pad_to_multiple,
 )
 from tpucap.core.precision import Precision, DEFAULT_PRECISION
 
@@ -15,6 +16,7 @@ __all__ = [
     "replicated_sharding",
     "shard_batch",
     "local_device_count",
+    "pad_to_multiple",
     "Precision",
     "DEFAULT_PRECISION",
 ]

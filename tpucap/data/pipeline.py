@@ -39,12 +39,15 @@ class _DecodeChunk(grain.MapTransform):
     size: int
     fast_scale: bool = True
 
-    def map(self, chunk_idx: int) -> np.ndarray:
+    def map(self, chunk_idx: int) -> tuple[int, np.ndarray]:
         s = chunk_idx * self.batch_size
         chunk = self.paths[s : s + self.batch_size]
-        return jpeg_ops.decode_jpeg_files(
+        batch = jpeg_ops.decode_jpeg_files(
             chunk, self.size, fast_scale=self.fast_scale
         )
+        # Carry the chunk index with the batch so the consumer can pair
+        # paths with pixels under ANY sampler order (shuffle included).
+        return chunk_idx, batch
 
 
 def image_batch_loader(
@@ -90,15 +93,12 @@ def image_batch_loader(
             num_threads=4, prefetch_buffer_size=8
         ),
     )
-    # Pair each decoded batch back with its path chunk for id bookkeeping.
-    # (Without shuffle, sampler order is chunk order.)
-    for i, batch in enumerate(iter(loader)):
-        if shuffle:
-            chunk = None
-        else:
-            s = (i % n_chunks) * batch_size
-            chunk = list(paths[s : s + batch_size])
-        yield chunk, batch
+    # Pair each decoded batch back with its path chunk for id bookkeeping:
+    # the transform tags every batch with its chunk index, so the pairing
+    # holds under shuffled sampler order too.
+    for chunk_idx, batch in iter(loader):
+        s = chunk_idx * batch_size
+        yield list(paths[s : s + batch_size]), batch
 
 
 def caption_batches(

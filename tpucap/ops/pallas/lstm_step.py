@@ -8,10 +8,12 @@ same matmuls but round-trips the 4U-wide z through HBM between the matmul
 and the elementwise stage when fusion heuristics decline). Numerics match
 tpucap.models.layers.lstm_cell_step exactly on f32 — tests/test_ops.py.
 
-Used by the decode engines when `tpucap.ops.pallas.lstm_step.ENABLED` —
-kept opt-in until profiling on real hardware shows a win over XLA's fusion
-(the pallas_guide "measure before writing it" rule; SURVEY.md §7 hard
-parts).
+NOT wired into the decode engines: measured on real v5e hardware the XLA
+fusion of the scan-based cell was faster (docs/PERF.md, pallas section),
+so this kernel stays a standalone opt-in — call `fused_lstm_step(...)`
+directly
+(as tests/test_ops.py and `bench.py --mode pallas-lstm` do) — per the
+pallas_guide "measure before writing it" rule (SURVEY.md §7 hard parts).
 """
 
 from __future__ import annotations

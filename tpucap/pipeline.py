@@ -28,7 +28,7 @@ import numpy as np
 import optax
 
 from tpucap.config import Config
-from tpucap.core import make_mesh, shard_batch
+from tpucap.core import make_mesh, pad_to_multiple, shard_batch
 from tpucap.data.preprocess import preprocess_batch
 from tpucap.decode import beam_decode, greedy_decode, ids_to_captions
 from tpucap.models.decoders import build_decoder
@@ -227,6 +227,7 @@ class CaptioningPipeline:
                 self._mesh,
                 pad_id=0,
                 label_smoothing=cfg.label_smoothing,
+                attention_reg=cfg.attention_reg,
             )
         elif parallelism == "tp":
             from jax.sharding import Mesh
@@ -237,6 +238,11 @@ class CaptioningPipeline:
                 raise NotImplementedError(
                     "label smoothing is not supported by the vocab-parallel "
                     "CE step"
+                )
+            if cfg.attention_reg:
+                raise NotImplementedError(
+                    "attention_reg is not supported by the vocab-parallel "
+                    "CE step; use parallelism='dp'"
                 )
             n = self.config.mesh.n_devices or jax.device_count()
             if self.decoder.vocab_size % n:
@@ -271,6 +277,7 @@ class CaptioningPipeline:
                 optimizer,
                 pad_id=0,
                 label_smoothing=cfg.label_smoothing,
+                attention_reg=cfg.attention_reg,
             )
         else:
             raise ValueError(f"unknown parallelism {parallelism!r}")
@@ -288,7 +295,11 @@ class CaptioningPipeline:
                 self.config.decode.max_len,
             )
             val_batch = (jnp.asarray(VF), jnp.asarray(VT))
-            eval_step = make_eval_step(self.decoder, pad_id=0)
+            # val_loss includes the regularizer term, mirroring Keras
+            # (add_loss contributions count toward val_loss).
+            eval_step = make_eval_step(
+                self.decoder, pad_id=0, attention_reg=cfg.attention_reg
+            )
 
         rng = np.random.default_rng(cfg.seed)
         history = []
@@ -388,6 +399,97 @@ class CaptioningPipeline:
         self._decode_cache[key] = fn
         return fn
 
+    # -- mesh-sharded inference (BASELINE config 5: batch 256 on v5e-8) -----
+
+    def _inference_mesh(self, parallelism: str):
+        """Mesh for a sharded inference path: 'dp' -> 1-D ("data",),
+        'tp' -> 1-D ("model",), 'dp_tp' -> 2-D ("data", "model") with the
+        model-axis width from config.mesh.model_devices (default 2)."""
+        from jax.sharding import Mesh
+
+        n = self.config.mesh.n_devices or jax.device_count()
+        devices = jax.devices()[:n]
+        if parallelism == "dp":
+            return make_mesh(n)
+        if parallelism == "tp":
+            return Mesh(np.asarray(devices), ("model",))
+        if parallelism == "dp_tp":
+            tp = self.config.mesh.model_devices
+            if tp <= 1:
+                tp = 2
+            if n % tp:
+                raise ValueError(
+                    f"{n} devices do not factor into a (data, model={tp}) "
+                    "mesh; set mesh.model_devices to a divisor of the "
+                    "device count"
+                )
+            return Mesh(
+                np.asarray(devices).reshape(n // tp, tp), ("data", "model")
+            )
+        raise ValueError(f"unknown parallelism {parallelism!r}")
+
+    def _parallel_decode_fn(self, parallelism, method, beam_width):
+        """(jitted fn, decoder params, data-axis size) for a mesh-sharded
+        decode. 'dp' shards the batch (shard_map + all results assembled
+        from the data axis); 'tp'/'dp_tp' run the vocab-sharded beam engine
+        (greedy = beam width 1, token-identical), auto-padding the vocab to
+        shard evenly. Cached per (parallelism, method, beam_width) alongside
+        the single-device programs, and invalidated with them."""
+        key = (parallelism, method, beam_width)
+        cached = self._decode_cache.get(key)
+        if cached is not None:
+            return cached
+        start_id, end_id = self._token_ids()
+        dcfg = self.config.decode
+        mesh = self._inference_mesh(parallelism)
+        dec_params = self._inference_params()["decoder"]
+
+        if parallelism == "dp":
+            from tpucap.parallel import make_dp_decode_fn
+
+            if method == "greedy":
+                fn = make_dp_decode_fn(
+                    self.decoder,
+                    greedy_decode,
+                    mesh,
+                    start_id=start_id,
+                    end_id=end_id,
+                    max_len=dcfg.max_len,
+                )
+            else:
+                fn = make_dp_decode_fn(
+                    self.decoder,
+                    beam_decode,
+                    mesh,
+                    start_id=start_id,
+                    end_id=end_id,
+                    max_len=dcfg.max_len,
+                    beam_width=beam_width,
+                    length_normalize=dcfg.length_normalize,
+                    alpha=dcfg.alpha,
+                )
+            data_size = dict(mesh.shape)["data"]
+        else:
+            from tpucap.parallel.tp import make_tp_beam_fn, pad_vocab_params
+
+            n_model = dict(mesh.shape)["model"]
+            dec_params, _ = pad_vocab_params(dec_params, n_model)
+            fn = make_tp_beam_fn(
+                self.decoder,
+                mesh,
+                data_axis="data" if parallelism == "dp_tp" else None,
+                start_id=start_id,
+                end_id=end_id,
+                max_len=dcfg.max_len,
+                beam_width=1 if method == "greedy" else beam_width,
+                length_normalize=dcfg.length_normalize,
+                alpha=dcfg.alpha,
+            )
+            data_size = dict(mesh.shape).get("data", 1)
+        entry = (fn, dec_params, data_size)
+        self._decode_cache[key] = entry
+        return entry
+
     def generate(
         self,
         features,
@@ -397,13 +499,47 @@ class CaptioningPipeline:
         temperature: float = 1.0,
         top_k: int | None = None,
         seed: int = 0,
+        parallelism: str | None = None,
     ) -> list[str]:
         """Features (B, ...) -> caption strings (sentinels stripped).
 
         method: 'greedy' | 'beam' | 'sample' (temperature/top_k/seed apply
-        to sampling only)."""
+        to sampling only).
+
+        parallelism: None/'none' (single device) | 'dp' (batch sharded over
+        the data mesh) | 'tp' (vocab-sharded beam engine) | 'dp_tp' (2-D
+        batch x vocab). Batches not divisible by the data-axis size are
+        zero-padded on entry and trimmed on return."""
         method = method or self.config.decode.method
         beam_width = beam_width or self.config.decode.beam_width
+        if parallelism not in (None, "none"):
+            if method == "sample":
+                raise ValueError(
+                    "sampling decode does not support parallelism"
+                )
+            fn, dec_params, data_size = self._parallel_decode_fn(
+                parallelism, method, beam_width
+            )
+            feats = jnp.asarray(features, self._infer_dtype())
+            B = feats.shape[0]
+            padded = pad_to_multiple(B, data_size)
+            if padded != B:
+                feats = jnp.concatenate(
+                    [
+                        feats,
+                        jnp.zeros(
+                            (padded - B,) + feats.shape[1:], feats.dtype
+                        ),
+                    ]
+                )
+            res = fn(dec_params, feats)
+            _, end_id = self._token_ids()
+            return ids_to_captions(
+                self.tokenizer,
+                res.tokens[:B],
+                res.lengths[:B],
+                end_id=end_id,
+            )
         params = self._inference_params()["decoder"]
         feats = jnp.asarray(features, self._infer_dtype())
         _, end_id = self._token_ids()
@@ -455,13 +591,20 @@ class CaptioningPipeline:
         beam_width: int | None = None,
         num_workers: int = 0,
         fast_scale: bool = True,
+        parallelism: str | None = None,
     ) -> list[str]:
         """Full-pipeline batched captioning (BASELINE config 5): C++ JPEG
         decode on the host -> uint8 device transfer -> fused on-device
         resize/normalize -> encoder -> beam/greedy decode, ONE compiled
         program per batch. Host decode of batch i+1 overlaps device compute
         of batch i via JAX's async dispatch (results are fetched one batch
-        behind)."""
+        behind).
+
+        parallelism='dp' shards each batch (images, encoder AND decode)
+        over the data mesh — the judged config-5 serving layout (batch 256
+        on v5e-8 = 32 images/chip); batch_size must divide by the mesh
+        size. For vocab-sharded decode use ``generate`` with 'tp'/'dp_tp'.
+        """
         from tpucap.data.pipeline import image_batch_loader
         from tpucap.ops.preprocess import normalize_images
 
@@ -472,16 +615,30 @@ class CaptioningPipeline:
         size = self.encoder.input_size
         mode = self.encoder.preprocess_mode
 
+        if parallelism not in (None, "none", "dp"):
+            raise ValueError(
+                "caption_dataset supports parallelism None|'none'|'dp'; "
+                "use generate() for 'tp'/'dp_tp'"
+            )
+        dp = parallelism == "dp"
+        if dp:
+            mesh = self._inference_mesh("dp")
+            n_mesh = dict(mesh.shape)["data"]
+            if batch_size % n_mesh:
+                raise ValueError(
+                    f"batch_size {batch_size} must divide by the "
+                    f"{n_mesh}-device data mesh"
+                )
+
         inf_params = self._inference_params()
 
         # Cache the compiled program across caption_dataset calls (a fresh
         # closure per call would retrace/recompile every time).
-        cache_key = ("dataset", method, beam_width)
+        cache_key = ("dataset", method, beam_width, "dp" if dp else "none")
         run = self._decode_cache.get(cache_key)
         if run is None:
 
-            @jax.jit
-            def run(enc_params, dec_params, images_u8):
+            def body(enc_params, dec_params, images_u8):
                 x = normalize_images(
                     images_u8, mode, out_dtype=self._infer_dtype()
                 )
@@ -509,6 +666,18 @@ class CaptioningPipeline:
                     decoder=self.decoder,
                 )
 
+            if dp:
+                from jax import shard_map
+                from jax.sharding import PartitionSpec as P
+
+                body = shard_map(
+                    body,
+                    mesh=mesh,
+                    in_specs=(P(), P(), P("data")),
+                    out_specs=P("data"),
+                    check_vma=False,
+                )
+            run = jax.jit(body)
             self._decode_cache[cache_key] = run
 
         paths = list(image_paths)
@@ -624,12 +793,33 @@ class CaptioningPipeline:
         batch_size: int = 64,
         method: str | None = None,
         beam_width: int | None = None,
+        parallelism: str | None = None,
     ) -> dict[str, float]:
+        """Batched decode + NLTK corpus BLEU-1..4. The tail chunk is
+        zero-padded to ``batch_size`` so evaluation compiles exactly ONE
+        program per (batch, beam) shape — an unpadded tail would retrace,
+        and a recompile over the TPU tunnel costs minutes (docs/PERF.md).
+        ``parallelism`` as in :meth:`generate`."""
         ids = list(descriptions.keys())
         generated = {}
         for s in range(0, len(ids), batch_size):
             chunk = ids[s : s + batch_size]
             feats = np.stack([features[i] for i in chunk])
-            caps = self.generate(feats, method=method, beam_width=beam_width)
+            n = len(chunk)
+            if n < batch_size:
+                feats = np.concatenate(
+                    [
+                        feats,
+                        np.zeros(
+                            (batch_size - n,) + feats.shape[1:], feats.dtype
+                        ),
+                    ]
+                )
+            caps = self.generate(
+                feats,
+                method=method,
+                beam_width=beam_width,
+                parallelism=parallelism,
+            )[:n]
             generated.update(dict(zip(chunk, caps)))
         return evaluate_captions(descriptions, generated)
