@@ -58,6 +58,17 @@ def main():
         help="bench decode only (features -> captions)",
     )
     ap.add_argument(
+        "--int8",
+        action="store_true",
+        help="quantize the encoder to int8 serving weights (per-channel "
+        "kernel scales, dynamic activation scales) before benching",
+    )
+    ap.add_argument(
+        "--encoder-only",
+        action="store_true",
+        help="bench the encoder alone (images -> features), no decode",
+    )
+    ap.add_argument(
         "--mode",
         default="caption",
         choices=[
@@ -173,12 +184,19 @@ def main():
         enc_params = jax.device_put(
             fold_batch_norms(args.encoder, enc_params)
         )
+    if enc_params is not None and args.int8:
+        from tpucap.models.encoders.quantize import quantize_encoder_params
+
+        enc_params = jax.device_put(
+            quantize_encoder_params(jax.device_get(enc_params))
+        )
     dec_params = decoder.init(k_dec)
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
     if args.dtype == "bf16":
-        cast = lambda t: jax.tree_util.tree_map(
-            lambda a: a.astype(jnp.bfloat16), t
+        from tpucap.models.encoders.quantize import (
+            cast_bf16_preserving_quant as cast,
         )
+
         if enc_params is not None:
             enc_params = cast(enc_params)
         dec_params = cast(dec_params)
@@ -376,6 +394,47 @@ def main():
         print(
             f"# compile={compile_s:.1f}s median_step={med * 1000:.1f}ms "
             f"tokens/sec={sps * args.max_len:.0f}",
+            file=sys.stderr,
+        )
+        print(json.dumps(result))
+        return
+
+    if args.encoder_only:
+        run_enc = jax.jit(encode)
+        size = encoder.input_size
+        images = jax.random.uniform(
+            jax.random.key(1),
+            (args.batch, size, size, 3),
+            dtype,
+            minval=-1,
+            maxval=1,
+        )
+
+        def sync_enc(res):
+            return np.asarray(res[:1, :1])
+
+        t0 = time.perf_counter()
+        sync_enc(run_enc(enc_params, images))
+        compile_s = time.perf_counter() - t0
+        times = []
+        for _ in range(args.iters):
+            t0 = time.perf_counter()
+            for _ in range(args.inner - 1):
+                run_enc(enc_params, images)
+            sync_enc(run_enc(enc_params, images))
+            times.append((time.perf_counter() - t0) / args.inner)
+        med = float(np.median(times))
+        ips = args.batch / med
+        result = {
+            "metric": f"encoder images/sec ({args.encoder}, batch "
+            f"{args.batch}, {args.dtype}"
+            f"{', int8' if args.int8 else ''})",
+            "value": round(ips, 2),
+            "unit": "images/sec/chip",
+            "vs_baseline": round(ips / (10000.0 / 8.0), 4),
+        }
+        print(
+            f"# compile={compile_s:.1f}s median_step={med * 1000:.1f}ms",
             file=sys.stderr,
         )
         print(json.dumps(result))

@@ -84,6 +84,12 @@ def main():
     scores = pipe.evaluate(prepared, feats, method="greedy")
     print({k: round(v, 4) for k, v in scores.items()})
     assert scores["bleu1"] > 0.15, scores
+    # Trained-model quality gate (VERDICT r1 #3): at fixture scale the
+    # model overfits its 8 images; BLEU-4 well above chance proves the
+    # train->decode->BLEU chain end-to-end on the chip, not just BLEU-1
+    # unigram overlap.
+    assert scores["bleu4"] > 0.30, f"BLEU-4 quality gate failed: {scores}"
+    print(f"BLEU-4 {scores['bleu4']:.4f} (gate: > 0.30)")
     print("TPU SMOKE OK")
 
 

@@ -66,6 +66,12 @@ def run_pinned(tmp_path):
 
 def test_pinned_seed_reproduces_goldens(tmp_path):
     result = run_pinned(tmp_path)
+    # Absolute quality bar FIRST (VERDICT r1 #3): a trained model on the
+    # fixture corpus must reach BLEU-4 ~0.48; this can't be silently
+    # weakened by regenerating goldens from a broken run.
+    assert result["bleu"]["bleu4"] > 0.40, (
+        f"trained-model BLEU-4 gate failed: {result['bleu']}"
+    )
     if os.environ.get("TPUCAP_REGEN_GOLDENS"):
         with open(GOLDEN, "w") as f:
             json.dump(result, f, indent=2)

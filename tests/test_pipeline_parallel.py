@@ -132,3 +132,23 @@ def test_evaluate_dp_matches_single(toy_corpus, rng):
         desc, features, batch_size=8, method="greedy", parallelism="dp"
     )
     assert dp == ref
+
+
+def test_fit_dp_tp_2d_training(toy_corpus, rng):
+    """fit(parallelism='dp_tp') trains on the 2-D batch x vocab mesh
+    (make_tp_train_step with data_axis) and descends."""
+    pipe = make_pipe(toy_corpus, model_devices=2)  # mesh (4, 2)
+    ids = [f"i{k}" for k in range(8)]
+    desc = {i: [toy_corpus[k % len(toy_corpus)]] for k, i in enumerate(ids)}
+    features = {i: rng.normal(size=(128,)).astype(np.float32) for i in ids}
+    history = pipe.fit(
+        desc, features, epochs=6, batch_size=8, parallelism="dp_tp",
+        log=None,
+    )
+    assert history[-1]["loss"] < history[0]["loss"]
+
+    with pytest.raises(ValueError, match="divide"):
+        pipe.fit(
+            desc, features, epochs=1, batch_size=7, parallelism="dp_tp",
+            log=None,
+        )

@@ -1,0 +1,161 @@
+"""int8 post-training quantization of frozen encoders (docs/PERF.md round-2
+encoder workstream): kernel round-trip, conv/dense numerics vs f32,
+whole-encoder feature drift, caption parity through the pipeline, and
+survival of the bf16 inference cast."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpucap.models.encoders.common import conv
+from tpucap.models.encoders.quantize import (
+    _quantize_kernel,
+    quantize_encoder_params,
+    quantize_input,
+)
+
+
+def test_kernel_roundtrip_error_bounded(rng):
+    k = rng.normal(size=(3, 3, 16, 32)).astype(np.float32)
+    q, scale = _quantize_kernel(k)
+    assert q.dtype == np.int8 and scale.shape == (32,)
+    dq = q.astype(np.float32) * scale
+    # Symmetric rounding: per-element error <= scale/2 for that channel.
+    err = np.abs(dq - k)
+    assert np.all(err <= scale / 2 + 1e-7)
+
+
+def test_quantize_input_scale():
+    x = jnp.asarray([[0.5, -2.0, 1.0]], jnp.float32)
+    q, s = quantize_input(x)
+    assert q.dtype == jnp.int8
+    np.testing.assert_allclose(float(s), 2.0 / 127.0, rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(q, np.float32) * float(s), np.asarray(x), atol=float(s)
+    )
+
+
+def test_int8_conv_close_to_f32(rng):
+    x = jnp.asarray(rng.normal(size=(2, 16, 16, 8)), jnp.float32)
+    kern = rng.normal(size=(3, 3, 8, 16)).astype(np.float32) * 0.1
+    bias = rng.normal(size=(16,)).astype(np.float32) * 0.01
+    p = {"kernel": jnp.asarray(kern), "bias": jnp.asarray(bias)}
+    ref = np.asarray(conv(p, x))
+    pq = quantize_encoder_params(p)
+    assert pq["kernel"].dtype == jnp.int8
+    out = np.asarray(conv(pq, x))
+    # ~8-bit relative accuracy on both operands.
+    denom = np.abs(ref).max()
+    assert np.abs(out - ref).max() / denom < 0.03
+
+
+def test_int8_dense_close_to_f32(rng):
+    from tpucap.models.layers import dense
+
+    x = jnp.asarray(rng.normal(size=(4, 64)), jnp.float32)
+    p = {
+        "kernel": jnp.asarray(
+            rng.normal(size=(64, 32)).astype(np.float32) * 0.1
+        ),
+        "bias": jnp.zeros((32,), jnp.float32),
+    }
+    ref = np.asarray(dense(p, x))
+    out = np.asarray(dense(quantize_encoder_params(p), x))
+    assert np.abs(out - ref).max() / np.abs(ref).max() < 0.03
+
+
+def test_tiny_encoder_features_drift_small(rng):
+    from tpucap.models.encoders import build_encoder
+
+    enc = build_encoder("tiny_cnn")
+    params = enc.init(jax.random.key(0))
+    x = jnp.asarray(rng.normal(size=(4, 32, 32, 3)), jnp.float32)
+    ref = np.asarray(enc.apply(params, x))
+    out = np.asarray(enc.apply(quantize_encoder_params(params), x))
+    # Three stacked quantized convs: feature vectors stay ~1% close.
+    rel = np.linalg.norm(out - ref) / np.linalg.norm(ref)
+    assert rel < 0.05, rel
+    cos = np.sum(out * ref) / (
+        np.linalg.norm(out) * np.linalg.norm(ref)
+    )
+    assert cos > 0.999, cos
+
+
+def test_pipeline_quantize_encoder_caption_parity(tmp_path, rng):
+    """Trained fixture pipeline: quantizing the encoder must leave the
+    (overfit) captions essentially unchanged."""
+    from tpucap.config import (
+        Config,
+        DecodeConfig,
+        DecoderConfig,
+        EncoderConfig,
+        TrainConfig,
+    )
+    from tpucap.data import (
+        generate_fixture_dataset,
+        load_descriptions,
+        load_split,
+        prepare_descriptions,
+    )
+    from tpucap.pipeline import CaptioningPipeline
+
+    img_dir, token_file, train_file, _ = generate_fixture_dataset(
+        tmp_path / "ds", n_images=8, image_size=32, seed=21
+    )
+    desc = load_descriptions(token_file)
+    train_ids = load_split(train_file)
+    prepared = prepare_descriptions(desc, train_ids)
+
+    cfg = Config(
+        encoder=EncoderConfig(name="tiny_cnn", feature_dim=128),
+        decoder=DecoderConfig(embed_dim=16, hidden_dim=32, dropout_rate=0.0),
+        decode=DecodeConfig(max_len=12),
+        train=TrainConfig(batch_size=8, learning_rate=5e-3, seed=0),
+    )
+    pipe = CaptioningPipeline(cfg)
+    pipe.fit_tokenizer(prepared)
+    pipe.build()
+    paths = [f"{img_dir}/{i}.jpg" for i in train_ids]
+    feats_arr = pipe.extract_features(paths)
+    pipe.fit(prepared, dict(zip(train_ids, feats_arr)), epochs=25, log=None)
+
+    from PIL import Image
+
+    images = np.stack(
+        [
+            np.asarray(Image.open(p).resize((32, 32)), np.float32) / 127.5
+            - 1.0
+            for p in paths
+        ]
+    )
+    ref_caps = pipe.generate(pipe.encode_images(images), method="greedy")
+    pipe.quantize_encoder()
+    q_caps = pipe.generate(pipe.encode_images(images), method="greedy")
+    same = sum(a == b for a, b in zip(ref_caps, q_caps))
+    assert same >= len(ref_caps) - 1, (ref_caps, q_caps)
+
+
+def test_bf16_inference_cast_preserves_int8(toy_corpus):
+    from tpucap.config import Config, DecoderConfig, EncoderConfig
+    from tpucap.pipeline import CaptioningPipeline
+    from tpucap.text import Tokenizer
+
+    cfg = Config(
+        encoder=EncoderConfig(name="tiny_cnn", feature_dim=128),
+        decoder=DecoderConfig(embed_dim=16, hidden_dim=32),
+        precision="bf16",
+    )
+    tok = Tokenizer()
+    tok.fit_on_texts(toy_corpus)
+    pipe = CaptioningPipeline(cfg, tokenizer=tok)
+    pipe.build()
+    pipe.quantize_encoder()
+    inf = pipe._inference_params()
+    enc = inf["encoder"]
+    assert enc["conv1"]["kernel"].dtype == jnp.int8
+    assert enc["conv1"]["kernel_scale"].dtype == jnp.float32
+    assert enc["conv1"]["bias"].dtype == jnp.bfloat16
+    # And the quantized encoder still runs under the bf16 flow.
+    feats = pipe.encode_images(np.zeros((2, 32, 32, 3), np.float32))
+    assert feats.shape == (2, 128)

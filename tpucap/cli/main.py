@@ -230,9 +230,10 @@ def main(argv=None):
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--data-parallel", action="store_true")
     p.add_argument("--parallelism", default=None,
-                   choices=["none", "dp", "tp"],
+                   choices=["none", "dp", "tp", "dp_tp"],
                    help="dp: batch-sharded shard_map+psum; tp: vocab-"
-                   "sharded CE (needs vocab divisible by mesh size)")
+                   "sharded CE (vocab auto-padded to the mesh); dp_tp: "
+                   "2-D batch x vocab mesh")
     p.add_argument("--attention-reg", type=float, default=0.0,
                    help="doubly-stochastic attention regularizer weight "
                    "(Show-Attend-Tell; attention decoder only)")

@@ -26,6 +26,8 @@ def init_conv(key, kh, kw, cin, cout, use_bias=True, dtype=jnp.float32):
 
 
 def conv(p, x, stride=(1, 1), padding="SAME"):
+    if p["kernel"].dtype == jnp.int8:
+        return _conv_int8(p, x, stride, padding)
     # f32 flow: f32 accumulation (a no-op change — XLA's DEFAULT precision
     # already runs the multiplies as bf16 MXU passes). bf16 flow: native
     # bf16 output — forcing an f32 accumulator + downcast materializes an
@@ -40,6 +42,30 @@ def conv(p, x, stride=(1, 1), padding="SAME"):
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=preferred,
     )
+    if "bias" in p:
+        y = y + p["bias"].astype(x.dtype)
+    return y
+
+
+def _conv_int8(p, x, stride, padding):
+    """int8 MXU conv: dynamic per-tensor input quantization, int8 x int8 ->
+    int32 accumulate, dequantize by (input scale x per-channel kernel
+    scale) back to the activation dtype. The requant/dequant stages are
+    elementwise and fuse into the conv's neighbors; only the conv itself
+    runs on the (2x-rate) int8 MXU path. See encoders/quantize.py."""
+    from tpucap.models.encoders.quantize import quantize_input
+
+    xq, sx = quantize_input(x)
+    y = jax.lax.conv_general_dilated(
+        xq,
+        p["kernel"],
+        window_strides=stride,
+        padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    scale = p["kernel_scale"] * sx  # (cout,) f32
+    y = (y * scale).astype(x.dtype)
     if "bias" in p:
         y = y + p["bias"].astype(x.dtype)
     return y

@@ -114,6 +114,24 @@ class CaptioningPipeline:
         self._decode_cache.clear()
         self._bf16_params = None
 
+    def quantize_encoder(self) -> None:
+        """Quantize the frozen encoder to int8 serving weights (per-channel
+        kernel scales + dynamic per-tensor activation scales — see
+        models/encoders/quantize.py). Folds BatchNorms first (quantizing
+        an unfolded kernel then folding would perturb the rounded values).
+        The decoder is untouched: its matmuls are latency- not FLOP-bound
+        (docs/PERF.md decode trace)."""
+        from tpucap.models.encoders.fold_bn import fold_batch_norms
+        from tpucap.models.encoders.quantize import quantize_encoder_params
+
+        folded = fold_batch_norms(
+            self.config.encoder.name, self.params["encoder"]
+        )
+        self.params["encoder"] = quantize_encoder_params(folded)
+        self._encode_fn = None
+        self._decode_cache.clear()
+        self._bf16_params = None
+
     # -- precision ----------------------------------------------------------
 
     def _infer_dtype(self):
@@ -134,9 +152,11 @@ class CaptioningPipeline:
         cached = getattr(self, "_bf16_params", None)
         if cached is not None:
             return cached
-        cast = jax.tree_util.tree_map(
-            lambda a: jnp.asarray(a, jnp.bfloat16), self.params
+        from tpucap.models.encoders.quantize import (
+            cast_bf16_preserving_quant,
         )
+
+        cast = cast_bf16_preserving_quant(self.params)
         self._bf16_params = cast
         return cast
 
@@ -200,8 +220,10 @@ class CaptioningPipeline:
         log=print,
     ):
         """parallelism: 'none' | 'dp' (batch sharded, psum grads) | 'tp'
-        (vocab-sharded CE over the mesh). ``data_parallel=True`` is the
-        back-compat spelling of parallelism='dp'."""
+        (vocab-sharded CE over the mesh) | 'dp_tp' (2-D batch x vocab
+        mesh, model-axis width from config.mesh.model_devices).
+        ``data_parallel=True`` is the back-compat spelling of
+        parallelism='dp'."""
         cfg = self.config.train
         epochs = epochs or cfg.epochs
         batch_size = batch_size or cfg.batch_size
@@ -221,6 +243,11 @@ class CaptioningPipeline:
 
         if parallelism == "dp":
             self._mesh = make_mesh(self.config.mesh.n_devices)
+            if batch_size % dict(self._mesh.shape)["data"]:
+                raise ValueError(
+                    f"batch_size {batch_size} must divide by the "
+                    f"{dict(self._mesh.shape)['data']}-device data mesh"
+                )
             step = make_dp_train_step(
                 self.decoder,
                 optimizer,
@@ -229,9 +256,7 @@ class CaptioningPipeline:
                 label_smoothing=cfg.label_smoothing,
                 attention_reg=cfg.attention_reg,
             )
-        elif parallelism == "tp":
-            from jax.sharding import Mesh
-
+        elif parallelism in ("tp", "dp_tp"):
             from tpucap.parallel import make_tp_train_step
 
             if cfg.label_smoothing:
@@ -244,7 +269,14 @@ class CaptioningPipeline:
                     "attention_reg is not supported by the vocab-parallel "
                     "CE step; use parallelism='dp'"
                 )
-            n = self.config.mesh.n_devices or jax.device_count()
+            self._mesh = self._inference_mesh(parallelism)
+            data_n = dict(self._mesh.shape).get("data", 1)
+            if batch_size % data_n:
+                raise ValueError(
+                    f"batch_size {batch_size} must divide by the "
+                    f"{data_n}-device data mesh axis"
+                )
+            n = dict(self._mesh.shape)["model"]
             if self.decoder.vocab_size % n:
                 # Auto-pad the vocab dimension to shard evenly; padded
                 # columns carry a -1e9 bias and never decode
@@ -265,11 +297,12 @@ class CaptioningPipeline:
                 )
                 self._decode_cache.clear()
                 self._bf16_params = None
-            self._mesh = Mesh(
-                np.asarray(jax.devices()[:n]), ("model",)
-            )
             step = make_tp_train_step(
-                self.decoder, optimizer, self._mesh, pad_id=0
+                self.decoder,
+                optimizer,
+                self._mesh,
+                pad_id=0,
+                data_axis="data" if parallelism == "dp_tp" else None,
             )
         elif parallelism == "none":
             step = make_train_step(
