@@ -58,6 +58,12 @@ def main():
         help="bench decode only (features -> captions)",
     )
     ap.add_argument(
+        "--approx-topk",
+        action="store_true",
+        help="use TPU approx_max_k for the per-beam vocab top-k (stage-1 "
+        "only; merge stays exact). Faster, ~0.95 recall per step",
+    )
+    ap.add_argument(
         "--int8",
         action="store_true",
         help="quantize the encoder to int8 serving weights (per-channel "
@@ -459,6 +465,7 @@ def main():
             max_len=args.max_len,
             beam_width=args.beam,
             decoder=decoder,
+            approx_topk=args.approx_topk,
         )
 
     if args.no_encoder:

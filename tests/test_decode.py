@@ -285,3 +285,21 @@ class TestSampling:
         np.testing.assert_array_equal(
             np.asarray(s1.tokens), np.asarray(g.tokens)
         )
+
+
+def test_beam_approx_topk_small_vocab_matches_exact():
+    """approx_topk swaps stage-1 top-k for approx_max_k; at tiny vocab the
+    reduction degenerates to exact, so tokens must match the exact engine
+    (the flag's plumbing check — recall effects only appear at large V)."""
+    dec, params = make("lstm1")
+    feats = features_for("lstm1", jax.random.key(3))
+    kw = dict(start_id=START, end_id=END, max_len=MAXLEN, beam_width=3,
+              decoder=dec)
+    ref = beam_decode(dec.step, params, dec.init_state(params, feats), **kw)
+    approx = beam_decode(
+        dec.step, params, dec.init_state(params, feats),
+        approx_topk=True, **kw,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ref.tokens), np.asarray(approx.tokens)
+    )

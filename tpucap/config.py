@@ -49,6 +49,10 @@ class DecodeConfig:
     max_len: int = 34  # Flickr8k max caption length (SURVEY.md §2.1 #4)
     length_normalize: bool = True
     alpha: float = 1.0  # length-normalization exponent
+    # Opt-in TPU approx_max_k for the per-beam vocab top-k (stage 1 only;
+    # the merge stage stays exact). Faster at large vocab, ~0.95 recall
+    # per step — captions may rarely differ from the exact engine.
+    approx_topk: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -102,6 +102,7 @@ def beam_decode(
     alpha: float = 1.0,
     decoder=None,
     scorer=None,
+    approx_topk: bool = False,
 ) -> BeamResult:
     """Beam-search a batch. ``step_fn(params, state, token) -> (logits, state)``
     where state leaves carry a leading hypothesis axis. Pass ``decoder`` to
@@ -141,7 +142,15 @@ def beam_decode(
                 jnp.asarray(NEG_INF, logits.dtype)
             )
             # Per-beam top-k over V (stage 1 of the exact two-stage top-k).
-            pb_vals, pb_words = jax.lax.top_k(masked, k)  # (B*k, k)
+            # approx_topk=True swaps in TPU's approx_max_k custom call
+            # (tpu_custom_approx_top_k): ~2-4x faster over the vocab axis
+            # at recall ~0.95 per-step; stage 2 below stays exact. Opt-in
+            # because token-exactness vs the oracle is the default
+            # contract (DecodeConfig.approx_topk).
+            if approx_topk:
+                pb_vals, pb_words = jax.lax.approx_max_k(masked, k)
+            else:
+                pb_vals, pb_words = jax.lax.top_k(masked, k)  # (B*k, k)
             pb_logp = (
                 pb_vals.astype(jnp.float32) - lse[:, None]
             ).reshape(B, k, k)

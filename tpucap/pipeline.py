@@ -426,6 +426,7 @@ class CaptioningPipeline:
                         beam_width=beam_width,
                         length_normalize=dcfg.length_normalize,
                         alpha=dcfg.alpha,
+                        approx_topk=dcfg.approx_topk,
                         decoder=self.decoder,
                     )
 
@@ -500,6 +501,7 @@ class CaptioningPipeline:
                     beam_width=beam_width,
                     length_normalize=dcfg.length_normalize,
                     alpha=dcfg.alpha,
+                    approx_topk=dcfg.approx_topk,
                 )
             data_size = dict(mesh.shape)["data"]
         else:
@@ -696,6 +698,7 @@ class CaptioningPipeline:
                     beam_width=beam_width,
                     length_normalize=dcfg.length_normalize,
                     alpha=dcfg.alpha,
+                    approx_topk=dcfg.approx_topk,
                     decoder=self.decoder,
                 )
 
