@@ -152,3 +152,21 @@ def test_fit_dp_tp_2d_training(toy_corpus, rng):
             desc, features, epochs=1, batch_size=7, parallelism="dp_tp",
             log=None,
         )
+
+
+def test_extract_features_dp_matches_single(toy_corpus, tmp_path):
+    from tpucap.data import generate_fixture_dataset
+
+    img_dir, *_ = generate_fixture_dataset(
+        tmp_path / "ds2", n_images=10, image_size=48, seed=9
+    )
+    import os
+
+    paths = sorted(os.path.join(img_dir, f) for f in os.listdir(img_dir))
+    pipe = make_pipe(toy_corpus)
+    ref = pipe.extract_features(paths, batch_size=8)
+    dp = pipe.extract_features(paths, batch_size=8, parallelism="dp")
+    np.testing.assert_allclose(dp, ref, rtol=1e-5, atol=1e-5)
+    assert dp.shape[0] == 10  # tail padded then trimmed
+    with pytest.raises(ValueError, match="divide"):
+        pipe.extract_features(paths, batch_size=6, parallelism="dp")

@@ -101,7 +101,9 @@ def cmd_extract(args):
         )
 
     paths = sorted(glob.glob(os.path.join(args.images, "*.jpg")))
-    feats = pipe.extract_features(paths, batch_size=args.batch_size)
+    feats = pipe.extract_features(
+        paths, batch_size=args.batch_size, parallelism=args.parallelism
+    )
     ids = [os.path.splitext(os.path.basename(p))[0] for p in paths]
     np.savez(args.out, **dict(zip(ids, feats)))
     print(f"wrote {len(ids)} features to {args.out}")
@@ -218,6 +220,8 @@ def main(argv=None):
     p.add_argument("--batch-size", type=int, default=32)
     p.add_argument("--keras-h5", default=None,
                    help="pretrained Keras .h5 to import encoder weights from")
+    p.add_argument("--parallelism", default=None, choices=["none", "dp"],
+                   help="dp: shard the encode batch over the device mesh")
     p.set_defaults(fn=cmd_extract)
 
     p = sub.add_parser("train", help="train a caption decoder")

@@ -172,27 +172,72 @@ class CaptioningPipeline:
         return feats
 
     def extract_features(
-        self, image_paths: Iterable, batch_size: int = 32
+        self,
+        image_paths: Iterable,
+        batch_size: int = 32,
+        *,
+        parallelism: str | None = None,
     ) -> np.ndarray:
-        """Decode+preprocess on host, encode on device, batched."""
+        """Decode+preprocess on host, encode on device, batched.
+
+        parallelism='dp' runs the encoder under shard_map with the batch
+        sharded over the data mesh (SURVEY §3.1 rebuild trace); tail
+        chunks are zero-padded to ``batch_size`` and trimmed, so exactly
+        one program compiles. batch_size must divide by the mesh size."""
         paths = list(image_paths)
-        if self._encode_fn is None:
-            self._encode_fn = jax.jit(self._apply_encoder)
         size = self.encoder.input_size
         mode = self.encoder.preprocess_mode
         dtype = self._infer_dtype()
         enc_params = self._inference_params()["encoder"]
+        if parallelism in (None, "none"):
+            if self._encode_fn is None:
+                self._encode_fn = jax.jit(self._apply_encoder)
+            encode_fn = self._encode_fn
+            pad_batches = False
+        elif parallelism == "dp":
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            mesh = self._inference_mesh("dp")
+            n_mesh = dict(mesh.shape)["data"]
+            if batch_size % n_mesh:
+                raise ValueError(
+                    f"batch_size {batch_size} must divide by the "
+                    f"{n_mesh}-device data mesh"
+                )
+            encode_fn = self._decode_cache.get(("extract_dp",))
+            if encode_fn is None:
+                encode_fn = jax.jit(
+                    shard_map(
+                        self._apply_encoder,
+                        mesh=mesh,
+                        in_specs=(P(), P("data")),
+                        out_specs=P("data"),
+                        check_vma=False,
+                    )
+                )
+                self._decode_cache[("extract_dp",)] = encode_fn
+            pad_batches = True
+        else:
+            raise ValueError(
+                "extract_features supports parallelism None|'none'|'dp'"
+            )
         outs = []
         for s in range(0, len(paths), batch_size):
             chunk = paths[s : s + batch_size]
-            x = jnp.asarray(
-                preprocess_batch(chunk, size=size, mode=mode), dtype
-            )
-            outs.append(
-                np.asarray(
-                    self._encode_fn(enc_params, x), dtype=np.float32
+            x = preprocess_batch(chunk, size=size, mode=mode)
+            n = x.shape[0]
+            if pad_batches and n < batch_size:
+                x = np.concatenate(
+                    [
+                        x,
+                        np.zeros(
+                            (batch_size - n,) + x.shape[1:], x.dtype
+                        ),
+                    ]
                 )
-            )
+            feats = encode_fn(enc_params, jnp.asarray(x, dtype))
+            outs.append(np.asarray(feats, dtype=np.float32)[:n])
         return np.concatenate(outs, axis=0)
 
     def encode_images(self, images) -> jnp.ndarray:
