@@ -58,10 +58,12 @@ def main():
         help="bench decode only (features -> captions)",
     )
     ap.add_argument(
-        "--approx-topk",
+        "--exact-topk",
         action="store_true",
-        help="use TPU approx_max_k for the per-beam vocab top-k (stage-1 "
-        "only; merge stays exact). Faster, ~0.95 recall per step",
+        help="use the exact two-stage top-k in beam decode. The serving "
+        "bench defaults to TPU approx_max_k for the per-beam vocab "
+        "top-k (stage-1 only; merge stays exact; +5-6%% e2e measured) — "
+        "the library default remains exact (DecodeConfig.approx_topk)",
     )
     ap.add_argument(
         "--int8",
@@ -465,7 +467,7 @@ def main():
             max_len=args.max_len,
             beam_width=args.beam,
             decoder=decoder,
-            approx_topk=args.approx_topk,
+            approx_topk=not args.exact_topk,
         )
 
     if args.no_encoder:
@@ -526,7 +528,8 @@ def main():
     per_chip_target = 10000.0 / 8.0  # north-star on v5e-8, per chip
     result = {
         "metric": f"captions/sec ({args.method} "
-        f"{args.beam if args.method == 'beam' else ''}, "
+        f"{args.beam if args.method == 'beam' else ''}"
+        f"{'' if args.method != 'beam' else (' exact-topk' if args.exact_topk else ' approx-topk')}, "
         f"batch {args.batch}, "
         f"{args.decoder}, "
         f"{'decode-only' if args.no_encoder else args.encoder + '+decode'}, "
