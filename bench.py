@@ -527,8 +527,8 @@ def main():
     cps = args.batch / med
     per_chip_target = 10000.0 / 8.0  # north-star on v5e-8, per chip
     result = {
-        "metric": f"captions/sec ({args.method} "
-        f"{args.beam if args.method == 'beam' else ''}"
+        "metric": f"captions/sec ({args.method}"
+        f"{f' {args.beam}' if args.method == 'beam' else ''}"
         f"{'' if args.method != 'beam' else (' exact-topk' if args.exact_topk else ' approx-topk')}, "
         f"batch {args.batch}, "
         f"{args.decoder}, "

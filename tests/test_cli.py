@@ -74,3 +74,42 @@ def test_cli_preset_config_resolution():
     cfg = _build_config(ns)
     assert cfg.encoder.features == "spatial"
     assert cfg.encoder.feature_dim == 512  # vgg16 spatial
+
+
+def test_cli_round2_flags_reach_config():
+    """--attention-reg / --approx-topk map into the config tree, including
+    the preset-override path for attention_reg."""
+    import argparse
+
+    from tpucap.cli.main import _build_config
+
+    ns = argparse.Namespace(
+        preset=None,
+        encoder="tiny_cnn",
+        decoder="attention",
+        features_kind="pooled",
+        embed_dim=16,
+        hidden_dim=32,
+        max_len=12,
+        attention_reg=0.25,
+        approx_topk=True,
+    )
+    cfg = _build_config(ns)
+    assert cfg.train.attention_reg == 0.25
+    assert cfg.decode.approx_topk is True
+
+    ns.preset = "config4"
+    cfg = _build_config(ns)
+    assert cfg.train.attention_reg == 0.25  # preset overridden
+    assert cfg.encoder.features == "spatial"
+
+
+def test_cli_parallelism_flag_choices(capsys):
+    """Bogus --parallelism values are rejected with the choices named."""
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        main(["train", "--tokens", "x", "--features", "y",
+              "--parallelism", "pp"])
+    err = capsys.readouterr().err
+    assert "dp_tp" in err and "invalid choice" in err
