@@ -159,3 +159,34 @@ def test_bf16_inference_cast_preserves_int8(toy_corpus):
     # And the quantized encoder still runs under the bf16 flow.
     feats = pipe.encode_images(np.zeros((2, 32, 32, 3), np.float32))
     assert feats.shape == (2, 128)
+
+
+def test_quantized_bundle_save_load_roundtrip(tmp_path, toy_corpus, rng):
+    """save() then load() of a quantized pipeline must preserve int8
+    kernels + scales and reproduce features exactly (load restores the
+    raw saved tree, not build()'s float template)."""
+    from tpucap.config import Config, DecodeConfig, DecoderConfig, EncoderConfig
+    from tpucap.pipeline import CaptioningPipeline
+    from tpucap.text import Tokenizer
+
+    cfg = Config(
+        encoder=EncoderConfig(name="tiny_cnn", feature_dim=128),
+        decoder=DecoderConfig(embed_dim=16, hidden_dim=32),
+        decode=DecodeConfig(max_len=10),
+    )
+    tok = Tokenizer()
+    tok.fit_on_texts(toy_corpus)
+    pipe = CaptioningPipeline(cfg, tokenizer=tok)
+    pipe.build()
+    pipe.quantize_encoder()
+    imgs = rng.uniform(-1, 1, (2, 32, 32, 3)).astype(np.float32)
+    ref = np.asarray(pipe.encode_images(imgs), np.float32)
+    pipe.save(str(tmp_path / "bundle"))
+    pipe2 = CaptioningPipeline.load(str(tmp_path / "bundle"))
+    assert pipe2.params["encoder"]["conv1"]["kernel"].dtype == jnp.int8
+    assert (
+        pipe2.params["encoder"]["conv1"]["kernel_scale"].dtype
+        == jnp.float32
+    )
+    out = np.asarray(pipe2.encode_images(imgs), np.float32)
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)

@@ -857,9 +857,12 @@ class CaptioningPipeline:
         pipe = cls(config, tokenizer=tokenizer)
         pipe.build()
         ckptr = ocp.StandardCheckpointer()
-        pipe.params = ckptr.restore(
-            os.path.join(directory, "params"),
-            jax.device_get(pipe.params),
+        # Restore the raw saved tree rather than against build()'s float
+        # template: a quantized bundle carries int8 kernels +
+        # kernel_scale leaves the template doesn't have (and must NOT be
+        # cast back to float).
+        pipe.params = jax.tree_util.tree_map(
+            jnp.asarray, ckptr.restore(os.path.join(directory, "params"))
         )
         pipe._bf16_params = None
         return pipe
