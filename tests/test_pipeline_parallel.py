@@ -170,3 +170,30 @@ def test_extract_features_dp_matches_single(toy_corpus, tmp_path):
     assert dp.shape[0] == 10  # tail padded then trimmed
     with pytest.raises(ValueError, match="divide"):
         pipe.extract_features(paths, batch_size=6, parallelism="dp")
+
+
+def test_tp_fit_unpads_vocab_after_training(toy_corpus, rng):
+    """fit(parallelism='tp') pads the vocab to shard evenly but must hand
+    back TRUE-vocab params and decoder (VERDICT-style consistency: bundles
+    and pipeline state never leak sharding padding)."""
+    pipe = make_pipe(toy_corpus)
+    orig_vocab = pipe.decoder.vocab_size
+    assert orig_vocab % 8 != 0
+    ids = [f"i{k}" for k in range(8)]
+    desc = {i: [toy_corpus[k % len(toy_corpus)]] for k, i in enumerate(ids)}
+    features = {i: rng.normal(size=(128,)).astype(np.float32) for i in ids}
+    pipe.fit(desc, features, epochs=2, batch_size=8, parallelism="tp",
+             log=None)
+    assert pipe.decoder.vocab_size == orig_vocab
+    assert (
+        pipe.params["decoder"]["out"]["kernel"].shape[-1] == orig_vocab
+    )
+    assert (
+        pipe.params["decoder"]["embedding"]["table"].shape[0]
+        == orig_vocab
+    )
+    # And the unpadded model still decodes.
+    caps = pipe.generate(
+        rng.normal(size=(2, 128)).astype(np.float32), method="greedy"
+    )
+    assert len(caps) == 2

@@ -170,7 +170,21 @@ def _restore_pipeline(args):
         pipe.params["decoder"], optax.adam(1e-3), jax.random.key(0)
     )
     restored = mgr.restore(fresh)
-    pipe.params["decoder"] = restored.params
+    dec_params = restored.params
+    # Checkpoints written mid-training under --parallelism tp/dp_tp carry
+    # the sharding-padded vocab; slice it back to the tokenizer's true
+    # vocabulary (exact — padded columns never decode).
+    out_kernel = dec_params.get("out", {}).get("kernel")
+    if (
+        out_kernel is not None
+        and out_kernel.shape[-1] > pipe.decoder.vocab_size
+    ):
+        from tpucap.parallel import unpad_vocab_params
+
+        dec_params = unpad_vocab_params(
+            dec_params, pipe.decoder.vocab_size
+        )
+    pipe.params["decoder"] = dec_params
     mgr.close()
     return pipe
 

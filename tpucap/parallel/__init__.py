@@ -15,6 +15,7 @@ from tpucap.parallel.tp import (
     make_tp_beam_fn,
     make_tp_train_step,
     pad_vocab_params,
+    unpad_vocab_params,
 )
 
 __all__ = [
@@ -23,4 +24,5 @@ __all__ = [
     "make_tp_beam_fn",
     "make_tp_train_step",
     "pad_vocab_params",
+    "unpad_vocab_params",
 ]

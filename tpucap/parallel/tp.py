@@ -54,6 +54,29 @@ def pad_vocab_params(params: dict, multiple: int):
     return out, V + pad
 
 
+def unpad_vocab_params(params: dict, vocab_size: int):
+    """Inverse of :func:`pad_vocab_params`: slice the embedding rows and
+    output-projection columns back to the true vocabulary. Exact — the
+    padded columns carry -1e9 bias and are never selected, and padded
+    embedding rows are never indexed. No-op when already at size."""
+    V = params["out"]["kernel"].shape[-1]
+    if V == vocab_size:
+        return params
+    if V < vocab_size:
+        raise ValueError(
+            f"params vocab {V} smaller than requested {vocab_size}"
+        )
+    out = dict(params)
+    out["embedding"] = {
+        "table": params["embedding"]["table"][:vocab_size]
+    }
+    out["out"] = {
+        "kernel": params["out"]["kernel"][:, :vocab_size],
+        "bias": params["out"]["bias"][:vocab_size],
+    }
+    return out
+
+
 def make_tp_train_step(
     decoder,
     optimizer,

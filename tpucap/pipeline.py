@@ -285,6 +285,7 @@ class CaptioningPipeline:
         self.state = TrainState.create(
             self.params["decoder"], optimizer, jax.random.key(cfg.seed)
         )
+        unpad_to = None  # set if tp/dp_tp pads the vocab to shard evenly
 
         if parallelism == "dp":
             self._mesh = make_mesh(self.config.mesh.n_devices)
@@ -326,10 +327,13 @@ class CaptioningPipeline:
                 # Auto-pad the vocab dimension to shard evenly; padded
                 # columns carry a -1e9 bias and never decode
                 # (tests/test_tp.py::test_pad_vocab_params_preserves_decode).
+                # Sliced back off after training so the pipeline/bundles
+                # always expose the true vocabulary.
                 import dataclasses
 
                 from tpucap.parallel import pad_vocab_params
 
+                unpad_to = self.decoder.vocab_size
                 padded, new_v = pad_vocab_params(
                     self.params["decoder"], n
                 )
@@ -420,7 +424,21 @@ class CaptioningPipeline:
                         )
                     },
                 )
-        self.params["decoder"] = self.state.params
+        dec_params = self.state.params
+        if unpad_to is not None:
+            # Slice the sharding pad back off: pipeline state and saved
+            # bundles always carry the true vocabulary (exact — padded
+            # columns never win a decode step). self.state keeps the
+            # padded form so tp training can resume from checkpoints.
+            import dataclasses
+
+            from tpucap.parallel import unpad_vocab_params
+
+            dec_params = unpad_vocab_params(dec_params, unpad_to)
+            self.decoder = dataclasses.replace(
+                self.decoder, vocab_size=unpad_to
+            )
+        self.params["decoder"] = dec_params
         self._decode_cache.clear()
         self._bf16_params = None
         return history
