@@ -42,7 +42,7 @@ def main():
     ap.add_argument(
         "--decoder",
         default="lstm1",
-        choices=["lstm1", "lstm2", "attention"],
+        choices=["lstm1", "lstm2", "inject", "attention"],
         help="attention implies spatial encoder features (config 4)",
     )
     ap.add_argument("--dtype", default="bf16", choices=["f32", "bf16"])

@@ -291,3 +291,46 @@ def test_pad_vocab_params_preserves_decode(model_mesh):
     # No-op when already aligned.
     same, V2 = pad_vocab_params(padded, 8)
     assert V2 == V1 and same is padded
+
+
+def test_tp_beam_approx_topk_small_vocab_matches_exact(model_mesh):
+    """approx_topk in the tp scorer (per-shard approx_max_k over V/p=4
+    columns — degenerate-exact at this size) must reproduce the exact
+    engine's tokens; plumbing check for the serving opt-in."""
+    dec = build_decoder(
+        "lstm1", vocab_size=VOCAB, feature_dim=FEAT, embed_dim=EMB,
+        hidden_dim=HID,
+    )
+    params = dec.init(jax.random.key(0))
+    feats = jax.random.normal(jax.random.key(1), (B, FEAT))
+    kw = dict(start_id=START, end_id=END, max_len=MAXLEN, beam_width=3)
+    ref = make_tp_beam_fn(dec, model_mesh, **kw)(params, feats)
+    approx = make_tp_beam_fn(dec, model_mesh, approx_topk=True, **kw)(
+        params, feats
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ref.tokens), np.asarray(approx.tokens)
+    )
+
+
+def test_tp_beam_narrow_shards_v_local_lt_k(model_mesh):
+    """Tiny vocab over many shards (v_local < beam width): each shard
+    contributes all of its columns and the merge stays token-exact vs the
+    single-device engine."""
+    dec = build_decoder(
+        "lstm1", vocab_size=16, feature_dim=FEAT, embed_dim=EMB,
+        hidden_dim=HID,
+    )  # 16 / 8 shards = 2 columns/shard < k=3
+    params = dec.init(jax.random.key(0))
+    feats = jax.random.normal(jax.random.key(1), (B, FEAT))
+    ref = beam_decode(
+        dec.step, params, dec.init_state(params, feats),
+        start_id=START, end_id=END, max_len=MAXLEN, beam_width=3,
+    )
+    out = make_tp_beam_fn(
+        dec, model_mesh, start_id=START, end_id=END, max_len=MAXLEN,
+        beam_width=3,
+    )(params, feats)
+    np.testing.assert_array_equal(
+        np.asarray(ref.tokens), np.asarray(out.tokens)
+    )

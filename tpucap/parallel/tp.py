@@ -250,6 +250,7 @@ def make_tp_beam_fn(
     pad_id: int = 0,
     length_normalize: bool = True,
     alpha: float = 1.0,
+    approx_topk: bool = False,
 ):
     """Build a jittable (params, features) -> BeamResult with the output
     projection sharded over ``mesh``'s ``axis``.
@@ -295,15 +296,26 @@ def make_tp_beam_fn(
             )
             local = jnp.where(cols == pad_id, NEG_INF, local)
 
-            pv, pw = jax.lax.top_k(local, k)  # (B*k, k) local
+            # Per-shard top-k over the local vocab slice; approx_topk
+            # swaps in the TPU approx_max_k custom call (same serving
+            # tradeoff as the single-device engine's stage 1 — the
+            # cross-shard merge below stays exact either way). A shard
+            # whose slice is narrower than the beam (v_local < k, tiny
+            # vocab over many shards) contributes ALL of its columns —
+            # the union stays complete, so the merge stays exact.
+            kk = min(k, v_local)
+            if approx_topk and kk < v_local:
+                pv, pw = jax.lax.approx_max_k(local, kk)
+            else:
+                pv, pw = jax.lax.top_k(local, kk)  # (B*k, kk) local
             pw = pw + col_offset
             av = jnp.moveaxis(
                 jax.lax.all_gather(pv, axis, axis=0), 0, 1
-            ).reshape(B * k, n_shards * k)
+            ).reshape(B * k, n_shards * kk)
             aw = jnp.moveaxis(
                 jax.lax.all_gather(pw, axis, axis=0), 0, 1
-            ).reshape(B * k, n_shards * k)
-            C = n_shards * k
+            ).reshape(B * k, n_shards * kk)
+            C = n_shards * kk
             logp = (av - lse[:, None]).reshape(B, k, C)
             words = aw.reshape(B, k, C)
             return logp, words, new_state

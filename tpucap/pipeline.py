@@ -582,6 +582,7 @@ class CaptioningPipeline:
                 beam_width=1 if method == "greedy" else beam_width,
                 length_normalize=dcfg.length_normalize,
                 alpha=dcfg.alpha,
+                approx_topk=dcfg.approx_topk,
             )
             data_size = dict(mesh.shape).get("data", 1)
         entry = (fn, dec_params, data_size)
