@@ -253,6 +253,7 @@ def main():
                 method=args.method,
                 beam_width=args.beam,
                 max_len=args.max_len,
+                approx_topk=not args.exact_topk,
             ),
             vocab_size=args.vocab,
         )
@@ -264,6 +265,8 @@ def main():
         tok.index_word = {i: w for w, i in tok.word_index.items()}
         pipe = CaptioningPipeline(cfg, tokenizer=tok)
         pipe.build()
+        if args.int8:
+            pipe.quantize_encoder()
 
         # Warmup (includes compile).
         t0 = time.perf_counter()
@@ -285,8 +288,10 @@ def main():
         med = float(np.median(times))
         cps = 1.0 / med
         result = {
-            "metric": f"captions/sec e2e-jpeg ({args.method} {args.beam}, "
-            f"batch {args.batch}, {args.encoder}, {args.dtype})",
+            "metric": f"captions/sec e2e-jpeg ({args.method} {args.beam}"
+            f"{' exact-topk' if args.exact_topk else ' approx-topk'}, "
+            f"batch {args.batch}, {args.encoder}, {args.dtype}"
+            f"{', int8' if args.int8 else ''})",
             "value": round(cps, 2),
             "unit": "captions/sec/chip",
             "vs_baseline": round(cps / (10000.0 / 8.0), 4),

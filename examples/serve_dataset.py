@@ -5,7 +5,10 @@ encoder.
 
 Runs anywhere: on a TPU slice it uses the real mesh; on CPU export
 ``XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu``
-to demo the identical sharded program on 8 virtual devices.
+to demo the identical sharded program on 8 virtual devices. (With
+--int8 the dynamic activation scales are computed per shard under --dp,
+so int8+dp captions may differ in borderline cases from single-device
+int8 — see models/encoders/quantize.py.)
 
 Usage:
     python examples/serve_dataset.py [--images DIR] [--batch 8] [--dp]

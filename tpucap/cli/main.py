@@ -36,6 +36,7 @@ def _build_config(args):
         DecodeConfig,
         DecoderConfig,
         EncoderConfig,
+        MeshConfig,
         PRESETS,
         TrainConfig,
     )
@@ -44,10 +45,21 @@ def _build_config(args):
         import dataclasses
 
         cfg = PRESETS[args.preset]
+        # Explicit flags override the preset (mirroring how --method /
+        # --beam-width are honored by being passed through call sites).
         ar = getattr(args, "attention_reg", 0.0)
         if ar:
             cfg = cfg.replace(
                 train=dataclasses.replace(cfg.train, attention_reg=ar)
+            )
+        if getattr(args, "approx_topk", False):
+            cfg = cfg.replace(
+                decode=dataclasses.replace(cfg.decode, approx_topk=True)
+            )
+        md = getattr(args, "model_devices", 0)
+        if md:
+            cfg = cfg.replace(
+                mesh=dataclasses.replace(cfg.mesh, model_devices=md)
             )
         return cfg
     feats = args.features_kind
@@ -78,6 +90,9 @@ def _build_config(args):
             learning_rate=getattr(args, "lr", 1e-3),
             epochs=getattr(args, "epochs", 20),
             attention_reg=getattr(args, "attention_reg", 0.0),
+        ),
+        mesh=MeshConfig(
+            model_devices=getattr(args, "model_devices", 0) or 1
         ),
     )
 
@@ -253,6 +268,9 @@ def main(argv=None):
                    help="dp: batch-sharded shard_map+psum; tp: vocab-"
                    "sharded CE (vocab auto-padded to the mesh); dp_tp: "
                    "2-D batch x vocab mesh")
+    p.add_argument("--model-devices", type=int, default=0,
+                   help="model-axis width for --parallelism dp_tp "
+                   "(required >1 for dp_tp)")
     p.add_argument("--attention-reg", type=float, default=0.0,
                    help="doubly-stochastic attention regularizer weight "
                    "(Show-Attend-Tell; attention decoder only)")
@@ -283,6 +301,8 @@ def main(argv=None):
                    choices=["none", "dp", "tp", "dp_tp"],
                    help="mesh-sharded decode: dp (batch), tp (vocab), "
                    "dp_tp (2-D batch x vocab)")
+    p.add_argument("--model-devices", type=int, default=0,
+                   help="model-axis width for --parallelism dp_tp")
     p.set_defaults(fn=cmd_evaluate)
 
     p = sub.add_parser("bench", help="run the benchmark harness")

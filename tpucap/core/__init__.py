@@ -7,6 +7,7 @@ from tpucap.core.mesh import (
     shard_batch,
     local_device_count,
     pad_to_multiple,
+    pad_rows,
 )
 from tpucap.core.precision import Precision, DEFAULT_PRECISION
 
@@ -17,6 +18,7 @@ __all__ = [
     "shard_batch",
     "local_device_count",
     "pad_to_multiple",
+    "pad_rows",
     "Precision",
     "DEFAULT_PRECISION",
 ]

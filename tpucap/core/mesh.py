@@ -54,3 +54,21 @@ def shard_batch(mesh: Mesh, batch):
 def pad_to_multiple(batch_size: int, n_devices: int) -> int:
     """Smallest batch >= batch_size divisible by the mesh size."""
     return ((batch_size + n_devices - 1) // n_devices) * n_devices
+
+
+def pad_rows(arr, target: int):
+    """Zero-pad the leading (batch) axis up to ``target`` rows — the
+    static-shape tail-batch idiom shared by every batched entry point
+    (one compiled program per shape; callers trim results back to the
+    true row count). No-op at size; numpy in -> numpy out."""
+    n = arr.shape[0]
+    if n == target:
+        return arr
+    if n > target:
+        raise ValueError(f"batch has {n} rows, larger than target {target}")
+    widths = [(0, target - n)] + [(0, 0)] * (arr.ndim - 1)
+    if isinstance(arr, np.ndarray):
+        return np.pad(arr, widths)
+    import jax.numpy as jnp
+
+    return jnp.pad(arr, widths)

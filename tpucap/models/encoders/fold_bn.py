@@ -39,9 +39,14 @@ def _fold(conv_p: dict, bn_p: dict, eps: float) -> dict:
 
 
 def fold_inception_v3(params: dict) -> dict:
-    """conv_i: {conv, bn} -> {conv (with bias), bn: None}."""
+    """conv_i: {conv, bn} -> {conv (with bias), bn: None}. Idempotent:
+    already-folded entries (bn None) pass through, so fold_bn() followed
+    by quantize_encoder() — or calling either twice — is safe."""
     out = {}
     for name, p in params.items():
+        if p.get("bn") is None:
+            out[name] = p
+            continue
         out[name] = {
             "conv": _fold(p["conv"], p["bn"], INCEPTION_EPS),
             "bn": None,

@@ -12,6 +12,13 @@ once offline:
   `sx = max|x| / 127` on device and requantizes its input. No calibration
   dataset needed (none exists offline); the extra abs-max reduction +
   requantize per conv is elementwise work XLA fuses into neighbors.
+  Under data-parallel serving (shard_map) the abs-max is computed over
+  each shard's LOCAL batch slice, so the dynamic scales — and therefore
+  borderline low-order bits — can differ from the single-device int8 run.
+  That is still correct quantization (every shard quantizes the
+  activations it actually sees); it just means int8+dp parity with
+  single-device int8 is approximate, unlike the float paths' exact
+  caption parity.
 
 The compute path lives in `common.conv` / `layers.dense`, which dispatch
 on `kernel.dtype == int8`; everything around the convs (BN when unfolded,

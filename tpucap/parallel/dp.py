@@ -33,6 +33,9 @@ def make_dp_train_step(
     deterministic: bool = False,
 ):
     """(state, features, tokens) -> (state, metrics), batch sharded over axis."""
+    from tpucap.train.loss import warn_if_attention_reg_unused
+
+    warn_if_attention_reg_unused(decoder, attention_reg)
 
     def local_loss(params, features, tokens, rng):
         sums = caption_loss_sums(

@@ -28,7 +28,7 @@ import numpy as np
 import optax
 
 from tpucap.config import Config
-from tpucap.core import make_mesh, pad_to_multiple, shard_batch
+from tpucap.core import make_mesh, pad_rows, pad_to_multiple, shard_batch
 from tpucap.data.preprocess import preprocess_batch
 from tpucap.decode import beam_decode, greedy_decode, ids_to_captions
 from tpucap.models.decoders import build_decoder
@@ -227,15 +227,8 @@ class CaptioningPipeline:
             chunk = paths[s : s + batch_size]
             x = preprocess_batch(chunk, size=size, mode=mode)
             n = x.shape[0]
-            if pad_batches and n < batch_size:
-                x = np.concatenate(
-                    [
-                        x,
-                        np.zeros(
-                            (batch_size - n,) + x.shape[1:], x.dtype
-                        ),
-                    ]
-                )
+            if pad_batches:
+                x = pad_rows(x, batch_size)
             feats = encode_fn(enc_params, jnp.asarray(x, dtype))
             outs.append(np.asarray(feats, dtype=np.float32)[:n])
         return np.concatenate(outs, axis=0)
@@ -513,7 +506,12 @@ class CaptioningPipeline:
         if parallelism == "dp_tp":
             tp = self.config.mesh.model_devices
             if tp <= 1:
-                tp = 2
+                raise ValueError(
+                    "parallelism='dp_tp' needs mesh.model_devices > 1 "
+                    "(the model-axis width; 1 means no tensor "
+                    "parallelism — use parallelism='dp' instead, or "
+                    "pass --model-devices on the CLI)"
+                )
             if n % tp:
                 raise ValueError(
                     f"{n} devices do not factor into a (data, model={tp}) "
@@ -585,6 +583,20 @@ class CaptioningPipeline:
                 approx_topk=dcfg.approx_topk,
             )
             data_size = dict(mesh.shape).get("data", 1)
+
+        # Same precision contract as the single-device programs
+        # (_decode_fn): precision='f32' forces highest-precision matmuls
+        # for exact caption parity. The context must be active when the
+        # inner jit TRACES (first call), hence the wrapper on every call.
+        matmul_precision = (
+            "highest" if self.config.precision == "f32" else "default"
+        )
+        inner = fn
+
+        def fn(params, features):
+            with jax.default_matmul_precision(matmul_precision):
+                return inner(params, features)
+
         entry = (fn, dec_params, data_size)
         self._decode_cache[key] = entry
         return entry
@@ -621,16 +633,7 @@ class CaptioningPipeline:
             )
             feats = jnp.asarray(features, self._infer_dtype())
             B = feats.shape[0]
-            padded = pad_to_multiple(B, data_size)
-            if padded != B:
-                feats = jnp.concatenate(
-                    [
-                        feats,
-                        jnp.zeros(
-                            (padded - B,) + feats.shape[1:], feats.dtype
-                        ),
-                    ]
-                )
+            feats = pad_rows(feats, pad_to_multiple(B, data_size))
             res = fn(dec_params, feats)
             _, end_id = self._token_ids()
             return ids_to_captions(
@@ -777,7 +780,17 @@ class CaptioningPipeline:
                     out_specs=P("data"),
                     check_vma=False,
                 )
-            run = jax.jit(body)
+            jitted = jax.jit(body)
+            # Same f32-parity precision contract as _decode_fn; the
+            # context must be active when the jit traces.
+            matmul_precision = (
+                "highest" if self.config.precision == "f32" else "default"
+            )
+
+            def run(enc_params, dec_params, images_u8):
+                with jax.default_matmul_precision(matmul_precision):
+                    return jitted(enc_params, dec_params, images_u8)
+
             self._decode_cache[cache_key] = run
 
         paths = list(image_paths)
@@ -801,11 +814,7 @@ class CaptioningPipeline:
             )
         ):
             n = images.shape[0]
-            if n < batch_size:  # static shapes: pad the tail batch
-                pad = np.zeros(
-                    (batch_size - n,) + images.shape[1:], images.dtype
-                )
-                images = np.concatenate([images, pad], axis=0)
+            images = pad_rows(images, batch_size)  # static shapes
             res = run(
                 inf_params["encoder"], inf_params["decoder"], images
             )
@@ -909,15 +918,7 @@ class CaptioningPipeline:
             chunk = ids[s : s + batch_size]
             feats = np.stack([features[i] for i in chunk])
             n = len(chunk)
-            if n < batch_size:
-                feats = np.concatenate(
-                    [
-                        feats,
-                        np.zeros(
-                            (batch_size - n,) + feats.shape[1:], feats.dtype
-                        ),
-                    ]
-                )
+            feats = pad_rows(feats, batch_size)
             caps = self.generate(
                 feats,
                 method=method,

@@ -47,6 +47,9 @@ def make_train_step(
     deterministic: bool = False,
 ) -> Callable:
     """Single-device jit'd step: (state, features, tokens) -> (state, metrics)."""
+    from tpucap.train.loss import warn_if_attention_reg_unused
+
+    warn_if_attention_reg_unused(decoder, attention_reg)
 
     def loss_fn(params, features, tokens, rng):
         return caption_loss(

@@ -60,6 +60,24 @@ def masked_cross_entropy(
     }
 
 
+def warn_if_attention_reg_unused(decoder, attention_reg: float) -> None:
+    """Host-side (build-time) warning when a nonzero attention_reg is
+    configured for a decoder without attention maps — the regularizer is
+    silently zero inside the traced loss, so the signal must fire here."""
+    if attention_reg > 0.0 and not hasattr(
+        decoder, "forward_train_with_alphas"
+    ):
+        import warnings
+
+        warnings.warn(
+            f"attention_reg={attention_reg} has no effect: decoder "
+            f"{type(decoder).__name__} has no attention maps "
+            "(doubly-stochastic regularization applies to the attention "
+            "decoder only)",
+            stacklevel=3,
+        )
+
+
 def caption_loss_sums(
     decoder,
     params,
