@@ -32,6 +32,7 @@ folding after quantization would perturb the already-rounded kernels.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -76,7 +77,6 @@ def cast_bf16_preserving_quant(tree):
     """Cast a param tree to bf16 for serving while leaving int8 kernels
     and their f32 `kernel_scale`s untouched (casting either would silently
     undo or degrade the quantization)."""
-    import jax
 
     def cast_leaf(path, a):
         if a.dtype == jnp.int8:

@@ -542,28 +542,22 @@ class CaptioningPipeline:
         if parallelism == "dp":
             from tpucap.parallel import make_dp_decode_fn
 
-            if method == "greedy":
-                fn = make_dp_decode_fn(
-                    self.decoder,
-                    greedy_decode,
-                    mesh,
-                    start_id=start_id,
-                    end_id=end_id,
-                    max_len=dcfg.max_len,
-                )
-            else:
-                fn = make_dp_decode_fn(
-                    self.decoder,
-                    beam_decode,
-                    mesh,
-                    start_id=start_id,
-                    end_id=end_id,
-                    max_len=dcfg.max_len,
+            kwargs = dict(
+                start_id=start_id, end_id=end_id, max_len=dcfg.max_len
+            )
+            if method != "greedy":
+                kwargs.update(
                     beam_width=beam_width,
                     length_normalize=dcfg.length_normalize,
                     alpha=dcfg.alpha,
                     approx_topk=dcfg.approx_topk,
                 )
+            fn = make_dp_decode_fn(
+                self.decoder,
+                greedy_decode if method == "greedy" else beam_decode,
+                mesh,
+                **kwargs,
+            )
             data_size = dict(mesh.shape)["data"]
         else:
             from tpucap.parallel.tp import make_tp_beam_fn, pad_vocab_params
