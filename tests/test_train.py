@@ -145,3 +145,52 @@ def test_prefix_samples_layout(toy_corpus):
     np.testing.assert_array_equal(Xs[0, :-1], 0)
     assert Xs[0, -1] == seq[0]
     assert y[0] == seq[1]
+
+
+def test_early_stopping_patience(tmp_path):
+    """TrainConfig.early_stopping_patience halts fit when val_loss stops
+    improving (Keras EarlyStopping semantics); disabled by default."""
+    import numpy as np
+
+    from tpucap.config import (
+        Config,
+        DecodeConfig,
+        DecoderConfig,
+        EncoderConfig,
+        TrainConfig,
+    )
+    from tpucap.pipeline import CaptioningPipeline
+    from tpucap.text import Tokenizer
+
+    corpus = [
+        "startseq a dog runs endseq",
+        "startseq a man rides endseq",
+    ]
+    cfg = Config(
+        encoder=EncoderConfig(name="tiny_cnn", feature_dim=128),
+        decoder=DecoderConfig(embed_dim=8, hidden_dim=16, dropout_rate=0.0),
+        decode=DecodeConfig(max_len=10),
+        # Huge LR so val_loss diverges fast -> patience trips early.
+        train=TrainConfig(
+            batch_size=4, learning_rate=5.0, seed=0,
+            early_stopping_patience=2,
+        ),
+    )
+    tok = Tokenizer()
+    tok.fit_on_texts(corpus)
+    pipe = CaptioningPipeline(cfg, tokenizer=tok)
+    pipe.build()
+    rng = np.random.default_rng(0)
+    ids = [f"i{k}" for k in range(4)]
+    desc = {i: [corpus[k % 2]] for k, i in enumerate(ids)}
+    feats = {i: rng.normal(size=(128,)).astype(np.float32) for i in ids}
+    history = pipe.fit(
+        desc, feats, epochs=30, val_data=(desc, feats), log=None
+    )
+    assert len(history) < 30, "early stopping never triggered"
+
+    # Without val_data the patience setting is inert (nothing to monitor).
+    pipe2 = CaptioningPipeline(cfg, tokenizer=tok)
+    pipe2.build()
+    h2 = pipe2.fit(desc, feats, epochs=3, log=None)
+    assert len(h2) == 3

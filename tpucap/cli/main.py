@@ -90,6 +90,9 @@ def _build_config(args):
             learning_rate=getattr(args, "lr", 1e-3),
             epochs=getattr(args, "epochs", 20),
             attention_reg=getattr(args, "attention_reg", 0.0),
+            early_stopping_patience=getattr(
+                args, "early_stopping_patience", 0
+            ),
         ),
         mesh=MeshConfig(
             model_devices=getattr(args, "model_devices", 0) or 1
@@ -147,6 +150,15 @@ def cmd_train(args):
     os.makedirs(args.checkpoint_dir, exist_ok=True)
     pipe.tokenizer.save(os.path.join(args.checkpoint_dir, "tokenizer.json"))
 
+    val_data = None
+    if getattr(args, "val_split", None):
+        from tpucap.data import load_descriptions, load_split, prepare_descriptions
+
+        val_prepared = prepare_descriptions(
+            load_descriptions(args.tokens), load_split(args.val_split)
+        )
+        val_data = (val_prepared, features)
+
     mgr = CheckpointManager(args.checkpoint_dir)
     logger = MetricsLogger(args.metrics_log) if args.metrics_log else None
     history = pipe.fit(
@@ -157,13 +169,14 @@ def cmd_train(args):
         data_parallel=args.data_parallel,
         parallelism=args.parallelism,
         checkpoint_manager=mgr,
+        val_data=val_data,
     )
     if logger:
         for h in history:
             logger.log(h)
         logger.close()
     mgr.close()
-    print(f"trained {args.epochs} epochs; final loss "
+    print(f"trained {len(history)} epochs; final loss "
           f"{history[-1]['loss']:.4f}; checkpoints in {args.checkpoint_dir}")
 
 
@@ -257,6 +270,12 @@ def main(argv=None):
     _add_common_model_flags(p)
     p.add_argument("--tokens", required=True)
     p.add_argument("--split", default=None)
+    p.add_argument("--val-split", default=None,
+                   help="dev-split id file; enables val_loss best-"
+                   "checkpoint keying and --early-stopping-patience")
+    p.add_argument("--early-stopping-patience", type=int, default=0,
+                   help="stop when val_loss hasn't improved for N epochs "
+                   "(needs --val-split); 0 = disabled")
     p.add_argument("--features", required=True)
     p.add_argument("--checkpoint-dir", default="checkpoints")
     p.add_argument("--epochs", type=int, default=20)

@@ -65,9 +65,15 @@ class TrainConfig:
     max_to_keep: int = 3
     label_smoothing: float = 0.0
     # Show-Attend-Tell doubly-stochastic attention regularizer weight
-    # (SURVEY.md §2.1 #8); applies to the attention decoder only, ignored
-    # (with a warning at the loss layer) for non-attention decoders.
+    # (SURVEY.md §2.1 #8); applies to the attention decoder only, warned
+    # about at step-build time for non-attention decoders.
     attention_reg: float = 0.0
+    # Stop training when val_loss hasn't improved for this many epochs
+    # (Keras EarlyStopping(monitor='val_loss', patience=N) semantics;
+    # 0 = disabled). Needs fit(val_data=...); the best-val checkpoint is
+    # already retained by the CheckpointManager, mirroring
+    # restore_best_weights via restore-from-best.
+    early_stopping_patience: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

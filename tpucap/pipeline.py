@@ -378,6 +378,8 @@ class CaptioningPipeline:
 
         rng = np.random.default_rng(cfg.seed)
         history = []
+        best_val = float("inf")
+        epochs_since_best = 0
         for epoch in range(epochs):
             metrics_sum: dict[str, float] = {}
             n = 0
@@ -417,6 +419,27 @@ class CaptioningPipeline:
                         )
                     },
                 )
+            # Keras EarlyStopping(monitor='val_loss', patience=N):
+            # stop once val_loss hasn't improved for N epochs. The best
+            # checkpoint is already retained by the manager, so
+            # restore_best_weights is restore-from-best.
+            if (
+                cfg.early_stopping_patience > 0
+                and "val_loss" in epoch_metrics
+            ):
+                if epoch_metrics["val_loss"] < best_val:
+                    best_val = epoch_metrics["val_loss"]
+                    epochs_since_best = 0
+                else:
+                    epochs_since_best += 1
+                    if epochs_since_best >= cfg.early_stopping_patience:
+                        if log:
+                            log(
+                                f"early stopping at epoch {epoch} "
+                                f"(no val_loss improvement for "
+                                f"{epochs_since_best} epochs)"
+                            )
+                        break
         dec_params = self.state.params
         if unpad_to is not None:
             # Slice the sharding pad back off: pipeline state and saved
