@@ -216,3 +216,29 @@ def test_generate_sample_method(dataset):
     vocab = set(pipe.tokenizer.word_index)
     for cap in a:
         assert set(cap.split()) <= vocab
+
+
+def test_inject_decoder_through_pipeline(dataset):
+    """Config with the inject decoder variant (SURVEY §2.1 #7) trains and
+    decodes through the public pipeline."""
+    img_dir, desc, train_ids, _ = dataset
+    cfg = Config(
+        encoder=EncoderConfig(name="tiny_cnn", feature_dim=128),
+        decoder=DecoderConfig(
+            name="inject", embed_dim=16, hidden_dim=32, dropout_rate=0.0
+        ),
+        decode=DecodeConfig(max_len=12),
+        train=TrainConfig(batch_size=8, learning_rate=5e-3, seed=0),
+    )
+    pipe = CaptioningPipeline(cfg)
+    prepared = prepare_descriptions(desc, train_ids)
+    pipe.fit_tokenizer(prepared)
+    pipe.build()
+    paths = [f"{img_dir}/{i}.jpg" for i in train_ids]
+    feats_arr = pipe.extract_features(paths)
+    history = pipe.fit(
+        prepared, dict(zip(train_ids, feats_arr)), epochs=6, log=None
+    )
+    assert history[-1]["loss"] < history[0]["loss"]
+    caps = pipe.generate(feats_arr[:3], method="beam", beam_width=3)
+    assert len(caps) == 3 and all(isinstance(c, str) for c in caps)
