@@ -303,3 +303,24 @@ def test_beam_approx_topk_small_vocab_matches_exact():
     np.testing.assert_array_equal(
         np.asarray(ref.tokens), np.asarray(approx.tokens)
     )
+
+
+def test_greedy_scores_match_beam_width_1():
+    """Cross-engine score consistency: greedy and beam share the
+    full-softmax normalizer convention, so width-1 beam scores equal
+    greedy scores (not just the tokens)."""
+    dec, params = make("lstm1")
+    feats = features_for("lstm1", jax.random.key(5))
+    g = greedy_decode(
+        dec.step, params, dec.init_state(params, feats),
+        start_id=START, end_id=END, max_len=MAXLEN,
+    )
+    b = beam_decode(
+        dec.step, params, dec.init_state(params, feats),
+        start_id=START, end_id=END, max_len=MAXLEN, beam_width=1,
+        decoder=dec,
+    )
+    np.testing.assert_array_equal(np.asarray(g.tokens), np.asarray(b.tokens))
+    np.testing.assert_allclose(
+        np.asarray(g.scores), np.asarray(b.scores), rtol=1e-5, atol=1e-5
+    )

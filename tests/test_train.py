@@ -194,3 +194,72 @@ def test_early_stopping_patience(tmp_path):
     pipe2.build()
     h2 = pipe2.fit(desc, feats, epochs=3, log=None)
     assert len(h2) == 3
+
+
+def test_label_smoothing_matches_keras():
+    """Smoothed CE uses Keras's y*(1-ls)+ls/V convention — differential
+    vs tf_keras CategoricalCrossentropy on identical logits."""
+    import numpy as np
+
+    from tpucap.train.loss import masked_cross_entropy_sums
+
+    tf = pytest.importorskip("tensorflow")
+    tf_keras = pytest.importorskip("tf_keras")
+
+    rng = np.random.default_rng(0)
+    B, T, V = 2, 5, 11
+    logits = rng.normal(size=(B, T, V)).astype(np.float32)
+    targets = rng.integers(1, V, size=(B, T)).astype(np.int32)  # no pad
+    ls = 0.1
+
+    nll_sum, n_tok, _ = masked_cross_entropy_sums(
+        logits, targets, label_smoothing=ls
+    )
+    ours = float(nll_sum) / float(n_tok)
+
+    cce = tf_keras.losses.CategoricalCrossentropy(
+        from_logits=True, label_smoothing=ls
+    )
+    onehot = tf.one_hot(targets.reshape(-1), V)
+    theirs = float(cce(onehot, logits.reshape(-1, V)).numpy())
+    np.testing.assert_allclose(ours, theirs, rtol=1e-5)
+
+
+def test_build_training_batch_truncation_keeps_endseq(toy_corpus):
+    """Captions longer than max_len+1 keep their endseq as the final kept
+    token instead of training the model to never terminate."""
+    import numpy as np
+
+    from tpucap.text import Tokenizer
+    from tpucap.text.clean import END_TOKEN
+    from tpucap.train.sequences import build_training_batch
+
+    tok = Tokenizer()
+    tok.fit_on_texts(toy_corpus)
+    end_id = tok.word_index[END_TOKEN]
+    long_cap = "startseq " + "a dog runs " * 10 + "endseq"
+    desc = {"img0": [long_cap]}
+    feats = {"img0": np.zeros((4,), np.float32)}
+    F, T = build_training_batch(tok, desc, feats, max_len=8)
+    assert T.shape == (1, 9)
+    assert T[0, -1] == end_id
+    assert (T[0] != 0).all()  # fully packed row, sentinel last
+
+
+def test_sample_decode_rejects_bad_params():
+    import jax
+
+    from tpucap.decode import sample_decode
+    from tpucap.models.decoders import build_decoder
+
+    dec = build_decoder(
+        "lstm1", vocab_size=16, feature_dim=8, embed_dim=4, hidden_dim=8
+    )
+    params = dec.init(jax.random.key(0))
+    feats = jax.numpy.zeros((2, 8))
+    state = dec.init_state(params, feats)
+    kw = dict(rng=jax.random.key(1), start_id=1, end_id=2, max_len=6)
+    with pytest.raises(ValueError, match="temperature"):
+        sample_decode(dec.step, params, state, temperature=0.0, **kw)
+    with pytest.raises(ValueError, match="top_k"):
+        sample_decode(dec.step, params, state, top_k=0, **kw)

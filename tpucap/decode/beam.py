@@ -282,36 +282,3 @@ def beam_decode(
         beam_lengths=lengths,
         beam_scores=scores,
     )
-
-
-def make_beam_fn(
-    decoder,
-    *,
-    start_id,
-    end_id,
-    max_len,
-    beam_width,
-    pad_id=0,
-    length_normalize=True,
-    alpha=1.0,
-):
-    """Build a jittable (params, features) -> BeamResult closure."""
-
-    @jax.jit
-    def fn(params, features):
-        state = decoder.init_state(params, features)
-        return beam_decode(
-            decoder.step,
-            params,
-            state,
-            start_id=start_id,
-            end_id=end_id,
-            max_len=max_len,
-            beam_width=beam_width,
-            pad_id=pad_id,
-            length_normalize=length_normalize,
-            alpha=alpha,
-            decoder=decoder,
-        )
-
-    return fn

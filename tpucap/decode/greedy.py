@@ -68,12 +68,14 @@ def greedy_decode(
         # correction — avoids materializing the full log-prob array.
         logits = logits.astype(jnp.float32)
         masked = logits.at[:, pad_id].set(-jnp.inf)
-        # lse over the masked row: pad is excluded from the distribution
-        # (matches the pre-softmax masking the oracle applies).
-        lse = jax.scipy.special.logsumexp(masked, axis=-1)
+        # Full-softmax normalizer (pad mass INCLUDED), the same convention
+        # as beam.py and the model's training distribution — so greedy
+        # scores, beam scores, and teacher-forced log-probs are mutually
+        # comparable. Pad stays excluded from the argmax only.
+        lse = jax.scipy.special.logsumexp(logits, axis=-1)
         nxt = jnp.argmax(masked, axis=-1).astype(jnp.int32)
         tok_logp = (
-            jnp.take_along_axis(masked, nxt[:, None], axis=-1)[:, 0] - lse
+            jnp.take_along_axis(logits, nxt[:, None], axis=-1)[:, 0] - lse
         )
         nxt = jnp.where(done, pad_id, nxt)
         tokens = jax.lax.dynamic_update_slice(tokens, nxt[:, None], (0, t))
@@ -93,22 +95,3 @@ def greedy_decode(
     )
     _, tokens, _, _, _, lengths, scores = jax.lax.while_loop(cond, body, carry)
     return DecodeResult(tokens=tokens, lengths=lengths, scores=scores)
-
-
-def make_greedy_fn(decoder, *, start_id, end_id, max_len, pad_id=0):
-    """Build a jittable (params, features) -> DecodeResult closure."""
-
-    @jax.jit
-    def fn(params, features):
-        state = decoder.init_state(params, features)
-        return greedy_decode(
-            decoder.step,
-            params,
-            state,
-            start_id=start_id,
-            end_id=end_id,
-            max_len=max_len,
-            pad_id=pad_id,
-        )
-
-    return fn

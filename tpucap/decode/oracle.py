@@ -33,10 +33,12 @@ def greedy_oracle(step_fn, params, state, *, start_id, end_id, max_len, pad_id=0
         if done.all():
             break
         logits, state = step_fn(params, state, jnp.asarray(last))
-        # Same op order as the engine: mask pad, then log_softmax, in f32.
-        logits = jnp.asarray(logits).at[:, pad_id].set(-jnp.inf)
+        # Engine convention: full-softmax log-probs (pad mass included in
+        # the normalizer, matching beam.py); pad excluded from argmax only.
+        logits = jnp.asarray(logits).astype(jnp.float32)
         logp = np.asarray(jax.nn.log_softmax(logits, axis=-1))
-        nxt = logp.argmax(axis=-1).astype(np.int32)
+        masked = np.asarray(logits.at[:, pad_id].set(-np.inf))
+        nxt = masked.argmax(axis=-1).astype(np.int32)
         for b in range(B):
             if done[b]:
                 last[b] = pad_id

@@ -33,6 +33,13 @@ def sample_decode(
 
     rng: jax PRNG key; the same key reproduces the same captions.
     """
+    if temperature <= 0.0:
+        raise ValueError(
+            f"temperature must be > 0, got {temperature}; for "
+            "deterministic decoding use greedy_decode"
+        )
+    if top_k is not None and top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
     B = jax.tree_util.tree_leaves(state)[0].shape[0]
     tokens0 = jnp.full((B, max_len), pad_id, jnp.int32)
 

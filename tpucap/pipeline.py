@@ -373,7 +373,10 @@ class CaptioningPipeline:
             # val_loss includes the regularizer term, mirroring Keras
             # (add_loss contributions count toward val_loss).
             eval_step = make_eval_step(
-                self.decoder, pad_id=0, attention_reg=cfg.attention_reg
+                self.decoder,
+                pad_id=0,
+                attention_reg=cfg.attention_reg,
+                label_smoothing=cfg.label_smoothing,
             )
 
         rng = np.random.default_rng(cfg.seed)
@@ -381,16 +384,22 @@ class CaptioningPipeline:
         best_val = float("inf")
         epochs_since_best = 0
         for epoch in range(epochs):
-            metrics_sum: dict[str, float] = {}
+            metrics_sum: dict = {}
             n = 0
             for bf, bt in batch_iterator((F, T), batch_size, rng=rng):
                 if data_parallel:
                     bf, bt = shard_batch(self._mesh, (bf, bt))
                 self.state, metrics = step(self.state, bf, bt)
                 n += 1
-                for k, v in jax.device_get(metrics).items():
-                    metrics_sum[k] = metrics_sum.get(k, 0.0) + float(v)
-            epoch_metrics = {k: v / max(n, 1) for k, v in metrics_sum.items()}
+                # Device-side accumulation: a per-step device_get blocks
+                # async dispatch (one host round-trip per step); sync
+                # once per epoch instead.
+                for k, v in metrics.items():
+                    metrics_sum[k] = metrics_sum.get(k, 0.0) + v
+            metrics_sum = jax.device_get(metrics_sum)
+            epoch_metrics = {
+                k: float(v) / max(n, 1) for k, v in metrics_sum.items()
+            }
             epoch_metrics["epoch"] = epoch
             if eval_step is not None:
                 vm = jax.device_get(

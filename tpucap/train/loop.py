@@ -83,8 +83,17 @@ def make_train_step(
 
 
 def make_eval_step(
-    decoder, *, pad_id: int = 0, attention_reg: float = 0.0
+    decoder,
+    *,
+    pad_id: int = 0,
+    attention_reg: float = 0.0,
+    label_smoothing: float = 0.0,
 ) -> Callable:
+    """val_loss uses the SAME objective as training (Keras evaluates with
+    the compiled loss): label smoothing and the attention regularizer both
+    count, so best-checkpoint keying and early stopping monitor the
+    quantity being optimized."""
+
     @jax.jit
     def step(params, features, tokens):
         _, metrics = caption_loss(
@@ -95,6 +104,7 @@ def make_eval_step(
             deterministic=True,
             pad_id=pad_id,
             attention_reg=attention_reg,
+            label_smoothing=label_smoothing,
         )
         return metrics
 
@@ -110,24 +120,29 @@ def train_epoch(
     logger=None,
 ) -> tuple[TrainState, dict]:
     """Drive one epoch over an iterable of (features, tokens) host batches."""
-    totals: dict[str, float] = {}
+    totals: dict = {}
     n = 0
     t0 = time.perf_counter()
     for features, tokens in batches:
         state, metrics = step_fn(state, features, tokens)
         n += 1
-        metrics = jax.device_get(metrics)
+        # Accumulate on device: a per-step device_get would block async
+        # dispatch (one host round-trip per step — ~8x slower on the
+        # remote-TPU setup); only log_every (user-opted) and the epoch
+        # end synchronize.
+        for k, v in metrics.items():
+            totals[k] = totals.get(k, 0.0) + v
         if log_every and logger is not None and n % log_every == 0:
+            host = jax.device_get(metrics)
             logger.log(
                 {
                     "step": int(jax.device_get(state.step)),
-                    **{k: float(v) for k, v in metrics.items()},
+                    **{k: float(v) for k, v in host.items()},
                 }
             )
-        for k, v in metrics.items():
-            totals[k] = totals.get(k, 0.0) + float(v)
+    totals = jax.device_get(totals)
     elapsed = time.perf_counter() - t0
-    avg = {k: v / max(n, 1) for k, v in totals.items()}
+    avg = {k: float(v) / max(n, 1) for k, v in totals.items()}
     avg["steps"] = n
     avg["seconds"] = elapsed
     return state, avg

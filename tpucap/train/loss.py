@@ -30,11 +30,13 @@ def masked_cross_entropy_sums(
 
     target_logp = jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
     if label_smoothing > 0.0:
-        on = 1.0 - label_smoothing
-        off = label_smoothing / (vocab - 1)
-        target_logp = on * target_logp + off * (
-            jnp.sum(logp, axis=-1) - target_logp
-        )
+        # Keras CategoricalCrossentropy(label_smoothing=ls) convention:
+        # y_smooth = y*(1-ls) + ls/V (uniform over ALL classes, target
+        # included) — so smoothed losses are directly comparable to the
+        # reference framework's numbers.
+        target_logp = (1.0 - label_smoothing) * target_logp + (
+            label_smoothing / vocab
+        ) * jnp.sum(logp, axis=-1)
     nll = -target_logp
 
     nll_sum = jnp.sum(nll * mask)

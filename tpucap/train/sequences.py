@@ -29,12 +29,27 @@ def build_training_batch(
 
     One row per (image, caption) pair; tokens include start/end sentinels.
     """
+    from tpucap.text.clean import END_TOKEN
+
+    end_id = tokenizer.word_index.get(END_TOKEN)
     feats, seqs = [], []
     for image_id, captions in descriptions.items():
         seq_list = tokenizer.texts_to_sequences(captions)
         for seq in seq_list:
             if len(seq) < 2:
                 continue
+            if (
+                len(seq) > max_len + 1
+                and end_id is not None
+                and seq[-1] == end_id
+            ):
+                # Post-truncation would silently drop endseq and train the
+                # model to never terminate this caption; keep the sentinel
+                # as the final kept token instead. (The reference never
+                # truncates — it computes max_length from the data — so
+                # this path only fires when config max_len is shorter
+                # than the corpus maximum.)
+                seq = seq[:max_len] + [end_id]
             feats.append(features[image_id])
             seqs.append(seq)
     tokens = pad_sequences(
