@@ -53,7 +53,10 @@ def _conv_int8(p, x, stride, padding):
     scale) back to the activation dtype. The requant/dequant stages are
     elementwise and fuse into the conv's neighbors; only the conv itself
     runs on the (2x-rate) int8 MXU path. See encoders/quantize.py."""
-    from tpucap.models.encoders.quantize import quantize_input
+    from tpucap.models.encoders.quantize import (
+        dequantize_output,
+        quantize_input,
+    )
 
     xq, sx = quantize_input(x)
     y = jax.lax.conv_general_dilated(
@@ -64,11 +67,7 @@ def _conv_int8(p, x, stride, padding):
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.int32,
     )
-    scale = p["kernel_scale"] * sx  # (cout,) f32
-    y = (y * scale).astype(x.dtype)
-    if "bias" in p:
-        y = y + p["bias"].astype(x.dtype)
-    return y
+    return dequantize_output(y, p, sx, x.dtype)
 
 
 def init_bn(c, scale=True, dtype=jnp.float32):

@@ -12,6 +12,12 @@ once offline:
   `sx = max|x| / 127` on device and requantizes its input. No calibration
   dataset needed (none exists offline); the extra abs-max reduction +
   requantize per conv is elementwise work XLA fuses into neighbors.
+  CONSEQUENCE: the scale — and therefore low-order rounding — depends on
+  BATCH COMPOSITION. The same image encoded in different batches (other
+  images, different batch size, reordered dataset) can round differently
+  and occasionally flip a borderline caption token. Exact run-to-run
+  reproducibility under int8 requires fixed batching; the float paths
+  keep per-image determinism.
   Under data-parallel serving (shard_map) the abs-max is computed over
   each shard's LOCAL batch slice, so the dynamic scales — and therefore
   borderline low-order bits — can differ from the single-device int8 run.
@@ -96,3 +102,13 @@ def quantize_input(x, dtype=jnp.int8):
     scale = jnp.maximum(amax, 1e-6) / 127.0
     q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127)
     return q.astype(dtype), scale
+
+
+def dequantize_output(y_int32, p, sx, x_dtype):
+    """Shared epilogue for the int8 conv/dense paths: int32 accumulator ->
+    (input scale x per-channel kernel scale) -> activation dtype -> +bias.
+    One definition so the conv and dense recipes cannot drift."""
+    y = (y_int32 * (p["kernel_scale"] * sx)).astype(x_dtype)
+    if "bias" in p:
+        y = y + p["bias"].astype(x_dtype)
+    return y

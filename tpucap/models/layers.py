@@ -32,13 +32,14 @@ def dense(p, x, activation=None):
     if p["kernel"].dtype == jnp.int8:
         # int8 MXU path for quantized frozen encoders (VGG fc1/fc2) —
         # same recipe as encoders/common._conv_int8.
-        from tpucap.models.encoders.quantize import quantize_input
+        from tpucap.models.encoders.quantize import (
+            dequantize_output,
+            quantize_input,
+        )
 
         xq, sx = quantize_input(x)
         y = jnp.dot(xq, p["kernel"], preferred_element_type=jnp.int32)
-        y = (y * (p["kernel_scale"] * sx)).astype(x.dtype) + p[
-            "bias"
-        ].astype(x.dtype)
+        y = dequantize_output(y, p, sx, x.dtype)
         return activation(y) if activation is not None else y
     # MXU-friendly mixed precision: multiply in the activation dtype (bf16
     # when the caller runs a bf16 flow), accumulate in f32, flow on in the
