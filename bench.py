@@ -72,6 +72,13 @@ def main():
         "kernel scales, dynamic activation scales) before benching",
     )
     ap.add_argument(
+        "--int8-vocab",
+        action="store_true",
+        help="quantize the decoder's output (vocab) projection to int8 — "
+        "the decode loop re-reads that (hidden x vocab) kernel from HBM "
+        "every step, so this targets small-batch/latency serving",
+    )
+    ap.add_argument(
         "--encoder-only",
         action="store_true",
         help="bench the encoder alone (images -> features), no decode",
@@ -199,6 +206,14 @@ def main():
             quantize_encoder_params(jax.device_get(enc_params))
         )
     dec_params = decoder.init(k_dec)
+    if args.int8_vocab:
+        from tpucap.models.encoders.quantize import (
+            quantize_decoder_projection,
+        )
+
+        dec_params = jax.device_put(
+            quantize_decoder_projection(jax.device_get(dec_params))
+        )
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
     if args.dtype == "bf16":
         from tpucap.models.encoders.quantize import (
@@ -538,7 +553,7 @@ def main():
         f"batch {args.batch}, "
         f"{args.decoder}, "
         f"{'decode-only' if args.no_encoder else args.encoder + '+decode'}, "
-        f"{args.dtype})",
+        f"{args.dtype}{', int8-vocab' if args.int8_vocab else ''})",
         "value": round(cps, 2),
         "unit": "captions/sec/chip",
         "vs_baseline": round(cps / per_chip_target, 4),

@@ -82,6 +82,51 @@ def test_tiny_encoder_features_drift_small(rng):
     assert cos > 0.999, cos
 
 
+def test_int8_vocab_projection_logits_close(rng):
+    """Quantizing only the output head must keep step logits ~8-bit close
+    and preserve the argmax on (nearly) every row."""
+    import jax
+
+    from tpucap.models.decoders import build_decoder
+    from tpucap.models.encoders.quantize import quantize_decoder_projection
+
+    dec = build_decoder(
+        "lstm1", vocab_size=211, feature_dim=32, embed_dim=16, hidden_dim=32
+    )
+    params = dec.init(jax.random.key(0))
+    qparams = quantize_decoder_projection(params)
+    assert qparams["out"]["kernel"].dtype == jnp.int8
+    assert qparams["out"]["kernel_scale"].shape == (211,)
+    # Everything but the head is untouched (same objects).
+    assert qparams["embedding"] is params["embedding"]
+    assert qparams["cells"] is params["cells"]
+
+    feats = jnp.asarray(rng.normal(size=(8, 32)), jnp.float32)
+    tok = jnp.asarray(rng.integers(1, 211, size=(8,)), jnp.int32)
+    state = dec.init_state(params, feats)
+    ref, _ = dec.step(params, state, tok)
+    out, _ = dec.step(qparams, dec.init_state(qparams, feats), tok)
+    ref, out = np.asarray(ref), np.asarray(out)
+    assert np.abs(out - ref).max() / np.abs(ref).max() < 0.03
+    same = (ref.argmax(-1) == out.argmax(-1)).mean()
+    assert same >= 7 / 8, same
+
+
+def test_pad_vocab_params_rejects_int8_head():
+    import jax
+
+    from tpucap.models.decoders import build_decoder
+    from tpucap.models.encoders.quantize import quantize_decoder_projection
+    from tpucap.parallel import pad_vocab_params
+
+    dec = build_decoder(
+        "lstm1", vocab_size=16, feature_dim=8, embed_dim=8, hidden_dim=8
+    )
+    q = quantize_decoder_projection(dec.init(jax.random.key(0)))
+    with pytest.raises(NotImplementedError, match="int8"):
+        pad_vocab_params(q, 8)  # even the aligned (pad==0) case refuses
+
+
 def test_pipeline_quantize_encoder_caption_parity(tmp_path, rng):
     """Trained fixture pipeline: quantizing the encoder must leave the
     (overfit) captions essentially unchanged."""
@@ -136,6 +181,60 @@ def test_pipeline_quantize_encoder_caption_parity(tmp_path, rng):
     assert same >= len(ref_caps) - 1, (ref_caps, q_caps)
 
 
+def test_pipeline_quantize_vocab_projection_caption_parity(toy_corpus):
+    """int8 vocab projection on a model with real logit margins.
+
+    The image-fixture pipelines are a poor testbed for the head: the tiny
+    encoder barely separates the synthetic images, so the trained logits sit
+    on data-inherent near-ties that ANY perturbation (int8 rounding, bf16,
+    batch composition) can flip, and one flipped token cascades through the
+    autoregressive decode. Here the decoder is overfit on distinct,
+    well-separated features with distinct captions — margins far exceed the
+    8-bit rounding noise — so caption parity must be exact."""
+    import jax
+
+    from tpucap.config import (
+        Config,
+        DecodeConfig,
+        DecoderConfig,
+        EncoderConfig,
+        TrainConfig,
+    )
+    from tpucap.pipeline import CaptioningPipeline
+
+    cfg = Config(
+        encoder=EncoderConfig(name="tiny_cnn", feature_dim=128),
+        decoder=DecoderConfig(embed_dim=16, hidden_dim=32, dropout_rate=0.0),
+        decode=DecodeConfig(max_len=12),
+        train=TrainConfig(batch_size=8, learning_rate=1e-2, seed=0),
+    )
+    ids = [f"img{i}" for i in range(len(toy_corpus))]
+    descriptions = {i: [c] for i, c in zip(ids, toy_corpus)}
+    # Distinct, well-separated features: scaled one-hot directions.
+    feats = np.eye(len(ids), 128, dtype=np.float32) * 4.0
+    pipe = CaptioningPipeline(cfg)
+    pipe.fit_tokenizer(descriptions)
+    pipe.build()
+    pipe.fit(
+        descriptions, dict(zip(ids, feats)), epochs=150, log=None
+    )
+    ref_greedy = pipe.generate(feats, method="greedy")
+    ref_beam = pipe.generate(feats, method="beam", beam_width=3)
+    pipe.quantize_vocab_projection()
+    assert pipe.params["decoder"]["out"]["kernel"].dtype == jnp.int8
+    q_greedy = pipe.generate(feats, method="greedy")
+    q_beam = pipe.generate(feats, method="beam", beam_width=3)
+    n = len(ids)
+    assert sum(a == b for a, b in zip(ref_greedy, q_greedy)) >= n - 1, (
+        ref_greedy,
+        q_greedy,
+    )
+    assert sum(a == b for a, b in zip(ref_beam, q_beam)) >= n - 1, (
+        ref_beam,
+        q_beam,
+    )
+
+
 def test_bf16_inference_cast_preserves_int8(toy_corpus):
     from tpucap.config import Config, DecoderConfig, EncoderConfig
     from tpucap.pipeline import CaptioningPipeline
@@ -179,11 +278,15 @@ def test_quantized_bundle_save_load_roundtrip(tmp_path, toy_corpus, rng):
     pipe = CaptioningPipeline(cfg, tokenizer=tok)
     pipe.build()
     pipe.quantize_encoder()
+    pipe.quantize_vocab_projection()
     imgs = rng.uniform(-1, 1, (2, 32, 32, 3)).astype(np.float32)
     ref = np.asarray(pipe.encode_images(imgs), np.float32)
+    ref_caps = pipe.generate(pipe.encode_images(imgs))
     pipe.save(str(tmp_path / "bundle"))
     pipe2 = CaptioningPipeline.load(str(tmp_path / "bundle"))
     assert pipe2.params["encoder"]["conv1"]["kernel"].dtype == jnp.int8
+    assert pipe2.params["decoder"]["out"]["kernel"].dtype == jnp.int8
+    assert pipe2.generate(pipe2.encode_images(imgs)) == ref_caps
     assert (
         pipe2.params["encoder"]["conv1"]["kernel_scale"].dtype
         == jnp.float32

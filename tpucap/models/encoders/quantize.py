@@ -79,6 +79,43 @@ def quantize_encoder_params(params):
     return walk(params)
 
 
+def quantize_dense_params(p):
+    """Quantize one dense param dict (kernel (in, out) [+ bias]) to the
+    int8 serving form `layers.dense` dispatches on: int8 kernel + f32
+    per-output-channel scale. Other leaves pass through. No-op if the
+    kernel is already int8."""
+    if np.asarray(p["kernel"]).dtype == np.int8:
+        return dict(p)
+    q, scale = _quantize_kernel(np.asarray(p["kernel"]))
+    out = dict(p)
+    out["kernel"] = jnp.asarray(q)
+    out["kernel_scale"] = jnp.asarray(scale)
+    return out
+
+
+def quantize_decoder_projection(params):
+    """Quantize a decoder's output (vocab) projection head to int8.
+
+    Different cost model from the encoder convs (FLOP-bound; int8 measured
+    ~neutral on this toolchain — docs/PERF.md): inside the decode loop the
+    (hidden x vocab) kernel (256 x 7,579 ≈ 3.9 MB bf16) is re-read from HBM
+    for EVERY generated token while the row count (batch x beam) is small,
+    so at serving batch sizes the projection is weight-traffic-bound and
+    int8 halves the per-step HBM read vs bf16. Only the `out` head is
+    touched — the LSTM/merge kernels are small, and rounding the logits
+    head perturbs a linear readout (argmax/top-k ordering) rather than the
+    recurrent state dynamics.
+
+    Serving-only (training keeps float params). Works for every decoder in
+    the zoo (they all expose `params['out']` via ``init_dense``). The
+    vocab-sharded TP serving path does not accept a quantized head
+    (`pad_vocab_params` raises) — use single-device or DP serving.
+    """
+    out = dict(params)
+    out["out"] = quantize_dense_params(params["out"])
+    return out
+
+
 def cast_bf16_preserving_quant(tree):
     """Cast a param tree to bf16 for serving while leaving int8 kernels
     and their f32 `kernel_scale`s untouched (casting either would silently

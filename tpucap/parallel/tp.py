@@ -34,6 +34,13 @@ def pad_vocab_params(params: dict, multiple: int):
 
     -> (padded params, new vocab size). No-op when already aligned.
     """
+    if params["out"]["kernel"].dtype == jnp.int8:
+        raise NotImplementedError(
+            "vocab-sharded TP serving does not support an int8-quantized "
+            "output projection (the per-channel kernel_scale would need "
+            "sharding/padding too); serve a quantized head on a single "
+            "device or with parallelism='dp'"
+        )
     V = params["out"]["kernel"].shape[-1]
     pad = (-V) % multiple
     if pad == 0:

@@ -132,6 +132,24 @@ class CaptioningPipeline:
         self._decode_cache.clear()
         self._bf16_params = None
 
+    def quantize_vocab_projection(self) -> None:
+        """Quantize the decoder's output (vocab) projection to int8 serving
+        weights (models/encoders/quantize.quantize_decoder_projection).
+        Aimed at small-batch / latency serving, where each decode step is
+        bound by re-reading the (hidden x vocab) kernel from HBM — int8
+        halves that traffic vs bf16. Serving-only: call after ``fit`` (or
+        on a loaded bundle); training params must stay float. Not
+        compatible with vocab-sharded TP serving (use None/'dp')."""
+        from tpucap.models.encoders.quantize import (
+            quantize_decoder_projection,
+        )
+
+        self.params["decoder"] = quantize_decoder_projection(
+            self.params["decoder"]
+        )
+        self._decode_cache.clear()
+        self._bf16_params = None
+
     # -- precision ----------------------------------------------------------
 
     def _infer_dtype(self):
