@@ -104,6 +104,124 @@ def test_cli_round2_flags_reach_config():
     assert cfg.encoder.features == "spatial"
 
 
+def test_cli_lr_and_patience_override_preset():
+    """--lr / --early-stopping-patience must override a --preset (they were
+    silently discarded before); leaving them unset keeps preset values."""
+    import argparse
+
+    from tpucap.cli.main import _build_config
+    from tpucap.config import PRESETS
+
+    base = dict(
+        preset="config2",
+        encoder="vgg16",
+        decoder="lstm1",
+        features_kind="pooled",
+        embed_dim=256,
+        hidden_dim=256,
+        max_len=34,
+    )
+    cfg = _build_config(argparse.Namespace(**base, lr=None,
+                                           early_stopping_patience=None))
+    assert cfg.train.learning_rate == PRESETS["config2"].train.learning_rate
+    assert (
+        cfg.train.early_stopping_patience
+        == PRESETS["config2"].train.early_stopping_patience
+    )
+
+    cfg = _build_config(argparse.Namespace(**base, lr=5e-4,
+                                           early_stopping_patience=3))
+    assert cfg.train.learning_rate == 5e-4
+    assert cfg.train.early_stopping_patience == 3
+
+    # Non-preset path: None falls back to the defaults.
+    ns = argparse.Namespace(**{**base, "preset": None}, lr=None,
+                            early_stopping_patience=None)
+    cfg = _build_config(ns)
+    assert cfg.train.learning_rate == 1e-3
+    assert cfg.train.early_stopping_patience == 0
+
+
+@pytest.mark.slow
+def test_cli_restores_best_checkpoint(tmp_path):
+    """caption/evaluate restore the BEST-val_loss checkpoint, not the
+    latest retained one (the documented restore-from-best contract: the
+    manager keys retention on val_loss, so early stopping may leave the
+    newest step worse than the best)."""
+    import argparse
+
+    import jax
+
+    from tpucap.cli.main import _restore_pipeline
+    from tpucap.checkpoint import CheckpointManager
+    from tpucap.data import generate_fixture_dataset
+    from tpucap.cli.main import main
+
+    img_dir, token_file, train_file, _ = generate_fixture_dataset(
+        tmp_path, n_images=6, image_size=32, seed=3
+    )
+    feats = str(tmp_path / "f.npz")
+    ckpt = str(tmp_path / "ckpt")
+    common = ["--encoder", "tiny_cnn", "--max-len", "12"]
+    main(["extract", *common, "--images", str(img_dir), "--out", feats,
+          "--batch-size", "4"])
+    main(["train", *common, "--tokens", token_file, "--split", train_file,
+          "--val-split", train_file, "--features", feats,
+          "--checkpoint-dir", ckpt, "--epochs", "2", "--batch-size", "4"])
+
+    ns = argparse.Namespace(
+        preset=None, encoder="tiny_cnn", decoder="lstm1",
+        features_kind="pooled", embed_dim=256, hidden_dim=256,
+        max_len=12, checkpoint_dir=ckpt,
+    )
+    base = _restore_pipeline(ns)  # best == latest at this point
+
+    # Append a NEWER checkpoint with perturbed params and a far worse
+    # val_loss — a deterministic stand-in for an early-stopped run whose
+    # last retained step is not its best.
+    import dataclasses
+
+    import jax.numpy as jnp
+    import optax
+
+    from tpucap.train import TrainState
+
+    mgr = CheckpointManager(ckpt)
+    prev_best = mgr.best_step()
+    worse_params = jax.tree_util.tree_map(
+        lambda a: np.asarray(a) + 1.0, base.params["decoder"]
+    )
+    st = TrainState.create(worse_params, optax.adam(1e-3), jax.random.key(0))
+    st = dataclasses.replace(
+        st, step=jnp.asarray(mgr.latest_step() + 1000, jnp.int32)
+    )
+    mgr.save(st, metrics={"val_loss": 1e9})
+    best, latest = mgr.best_step(), mgr.latest_step()
+    mgr.close()
+    assert best == prev_best and best != latest, (best, latest)
+
+    # Restoring again must pick the BEST step's params, not the newest.
+    pipe = _restore_pipeline(ns)
+    got = jax.tree_util.tree_leaves_with_path(pipe.params["decoder"])
+    want = jax.tree_util.tree_leaves_with_path(base.params["decoder"])
+    for (pa, a), (_, b) in zip(got, want):
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b), err_msg=str(pa)
+        )
+
+
+def test_encoder_feature_dims_single_source():
+    """FEATURE_DIMS is the one table for encoder output channels; spatial
+    inception is 768 (mixed7), NOT the pooled 2048."""
+    from tpucap.config import FEATURE_DIMS, encoder_config
+
+    assert encoder_config("inception_v3", "spatial").feature_dim == 768
+    assert encoder_config("inception_v3").feature_dim == 2048
+    assert encoder_config("resnet50", "spatial").feature_dim == 1024
+    for (name, kind), dim in FEATURE_DIMS.items():
+        assert encoder_config(name, kind).feature_dim == dim
+
+
 def test_cli_parallelism_flag_choices(capsys):
     """Bogus --parallelism values are rejected with the choices named."""
     import pytest as _pytest

@@ -58,18 +58,3 @@ def test_pad_to_multiple():
     assert pad_to_multiple(10, 8) == 16
     assert pad_to_multiple(16, 8) == 16
     assert pad_to_multiple(1, 8) == 8
-
-
-def test_precision_policy():
-    import jax.numpy as jnp
-
-    from tpucap.core import DEFAULT_PRECISION, Precision
-
-    assert DEFAULT_PRECISION.compute_dtype == jnp.bfloat16
-    p32 = Precision.f32()
-    x = jnp.ones((2, 2), jnp.float32)
-    assert DEFAULT_PRECISION.cast_compute(x).dtype == jnp.bfloat16
-    assert p32.cast_compute(x).dtype == jnp.float32
-    assert DEFAULT_PRECISION.cast_output(
-        DEFAULT_PRECISION.cast_compute(x)
-    ).dtype == jnp.float32

@@ -196,6 +196,93 @@ def test_early_stopping_patience(tmp_path):
     assert len(h2) == 3
 
 
+def test_fit_clamps_batch_size_to_tiny_dataset():
+    """A dataset smaller than batch_size must still train (the
+    drop-remainder iterator would otherwise run ZERO steps per epoch and
+    crash at checkpoint time with no 'loss' metric)."""
+    import numpy as np
+
+    from tpucap.config import (
+        Config,
+        DecodeConfig,
+        DecoderConfig,
+        EncoderConfig,
+        TrainConfig,
+    )
+    from tpucap.pipeline import CaptioningPipeline
+    from tpucap.text import Tokenizer
+
+    corpus = ["startseq a dog runs endseq", "startseq a man rides endseq"]
+    cfg = Config(
+        encoder=EncoderConfig(name="tiny_cnn", feature_dim=128),
+        decoder=DecoderConfig(embed_dim=8, hidden_dim=16, dropout_rate=0.0),
+        decode=DecodeConfig(max_len=10),
+        train=TrainConfig(batch_size=64, learning_rate=1e-2, seed=0),
+    )
+    tok = Tokenizer()
+    tok.fit_on_texts(corpus)
+    pipe = CaptioningPipeline(cfg, tokenizer=tok)
+    pipe.build()
+    rng = np.random.default_rng(0)
+    ids = ["a", "b"]
+    desc = {i: [corpus[k]] for k, i in enumerate(ids)}
+    feats = {i: rng.normal(size=(128,)).astype(np.float32) for i in ids}
+    history = pipe.fit(desc, feats, epochs=2, log=None)  # 2 rows << 64
+    assert len(history) == 2
+    assert np.isfinite(history[-1]["loss"]) and history[-1]["loss"] > 0
+
+
+def test_chunked_val_loss_is_exact(toy_corpus):
+    """Sum-form chunked evaluation (what fit uses for val_loss, so a big
+    dev split never materializes (N, T, V) logits in one program) equals
+    the unbatched loss exactly — including zero-padded tail rows."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpucap.models.decoders import build_decoder
+    from tpucap.text import Tokenizer
+    from tpucap.train.loop import make_eval_step, make_eval_sums_step
+    from tpucap.train.loss import loss_from_sums
+    from tpucap.train.sequences import build_training_batch
+
+    tok = Tokenizer()
+    tok.fit_on_texts(toy_corpus)
+    ids = [f"i{k}" for k in range(len(toy_corpus))]
+    desc = {i: [c] for i, c in zip(ids, toy_corpus)}
+    rng = np.random.default_rng(1)
+    feats = {i: rng.normal(size=(32,)).astype(np.float32) for i in ids}
+    F, T = build_training_batch(tok, desc, feats, 12)
+
+    dec = build_decoder(
+        "lstm1", vocab_size=tok.vocab_size, feature_dim=32,
+        embed_dim=8, hidden_dim=16,
+    )
+    params = dec.init(jax.random.key(0))
+
+    whole = make_eval_step(dec, pad_id=0)(params, jnp.asarray(F), jnp.asarray(T))
+
+    chunk = 3  # 8 rows -> chunks of 3, 3, 2 (tail zero-padded to 3)
+    sums_step = make_eval_sums_step(dec, pad_id=0)
+    totals: dict = {}
+    for s in range(0, F.shape[0], chunk):
+        cf, ct = F[s : s + chunk], T[s : s + chunk]
+        pad = chunk - cf.shape[0]
+        if pad:
+            cf = np.concatenate([cf, np.zeros((pad,) + cf.shape[1:], cf.dtype)])
+            ct = np.concatenate([ct, np.zeros((pad,) + ct.shape[1:], ct.dtype)])
+        piece = sums_step(params, jnp.asarray(cf), jnp.asarray(ct))
+        for k, v in piece.items():
+            totals[k] = totals.get(k, 0.0) + v
+    _, chunked = loss_from_sums(jax.device_get(totals))
+
+    np.testing.assert_allclose(
+        float(chunked["loss"]), float(whole["loss"]), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        float(chunked["accuracy"]), float(whole["accuracy"]), rtol=1e-6
+    )
+
+
 def test_label_smoothing_matches_keras():
     """Smoothed CE uses Keras's y*(1-ls)+ls/V convention — differential
     vs tf_keras CategoricalCrossentropy on identical logits."""

@@ -35,7 +35,6 @@ def _build_config(args):
         Config,
         DecodeConfig,
         DecoderConfig,
-        EncoderConfig,
         MeshConfig,
         PRESETS,
         TrainConfig,
@@ -52,6 +51,18 @@ def _build_config(args):
             cfg = cfg.replace(
                 train=dataclasses.replace(cfg.train, attention_reg=ar)
             )
+        lr = getattr(args, "lr", None)
+        if lr is not None:
+            cfg = cfg.replace(
+                train=dataclasses.replace(cfg.train, learning_rate=lr)
+            )
+        esp = getattr(args, "early_stopping_patience", None)
+        if esp is not None:
+            cfg = cfg.replace(
+                train=dataclasses.replace(
+                    cfg.train, early_stopping_patience=esp
+                )
+            )
         if getattr(args, "approx_topk", False):
             cfg = cfg.replace(
                 decode=dataclasses.replace(cfg.decode, approx_topk=True)
@@ -62,17 +73,13 @@ def _build_config(args):
                 mesh=dataclasses.replace(cfg.mesh, model_devices=md)
             )
         return cfg
+    from tpucap.config import encoder_config
+
     feats = args.features_kind
     if args.decoder == "attention":
         feats = "spatial"
-    dims = {"vgg16": 4096 if feats == "pooled" else 512,
-            "inception_v3": 2048 if feats == "pooled" else 768,
-            "resnet50": 2048 if feats == "pooled" else 1024,
-            "tiny_cnn": 128}
     return Config(
-        encoder=EncoderConfig(
-            name=args.encoder, features=feats, feature_dim=dims[args.encoder]
-        ),
+        encoder=encoder_config(args.encoder, feats),
         decoder=DecoderConfig(
             name=args.decoder,
             embed_dim=args.embed_dim,
@@ -87,12 +94,13 @@ def _build_config(args):
         ),
         train=TrainConfig(
             batch_size=getattr(args, "batch_size", 64),
-            learning_rate=getattr(args, "lr", 1e-3),
+            learning_rate=getattr(args, "lr", None) or 1e-3,
             epochs=getattr(args, "epochs", 20),
             attention_reg=getattr(args, "attention_reg", 0.0),
             early_stopping_patience=getattr(
-                args, "early_stopping_patience", 0
-            ),
+                args, "early_stopping_patience", None
+            )
+            or 0,
         ),
         mesh=MeshConfig(
             model_devices=getattr(args, "model_devices", 0) or 1
@@ -106,11 +114,11 @@ def cmd_extract(args):
 
     cfg = _build_config(args)
     pipe = CaptioningPipeline(cfg)
-    # Random-init encoder unless weights are provided (no network here;
-    # pretrained import goes through --keras-h5).
-    import jax
-
-    pipe.params["encoder"] = pipe.encoder.init(jax.random.key(0))
+    # Deterministic init from the config seed — the SAME weights
+    # _restore_pipeline builds, so a fixture flow with no pretrained h5
+    # (extract -> train -> caption) sees one consistent random encoder.
+    # Pretrained import goes through --keras-h5 (no network here).
+    pipe.build()
     if args.keras_h5:
         from tpucap.checkpoint import params_from_keras
 
@@ -193,11 +201,20 @@ def _restore_pipeline(args):
     tok = Tokenizer.load(os.path.join(args.checkpoint_dir, "tokenizer.json"))
     pipe = CaptioningPipeline(cfg, tokenizer=tok)
     pipe.build()
+    if getattr(args, "keras_h5", None):
+        from tpucap.checkpoint import params_from_keras
+
+        pipe.params["encoder"] = params_from_keras(
+            args.keras_h5, cfg.encoder.name
+        )
     mgr = CheckpointManager(args.checkpoint_dir)
     fresh = TrainState.create(
         pipe.params["decoder"], optax.adam(1e-3), jax.random.key(0)
     )
-    restored = mgr.restore(fresh)
+    # Restore the best-val_loss checkpoint when metrics were recorded
+    # (mirroring ModelCheckpoint(save_best_only) + restore_best_weights);
+    # best_step() is None for metric-less checkpoints -> latest.
+    restored = mgr.restore(fresh, step=mgr.best_step())
     dec_params = restored.params
     # Checkpoints written mid-training under --parallelism tp/dp_tp carry
     # the sharding-padded vocab; slice it back to the tokenizer's true
@@ -218,6 +235,13 @@ def _restore_pipeline(args):
 
 
 def cmd_caption(args):
+    if not args.keras_h5:
+        print(
+            "note: no --keras-h5 given — the encoder runs with its "
+            "config-seed random init (matches a weightless `extract`; "
+            "real photographs need pretrained encoder weights)",
+            file=sys.stderr,
+        )
     pipe = _restore_pipeline(args)
     caps = pipe.caption_images(
         args.image, method=args.method, beam_width=args.beam_width
@@ -273,14 +297,17 @@ def main(argv=None):
     p.add_argument("--val-split", default=None,
                    help="dev-split id file; enables val_loss best-"
                    "checkpoint keying and --early-stopping-patience")
-    p.add_argument("--early-stopping-patience", type=int, default=0,
+    p.add_argument("--early-stopping-patience", type=int, default=None,
                    help="stop when val_loss hasn't improved for N epochs "
-                   "(needs --val-split); 0 = disabled")
+                   "(needs --val-split); 0 = disabled; also overrides "
+                   "--preset when given")
     p.add_argument("--features", required=True)
     p.add_argument("--checkpoint-dir", default="checkpoints")
     p.add_argument("--epochs", type=int, default=20)
     p.add_argument("--batch-size", type=int, default=64)
-    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--lr", type=float, default=None,
+                   help="learning rate (default 1e-3; also overrides "
+                   "--preset when given)")
     p.add_argument("--data-parallel", action="store_true")
     p.add_argument("--parallelism", default=None,
                    choices=["none", "dp", "tp", "dp_tp"],
@@ -305,6 +332,10 @@ def main(argv=None):
     p.add_argument("--approx-topk", action="store_true",
                    help="TPU approx_max_k for the vocab top-k (faster, "
                    "~0.95 recall per step; merge stage stays exact)")
+    p.add_argument("--keras-h5", default=None,
+                   help="pretrained Keras .h5 encoder weights — use the "
+                   "same file `extract` used, or captions come from a "
+                   "random encoder")
     p.set_defaults(fn=cmd_caption)
 
     p = sub.add_parser("evaluate", help="BLEU-1..4 over a split")

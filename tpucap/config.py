@@ -104,14 +104,31 @@ class Config:
         return dataclasses.replace(self, **kw)
 
 
-def _enc(name: EncoderName, features="pooled") -> EncoderConfig:
-    dims = {
-        "vgg16": 4096 if features == "pooled" else 512,
-        "inception_v3": 2048,
-        "resnet50": 2048 if features == "pooled" else 1024,
-        "tiny_cnn": 128,
-    }
-    return EncoderConfig(name=name, features=features, feature_dim=dims[name])
+#: Channel count of each encoder's feature output per feature kind —
+#: pooled: VGG16 fc2 4096-d, InceptionV3/ResNet-50 global-avg 2048-d;
+#: spatial: VGG16 block5_conv3 512-ch, InceptionV3 mixed7 768-ch,
+#: ResNet-50 conv4 1024-ch (the 14x14-grid attention contracts,
+#: SURVEY.md §2.1 #2). Single source of truth — the CLI builds its
+#: configs through encoder_config() too.
+FEATURE_DIMS = {
+    ("vgg16", "pooled"): 4096,
+    ("vgg16", "spatial"): 512,
+    ("inception_v3", "pooled"): 2048,
+    ("inception_v3", "spatial"): 768,
+    ("resnet50", "pooled"): 2048,
+    ("resnet50", "spatial"): 1024,
+    ("tiny_cnn", "pooled"): 128,
+    ("tiny_cnn", "spatial"): 128,
+}
+
+
+def encoder_config(name: EncoderName, features="pooled") -> EncoderConfig:
+    return EncoderConfig(
+        name=name, features=features, feature_dim=FEATURE_DIMS[name, features]
+    )
+
+
+_enc = encoder_config
 
 
 CONFIG_1 = Config(

@@ -1,4 +1,4 @@
-"""Core runtime: device mesh construction, sharding helpers, precision."""
+"""Core runtime: device mesh construction and sharding helpers."""
 
 from tpucap.core.mesh import (
     make_mesh,
@@ -9,7 +9,6 @@ from tpucap.core.mesh import (
     pad_to_multiple,
     pad_rows,
 )
-from tpucap.core.precision import Precision, DEFAULT_PRECISION
 
 __all__ = [
     "make_mesh",
@@ -19,6 +18,4 @@ __all__ = [
     "local_device_count",
     "pad_to_multiple",
     "pad_rows",
-    "Precision",
-    "DEFAULT_PRECISION",
 ]

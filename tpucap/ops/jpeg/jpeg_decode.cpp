@@ -50,10 +50,15 @@ inline int nearest_index(int dst, int dst_size, int src_size) {
   return std::min(idx, src_size - 1);
 }
 
-// Decode one JPEG into out (target_h * target_w * 3, RGB uint8).
-// Returns 0 on success, nonzero on decode error.
-int decode_one(const uint8_t* data, size_t size, int target_h, int target_w,
-               uint8_t* out, int fast_scale) {
+// Guarded libjpeg region: every call that can longjmp through error_exit
+// happens here, and this frame holds NO objects with non-trivial
+// destructors (longjmp would skip them — the caller owns the scanline
+// buffer and passes it in, so an error mid-decode cannot leak it).
+// Returns 0 on success; fills *src and the output dims.
+static int decode_guarded(const uint8_t* data, size_t size, int target_h,
+                          int target_w, int fast_scale,
+                          std::vector<uint8_t>* src, int* sw_out,
+                          int* sh_out) {
   jpeg_decompress_struct cinfo;
   ErrorMgr jerr;
   cinfo.err = jpeg_std_error(&jerr.pub);
@@ -91,15 +96,30 @@ int decode_one(const uint8_t* data, size_t size, int target_h, int target_w,
   const int sh = cinfo.output_height;
   const int row_stride = sw * cinfo.output_components;
 
-  std::vector<uint8_t> src(static_cast<size_t>(sh) * row_stride);
+  src->resize(static_cast<size_t>(sh) * row_stride);
   while (cinfo.output_scanline < cinfo.output_height) {
-    uint8_t* row = src.data() +
+    uint8_t* row = src->data() +
                    static_cast<size_t>(cinfo.output_scanline) * row_stride;
     JSAMPROW rows[1] = {row};
     jpeg_read_scanlines(&cinfo, rows, 1);
   }
   jpeg_finish_decompress(&cinfo);
   jpeg_destroy_decompress(&cinfo);
+  *sw_out = sw;
+  *sh_out = sh;
+  return 0;
+}
+
+// Decode one JPEG into out (target_h * target_w * 3, RGB uint8).
+// Returns 0 on success, nonzero on decode error.
+int decode_one(const uint8_t* data, size_t size, int target_h, int target_w,
+               uint8_t* out, int fast_scale) {
+  std::vector<uint8_t> src;  // owned outside the setjmp region
+  int sw = 0, sh = 0;
+  int rc = decode_guarded(data, size, target_h, target_w, fast_scale, &src,
+                          &sw, &sh);
+  if (rc != 0) return rc;
+  const int row_stride = sw * 3;
 
   if (target_h <= 0 || target_w <= 0 || (sh == target_h && sw == target_w)) {
     // No resize: caller guaranteed buffer matches sh*sw*3 in this mode.

@@ -76,7 +76,13 @@ class CaptioningPipeline:
 
     # -- model construction ------------------------------------------------
 
-    def build(self, rng=None):
+    def build(self, rng=None, init_params: bool = True):
+        """Construct the decoder and (by default) random-initialize params.
+
+        ``init_params=False`` builds only the model objects — used by
+        :meth:`load`, which restores a saved param tree immediately after
+        and would otherwise pay a full random init (hundreds of MB for
+        VGG16's fc kernels) just to discard it."""
         d = self.config.decoder
         self.decoder = build_decoder(
             d.name,
@@ -88,14 +94,15 @@ class CaptioningPipeline:
             dropout_rate=d.dropout_rate,
             attention_dim=d.attention_dim,
         )
-        rng = rng if rng is not None else jax.random.key(
-            self.config.train.seed
-        )
-        enc_rng, dec_rng = jax.random.split(rng)
-        self.params = {
-            "encoder": self.encoder.init(enc_rng),
-            "decoder": self.decoder.init(dec_rng),
-        }
+        if init_params:
+            rng = rng if rng is not None else jax.random.key(
+                self.config.train.seed
+            )
+            enc_rng, dec_rng = jax.random.split(rng)
+            self.params = {
+                "encoder": self.encoder.init(enc_rng),
+                "decoder": self.decoder.init(dec_rng),
+            }
         self._decode_cache.clear()
         self._encode_fn = None
         self._bf16_params = None
@@ -211,7 +218,10 @@ class CaptioningPipeline:
             if self._encode_fn is None:
                 self._encode_fn = jax.jit(self._apply_encoder)
             encode_fn = self._encode_fn
-            pad_batches = False
+            # Tail chunks are padded here too: an unpadded tail is a new
+            # program shape, and a recompile over the TPU tunnel costs
+            # minutes (docs/PERF.md).
+            pad_batches = True
         elif parallelism == "dp":
             from jax import shard_map
             from jax.sharding import PartitionSpec as P
@@ -292,6 +302,17 @@ class CaptioningPipeline:
         F, T = build_training_batch(
             self.tokenizer, descriptions, features, self.config.decode.max_len
         )
+        if F.shape[0] < batch_size:
+            # batch_iterator drops the remainder (fixed program shapes), so
+            # a dataset smaller than one batch would run ZERO steps per
+            # epoch. Clamp so tiny (fixture-scale) datasets still train;
+            # any mesh-divisibility check below applies to the clamped size.
+            if log:
+                log(
+                    f"batch_size {batch_size} > {F.shape[0]} training rows; "
+                    f"clamping batch_size to {F.shape[0]}"
+                )
+            batch_size = F.shape[0]
         optimizer = optax.adam(cfg.learning_rate)
         self.state = TrainState.create(
             self.params["decoder"], optimizer, jax.random.key(cfg.seed)
@@ -376,9 +397,9 @@ class CaptioningPipeline:
             raise ValueError(f"unknown parallelism {parallelism!r}")
 
         eval_step = None
-        val_batch = None
+        val_chunks = None
         if val_data is not None:
-            from tpucap.train.loop import make_eval_step
+            from tpucap.train.loop import make_eval_sums_step
 
             val_desc, val_features = val_data
             VF, VT = build_training_batch(
@@ -387,10 +408,21 @@ class CaptioningPipeline:
                 val_features,
                 self.config.decode.max_len,
             )
-            val_batch = (jnp.asarray(VF), jnp.asarray(VT))
+            # Evaluate in train-batch-size chunks (full (N, T, V) logits
+            # for a whole dev split would not fit HBM at production vocab);
+            # the tail chunk is zero-padded so exactly ONE program shape
+            # compiles, and all-pad rows contribute nothing to the sums,
+            # so the chunked aggregate equals the unbatched loss exactly.
+            val_chunks = [
+                (
+                    jnp.asarray(pad_rows(VF[s : s + batch_size], batch_size)),
+                    jnp.asarray(pad_rows(VT[s : s + batch_size], batch_size)),
+                )
+                for s in range(0, VF.shape[0], batch_size)
+            ]
             # val_loss includes the regularizer term, mirroring Keras
             # (add_loss contributions count toward val_loss).
-            eval_step = make_eval_step(
+            eval_step = make_eval_sums_step(
                 self.decoder,
                 pad_id=0,
                 attention_reg=cfg.attention_reg,
@@ -420,8 +452,15 @@ class CaptioningPipeline:
             }
             epoch_metrics["epoch"] = epoch
             if eval_step is not None:
-                vm = jax.device_get(
-                    eval_step(self.state.params, *val_batch)
+                from tpucap.train.loss import loss_from_sums
+
+                vsums: dict = {}
+                for vf, vt in val_chunks:
+                    piece = eval_step(self.state.params, vf, vt)
+                    for k, v in piece.items():
+                        vsums[k] = vsums.get(k, 0.0) + v
+                _, vm = loss_from_sums(
+                    jax.device_get(vsums), attention_reg=cfg.attention_reg
                 )
                 epoch_metrics["val_loss"] = float(vm["loss"])
                 epoch_metrics["val_accuracy"] = float(vm["accuracy"])
@@ -927,7 +966,7 @@ class CaptioningPipeline:
         )
         tokenizer = Tokenizer.load(os.path.join(directory, "tokenizer.json"))
         pipe = cls(config, tokenizer=tokenizer)
-        pipe.build()
+        pipe.build(init_params=False)  # params come from the bundle below
         ckptr = ocp.StandardCheckpointer()
         # Restore the raw saved tree rather than against build()'s float
         # template: a quantized bundle carries int8 kernels +

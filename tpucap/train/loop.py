@@ -111,6 +111,37 @@ def make_eval_step(
     return step
 
 
+def make_eval_sums_step(
+    decoder,
+    *,
+    pad_id: int = 0,
+    attention_reg: float = 0.0,
+    label_smoothing: float = 0.0,
+) -> Callable:
+    """Sum-form eval pieces for one fixed-shape chunk. Accumulate the
+    returned dicts across chunks and normalize once with
+    :func:`tpucap.train.loss.loss_from_sums` — chunked evaluation is then
+    EXACTLY the loss over the whole set (zero-padded tail rows contribute
+    nothing to any sum), without materializing an (N, T, V) logits tensor
+    for the full split in one device program."""
+    from tpucap.train.loss import caption_loss_sums
+
+    @jax.jit
+    def step(params, features, tokens):
+        return caption_loss_sums(
+            decoder,
+            params,
+            features,
+            tokens,
+            deterministic=True,
+            pad_id=pad_id,
+            attention_reg=attention_reg,
+            label_smoothing=label_smoothing,
+        )
+
+    return step
+
+
 def train_epoch(
     step_fn,
     state: TrainState,

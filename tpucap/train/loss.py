@@ -104,6 +104,11 @@ def caption_loss_sums(
     use_attention_reg = attention_reg > 0.0 and hasattr(
         decoder, "forward_train_with_alphas"
     )
+    # All-pad rows contribute nothing to any sum (incl. reg_sum and
+    # ``batch``), so callers may zero-pad a tail chunk up to a fixed batch
+    # shape and still get exact aggregates. Real caption rows always start
+    # with startseq, so this is a no-op for unpadded data.
+    row_live = jnp.any(targets != pad_id, axis=-1).astype(jnp.float32)
     if use_attention_reg:
         logits, alphas = decoder.forward_train_with_alphas(
             params, features, inputs, rng=rng, deterministic=deterministic
@@ -111,7 +116,8 @@ def caption_loss_sums(
         # Doubly-stochastic coverage over live timesteps only.
         live = (inputs != pad_id).astype(alphas.dtype)[:, :, None]
         coverage = jnp.sum(alphas * live, axis=1)  # (B, L)
-        reg_sum = jnp.sum(jnp.sum((1.0 - coverage) ** 2, axis=-1))
+        reg_rows = jnp.sum((1.0 - coverage) ** 2, axis=-1)  # (B,)
+        reg_sum = jnp.sum(reg_rows * row_live.astype(reg_rows.dtype))
     else:
         logits = decoder.forward_train(
             params, features, inputs, rng=rng, deterministic=deterministic
@@ -125,7 +131,7 @@ def caption_loss_sums(
         "tokens": n_tokens,
         "correct": n_correct,
         "reg_sum": reg_sum,
-        "batch": jnp.asarray(tokens.shape[0], jnp.float32),
+        "batch": jnp.sum(row_live),
     }
 
 
