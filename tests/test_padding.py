@@ -50,3 +50,31 @@ def test_to_categorical_matches_keras(y):
     ours = to_categorical(y, num_classes=7)
     theirs = keras_np.to_categorical(np.asarray(y), num_classes=7)
     np.testing.assert_array_equal(ours, theirs)
+
+
+def test_pad_sequences_fuzz_matches_keras():
+    """Seeded random sequence sets across every padding/truncating/maxlen
+    combination — the randomized net behind the hand-picked SEQS cases."""
+    import random
+
+    rng = random.Random(7)
+    for trial in range(25):
+        seqs = [
+            [rng.randint(1, 50) for _ in range(rng.randint(0, 12))]
+            for _ in range(rng.randint(0, 8))
+        ]
+        maxlen = rng.choice([None, 1, 3, 7, 15])
+        for padding in ("pre", "post"):
+            for truncating in ("pre", "post"):
+                ours = pad_sequences(
+                    seqs, maxlen=maxlen, padding=padding,
+                    truncating=truncating,
+                )
+                theirs = keras_seq.pad_sequences(
+                    seqs, maxlen=maxlen, padding=padding,
+                    truncating=truncating,
+                )
+                np.testing.assert_array_equal(
+                    ours, theirs,
+                    err_msg=f"{trial} {maxlen} {padding} {truncating}",
+                )

@@ -102,3 +102,41 @@ def test_word_for_id(toy_corpus):
         assert tok.word_for_id(i) == w
     assert tok.word_for_id(0) is None
     assert tok.word_for_id(10**9) is None
+
+
+def test_tokenizer_fuzz_matches_tf_keras():
+    """Seeded randomized corpora (mixed casing, punctuation from the filter
+    set, unicode, frequency ties, long/empty docs) — the differential net
+    behind the hand-picked CORPORA cases. 20 corpora x 3 tokenizer configs,
+    fit + encode + decode round-trip all bit-identical to tf_keras."""
+    import random
+
+    alphabet = [
+        "cat", "Cat", "CAT", "dog", "a", "the", "don't", "it's",
+        "x", "y", "z", "naïve", "café", "word-with-dash", "under_score",
+        "tab\tsep", "semi;colon", "quote\"d", "brack[et]", "pipe|d",
+        "tilde~d", "back`tick", "caret^d", "star*d", "plus+d",
+    ]
+    rng = random.Random(42)
+    for trial in range(20):
+        n_docs = rng.randint(1, 12)
+        corpus = []
+        for _ in range(n_docs):
+            n_words = rng.randint(0, 30)
+            corpus.append(" ".join(rng.choices(alphabet, k=n_words)))
+        for kwargs in (
+            {},
+            {"num_words": rng.randint(2, 10)},
+            {"oov_token": "<unk>", "num_words": rng.randint(2, 10)},
+        ):
+            ours, theirs = make_pair(**kwargs)
+            ours.fit_on_texts(corpus)
+            theirs.fit_on_texts(corpus)
+            assert ours.word_index == theirs.word_index, (trial, kwargs)
+            assert ours.texts_to_sequences(corpus) == (
+                theirs.texts_to_sequences(corpus)
+            ), (trial, kwargs, corpus)
+            seqs = theirs.texts_to_sequences(corpus)
+            assert ours.sequences_to_texts(seqs) == (
+                theirs.sequences_to_texts(seqs)
+            ), (trial, kwargs)
