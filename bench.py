@@ -26,6 +26,27 @@ import time
 import numpy as np
 
 
+def time_fn(run, sync, *, iters, inner, warmup):
+    """Shared measurement scaffold for every device mode: one timed
+    compile+warmup call, ``warmup-1`` further warmup syncs, then
+    ``iters`` samples of ``inner`` async dispatches drained by a single
+    host sync (the tunnel-RTT amortization described on --inner).
+    -> (compile_seconds, median_seconds_per_call, per_sample_times)."""
+    t0 = time.perf_counter()
+    sync(run())
+    compile_s = time.perf_counter() - t0
+    for _ in range(warmup - 1):
+        sync(run())
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        for _ in range(inner - 1):
+            run()
+        sync(run())
+        times.append((time.perf_counter() - t0) / inner)
+    return compile_s, float(np.median(times)), times
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=256)
@@ -269,12 +290,19 @@ def main():
             os.path.join(img_dir, f) for f in os.listdir(img_dir)
         )[:n_images]
 
-        dims = {"vgg16": 4096, "inception_v3": 2048, "resnet50": 2048}
+        from tpucap.config import encoder_config
+
+        if args.decoder == "attention":
+            raise SystemExit(
+                "e2e-jpeg does not support --decoder attention (spatial "
+                "feature plumbing); use the default caption mode"
+            )
         cfg = Config(
-            encoder=EncoderConfig(
-                name=args.encoder, feature_dim=dims[args.encoder]
+            encoder=encoder_config(args.encoder),
+            decoder=DecoderConfig(
+                name=args.decoder,
+                num_layers=2 if args.decoder == "lstm2" else 1,
             ),
-            decoder=DecoderConfig(),
             decode=DecodeConfig(
                 method=args.method,
                 beam_width=args.beam,
@@ -282,6 +310,7 @@ def main():
                 approx_topk=not args.exact_topk,
             ),
             vocab_size=args.vocab,
+            precision="bf16" if args.dtype == "bf16" else "f32",
         )
         tok = Tokenizer()
         tok.word_index = {"startseq": 1, "endseq": 2}
@@ -293,6 +322,8 @@ def main():
         pipe.build()
         if args.int8:
             pipe.quantize_encoder()
+        if args.int8_vocab:
+            pipe.quantize_vocab_projection()
 
         # Warmup (includes compile).
         t0 = time.perf_counter()
@@ -316,8 +347,10 @@ def main():
         result = {
             "metric": f"captions/sec e2e-jpeg ({args.method} {args.beam}"
             f"{' exact-topk' if args.exact_topk else ' approx-topk'}, "
-            f"batch {args.batch}, {args.encoder}, {args.dtype}"
-            f"{', int8' if args.int8 else ''})",
+            f"batch {args.batch}, {args.decoder}, {args.encoder}, "
+            f"{args.dtype}"
+            f"{', int8' if args.int8 else ''}"
+            f"{', int8-vocab' if args.int8_vocab else ''})",
             "value": round(cps, 2),
             "unit": "captions/sec/chip",
             "vs_baseline": round(cps / (10000.0 / 8.0), 4),
@@ -361,16 +394,15 @@ def main():
             fused = fused_lstm_step
 
         def timeit(fn):
-            out = fn(p, x, h, c)
-            np.asarray(out[0])  # sync (axon block_until_ready is a no-op)
-            ts = []
-            for _ in range(args.iters):
-                t0 = time.perf_counter()
-                for _ in range(args.inner):
-                    out = fn(p, x, h, c)
-                np.asarray(out[0])
-                ts.append((time.perf_counter() - t0) / args.inner)
-            return float(np.median(ts))
+            # sync via a host transfer (axon block_until_ready is a no-op)
+            _, med, _ = time_fn(
+                lambda: fn(p, x, h, c),
+                lambda out: np.asarray(out[0]),
+                iters=args.iters,
+                inner=args.inner,
+                warmup=args.warmup,
+            )
+            return med
 
         t_xla = timeit(xla_step)
         t_pallas = timeit(fused)
@@ -389,6 +421,12 @@ def main():
         return
 
     if args.mode == "train":
+        if args.int8_vocab:
+            raise SystemExit(
+                "--int8-vocab is a serving-only quantization; gradients "
+                "with respect to int8 kernels are undefined — drop the "
+                "flag for --mode train"
+            )
         import optax
 
         from tpucap.train import TrainState, make_train_step
@@ -406,22 +444,18 @@ def main():
             jax.random.key(3), (args.batch, args.max_len + 1), 1, args.vocab
         ).astype(jnp.int32)
 
-        def sync_train(out):
-            return float(np.asarray(out[1]["loss"]))
-
-        t0 = time.perf_counter()
-        state, m = step(state, feats, tokens)
-        sync_train((state, m))
-        compile_s = time.perf_counter() - t0
-        times = []
-        for _ in range(args.iters):
-            t0 = time.perf_counter()
-            for _ in range(args.inner - 1):
-                state, m = step(state, feats, tokens)
+        def run_train():
+            nonlocal state
             state, m = step(state, feats, tokens)
-            sync_train((state, m))
-            times.append((time.perf_counter() - t0) / args.inner)
-        med = float(np.median(times))
+            return m
+
+        compile_s, med, _ = time_fn(
+            run_train,
+            lambda m: float(np.asarray(m["loss"])),
+            iters=args.iters,
+            inner=args.inner,
+            warmup=args.warmup,
+        )
         sps = args.batch / med
         result = {
             "metric": f"training samples/sec (batch {args.batch}, "
@@ -449,20 +483,13 @@ def main():
             maxval=1,
         )
 
-        def sync_enc(res):
-            return np.asarray(res[:1, :1])
-
-        t0 = time.perf_counter()
-        sync_enc(run_enc(enc_params, images))
-        compile_s = time.perf_counter() - t0
-        times = []
-        for _ in range(args.iters):
-            t0 = time.perf_counter()
-            for _ in range(args.inner - 1):
-                run_enc(enc_params, images)
-            sync_enc(run_enc(enc_params, images))
-            times.append((time.perf_counter() - t0) / args.inner)
-        med = float(np.median(times))
+        compile_s, med, _ = time_fn(
+            lambda: run_enc(enc_params, images),
+            lambda res: np.asarray(res[:1, :1]),
+            iters=args.iters,
+            inner=args.inner,
+            warmup=args.warmup,
+        )
         ips = args.batch / med
         result = {
             "metric": f"encoder images/sec ({args.encoder}, batch "
@@ -533,28 +560,16 @@ def main():
         )
         inputs = (enc_params, dec_params, images)
 
-    # Synchronize via a small host transfer: on the remote-TPU (axon)
-    # platform block_until_ready returns before execution finishes; only a
-    # device_get truly drains the queue.
-    def sync(res):
-        return np.asarray(res.lengths)
-
-    # Warmup / compile.
-    t0 = time.perf_counter()
-    sync(run(*inputs))
-    compile_s = time.perf_counter() - t0
-    for _ in range(args.warmup - 1):
-        sync(run(*inputs))
-
-    times = []
-    for _ in range(args.iters):
-        t0 = time.perf_counter()
-        for _ in range(args.inner - 1):
-            run(*inputs)  # async dispatch, queues on device
-        sync(run(*inputs))  # one host round-trip drains the queue
-        times.append((time.perf_counter() - t0) / args.inner)
-
-    med = float(np.median(times))
+    # time_fn synchronizes via a small host transfer: on the remote-TPU
+    # (axon) platform block_until_ready returns before execution finishes;
+    # only a device_get truly drains the queue.
+    compile_s, med, times = time_fn(
+        lambda: run(*inputs),
+        lambda res: np.asarray(res.lengths),
+        iters=args.iters,
+        inner=args.inner,
+        warmup=args.warmup,
+    )
     cps = args.batch / med
     per_chip_target = 10000.0 / 8.0  # north-star on v5e-8, per chip
     result = {
@@ -564,7 +579,9 @@ def main():
         f"batch {args.batch}, "
         f"{args.decoder}, "
         f"{'decode-only' if args.no_encoder else args.encoder + '+decode'}, "
-        f"{args.dtype}{', int8-vocab' if args.int8_vocab else ''})",
+        f"{args.dtype}"
+        f"{', int8' if args.int8 and not args.no_encoder else ''}"
+        f"{', int8-vocab' if args.int8_vocab else ''})",
         "value": round(cps, 2),
         "unit": "captions/sec/chip",
         "vs_baseline": round(cps / per_chip_target, 4),

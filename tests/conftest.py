@@ -8,17 +8,24 @@ os.environ writes at import time.
 """
 
 import os
+import re
 
 # The driver environment pins JAX_PLATFORMS=axon (the TPU tunnel) and a
 # sitecustomize hook force-registers the axon backend at interpreter start,
 # overriding the env var — so the config must be reset through jax.config
 # below, not just the environment.
 os.environ["JAX_PLATFORMS"] = "cpu"
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# Strip any pre-existing forced device count (e.g. leaked from a driver
+# run with a different mesh size) rather than keeping it: every mesh test
+# here asserts exactly 8 virtual devices.
+_flags = re.sub(
+    r"--xla_force_host_platform_device_count=\d+",
+    "",
+    os.environ.get("XLA_FLAGS", ""),
+)
+os.environ["XLA_FLAGS"] = (
+    _flags + " --xla_force_host_platform_device_count=8"
+).strip()
 # Keep TF (used only as a differential-test oracle) quiet and off any GPU/TPU.
 os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 os.environ.setdefault("CUDA_VISIBLE_DEVICES", "-1")

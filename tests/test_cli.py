@@ -204,7 +204,7 @@ def test_cli_restores_best_checkpoint(tmp_path):
     pipe = _restore_pipeline(ns)
     got = jax.tree_util.tree_leaves_with_path(pipe.params["decoder"])
     want = jax.tree_util.tree_leaves_with_path(base.params["decoder"])
-    for (pa, a), (_, b) in zip(got, want):
+    for (pa, a), (_, b) in zip(got, want, strict=True):
         np.testing.assert_array_equal(
             np.asarray(a), np.asarray(b), err_msg=str(pa)
         )

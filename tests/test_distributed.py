@@ -63,6 +63,7 @@ def test_dp_update_matches_single_device(mesh):
     for p1, p8 in zip(
         jax.tree_util.tree_leaves(state1.params),
         jax.tree_util.tree_leaves(state8.params),
+        strict=True,
     ):
         np.testing.assert_allclose(
             np.asarray(p1), np.asarray(p8), atol=1e-6

@@ -84,10 +84,20 @@ def run_trainer(tmp_path, tag, hang_after=None, wait_kill=False):
     )
     if wait_kill:
         # Wait for the sentinel then SIGKILL — a real mid-run crash.
+        # select() enforces the deadline even if the trainer hangs
+        # without writing anything (a bare readline() would block past
+        # the deadline forever).
+        import select
+
         deadline = time.time() + 120
         while time.time() < deadline:
+            ready, _, _ = select.select(
+                [proc.stdout], [], [], max(0.0, deadline - time.time())
+            )
+            if not ready:
+                break  # timed out with no output: kill anyway, fail below
             line = proc.stdout.readline()
-            if "READY_TO_DIE" in line:
+            if not line or "READY_TO_DIE" in line:
                 break
         os.kill(proc.pid, signal.SIGKILL)
         proc.wait(timeout=30)

@@ -85,7 +85,9 @@ def test_tp_step_equals_full_projection():
         np.asarray(logits), np.asarray(logits_ref), atol=1e-6
     )
     for a, b in zip(
-        jax.tree_util.tree_leaves(st_ref), jax.tree_util.tree_leaves(st)
+        jax.tree_util.tree_leaves(st_ref),
+        jax.tree_util.tree_leaves(st),
+        strict=True,
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
@@ -172,6 +174,7 @@ def test_tp_train_matches_single_device(model_mesh):
     for a, b in zip(
         jax.tree_util.tree_leaves(s1.params),
         jax.tree_util.tree_leaves(s8.params),
+        strict=True,
     ):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=2e-6
@@ -249,6 +252,7 @@ def test_2d_dp_x_tp_train_matches_single_device():
     for a, b in zip(
         jax.tree_util.tree_leaves(s1.params),
         jax.tree_util.tree_leaves(s2.params),
+        strict=True,
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
 
