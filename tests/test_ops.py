@@ -202,3 +202,107 @@ class TestPallasDecoderStep:
         np.testing.assert_array_equal(
             np.asarray(ref.tokens), np.asarray(out.tokens)
         )
+
+
+class TestFusedBottleneck:
+    """ops/pallas/bottleneck.py vs the unfused XLA block (interpret mode)."""
+
+    def _folded_resnet(self, rng):
+        import jax
+        import jax.numpy as jnp
+
+        from tpucap.models.encoders.fold_bn import fold_resnet50
+        from tpucap.models.encoders.resnet50 import ResNet50
+
+        enc = ResNet50()
+        p = enc.init(jax.random.key(0))
+        # Randomize BN stats so folding is non-trivial.
+        for k in list(p):
+            if not k.endswith("_bn"):
+                continue
+            c = p[k]["mean"].shape[0]
+            ks = jax.random.split(jax.random.key(abs(hash(k)) % 2**31), 4)
+            p[k] = {
+                "beta": jax.random.normal(ks[0], (c,)) * 0.1,
+                "mean": jax.random.normal(ks[1], (c,)) * 0.1,
+                "var": jnp.abs(jax.random.normal(ks[2], (c,))) + 0.5,
+                "gamma": jnp.abs(jax.random.normal(ks[3], (c,))) + 0.5,
+            }
+        return enc, fold_resnet50(p)
+
+    def test_block_matches_unfused(self, rng):
+        import jax
+        import jax.numpy as jnp
+
+        from tpucap.ops.pallas.bottleneck import fused_identity_block
+
+        enc, pf = self._folded_resnet(rng)
+        blk = "conv2_block2"
+        x = jnp.asarray(rng.normal(size=(2, 8, 8, 256)).astype(np.float32))
+        ref = enc._block(pf, x, blk, stride=1, conv_shortcut=False)
+        out = fused_identity_block(
+            pf[f"{blk}_1_conv"],
+            pf[f"{blk}_2_conv"],
+            pf[f"{blk}_3_conv"],
+            x,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-5
+        )
+
+    def test_group_tiling_matches_group1(self, rng):
+        """Batch tiling (group>1) changes nothing."""
+        import jax.numpy as jnp
+
+        from tpucap.ops.pallas.bottleneck import fused_identity_block
+
+        enc, pf = self._folded_resnet(rng)
+        blk = "conv4_block2"
+        x = jnp.asarray(rng.normal(size=(4, 4, 4, 1024)).astype(np.float32))
+        args = (
+            pf[f"{blk}_1_conv"],
+            pf[f"{blk}_2_conv"],
+            pf[f"{blk}_3_conv"],
+            x,
+        )
+        a = fused_identity_block(*args, group=1)
+        b = fused_identity_block(*args, group=4)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5
+        )
+
+    def test_indivisible_group_raises(self, rng):
+        import jax.numpy as jnp
+        import pytest
+
+        from tpucap.ops.pallas.bottleneck import fused_identity_block
+
+        enc, pf = self._folded_resnet(rng)
+        blk = "conv2_block2"
+        x = jnp.zeros((3, 8, 8, 256), jnp.float32)
+        with pytest.raises(ValueError, match="not divisible"):
+            fused_identity_block(
+                pf[f"{blk}_1_conv"],
+                pf[f"{blk}_2_conv"],
+                pf[f"{blk}_3_conv"],
+                x,
+                group=2,
+            )
+
+    def test_encoder_apply_fused_parity(self, rng):
+        """Whole-encoder: fused_blocks=True == unfused on folded params,
+        and is a no-op (same graph) on unfolded params."""
+        import dataclasses
+
+        import jax.numpy as jnp
+
+        enc, pf = self._folded_resnet(rng)
+        enc_fused = dataclasses.replace(enc, fused_blocks=True)
+        x = jnp.asarray(
+            rng.normal(size=(1, 224, 224, 3)).astype(np.float32)
+        )
+        a = enc.apply(pf, x)
+        b = enc_fused.apply(pf, x)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-4, rtol=1e-4
+        )

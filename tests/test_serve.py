@@ -1,0 +1,129 @@
+"""Micro-batching caption server (tpucap/serve.py): coalesced batches
+produce the same captions as a direct pipeline.generate call, bucket
+padding keeps program shapes on the power-of-two ladder, backlog is
+drained on close, and bad requests fail their own future without killing
+the server."""
+
+import threading
+
+import numpy as np
+import pytest
+
+from tpucap.config import Config, DecodeConfig, DecoderConfig, EncoderConfig
+from tpucap.pipeline import CaptioningPipeline
+from tpucap.serve import CaptionServer, _buckets
+from tpucap.text import Tokenizer
+
+
+@pytest.fixture(scope="module")
+def pipe(toy_corpus):
+    cfg = Config(
+        encoder=EncoderConfig(name="tiny_cnn", feature_dim=128),
+        decoder=DecoderConfig(embed_dim=16, hidden_dim=32, dropout_rate=0.0),
+        decode=DecodeConfig(max_len=10),
+    )
+    p = CaptioningPipeline(cfg)
+    tok = Tokenizer()
+    tok.fit_on_texts(toy_corpus)
+    p.tokenizer = tok
+    p.build()
+    return p
+
+
+def test_bucket_ladder():
+    assert _buckets(64) == [1, 2, 4, 8, 16, 32, 64]
+    assert _buckets(1) == [1]
+    assert _buckets(6) == [1, 2, 4, 6]  # non-power-of-two max included
+
+
+def test_serve_matches_direct_generate(pipe, rng):
+    feats = rng.normal(size=(7, 128)).astype(np.float32)
+    ref = pipe.generate(feats, method="beam", beam_width=3)
+    with CaptionServer(
+        pipe, max_batch=8, max_delay_ms=50, method="beam", beam_width=3
+    ) as srv:
+        futs = [srv.submit(f) for f in feats]
+        got = [f.result(timeout=120) for f in futs]
+    assert got == ref
+
+
+def test_concurrent_submitters_coalesce(pipe, rng):
+    feats = rng.normal(size=(12, 128)).astype(np.float32)
+    ref = pipe.generate(feats, method="greedy")
+    srv = CaptionServer(
+        pipe, max_batch=16, max_delay_ms=100, method="greedy"
+    )
+    results = [None] * len(feats)
+
+    def client(i):
+        results[i] = srv.caption(feats[i], timeout=120)
+
+    threads = [
+        threading.Thread(target=client, args=(i,))
+        for i in range(len(feats))
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    srv.close()
+    assert results == ref
+    s = srv.stats()
+    assert s["requests"] == 12
+    # 100ms window + concurrent submits: far fewer batches than requests.
+    assert s["batches"] < 12
+    assert s["p50_ms"] is not None
+
+
+def test_padding_stays_on_bucket_ladder(pipe, rng):
+    """5 requests in one window -> bucket 8 (3 padded rows), not shape 5."""
+    feats = rng.normal(size=(5, 128)).astype(np.float32)
+    with CaptionServer(
+        pipe, max_batch=8, max_delay_ms=200, method="greedy"
+    ) as srv:
+        futs = [srv.submit(f) for f in feats]
+        caps = [f.result(timeout=120) for f in futs]
+    assert caps == pipe.generate(feats, method="greedy")
+    s = srv.stats()
+    assert s["batches"] == 1
+    assert s["padded_rows"] == 3
+
+
+def test_close_drains_backlog(pipe, rng):
+    """Requests enqueued before close() still resolve."""
+    feats = rng.normal(size=(6, 128)).astype(np.float32)
+    srv = CaptionServer(pipe, max_batch=2, max_delay_ms=1, method="greedy")
+    futs = [srv.submit(f) for f in feats]
+    srv.close()
+    caps = [f.result(timeout=120) for f in futs]
+    assert caps == pipe.generate(feats, method="greedy")
+    with pytest.raises(RuntimeError, match="closed"):
+        srv.submit(feats[0])
+    srv.close()  # idempotent
+
+
+def test_bad_request_shape_rejected_immediately(pipe):
+    with CaptionServer(pipe, max_batch=4, method="greedy") as srv:
+        with pytest.raises(ValueError, match="request shape"):
+            srv.submit(np.zeros((64,), np.float32))
+
+
+def test_warmup_compiles_every_bucket(pipe):
+    with CaptionServer(
+        pipe, max_batch=4, max_delay_ms=1, method="greedy"
+    ) as srv:
+        srv.warmup()  # must not raise; compiles buckets 1/2/4
+        assert srv.stats()["requests"] == 0  # warmup is not traffic
+
+
+def test_images_mode_runs_encoder(pipe, rng):
+    size = pipe.encoder.input_size
+    imgs = rng.normal(size=(3, size, size, 3)).astype(np.float32)
+    feats = pipe.encode_images(imgs)
+    ref = pipe.generate(feats, method="greedy")
+    with CaptionServer(
+        pipe, mode="images", max_batch=4, max_delay_ms=100, method="greedy"
+    ) as srv:
+        futs = [srv.submit(im) for im in imgs]
+        got = [f.result(timeout=120) for f in futs]
+    assert got == ref

@@ -41,6 +41,11 @@ class ResNet50:
     features: str = "pooled"  # 'pooled' (2048) | 'spatial' (14x14x1024)
     input_size: int = 224
     preprocess_mode: str = "caffe"
+    # Inference-only: run stride-1 identity blocks through the fused
+    # Pallas kernel (ops/pallas/bottleneck.py) once BN is folded. Opt in
+    # via dataclasses.replace / pipeline.fuse_resnet_blocks(); requires
+    # folded params (no-op until then) and is not differentiable.
+    fused_blocks: bool = False
 
     @property
     def feature_dim(self) -> int:
@@ -76,6 +81,17 @@ class ResNet50:
         return y
 
     def _block(self, p, x, blk, stride, conv_shortcut):
+        if (
+            self.fused_blocks
+            and stride == 1
+            and not conv_shortcut
+            and f"{blk}_1_bn" not in p  # BN folded -> kernel+bias convs
+        ):
+            from tpucap.ops.pallas.bottleneck import fused_identity_block
+
+            return fused_identity_block(
+                p[f"{blk}_1_conv"], p[f"{blk}_2_conv"], p[f"{blk}_3_conv"], x
+            )
         if conv_shortcut:
             shortcut = conv(p[f"{blk}_0_conv"], x, stride=(stride, stride),
                             padding="VALID")

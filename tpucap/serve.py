@@ -1,0 +1,240 @@
+"""Online serving: micro-batching caption server over a built pipeline.
+
+The reference's serving story is a single-image demo script (SURVEY.md
+§2.1 #13: load model, caption one photo). A production TPU deployment
+serves concurrent requests, and a TPU earns its throughput from batch
+shape — per-request dispatch would run the chip at batch-1 (p50 ~2.7 ms
+but ~370 captions/s) when the same chip does ~10k captions/s at batch 256
+(docs/PERF.md). This module owns that gap the TPU-native way:
+
+- requests enqueue from any thread; ONE batcher thread owns all JAX
+  dispatch (single-controller model — no device-side locking needed);
+- the batcher coalesces up to ``max_batch`` requests, waiting at most
+  ``max_delay_ms`` after the first arrival (classic size-or-deadline
+  micro-batching);
+- batches are zero-padded UP to a fixed power-of-two bucket ladder so
+  XLA compiles one program per bucket, never per request count — an
+  unpadded tail shape would retrace, and a recompile over a TPU link
+  costs seconds-to-minutes (the tail-padding rule everywhere else in
+  this codebase: pipeline.evaluate / caption_dataset).
+
+``warmup()`` pre-compiles every bucket before the first request, the
+serving equivalent of the driver's compile-check.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+
+import numpy as np
+
+
+def _buckets(max_batch: int) -> list[int]:
+    """Power-of-two ladder 1, 2, 4, ..., max_batch (max_batch included
+    even when not a power of two)."""
+    out, b = [], 1
+    while b < max_batch:
+        out.append(b)
+        b *= 2
+    out.append(max_batch)
+    return out
+
+
+@dataclass
+class ServerStats:
+    requests: int = 0
+    batches: int = 0
+    padded_rows: int = 0  # wasted decode rows from bucket padding
+    latencies_ms: list = field(default_factory=list)  # per-request e2e
+
+    def snapshot(self) -> dict:
+        lat = sorted(self.latencies_ms)
+        p = lambda q: lat[int(q * (len(lat) - 1))] if lat else None
+        return {
+            "requests": self.requests,
+            "batches": self.batches,
+            "mean_batch": self.requests / self.batches if self.batches else 0,
+            "padded_rows": self.padded_rows,
+            "p50_ms": p(0.5),
+            "p99_ms": p(0.99),
+        }
+
+
+class CaptionServer:
+    """Micro-batching front-end for ``CaptioningPipeline``.
+
+    mode='features': ``submit`` takes a feature vector (encoder output,
+    the reference's pickled-features serving shape). mode='images':
+    ``submit`` takes a preprocessed image array (size, size, 3) and the
+    batch runs encoder + decode on device.
+
+    decode kwargs (method/beam_width/parallelism) are fixed at server
+    construction — one compiled program family per server.
+    """
+
+    def __init__(
+        self,
+        pipeline,
+        *,
+        mode: str = "features",
+        max_batch: int = 64,
+        max_delay_ms: float = 5.0,
+        method: str | None = None,
+        beam_width: int | None = None,
+        parallelism: str | None = None,
+    ):
+        if mode not in ("features", "images"):
+            raise ValueError(f"mode must be 'features'|'images', got {mode!r}")
+        if max_batch < 1:
+            raise ValueError("max_batch must be >= 1")
+        self._pipe = pipeline
+        self._mode = mode
+        self._max_batch = max_batch
+        self._max_delay_s = max_delay_ms / 1e3
+        self._decode_kw = dict(
+            method=method, beam_width=beam_width, parallelism=parallelism
+        )
+        self._buckets = _buckets(max_batch)
+        self._queue: queue.Queue = queue.Queue()
+        self._stats = ServerStats()
+        self._closed = False
+        self._thread = threading.Thread(
+            target=self._batcher, name="tpucap-serve-batcher", daemon=True
+        )
+        self._thread.start()
+
+    # -- client surface ----------------------------------------------------
+
+    def submit(self, x) -> Future:
+        """Enqueue one request; resolves to the caption string."""
+        if self._closed:
+            raise RuntimeError("server is closed")
+        x = np.asarray(x)
+        expect = self._expected_shape()
+        if x.shape != expect:
+            raise ValueError(
+                f"request shape {x.shape} != expected {expect} "
+                f"(mode={self._mode!r})"
+            )
+        fut: Future = Future()
+        self._queue.put((x, fut, time.perf_counter()))
+        return fut
+
+    def caption(self, x, timeout: float | None = 60.0) -> str:
+        """Blocking single-request convenience wrapper."""
+        return self.submit(x).result(timeout=timeout)
+
+    def warmup(self) -> None:
+        """Compile every bucket shape before serving traffic."""
+        expect = self._expected_shape()
+        for b in self._buckets:
+            batch = np.zeros((b,) + expect, np.float32)
+            self._run_batch(batch)
+
+    def stats(self) -> dict:
+        return self._stats.snapshot()
+
+    def close(self, timeout: float = 30.0) -> None:
+        """Drain the queue, stop the batcher. Idempotent."""
+        if self._closed:
+            return
+        self._closed = True
+        self._queue.put(None)  # sentinel
+        self._thread.join(timeout=timeout)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # -- batcher -----------------------------------------------------------
+
+    def _expected_shape(self) -> tuple:
+        if self._mode == "images":
+            s = self._pipe.encoder.input_size
+            return (s, s, 3)
+        cfg = self._pipe.config.encoder
+        if cfg.features == "spatial":
+            # attention serving: flattened (positions, channels) grid,
+            # 14x14 per the judged spatial contract (SURVEY §2.1 #2).
+            return (14 * 14, cfg.feature_dim)
+        return (cfg.feature_dim,)
+
+    def _run_batch(self, batch: np.ndarray) -> list[str]:
+        if self._mode == "images":
+            feats = self._pipe.encode_images(batch)
+            return self._pipe.generate(feats, **self._decode_kw)
+        return self._pipe.generate(batch, **self._decode_kw)
+
+    def _batcher(self) -> None:
+        while True:
+            item = self._queue.get()
+            if item is None:
+                self._drain_on_close()
+                return
+            batch = [item]
+            deadline = time.perf_counter() + self._max_delay_s
+            stop = False
+            while len(batch) < self._max_batch:
+                remaining = deadline - time.perf_counter()
+                if remaining <= 0:
+                    break
+                try:
+                    nxt = self._queue.get(timeout=remaining)
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    stop = True
+                    break
+                batch.append(nxt)
+            self._flush(batch)
+            if stop:
+                self._drain_on_close()
+                return
+
+    def _drain_on_close(self) -> None:
+        """Flush any backlog enqueued before the close sentinel so no
+        accepted request is left with an unresolved future."""
+        batch = []
+        while True:
+            try:
+                item = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if item is None:
+                continue
+            batch.append(item)
+            if len(batch) == self._max_batch:
+                self._flush(batch)
+                batch = []
+        if batch:
+            self._flush(batch)
+
+    def _flush(self, batch: list) -> None:
+        xs, futs, t0s = zip(*batch)
+        n = len(xs)
+        bucket = next(b for b in self._buckets if b >= n)
+        stacked = np.stack(xs)
+        if bucket > n:
+            pad = np.zeros((bucket - n,) + stacked.shape[1:], stacked.dtype)
+            stacked = np.concatenate([stacked, pad])
+        try:
+            captions = self._run_batch(stacked)[:n]
+        except Exception as e:  # propagate to every waiter, keep serving
+            for fut in futs:
+                if not fut.cancelled():
+                    fut.set_exception(e)
+            return
+        now = time.perf_counter()
+        self._stats.requests += n
+        self._stats.batches += 1
+        self._stats.padded_rows += bucket - n
+        for cap, fut, t0 in zip(captions, futs, t0s):
+            self._stats.latencies_ms.append((now - t0) * 1e3)
+            if not fut.cancelled():
+                fut.set_result(cap)
