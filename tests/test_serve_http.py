@@ -1,0 +1,126 @@
+"""HTTP serving layer (tpucap/serve_http.py): JPEG bytes in -> caption
+out through the micro-batcher, matching the direct pipeline path; plus
+feature-row serving, stats/health endpoints, and error codes."""
+
+import http.client
+import io
+import json
+
+import numpy as np
+import pytest
+
+from tpucap.config import Config, DecodeConfig, DecoderConfig, EncoderConfig
+from tpucap.pipeline import CaptioningPipeline
+from tpucap.serve_http import CaptionHTTPServer, _preprocess_jpeg
+from tpucap.text import Tokenizer
+
+
+@pytest.fixture(scope="module")
+def pipe(toy_corpus):
+    cfg = Config(
+        encoder=EncoderConfig(name="tiny_cnn", feature_dim=128),
+        decoder=DecoderConfig(embed_dim=16, hidden_dim=32, dropout_rate=0.0),
+        decode=DecodeConfig(max_len=10),
+    )
+    p = CaptioningPipeline(cfg)
+    tok = Tokenizer()
+    tok.fit_on_texts(toy_corpus)
+    p.tokenizer = tok
+    p.build()
+    return p
+
+
+@pytest.fixture(scope="module")
+def server(pipe):
+    srv = CaptionHTTPServer(
+        pipe, port=0, max_batch=4, max_delay_ms=5, method="greedy"
+    )
+    srv.serve_background()
+    yield srv
+    srv.close()
+
+
+def _jpeg_bytes(rng, size):
+    from PIL import Image
+
+    arr = rng.integers(0, 255, size=(size, size, 3)).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="JPEG", quality=95)
+    return buf.getvalue()
+
+
+def _request(server, method, path, body=None):
+    host, port = server.address
+    conn = http.client.HTTPConnection(host, port, timeout=120)
+    conn.request(method, path, body=body)
+    resp = conn.getresponse()
+    payload = json.loads(resp.read())
+    conn.close()
+    return resp.status, payload
+
+
+def test_caption_jpeg_matches_direct_path(server, pipe, rng):
+    size = pipe.encoder.input_size
+    blob = _jpeg_bytes(rng, size)
+    status, payload = _request(server, "POST", "/caption", blob)
+    assert status == 200
+    x = _preprocess_jpeg(blob, size, pipe.encoder.preprocess_mode)
+    feats = pipe.encode_images(x[None])
+    assert payload["caption"] == pipe.generate(feats, method="greedy")[0]
+
+
+def test_caption_features_endpoint(server, pipe, rng):
+    feats = rng.normal(size=(128,)).astype(np.float32)
+    body = json.dumps({"features": feats.tolist()}).encode()
+    status, payload = _request(server, "POST", "/caption_features", body)
+    assert status == 200
+    ref = pipe.generate(feats[None], method="greedy")[0]
+    assert payload["caption"] == ref
+
+
+def test_health_and_stats(server):
+    status, payload = _request(server, "GET", "/healthz")
+    assert status == 200 and payload["ok"] is True
+    status, payload = _request(server, "GET", "/stats")
+    assert status == 200
+    assert "images" in payload and "features" in payload
+    assert payload["images"]["requests"] >= 1  # from the jpeg test
+
+
+def test_unknown_route_404(server):
+    status, _ = _request(server, "GET", "/nope")
+    assert status == 404
+    status, _ = _request(server, "POST", "/nope", b"x")
+    assert status == 404
+
+
+def test_bad_payloads_400(server):
+    status, payload = _request(server, "POST", "/caption", b"not a jpeg")
+    assert status == 400 and "error" in payload
+    status, payload = _request(
+        server, "POST", "/caption_features", b"{\"features\": [1, 2]}"
+    )
+    assert status == 400  # wrong feature dim
+
+
+def test_cli_serve_wires_model_dir(tmp_path, pipe, monkeypatch, rng):
+    """`tpucap serve --model-dir` loads the bundle and builds the HTTP
+    server (serve_forever patched out so the test doesn't block)."""
+    from tpucap.cli.main import main
+
+    bundle = str(tmp_path / "bundle")
+    pipe.save(bundle)
+
+    served = {}
+
+    def fake_serve_forever(self):
+        served["addr"] = self.address
+
+    monkeypatch.setattr(
+        CaptionHTTPServer, "serve_forever", fake_serve_forever
+    )
+    main([
+        "serve", "--model-dir", bundle, "--port", "0",
+        "--method", "greedy", "--max-batch", "4",
+    ])
+    assert "addr" in served

@@ -265,6 +265,36 @@ def cmd_evaluate(args):
     print(json.dumps(scores))
 
 
+def cmd_serve(args):
+    from tpucap.serve_http import CaptionHTTPServer
+
+    if args.model_dir:
+        from tpucap.pipeline import CaptioningPipeline
+
+        pipe = CaptioningPipeline.load(args.model_dir)
+    else:
+        pipe = _restore_pipeline(args)
+    srv = CaptionHTTPServer(
+        pipe,
+        host=args.host,
+        port=args.port,
+        max_batch=args.max_batch,
+        max_delay_ms=args.max_delay_ms,
+        method=args.method,
+        beam_width=args.beam_width,
+    )
+    host, port = srv.address
+    print(f"serving on http://{host}:{port} "
+          f"(POST /caption, POST /caption_features, GET /stats)",
+          file=sys.stderr)
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        srv.close()
+
+
 def cmd_bench(args, extra):
     import subprocess
 
@@ -354,6 +384,25 @@ def main(argv=None):
     p.add_argument("--model-devices", type=int, default=0,
                    help="model-axis width for --parallelism dp_tp")
     p.set_defaults(fn=cmd_evaluate)
+
+    p = sub.add_parser(
+        "serve", help="HTTP caption server (micro-batched TPU serving)"
+    )
+    _add_common_model_flags(p)
+    p.add_argument("--model-dir", default=None,
+                   help="a pipeline.save() bundle; overrides "
+                   "--checkpoint-dir restore")
+    p.add_argument("--checkpoint-dir", default="checkpoints")
+    p.add_argument("--keras-h5", default=None,
+                   help="pretrained Keras .h5 encoder weights for the "
+                   "image path (as in `caption`)")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--max-batch", type=int, default=64)
+    p.add_argument("--max-delay-ms", type=float, default=5.0)
+    p.add_argument("--method", default="beam", choices=["greedy", "beam"])
+    p.add_argument("--beam-width", type=int, default=3)
+    p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("bench", help="run the benchmark harness")
     p.set_defaults(fn=None)

@@ -1,0 +1,169 @@
+"""HTTP serving front-end: JPEG in, caption out.
+
+A thin stdlib (http.server) layer over :class:`tpucap.serve.CaptionServer`
+— the deployment surface the reference's single-image demo script becomes
+in production (SURVEY.md §2.1 #13). Request handling threads only decode
+JPEG bytes (the C++ threaded decoder, ops/jpeg) and preprocess on the
+host; all device work flows through the micro-batcher, so concurrent
+HTTP clients coalesce into TPU-shaped batches automatically.
+
+Endpoints:
+- ``POST /caption``            body = JPEG bytes -> {"caption": ...}
+- ``POST /caption_features``   body = JSON {"features": [...]} (one row,
+                               the reference's pickled-features shape)
+- ``GET  /healthz``            liveness + backend
+- ``GET  /stats``              batcher stats (batch sizes, p50/p99 ms)
+
+Stdlib-only by design: zero extra dependencies, and the batching layer —
+not the HTTP framework — is what makes TPU serving fast.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from tpucap.serve import CaptionServer
+
+
+def _preprocess_jpeg(blob: bytes, size: int, mode: str) -> np.ndarray:
+    from tpucap.data.preprocess import preprocess_input
+    from tpucap.ops import jpeg
+
+    rgb = jpeg.decode_jpeg_batch([blob], size)[0]  # (size, size, 3) uint8
+    return preprocess_input(rgb.astype(np.float32), mode)
+
+
+class CaptionHTTPServer:
+    """Owns a CaptionServer pair (images + features) and the HTTP loop."""
+
+    def __init__(
+        self,
+        pipeline,
+        *,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        max_batch: int = 64,
+        max_delay_ms: float = 5.0,
+        method: str | None = None,
+        beam_width: int | None = None,
+        parallelism: str | None = None,
+    ):
+        self._pipe = pipeline
+        kw = dict(
+            max_batch=max_batch,
+            max_delay_ms=max_delay_ms,
+            method=method,
+            beam_width=beam_width,
+            parallelism=parallelism,
+        )
+        self._images = CaptionServer(pipeline, mode="images", **kw)
+        self._features = CaptionServer(pipeline, mode="features", **kw)
+        self._httpd = ThreadingHTTPServer(
+            (host, port), self._make_handler()
+        )
+        self._thread: threading.Thread | None = None
+        self._loop_started = False
+
+    @property
+    def address(self) -> tuple[str, int]:
+        return self._httpd.server_address[:2]
+
+    def serve_background(self) -> tuple[str, int]:
+        """Start serving on a daemon thread; returns (host, port)."""
+        self._loop_started = True
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever,
+            name="tpucap-http",
+            daemon=True,
+        )
+        self._thread.start()
+        return self.address
+
+    def serve_forever(self) -> None:
+        self._loop_started = True
+        self._httpd.serve_forever()
+
+    def close(self) -> None:
+        # shutdown() deadlocks if serve_forever never started its loop
+        # (it waits on an event only that loop sets).
+        if self._loop_started:
+            self._httpd.shutdown()
+        self._httpd.server_close()
+        if self._thread is not None:
+            self._thread.join(timeout=30)
+        self._images.close()
+        self._features.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # -- handler -----------------------------------------------------------
+
+    def _make_handler(self):
+        outer = self
+        size = self._pipe.encoder.input_size
+        mode = self._pipe.encoder.preprocess_mode
+
+        class Handler(BaseHTTPRequestHandler):
+            # Tests and production logs both want quiet request lines.
+            def log_message(self, *a):  # noqa: N802
+                pass
+
+            def _reply(self, code: int, payload: dict):
+                body = json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):  # noqa: N802
+                import jax
+
+                if self.path == "/healthz":
+                    self._reply(
+                        200,
+                        {"ok": True, "backend": jax.default_backend()},
+                    )
+                elif self.path == "/stats":
+                    self._reply(
+                        200,
+                        {
+                            "images": outer._images.stats(),
+                            "features": outer._features.stats(),
+                        },
+                    )
+                else:
+                    self._reply(404, {"error": f"no route {self.path}"})
+
+            def do_POST(self):  # noqa: N802
+                n = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(n)
+                try:
+                    if self.path == "/caption":
+                        x = _preprocess_jpeg(body, size, mode)
+                        fut = outer._images.submit(x)
+                    elif self.path == "/caption_features":
+                        feats = np.asarray(
+                            json.loads(body)["features"], np.float32
+                        )
+                        fut = outer._features.submit(feats)
+                    else:
+                        self._reply(404, {"error": f"no route {self.path}"})
+                        return
+                except Exception as e:
+                    self._reply(400, {"error": str(e)})
+                    return
+                try:
+                    self._reply(200, {"caption": fut.result(timeout=120)})
+                except Exception as e:
+                    self._reply(500, {"error": str(e)})
+
+        return Handler
