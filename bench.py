@@ -124,14 +124,40 @@ def main():
             "e2e-jpeg",
             "host-decode",
             "pallas-lstm",
+            "serve",
         ],
         help="caption throughput (headline; device-resident inputs), "
         "teacher-forced training throughput, the full JPEG->caption "
         "path (e2e-jpeg; only meaningful with locally-attached TPU — "
         "over the axon tunnel host->device runs at ~2MB/s and dominates), "
         "host-decode (C++ JPEG decode MB/s + images/s, the host half of "
-        "the e2e claim), or pallas-lstm (fused Pallas cell vs the XLA "
-        "scan cell, microbench)",
+        "the e2e claim), pallas-lstm (fused Pallas cell vs the XLA "
+        "scan cell, microbench), or serve (CaptionServer micro-batching "
+        "layer under concurrent clients: captions/s + request p50/p99)",
+    )
+    ap.add_argument(
+        "--serve-requests",
+        type=int,
+        default=4096,
+        help="total requests for --mode serve",
+    )
+    ap.add_argument(
+        "--serve-clients",
+        type=int,
+        default=32,
+        help="concurrent client threads for --mode serve",
+    )
+    ap.add_argument(
+        "--serve-delay-ms",
+        type=float,
+        default=2.0,
+        help="micro-batcher window for --mode serve",
+    )
+    ap.add_argument(
+        "--serve-depth",
+        type=int,
+        default=1,
+        help="batches in flight (pipeline_depth) for --mode serve",
     )
     args = ap.parse_args()
 
@@ -415,6 +441,106 @@ def main():
         }
         print(
             f"# xla={t_xla * 1e6:.1f}us pallas={t_pallas * 1e6:.1f}us",
+            file=sys.stderr,
+        )
+        print(json.dumps(result))
+        return
+
+    if args.mode == "serve":
+        # The online serving layer under closed-loop concurrent clients:
+        # --serve-clients threads each submit their share of
+        # --serve-requests feature rows one at a time (submit -> wait),
+        # so the micro-batcher sees realistic concurrency (batch sizes
+        # track the client count, not max_batch). Features-mode serving
+        # (the reference's pickled-features shape) keeps the tunnel out
+        # of the measurement; the images path adds the encoder cost
+        # measured by the headline bench.
+        import threading
+
+        from tpucap.config import (
+            Config,
+            DecodeConfig,
+            DecoderConfig,
+            encoder_config,
+        )
+        from tpucap.pipeline import CaptioningPipeline
+        from tpucap.serve import CaptionServer
+        from tpucap.text import Tokenizer
+
+        if args.decoder == "attention":
+            raise SystemExit("--mode serve benches pooled-feature serving")
+        cfg = Config(
+            encoder=encoder_config(args.encoder),
+            decoder=DecoderConfig(
+                name=args.decoder,
+                num_layers=2 if args.decoder == "lstm2" else 1,
+            ),
+            decode=DecodeConfig(
+                method=args.method,
+                beam_width=args.beam,
+                max_len=args.max_len,
+                approx_topk=not args.exact_topk,
+            ),
+            vocab_size=args.vocab,
+            precision="bf16" if args.dtype == "bf16" else "f32",
+        )
+        tok = Tokenizer()
+        tok.word_index = {"startseq": 1, "endseq": 2}
+        tok.word_index.update({f"w{i}": i for i in range(3, args.vocab)})
+        tok.index_word = {i: w for w, i in tok.word_index.items()}
+        pipe = CaptioningPipeline(cfg, tokenizer=tok)
+        pipe.build()
+
+        rng = np.random.default_rng(0)
+        feat_dim = cfg.encoder.feature_dim
+        n, k = args.serve_requests, args.serve_clients
+        feats = rng.normal(size=(k, feat_dim)).astype(np.float32)
+
+        srv = CaptionServer(
+            pipe,
+            max_batch=args.batch,
+            max_delay_ms=args.serve_delay_ms,
+            method=args.method,
+            beam_width=args.beam,
+            pipeline_depth=args.serve_depth,
+        )
+        t0 = time.perf_counter()
+        srv.warmup()
+        compile_s = time.perf_counter() - t0
+
+        def client(i, count):
+            for _ in range(count):
+                srv.caption(feats[i], timeout=300)
+
+        threads = [
+            threading.Thread(target=client, args=(i, n // k))
+            for i in range(k)
+        ]
+        t0 = time.perf_counter()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        wall = time.perf_counter() - t0
+        stats = srv.stats()
+        srv.close()
+        served = stats["requests"]
+        cps = served / wall
+        result = {
+            "metric": f"serving captions/sec ({args.method} {args.beam}, "
+            f"{k} clients, window {args.serve_delay_ms}ms, "
+            f"depth {args.serve_depth}, "
+            f"max_batch {args.batch}, {args.decoder}, features-mode, "
+            f"{args.dtype})",
+            "value": round(cps, 2),
+            "unit": "captions/sec/chip",
+            "vs_baseline": round(cps / (10000.0 / 8.0), 4),
+        }
+        print(
+            f"# compile={compile_s:.1f}s served={served} "
+            f"batches={stats['batches']} "
+            f"mean_batch={stats['mean_batch']:.1f} "
+            f"p50={stats['p50_ms']:.1f}ms p99={stats['p99_ms']:.1f}ms",
             file=sys.stderr,
         )
         print(json.dumps(result))

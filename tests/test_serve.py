@@ -127,3 +127,27 @@ def test_images_mode_runs_encoder(pipe, rng):
         futs = [srv.submit(im) for im in imgs]
         got = [f.result(timeout=120) for f in futs]
     assert got == ref
+
+
+def test_generate_submit_matches_generate(pipe, rng):
+    feats = rng.normal(size=(4, 128)).astype(np.float32)
+    for method in ("greedy", "beam"):
+        ref = pipe.generate(feats, method=method)
+        got = pipe.generate_submit(feats, method=method)()
+        assert got == ref
+    with pytest.raises(ValueError, match="greedy|beam"):
+        pipe.generate_submit(feats, method="sample")
+
+
+def test_pipelined_depth_preserves_results(pipe, rng):
+    """depth>1 overlapping batches returns every caption correctly even
+    when many small batches are in flight at once."""
+    feats = rng.normal(size=(9, 128)).astype(np.float32)
+    ref = pipe.generate(feats, method="greedy")
+    with CaptionServer(
+        pipe, max_batch=2, max_delay_ms=1, method="greedy",
+        pipeline_depth=3,
+    ) as srv:
+        futs = [srv.submit(f) for f in feats]
+        got = [f.result(timeout=120) for f in futs]
+    assert got == ref

@@ -760,6 +760,36 @@ class CaptioningPipeline:
             self.tokenizer, res.tokens, res.lengths, end_id=end_id
         )
 
+    def generate_submit(
+        self,
+        features,
+        *,
+        method: str | None = None,
+        beam_width: int | None = None,
+    ):
+        """Async variant of :meth:`generate` (greedy/beam, single device):
+        the decode program is DISPATCHED immediately (JAX async dispatch —
+        the device starts as soon as it is free) and a zero-arg callable
+        is returned that blocks on the result and yields the caption
+        strings. Callers that overlap work across batches (the serving
+        micro-batcher: dispatch batch i+1 while batch i's tokens transfer
+        back) get device/host pipelining for free; ``generate(x)`` is
+        exactly ``generate_submit(x)()``."""
+        method = method or self.config.decode.method
+        beam_width = beam_width or self.config.decode.beam_width
+        if method not in ("greedy", "beam"):
+            raise ValueError(
+                f"generate_submit supports greedy|beam, got {method!r}"
+            )
+        params = self._inference_params()["decoder"]
+        feats = jnp.asarray(features, self._infer_dtype())
+        _, end_id = self._token_ids()
+        fn = self._decode_fn(method, beam_width)
+        res = fn(params, feats)
+        return lambda: ids_to_captions(
+            self.tokenizer, res.tokens, res.lengths, end_id=end_id
+        )
+
     def caption_images(self, image_paths, **kw) -> list[str]:
         """One-call demo path (reference's single-image script, §2.1 #13)."""
         feats = self.extract_features(list(image_paths))

@@ -27,6 +27,7 @@ from __future__ import annotations
 import queue
 import threading
 import time
+from collections import deque
 from concurrent.futures import Future
 from dataclasses import dataclass, field
 
@@ -86,6 +87,7 @@ class CaptionServer:
         method: str | None = None,
         beam_width: int | None = None,
         parallelism: str | None = None,
+        pipeline_depth: int = 1,
     ):
         if mode not in ("features", "images"):
             raise ValueError(f"mode must be 'features'|'images', got {mode!r}")
@@ -98,6 +100,22 @@ class CaptionServer:
         self._decode_kw = dict(
             method=method, beam_width=beam_width, parallelism=parallelism
         )
+        # pipeline_depth > 1 async-dispatches up to that many batches
+        # before draining (generate_submit), overlapping device compute
+        # of batch i+1 with the host-side fetch of batch i. Measured on
+        # the v5e load harness (bench --mode serve, docs/PERF.md):
+        # depth 1 WINS under closed-loop load — a synchronous drain
+        # extends the collection window by exactly the fetch time, so
+        # batches grow to max_batch, while depth 2 dispatches sooner at
+        # ~40% smaller batches and pays more per-batch fetches than the
+        # overlap saves. Default 1; >1 is for open-loop/steady arrivals
+        # on low-latency links. Mesh-parallel decode and sampling go
+        # through the synchronous generate() path regardless.
+        self._depth = max(1, pipeline_depth)
+        self._inflight: deque = deque()
+        self._async_ok = parallelism in (None, "none") and (
+            method or pipeline.config.decode.method
+        ) in ("greedy", "beam")
         self._buckets = _buckets(max_batch)
         self._queue: queue.Queue = queue.Queue()
         self._stats = ServerStats()
@@ -166,14 +184,37 @@ class CaptionServer:
         return (cfg.feature_dim,)
 
     def _run_batch(self, batch: np.ndarray) -> list[str]:
+        return self._submit_batch(batch)()
+
+    def _submit_batch(self, batch: np.ndarray):
+        """Dispatch one padded batch; returns a zero-arg finalizer that
+        blocks on the result and yields the captions. On the async path
+        the device starts immediately and the finalizer only pays the
+        host transfer + detokenize."""
         if self._mode == "images":
             feats = self._pipe.encode_images(batch)
-            return self._pipe.generate(feats, **self._decode_kw)
-        return self._pipe.generate(batch, **self._decode_kw)
+        else:
+            feats = batch
+        if self._async_ok:
+            return self._pipe.generate_submit(
+                feats,
+                method=self._decode_kw["method"],
+                beam_width=self._decode_kw["beam_width"],
+            )
+        captions = self._pipe.generate(feats, **self._decode_kw)
+        return lambda: captions
 
     def _batcher(self) -> None:
         while True:
-            item = self._queue.get()
+            try:
+                item = self._queue.get(
+                    timeout=0.001 if self._inflight else None
+                )
+            except queue.Empty:
+                # No new traffic while results are in flight: retire the
+                # oldest batch instead of holding its latency hostage.
+                self._drain_one()
+                continue
             if item is None:
                 self._drain_on_close()
                 return
@@ -193,13 +234,16 @@ class CaptionServer:
                     break
                 batch.append(nxt)
             self._flush(batch)
+            while len(self._inflight) >= self._depth:
+                self._drain_one()
             if stop:
                 self._drain_on_close()
                 return
 
     def _drain_on_close(self) -> None:
-        """Flush any backlog enqueued before the close sentinel so no
-        accepted request is left with an unresolved future."""
+        """Flush any backlog enqueued before the close sentinel, then
+        retire every in-flight batch, so no accepted request is left
+        with an unresolved future."""
         batch = []
         while True:
             try:
@@ -214,8 +258,12 @@ class CaptionServer:
                 batch = []
         if batch:
             self._flush(batch)
+        while self._inflight:
+            self._drain_one()
 
     def _flush(self, batch: list) -> None:
+        """Pad to the bucket ladder and dispatch; the batch is retired
+        later by _drain_one (pipelined) unless dispatch itself fails."""
         xs, futs, t0s = zip(*batch)
         n = len(xs)
         bucket = next(b for b in self._buckets if b >= n)
@@ -224,8 +272,23 @@ class CaptionServer:
             pad = np.zeros((bucket - n,) + stacked.shape[1:], stacked.dtype)
             stacked = np.concatenate([stacked, pad])
         try:
-            captions = self._run_batch(stacked)[:n]
+            finalize = self._submit_batch(stacked)
         except Exception as e:  # propagate to every waiter, keep serving
+            for fut in futs:
+                if not fut.cancelled():
+                    fut.set_exception(e)
+            return
+        self._stats.padded_rows += bucket - n
+        self._inflight.append((finalize, futs, t0s))
+
+    def _drain_one(self) -> None:
+        if not self._inflight:
+            return
+        finalize, futs, t0s = self._inflight.popleft()
+        n = len(futs)
+        try:
+            captions = finalize()[:n]
+        except Exception as e:
             for fut in futs:
                 if not fut.cancelled():
                     fut.set_exception(e)
@@ -233,7 +296,6 @@ class CaptionServer:
         now = time.perf_counter()
         self._stats.requests += n
         self._stats.batches += 1
-        self._stats.padded_rows += bucket - n
         for cap, fut, t0 in zip(captions, futs, t0s):
             self._stats.latencies_ms.append((now - t0) * 1e3)
             if not fut.cancelled():
