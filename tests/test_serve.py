@@ -151,3 +151,31 @@ def test_pipelined_depth_preserves_results(pipe, rng):
         futs = [srv.submit(f) for f in feats]
         got = [f.result(timeout=120) for f in futs]
     assert got == ref
+
+
+def test_serve_with_dp_parallelism(toy_corpus, rng):
+    """parallelism='dp' routes batches through the mesh-sharded decode
+    (sync path) — captions identical to the single-device server."""
+    from tpucap.config import MeshConfig
+
+    cfg = Config(
+        encoder=EncoderConfig(name="tiny_cnn", feature_dim=128),
+        decoder=DecoderConfig(embed_dim=16, hidden_dim=32, dropout_rate=0.0),
+        decode=DecodeConfig(max_len=10),
+        mesh=MeshConfig(),
+    )
+    p = CaptioningPipeline(cfg)
+    tok = Tokenizer()
+    tok.fit_on_texts(toy_corpus)
+    p.tokenizer = tok
+    p.build()
+
+    feats = rng.normal(size=(6, 128)).astype(np.float32)
+    ref = p.generate(feats, method="beam", beam_width=3)
+    with CaptionServer(
+        p, max_batch=8, max_delay_ms=100, method="beam", beam_width=3,
+        parallelism="dp",
+    ) as srv:
+        futs = [srv.submit(f) for f in feats]
+        got = [f.result(timeout=180) for f in futs]
+    assert got == ref

@@ -63,6 +63,23 @@ def _build_config(args):
                     cfg.train, early_stopping_patience=esp
                 )
             )
+        opt_overrides = {
+            k: v
+            for k, v in {
+                "optimizer": getattr(args, "optimizer", None),
+                "momentum": getattr(args, "momentum", 0.0) or None,
+                "weight_decay": getattr(args, "weight_decay", 0.0) or None,
+                "lr_schedule": getattr(args, "lr_schedule", None),
+                "warmup_steps": getattr(args, "warmup_steps", 0) or None,
+                "grad_clip_norm": getattr(args, "grad_clip_norm", 0.0)
+                or None,
+            }.items()
+            if v is not None
+        }
+        if opt_overrides:
+            cfg = cfg.replace(
+                train=dataclasses.replace(cfg.train, **opt_overrides)
+            )
         if getattr(args, "approx_topk", False):
             cfg = cfg.replace(
                 decode=dataclasses.replace(cfg.decode, approx_topk=True)
@@ -101,6 +118,12 @@ def _build_config(args):
                 args, "early_stopping_patience", None
             )
             or 0,
+            optimizer=getattr(args, "optimizer", None) or "adam",
+            momentum=getattr(args, "momentum", 0.0),
+            weight_decay=getattr(args, "weight_decay", 0.0),
+            lr_schedule=getattr(args, "lr_schedule", None) or "constant",
+            warmup_steps=getattr(args, "warmup_steps", 0),
+            grad_clip_norm=getattr(args, "grad_clip_norm", 0.0),
         ),
         mesh=MeshConfig(
             model_devices=getattr(args, "model_devices", 0) or 1
@@ -350,6 +373,19 @@ def main(argv=None):
     p.add_argument("--attention-reg", type=float, default=0.0,
                    help="doubly-stochastic attention regularizer weight "
                    "(Show-Attend-Tell; attention decoder only)")
+    p.add_argument("--optimizer", default=None,
+                   choices=["adam", "adamw", "sgd", "rmsprop", "adagrad"],
+                   help="optimizer (default adam, the reference's choice)")
+    p.add_argument("--momentum", type=float, default=0.0,
+                   help="sgd momentum")
+    p.add_argument("--weight-decay", type=float, default=0.0,
+                   help="adamw decoupled weight decay")
+    p.add_argument("--lr-schedule", default=None,
+                   choices=["constant", "cosine", "exponential"])
+    p.add_argument("--warmup-steps", type=int, default=0,
+                   help="linear lr warmup steps prepended to the schedule")
+    p.add_argument("--grad-clip-norm", type=float, default=0.0,
+                   help="global-norm gradient clipping (0 = off)")
     p.add_argument("--metrics-log", default=None)
     p.set_defaults(fn=cmd_train)
 

@@ -74,6 +74,20 @@ class TrainConfig:
     # already retained by the CheckpointManager, mirroring
     # restore_best_weights via restore-from-best.
     early_stopping_patience: int = 0
+    # Optimizer surface (the Keras compile(optimizer=...) contract the
+    # rebuild re-owns — SURVEY.md §2.2 "fit loop"). Defaults reproduce
+    # the reference exactly (plain Adam, constant lr, no clipping) and
+    # keep the opt_state pytree unchanged for checkpoint compatibility.
+    optimizer: str = "adam"  # adam | adamw | sgd | rmsprop | adagrad
+    momentum: float = 0.0  # sgd momentum (Keras SGD default 0)
+    weight_decay: float = 0.0  # adamw decoupled weight decay
+    # Learning-rate schedule: constant | cosine (decay to 0 over the
+    # run) | exponential (x lr_decay_rate every lr_decay_steps).
+    lr_schedule: str = "constant"
+    lr_decay_rate: float = 0.96
+    lr_decay_steps: int = 1000
+    warmup_steps: int = 0  # linear warmup prepended to any schedule
+    grad_clip_norm: float = 0.0  # global-norm clip; 0 = off
 
 
 @dataclasses.dataclass(frozen=True)

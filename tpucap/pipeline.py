@@ -313,7 +313,11 @@ class CaptioningPipeline:
                     f"clamping batch_size to {F.shape[0]}"
                 )
             batch_size = F.shape[0]
-        optimizer = optax.adam(cfg.learning_rate)
+        from tpucap.train import build_optimizer
+
+        optimizer = build_optimizer(
+            cfg, total_steps=epochs * max(1, F.shape[0] // batch_size)
+        )
         self.state = TrainState.create(
             self.params["decoder"], optimizer, jax.random.key(cfg.seed)
         )

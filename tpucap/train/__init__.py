@@ -1,13 +1,19 @@
 """Training: masked-CE loss, jit/shard_map train step, evaluation."""
 
 from tpucap.train.loss import masked_cross_entropy, caption_loss
-from tpucap.train.loop import TrainState, make_train_step, train_epoch
+from tpucap.train.loop import (
+    TrainState,
+    build_optimizer,
+    make_train_step,
+    train_epoch,
+)
 from tpucap.train.sequences import build_training_batch
 
 __all__ = [
     "masked_cross_entropy",
     "caption_loss",
     "TrainState",
+    "build_optimizer",
     "make_train_step",
     "train_epoch",
     "build_training_batch",

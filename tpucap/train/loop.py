@@ -37,6 +37,75 @@ class TrainState:
         )
 
 
+def build_optimizer(cfg, total_steps: int = 0):
+    """TrainConfig -> optax optimizer (the Keras compile(optimizer=...)
+    surface — SURVEY.md §2.2 "fit loop" row).
+
+    With every knob at its default this returns plain ``optax.adam`` —
+    bit-identical updates AND an identical opt_state pytree to round-1
+    checkpoints (no gratuitous ``optax.chain`` wrapper), so resume from
+    older checkpoints keeps working. ``total_steps`` anchors the cosine
+    schedule's horizon (pass epochs x steps_per_epoch; 0 falls back to
+    lr_decay_steps)."""
+    import optax
+
+    lr = cfg.learning_rate
+    plain = (
+        cfg.lr_schedule == "constant"
+        and not cfg.warmup_steps
+        and not cfg.grad_clip_norm
+    )
+    if plain and cfg.optimizer == "adam":
+        return optax.adam(lr)
+
+    if cfg.lr_schedule == "constant":
+        sched = optax.constant_schedule(lr)
+    elif cfg.lr_schedule == "cosine":
+        horizon = max(1, (total_steps or cfg.lr_decay_steps))
+        sched = optax.cosine_decay_schedule(lr, decay_steps=horizon)
+    elif cfg.lr_schedule == "exponential":
+        sched = optax.exponential_decay(
+            lr,
+            transition_steps=max(1, cfg.lr_decay_steps),
+            decay_rate=cfg.lr_decay_rate,
+        )
+    else:
+        raise ValueError(
+            f"unknown lr_schedule {cfg.lr_schedule!r}; "
+            "have constant|cosine|exponential"
+        )
+    if cfg.warmup_steps:
+        sched = optax.join_schedules(
+            [
+                optax.linear_schedule(0.0, lr, cfg.warmup_steps),
+                sched,
+            ],
+            boundaries=[cfg.warmup_steps],
+        )
+
+    makers = {
+        "adam": lambda: optax.adam(sched),
+        "adamw": lambda: optax.adamw(
+            sched, weight_decay=cfg.weight_decay
+        ),
+        "sgd": lambda: optax.sgd(
+            sched, momentum=cfg.momentum or None
+        ),
+        "rmsprop": lambda: optax.rmsprop(sched, decay=0.9),  # Keras rho
+        "adagrad": lambda: optax.adagrad(sched),
+    }
+    if cfg.optimizer not in makers:
+        raise ValueError(
+            f"unknown optimizer {cfg.optimizer!r}; have {sorted(makers)}"
+        )
+    base = makers[cfg.optimizer]()
+    if cfg.grad_clip_norm:
+        return optax.chain(
+            optax.clip_by_global_norm(cfg.grad_clip_norm), base
+        )
+    return base
+
+
 def make_train_step(
     decoder,
     optimizer,
