@@ -1,0 +1,65 @@
+"""Minimal online-serving example: micro-batched captioning.
+
+Run: JAX_PLATFORMS=cpu python examples/serving.py
+(CPU-safe; on a TPU host just drop the env var.)
+"""
+
+import os
+import sys
+
+if "JAX_PLATFORMS" in os.environ:
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import threading
+
+import numpy as np
+
+from tpucap.config import Config, DecodeConfig, DecoderConfig, EncoderConfig
+from tpucap.pipeline import CaptioningPipeline
+from tpucap.serve import CaptionServer
+from tpucap.text import Tokenizer
+
+
+def main():
+    cfg = Config(
+        encoder=EncoderConfig(name="tiny_cnn", feature_dim=128),
+        decoder=DecoderConfig(embed_dim=16, hidden_dim=32, dropout_rate=0.0),
+        decode=DecodeConfig(method="beam", beam_width=3, max_len=10),
+    )
+    pipe = CaptioningPipeline(cfg)
+    tok = Tokenizer()
+    tok.fit_on_texts(
+        ["startseq a dog runs in the park endseq",
+         "startseq a man rides a red bike endseq"]
+    )
+    pipe.tokenizer = tok
+    pipe.build()  # untrained weights — captions are arbitrary but stable
+
+    rng = np.random.default_rng(0)
+    with CaptionServer(pipe, max_batch=8, max_delay_ms=20) as srv:
+        srv.warmup()
+
+        # 12 concurrent clients; the batcher coalesces them into a few
+        # bucket-padded TPU batches.
+        results = [None] * 12
+
+        def client(i):
+            feats = rng.normal(size=(128,)).astype(np.float32)
+            results[i] = srv.caption(feats)
+
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(12)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        print("captions:", results[:3], "...")
+        print("stats:", srv.stats())
+    print("serving example OK")
+
+
+if __name__ == "__main__":
+    main()
