@@ -324,3 +324,37 @@ def test_greedy_scores_match_beam_width_1():
     np.testing.assert_allclose(
         np.asarray(g.scores), np.asarray(b.scores), rtol=1e-5, atol=1e-5
     )
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_beam_fuzz_random_shapes(seed):
+    """Randomized fuzz: random (vocab, maxlen, k, batch, init seed) —
+    beam engine stays token-exact vs the oracle under near-tie-prone
+    tiny vocabularies (tie ordering is the fragile contract)."""
+    r = np.random.default_rng(seed)
+    vocab = int(r.integers(8, 40))
+    maxlen = int(r.integers(4, 15))
+    k = int(r.integers(1, 5))
+    batch = int(r.integers(1, 7))
+    dec = build_decoder(
+        "lstm1",
+        vocab_size=vocab,
+        feature_dim=FEAT,
+        embed_dim=8,
+        hidden_dim=16,
+    )
+    params = dec.init(jax.random.key(seed + 100))
+    feats = jax.random.normal(jax.random.key(seed + 200), (batch, FEAT))
+    state = dec.init_state(params, feats)
+    res = beam_decode(
+        dec.step, params, state,
+        start_id=START, end_id=END, max_len=maxlen, beam_width=k,
+    )
+    bt, bl, _, all_t, all_l, _ = beam_oracle(
+        dec.step, params, state,
+        start_id=START, end_id=END, max_len=maxlen, beam_width=k,
+    )
+    np.testing.assert_array_equal(np.asarray(res.beam_tokens), all_t)
+    np.testing.assert_array_equal(np.asarray(res.beam_lengths), all_l)
+    np.testing.assert_array_equal(np.asarray(res.tokens), bt)
+    np.testing.assert_array_equal(np.asarray(res.lengths), bl)

@@ -179,3 +179,33 @@ def test_serve_with_dp_parallelism(toy_corpus, rng):
         futs = [srv.submit(f) for f in feats]
         got = [f.result(timeout=180) for f in futs]
     assert got == ref
+
+
+def test_serve_spatial_features_attention(toy_corpus, rng):
+    """Attention-decoder serving: requests are (196, C) spatial grids
+    (the judged 14x14 contract); captions match direct generate."""
+    cfg = Config(
+        encoder=EncoderConfig(
+            name="tiny_cnn", feature_dim=32, features="spatial"
+        ),
+        decoder=DecoderConfig(
+            name="attention", embed_dim=16, hidden_dim=32, dropout_rate=0.0
+        ),
+        decode=DecodeConfig(max_len=10),
+    )
+    p = CaptioningPipeline(cfg)
+    tok = Tokenizer()
+    tok.fit_on_texts(toy_corpus)
+    p.tokenizer = tok
+    p.build()
+
+    feats = rng.normal(size=(5, 196, 32)).astype(np.float32)
+    ref = p.generate(feats, method="beam", beam_width=3)
+    with CaptionServer(
+        p, max_batch=8, max_delay_ms=100, method="beam", beam_width=3
+    ) as srv:
+        with pytest.raises(ValueError, match="request shape"):
+            srv.submit(np.zeros((32,), np.float32))  # pooled shape rejected
+        futs = [srv.submit(f) for f in feats]
+        got = [f.result(timeout=120) for f in futs]
+    assert got == ref
