@@ -209,3 +209,34 @@ def test_serve_spatial_features_attention(toy_corpus, rng):
         futs = [srv.submit(f) for f in feats]
         got = [f.result(timeout=120) for f in futs]
     assert got == ref
+
+
+def test_backpressure_max_queue(pipe, rng, monkeypatch):
+    """A full queue rejects with Overloaded instead of growing without
+    bound; earlier requests still complete."""
+    import time as _time
+
+    from tpucap.serve import Overloaded
+
+    feats = rng.normal(size=(8, 128)).astype(np.float32)
+    real = CaptionServer._run_batch
+
+    def slow_run(self, batch):
+        _time.sleep(0.5)
+        return real(self, batch)
+
+    monkeypatch.setattr(CaptionServer, "_run_batch", slow_run)
+    srv = CaptionServer(
+        pipe, max_batch=1, max_delay_ms=1, method="greedy", max_queue=2
+    )
+    try:
+        first = srv.submit(feats[0])  # batcher picks this up
+        _time.sleep(0.1)
+        held = [srv.submit(f) for f in feats[1:3]]  # fills the queue
+        with pytest.raises(Overloaded, match="max_queue"):
+            srv.submit(feats[3])
+        assert isinstance(first.result(timeout=120), str)
+        for f in held:
+            assert isinstance(f.result(timeout=120), str)
+    finally:
+        srv.close()

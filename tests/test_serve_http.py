@@ -124,3 +124,41 @@ def test_cli_serve_wires_model_dir(tmp_path, pipe, monkeypatch, rng):
         "--method", "greedy", "--max-batch", "4",
     ])
     assert "addr" in served
+
+
+def test_http_503_on_overload(pipe, rng, monkeypatch):
+    """max_queue exhaustion surfaces as 503 + Retry-After."""
+    import time as _time
+
+    from tpucap.serve import CaptionServer
+
+    real = CaptionServer._run_batch
+
+    def slow_run(self, batch):
+        _time.sleep(0.4)
+        return real(self, batch)
+
+    monkeypatch.setattr(CaptionServer, "_run_batch", slow_run)
+    with CaptionHTTPServer(
+        pipe, port=0, max_batch=1, max_delay_ms=1, method="greedy",
+        max_queue=1,
+    ) as srv:
+        srv.serve_background()
+        feats = rng.normal(size=(128,)).astype(np.float32)
+        body = json.dumps({"features": feats.tolist()}).encode()
+
+        import threading
+
+        codes = []
+
+        def post():
+            status, _ = _request(srv, "POST", "/caption_features", body)
+            codes.append(status)
+
+        threads = [threading.Thread(target=post) for _ in range(6)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+    assert 503 in codes  # shed load under burst...
+    assert 200 in codes  # ...while admitted requests still complete

@@ -305,6 +305,7 @@ def cmd_serve(args):
         max_delay_ms=args.max_delay_ms,
         method=args.method,
         beam_width=args.beam_width,
+        max_queue=args.max_queue,
     )
     host, port = srv.address
     print(f"serving on http://{host}:{port} "
@@ -436,6 +437,9 @@ def main(argv=None):
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--max-batch", type=int, default=64)
     p.add_argument("--max-delay-ms", type=float, default=5.0)
+    p.add_argument("--max-queue", type=int, default=None,
+                   help="bounded admission: reject (HTTP 503) when this "
+                   "many requests are queued (default unbounded)")
     p.add_argument("--method", default="beam", choices=["greedy", "beam"])
     p.add_argument("--beam-width", type=int, default=3)
     p.set_defaults(fn=cmd_serve)

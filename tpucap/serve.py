@@ -34,6 +34,11 @@ from dataclasses import dataclass, field
 import numpy as np
 
 
+class Overloaded(RuntimeError):
+    """Raised by submit() when the request queue is at max_queue —
+    backpressure instead of unbounded latency growth."""
+
+
 def _buckets(max_batch: int) -> list[int]:
     """Power-of-two ladder 1, 2, 4, ..., max_batch (max_batch included
     even when not a power of two)."""
@@ -88,6 +93,7 @@ class CaptionServer:
         beam_width: int | None = None,
         parallelism: str | None = None,
         pipeline_depth: int = 1,
+        max_queue: int | None = None,
     ):
         if mode not in ("features", "images"):
             raise ValueError(f"mode must be 'features'|'images', got {mode!r}")
@@ -117,6 +123,9 @@ class CaptionServer:
             method or pipeline.config.decode.method
         ) in ("greedy", "beam")
         self._buckets = _buckets(max_batch)
+        # Bounded admission: reject (Overloaded) rather than queue without
+        # limit — the HTTP layer maps this to 503 + Retry-After.
+        self._max_queue = max_queue
         self._queue: queue.Queue = queue.Queue()
         self._stats = ServerStats()
         self._closed = False
@@ -131,6 +140,13 @@ class CaptionServer:
         """Enqueue one request; resolves to the caption string."""
         if self._closed:
             raise RuntimeError("server is closed")
+        if (
+            self._max_queue is not None
+            and self._queue.qsize() >= self._max_queue
+        ):
+            raise Overloaded(
+                f"request queue at max_queue={self._max_queue}"
+            )
         x = np.asarray(x)
         expect = self._expected_shape()
         if x.shape != expect:

@@ -26,7 +26,7 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
 
-from tpucap.serve import CaptionServer
+from tpucap.serve import CaptionServer, Overloaded
 
 
 def _preprocess_jpeg(blob: bytes, size: int, mode: str) -> np.ndarray:
@@ -51,6 +51,7 @@ class CaptionHTTPServer:
         method: str | None = None,
         beam_width: int | None = None,
         parallelism: str | None = None,
+        max_queue: int | None = None,
     ):
         self._pipe = pipeline
         kw = dict(
@@ -59,6 +60,7 @@ class CaptionHTTPServer:
             method=method,
             beam_width=beam_width,
             parallelism=parallelism,
+            max_queue=max_queue,
         )
         self._images = CaptionServer(pipeline, mode="images", **kw)
         self._features = CaptionServer(pipeline, mode="features", **kw)
@@ -116,11 +118,15 @@ class CaptionHTTPServer:
             def log_message(self, *a):  # noqa: N802
                 pass
 
-            def _reply(self, code: int, payload: dict):
+            def _reply(
+                self, code: int, payload: dict, headers: dict = {}
+            ):
                 body = json.dumps(payload).encode()
                 self.send_response(code)
                 self.send_header("Content-Type", "application/json")
                 self.send_header("Content-Length", str(len(body)))
+                for k, v in headers.items():
+                    self.send_header(k, v)
                 self.end_headers()
                 self.wfile.write(body)
 
@@ -158,6 +164,13 @@ class CaptionHTTPServer:
                     else:
                         self._reply(404, {"error": f"no route {self.path}"})
                         return
+                except Overloaded as e:
+                    # Backpressure: shed load instead of queueing
+                    # unboundedly; clients retry after the batch window.
+                    self._reply(
+                        503, {"error": str(e)}, {"Retry-After": "1"}
+                    )
+                    return
                 except Exception as e:
                     self._reply(400, {"error": str(e)})
                     return
