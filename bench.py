@@ -159,6 +159,20 @@ def main():
         default=1,
         help="batches in flight (pipeline_depth) for --mode serve",
     )
+    ap.add_argument(
+        "--serve-ticks",
+        type=int,
+        default=8,
+        help="ticks_per_sync for --serve-engine continuous",
+    )
+    ap.add_argument(
+        "--serve-engine",
+        default="batch",
+        choices=["batch", "continuous"],
+        help="--mode serve engine: 'batch' (CaptionServer micro-batches) "
+        "or 'continuous' (slot-recycling greedy engine; ignores "
+        "--method/--beam, greedy only)",
+    )
     args = ap.parse_args()
 
     if args.mode == "host-decode":
@@ -464,7 +478,7 @@ def main():
             encoder_config,
         )
         from tpucap.pipeline import CaptioningPipeline
-        from tpucap.serve import CaptionServer
+        from tpucap.serve import CaptionServer, ContinuousCaptionServer
         from tpucap.text import Tokenizer
 
         if args.decoder == "attention":
@@ -496,17 +510,27 @@ def main():
         n, k = args.serve_requests, args.serve_clients
         feats = rng.normal(size=(k, feat_dim)).astype(np.float32)
 
-        srv = CaptionServer(
-            pipe,
-            max_batch=args.batch,
-            max_delay_ms=args.serve_delay_ms,
-            method=args.method,
-            beam_width=args.beam,
-            pipeline_depth=args.serve_depth,
-        )
-        t0 = time.perf_counter()
-        srv.warmup()
-        compile_s = time.perf_counter() - t0
+        if args.serve_engine == "continuous":
+            srv = ContinuousCaptionServer(
+                pipe, slots=args.batch, ticks_per_sync=args.serve_ticks
+            )
+            t0 = time.perf_counter()
+            # one request end-to-end compiles admit/tick/collect
+            srv.caption(np.zeros((feat_dim,), np.float32), timeout=600)
+            compile_s = time.perf_counter() - t0
+            warmed = srv.stats()["requests"]
+        else:
+            srv = CaptionServer(
+                pipe,
+                max_batch=args.batch,
+                max_delay_ms=args.serve_delay_ms,
+                method=args.method,
+                beam_width=args.beam,
+                pipeline_depth=args.serve_depth,
+            )
+            t0 = time.perf_counter()
+            srv.warmup()
+            compile_s = time.perf_counter() - t0
 
         def client(i, count):
             for _ in range(count):
@@ -524,8 +548,28 @@ def main():
         wall = time.perf_counter() - t0
         stats = srv.stats()
         srv.close()
-        served = stats["requests"]
+        served = stats["requests"] - (
+            warmed if args.serve_engine == "continuous" else 0
+        )
         cps = served / wall
+        if args.serve_engine == "continuous":
+            result = {
+                "metric": f"serving captions/sec (continuous greedy, "
+                f"{k} clients, {args.batch} slots, {args.decoder}, "
+                f"features-mode, {args.dtype})",
+                "value": round(cps, 2),
+                "unit": "captions/sec/chip",
+                "vs_baseline": round(cps / (10000.0 / 8.0), 4),
+            }
+            print(
+                f"# compile={compile_s:.1f}s served={served} "
+                f"ticks={stats['ticks']} "
+                f"occupancy={stats['mean_occupancy']:.1f}/{args.batch} "
+                f"p50={stats['p50_ms']:.1f}ms p99={stats['p99_ms']:.1f}ms",
+                file=sys.stderr,
+            )
+            print(json.dumps(result))
+            return
         result = {
             "metric": f"serving captions/sec ({args.method} {args.beam}, "
             f"{k} clients, window {args.serve_delay_ms}ms, "

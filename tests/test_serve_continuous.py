@@ -1,0 +1,228 @@
+"""Continuous batching (decode/continuous.py + ContinuousCaptionServer):
+slot-recycled greedy decode is token-identical to greedy_decode, lanes
+retire early and refill under mixed lengths (the utilization win), and
+the server surface behaves (parity with generate, recycling beyond slot
+count, backpressure, drain-on-close)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tpucap.config import Config, DecodeConfig, DecoderConfig, EncoderConfig
+from tpucap.decode import greedy_decode
+from tpucap.decode.continuous import ContinuousDecodeEngine
+from tpucap.pipeline import CaptioningPipeline
+from tpucap.serve import ContinuousCaptionServer, Overloaded
+from tpucap.text import Tokenizer
+
+START, END, PAD = 1, 2, 0
+
+
+class ScriptedDecoder:
+    """Deterministic fake decoder: the 'features' row IS the token script
+    (padded with END); step emits one-hot logits of script[ptr]."""
+
+    feature_dim = 8  # script length
+
+    def init_state(self, params, features):
+        B = features.shape[0]
+        return {
+            "script": features.astype(jnp.int32),
+            "ptr": jnp.zeros((B,), jnp.int32),
+        }
+
+    def step(self, params, state, token):
+        tok = jnp.take_along_axis(
+            state["script"], state["ptr"][:, None], axis=1
+        )[:, 0]
+        logits = jax.nn.one_hot(tok, 16) * 10.0
+        return logits, {
+            "script": state["script"],
+            "ptr": jnp.minimum(state["ptr"] + 1, self.feature_dim - 1),
+        }
+
+
+def _script(tokens):
+    row = np.full((8,), END, np.float32)
+    row[: len(tokens)] = tokens
+    return row
+
+
+class TestEngine:
+    def _engine(self, slots, max_len=8):
+        return ContinuousDecodeEngine(
+            ScriptedDecoder(),
+            params={},
+            slots=slots,
+            start_id=START,
+            end_id=END,
+            max_len=max_len,
+            feature_shape=(8,),
+        )
+
+    def test_single_lane_scripted_caption(self):
+        eng = self._engine(slots=2)
+        st = eng.init_state()
+        idx, feats = eng.pad_admission([0], [_script([5, 7, 2])])
+        st = eng.admit(st, idx, feats)
+        st = eng.tick(st, 8)
+        fin, act, lens = jax.device_get(eng.flags(st))
+        assert fin[0] and not act[0]
+        assert not fin[1]  # empty lane untouched
+        (tokens, lengths, _), st = eng.collect(st, jnp.asarray([0, 0]))
+        assert lengths[0] == 3  # 5, 7, end
+        np.testing.assert_array_equal(
+            np.asarray(tokens)[0][:3], [5, 7, 2]
+        )
+        fin, _, _ = jax.device_get(eng.flags(st))
+        assert not fin[0]  # cleared by collect
+
+    def test_slot_recycling_under_mixed_lengths(self):
+        """4 scripted requests (lengths 2,2,2,7) through 2 lanes: early
+        finishers free their lanes for waiting work; total ticks stay
+        well under the padded-batch equivalent (2 rounds x max_len)."""
+        eng = self._engine(slots=2)
+        st = eng.init_state()
+        scripts = {
+            "a": [5, 2],
+            "b": [6, 2],
+            "c": [7, 2],
+            "d": [3, 4, 5, 6, 7, 8, 2],
+        }
+        waiting = list(scripts.items())
+        free, live, got, ticks = [0, 1], {}, {}, 0
+        while waiting or live:
+            if waiting and free:
+                admit = []
+                while waiting and free:
+                    name, sc = waiting.pop(0)
+                    slot = free.pop()
+                    live[slot] = name
+                    admit.append((slot, _script(sc)))
+                idx, feats = eng.pad_admission(
+                    [s for s, _ in admit], [f for _, f in admit]
+                )
+                st = eng.admit(st, idx, feats)
+            st = eng.tick(st, 1)
+            ticks += 1
+            fin, _, _ = jax.device_get(eng.flags(st))
+            ids = [int(i) for i in np.where(fin)[0]]
+            if ids:
+                pad = ids + [ids[0]] * (eng.admit_bucket(len(ids)) - len(ids))
+                (tokens, lengths, _), st = eng.collect(
+                    st, jnp.asarray(pad)
+                )
+                for j, slot in enumerate(ids):
+                    name = live.pop(slot)
+                    got[name] = list(
+                        np.asarray(tokens)[j][: int(lengths[j])]
+                    )
+                    free.append(slot)
+            assert ticks < 50, "engine failed to converge"
+        for name, sc in scripts.items():
+            assert got[name] == sc, name
+        # padded-batch equivalent: ceil(4/2) rounds x slowest-in-round;
+        # worst scheduling = 2 x 8 = 16. Recycling: ~2 + 7 + overhead.
+        assert ticks <= 10
+
+    def test_admit_padding_rows_are_dropped(self):
+        eng = self._engine(slots=4)
+        st = eng.init_state()
+        idx, feats = eng.pad_admission([2], [_script([5, 2])])
+        assert idx.shape == (1,)  # bucket 1 — no padding needed
+        idx, feats = eng.pad_admission(
+            [1, 3, 0], [_script([5, 2])] * 3
+        )
+        assert idx.shape == (4,) and int(idx[3]) == 4  # OOB pad row
+        st = eng.admit(st, idx, feats)
+        _, act, _ = jax.device_get(eng.flags(st))
+        assert list(act) == [True, True, False, True]  # slot 2 untouched
+
+
+@pytest.fixture(scope="module")
+def pipe(toy_corpus):
+    cfg = Config(
+        encoder=EncoderConfig(name="tiny_cnn", feature_dim=128),
+        decoder=DecoderConfig(embed_dim=16, hidden_dim=32, dropout_rate=0.0),
+        decode=DecodeConfig(max_len=10),
+    )
+    p = CaptioningPipeline(cfg)
+    tok = Tokenizer()
+    tok.fit_on_texts(toy_corpus)
+    p.tokenizer = tok
+    p.build()
+    return p
+
+
+def test_engine_matches_greedy_decode(pipe, rng):
+    """Real decoder through the engine == greedy_decode, token-exact."""
+    feats = rng.normal(size=(3, 128)).astype(np.float32)
+    params = pipe.params["decoder"]
+    ref = greedy_decode(
+        pipe.decoder.step,
+        params,
+        pipe.decoder.init_state(params, jnp.asarray(feats)),
+        start_id=1,
+        end_id=2,
+        max_len=10,
+    )
+    eng = ContinuousDecodeEngine(
+        pipe.decoder, params, slots=4, start_id=1, end_id=2, max_len=10,
+        feature_shape=(128,),
+    )
+    st = eng.init_state()
+    idx, f = eng.pad_admission([0, 1, 2], list(feats))
+    st = eng.admit(st, idx, f)
+    st = eng.tick(st, 10)
+    (tokens, lengths, scores), _ = eng.collect(
+        st, jnp.asarray([0, 1, 2, 0])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(tokens)[:3], np.asarray(ref.tokens)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(lengths)[:3], np.asarray(ref.lengths)
+    )
+    np.testing.assert_allclose(
+        np.asarray(scores)[:3], np.asarray(ref.scores), atol=1e-5
+    )
+
+
+def test_server_matches_generate(pipe, rng):
+    feats = rng.normal(size=(9, 128)).astype(np.float32)
+    ref = pipe.generate(feats, method="greedy")
+    with ContinuousCaptionServer(pipe, slots=4, ticks_per_sync=2) as srv:
+        futs = [srv.submit(f) for f in feats]  # 9 requests > 4 slots
+        got = [f.result(timeout=180) for f in futs]
+    assert got == ref
+    s = srv.stats()
+    assert s["requests"] == 9
+    assert s["ticks"] > 0 and s["mean_occupancy"] > 0
+
+
+def test_server_backpressure_and_shape_check(pipe, rng):
+    with ContinuousCaptionServer(
+        pipe, slots=2, ticks_per_sync=2, max_queue=0
+    ) as srv:
+        with pytest.raises(ValueError, match="request shape"):
+            srv.submit(np.zeros((3,), np.float32))
+        with pytest.raises(Overloaded):
+            # queue cap 0 with the batcher busy-waiting: first submit
+            # may be grabbed instantly, so fill until it trips.
+            for _ in range(50):
+                srv.submit(
+                    rng.normal(size=(128,)).astype(np.float32)
+                )
+
+
+def test_server_close_resolves_outstanding(pipe, rng):
+    feats = rng.normal(size=(5, 128)).astype(np.float32)
+    srv = ContinuousCaptionServer(pipe, slots=2, ticks_per_sync=3)
+    futs = [srv.submit(f) for f in feats]
+    srv.close()
+    caps = [f.result(timeout=180) for f in futs]
+    assert caps == pipe.generate(feats, method="greedy")
+    with pytest.raises(RuntimeError, match="closed"):
+        srv.submit(feats[0])
