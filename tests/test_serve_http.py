@@ -162,3 +162,20 @@ def test_http_503_on_overload(pipe, rng, monkeypatch):
             t.join(timeout=120)
     assert 503 in codes  # shed load under burst...
     assert 200 in codes  # ...while admitted requests still complete
+
+
+def test_http_continuous_engine(pipe, rng):
+    """engine='continuous' serves /caption_features through the
+    slot-recycling path with identical captions."""
+    with CaptionHTTPServer(
+        pipe, port=0, max_batch=4, engine="continuous"
+    ) as srv:
+        srv.serve_background()
+        feats = rng.normal(size=(128,)).astype(np.float32)
+        body = json.dumps({"features": feats.tolist()}).encode()
+        status, payload = _request(srv, "POST", "/caption_features", body)
+        assert status == 200
+        ref = pipe.generate(feats[None], method="greedy")[0]
+        assert payload["caption"] == ref
+        status, payload = _request(srv, "GET", "/stats")
+        assert status == 200 and payload["features"]["requests"] >= 1

@@ -306,6 +306,7 @@ def cmd_serve(args):
         method=args.method,
         beam_width=args.beam_width,
         max_queue=args.max_queue,
+        engine=args.engine,
     )
     host, port = srv.address
     print(f"serving on http://{host}:{port} "
@@ -440,6 +441,10 @@ def main(argv=None):
     p.add_argument("--max-queue", type=int, default=None,
                    help="bounded admission: reject (HTTP 503) when this "
                    "many requests are queued (default unbounded)")
+    p.add_argument("--engine", default="batch",
+                   choices=["batch", "continuous"],
+                   help="feature-serving engine: micro-batched (default) "
+                   "or continuous slot-recycling greedy")
     p.add_argument("--method", default="beam", choices=["greedy", "beam"])
     p.add_argument("--beam-width", type=int, default=3)
     p.set_defaults(fn=cmd_serve)

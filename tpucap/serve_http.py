@@ -26,7 +26,11 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
 
-from tpucap.serve import CaptionServer, Overloaded
+from tpucap.serve import (
+    CaptionServer,
+    ContinuousCaptionServer,
+    Overloaded,
+)
 
 
 def _preprocess_jpeg(blob: bytes, size: int, mode: str) -> np.ndarray:
@@ -52,7 +56,12 @@ class CaptionHTTPServer:
         beam_width: int | None = None,
         parallelism: str | None = None,
         max_queue: int | None = None,
+        engine: str = "batch",
     ):
+        """engine='continuous' serves /caption_features through the
+        slot-recycling greedy engine (ContinuousCaptionServer; ignores
+        method/beam_width — greedy only); the JPEG /caption path always
+        uses the batch server (it needs the encoder pass)."""
         self._pipe = pipeline
         kw = dict(
             max_batch=max_batch,
@@ -63,7 +72,18 @@ class CaptionHTTPServer:
             max_queue=max_queue,
         )
         self._images = CaptionServer(pipeline, mode="images", **kw)
-        self._features = CaptionServer(pipeline, mode="features", **kw)
+        if engine == "continuous":
+            self._features = ContinuousCaptionServer(
+                pipeline, slots=max_batch, max_queue=max_queue
+            )
+        elif engine == "batch":
+            self._features = CaptionServer(
+                pipeline, mode="features", **kw
+            )
+        else:
+            raise ValueError(
+                f"engine must be 'batch'|'continuous', got {engine!r}"
+            )
         self._httpd = ThreadingHTTPServer(
             (host, port), self._make_handler()
         )
