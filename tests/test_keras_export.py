@@ -88,3 +88,60 @@ def test_non_merge_decoder_rejected():
     with pytest.raises(ValueError, match="MergeDecoder"):
         merge_decoder_to_keras(dec, dec.init(jax.random.key(0)),
                                max_len=MAXLEN)
+
+
+@pytest.mark.slow
+def test_cli_export_round_trip(tmp_path):
+    """extract -> train -> export via the CLI; the exported .h5 reloads
+    in tf_keras and carries the trained decoder weights."""
+    import os
+
+    from tpucap.cli.main import main
+    from tpucap.data import generate_fixture_dataset
+
+    img_dir, token_file, train_file, _ = generate_fixture_dataset(
+        tmp_path, n_images=6, image_size=32, seed=5
+    )
+    feats = str(tmp_path / "f.npz")
+    ckpt = str(tmp_path / "ckpt")
+    common = ["--encoder", "tiny_cnn", "--max-len", "12"]
+    main(["extract", *common, "--images", str(img_dir), "--out", feats,
+          "--batch-size", "4"])
+    main(["train", *common, "--tokens", token_file, "--split", train_file,
+          "--features", feats, "--checkpoint-dir", ckpt,
+          "--epochs", "1", "--batch-size", "4"])
+    out = str(tmp_path / "exported.h5")
+    bundle = str(tmp_path / "bundle")
+    main(["export", *common, "--checkpoint-dir", ckpt, "--out", out,
+          "--bundle-out", bundle])
+    assert os.path.exists(out)
+    model = tf_keras.models.load_model(out, compile=False)
+    back = merge_decoder_params_from_keras(model)
+    assert back["embedding"]["table"].shape[1] == 256  # embed default
+    assert os.path.exists(os.path.join(bundle, "tokenizer.json"))
+
+
+def test_tensorboard_metrics_mirror(tmp_path):
+    """MetricsLogger(tensorboard_dir=...) writes event files with the
+    numeric fields as scalars."""
+    import os
+
+    from tpucap.utils import MetricsLogger
+
+    tb = str(tmp_path / "tb")
+    with MetricsLogger(
+        str(tmp_path / "m.jsonl"), tensorboard_dir=tb
+    ) as log:
+        log.log({"epoch": 0, "loss": 1.5, "accuracy": 0.2, "note": "x"})
+        log.log({"epoch": 1, "loss": 1.2, "accuracy": 0.4})
+    events = [f for f in os.listdir(tb) if "tfevents" in f]
+    assert events, "no event file written"
+    import tensorflow as tf
+
+    seen = set()
+    for ev in tf.compat.v1.train.summary_iterator(
+        os.path.join(tb, events[0])
+    ):
+        for v in ev.summary.value:
+            seen.add(v.tag)
+    assert {"loss", "accuracy"} <= seen

@@ -191,7 +191,12 @@ def cmd_train(args):
         val_data = (val_prepared, features)
 
     mgr = CheckpointManager(args.checkpoint_dir)
-    logger = MetricsLogger(args.metrics_log) if args.metrics_log else None
+    tb = getattr(args, "tensorboard_dir", None)
+    logger = (
+        MetricsLogger(args.metrics_log, tensorboard_dir=tb)
+        if (args.metrics_log or tb)
+        else None
+    )
     history = pipe.fit(
         prepared,
         features,
@@ -286,6 +291,25 @@ def cmd_evaluate(args):
         parallelism=args.parallelism,
     )
     print(json.dumps(scores))
+
+
+def cmd_export(args):
+    """Export the trained decoder back to a reference-loadable Keras .h5
+    (docs/MIGRATION.md 'exit ramp'); also writes a pipeline.save()
+    bundle when --bundle-out is given."""
+    from tpucap.checkpoint import export_h5
+
+    pipe = _restore_pipeline(args)
+    export_h5(
+        pipe.decoder,
+        pipe.params["decoder"],
+        args.out,
+        max_len=pipe.config.decode.max_len,
+    )
+    print(f"wrote Keras h5 decoder to {args.out}")
+    if args.bundle_out:
+        pipe.save(args.bundle_out)
+        print(f"wrote pipeline bundle to {args.bundle_out}")
 
 
 def cmd_serve(args):
@@ -389,6 +413,9 @@ def main(argv=None):
     p.add_argument("--grad-clip-norm", type=float, default=0.0,
                    help="global-norm gradient clipping (0 = off)")
     p.add_argument("--metrics-log", default=None)
+    p.add_argument("--tensorboard-dir", default=None,
+                   help="also mirror per-epoch metrics as TensorBoard "
+                   "scalars (same logdir family as the profiler traces)")
     p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser("caption", help="caption image files")
@@ -422,6 +449,19 @@ def main(argv=None):
     p.add_argument("--model-devices", type=int, default=0,
                    help="model-axis width for --parallelism dp_tp")
     p.set_defaults(fn=cmd_evaluate)
+
+    p = sub.add_parser(
+        "export",
+        help="export the trained decoder to a Keras .h5 (migration exit "
+        "ramp) and optionally a pipeline bundle",
+    )
+    _add_common_model_flags(p)
+    p.add_argument("--checkpoint-dir", default="checkpoints")
+    p.add_argument("--out", required=True, help="output .h5 path")
+    p.add_argument("--bundle-out", default=None,
+                   help="also write a pipeline.save() bundle here")
+    p.add_argument("--keras-h5", default=None, help=argparse.SUPPRESS)
+    p.set_defaults(fn=cmd_export)
 
     p = sub.add_parser(
         "serve", help="HTTP caption server (micro-batched TPU serving)"
