@@ -55,7 +55,12 @@ class ServerStats:
     requests: int = 0
     batches: int = 0
     padded_rows: int = 0  # wasted decode rows from bucket padding
-    latencies_ms: list = field(default_factory=list)  # per-request e2e
+    # Rolling window of per-request e2e latencies: a long-running server
+    # must not grow host memory per request, so percentiles reflect the
+    # last N requests (deque maxlen).
+    latencies_ms: deque = field(
+        default_factory=lambda: deque(maxlen=10_000)
+    )
 
     def snapshot(self) -> dict:
         lat = sorted(self.latencies_ms)
