@@ -38,7 +38,11 @@ def main():
     pipe.tokenizer = tok
     pipe.build()  # untrained weights — captions are arbitrary but stable
 
+    # Features generated BEFORE spawning threads: np.random.Generator is
+    # not thread-safe, and this example is the pattern load generators
+    # copy.
     rng = np.random.default_rng(0)
+    all_feats = rng.normal(size=(12, 128)).astype(np.float32)
     with CaptionServer(pipe, max_batch=8, max_delay_ms=20) as srv:
         srv.warmup()
 
@@ -47,8 +51,7 @@ def main():
         results = [None] * 12
 
         def client(i):
-            feats = rng.normal(size=(128,)).astype(np.float32)
-            results[i] = srv.caption(feats)
+            results[i] = srv.caption(all_feats[i])
 
         threads = [threading.Thread(target=client, args=(i,))
                    for i in range(12)]

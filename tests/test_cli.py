@@ -231,3 +231,33 @@ def test_cli_parallelism_flag_choices(capsys):
               "--parallelism", "pp"])
     err = capsys.readouterr().err
     assert "dp_tp" in err and "invalid choice" in err
+
+
+@pytest.mark.slow
+def test_cli_restore_with_nondefault_optimizer(tmp_path, capsys):
+    """A checkpoint trained with --optimizer sgd --grad-clip-norm (whose
+    opt_state pytree differs from plain adam) must restore for inference
+    when the same flags are passed — the restore template is built from
+    the SAME config resolution as training."""
+    from tpucap.data import generate_fixture_dataset
+
+    img_dir, token_file, train_file, _ = generate_fixture_dataset(
+        tmp_path, n_images=6, image_size=32, seed=7
+    )
+    feats = str(tmp_path / "f.npz")
+    ckpt = str(tmp_path / "ckpt")
+    common = ["--encoder", "tiny_cnn", "--max-len", "12"]
+    opt = ["--optimizer", "sgd", "--momentum", "0.9",
+           "--grad-clip-norm", "1.0", "--lr-schedule", "cosine"]
+    main(["extract", *common, "--images", str(img_dir), "--out", feats,
+          "--batch-size", "4"])
+    capsys.readouterr()
+    main(["train", *common, *opt, "--tokens", token_file,
+          "--split", train_file, "--features", feats,
+          "--checkpoint-dir", ckpt, "--epochs", "1", "--batch-size", "4"])
+    capsys.readouterr()
+    img0 = os.path.join(str(img_dir), sorted(os.listdir(img_dir))[0])
+    main(["caption", *common, *opt, "--image", img0,
+          "--checkpoint-dir", ckpt, "--method", "greedy"])
+    out = capsys.readouterr().out
+    assert img0 in out

@@ -182,8 +182,10 @@ def test_serve_with_dp_parallelism(toy_corpus, rng):
 
 
 def test_serve_spatial_features_attention(toy_corpus, rng):
-    """Attention-decoder serving: requests are (196, C) spatial grids
-    (the judged 14x14 contract); captions match direct generate."""
+    """Attention-decoder serving: requests are (positions, C) spatial
+    grids matching the ENCODER's own grid (tiny_cnn: 4x4=16 — the
+    expected shape must come from encoder.spatial_positions, not a
+    hardcoded 14x14); captions match direct generate."""
     cfg = Config(
         encoder=EncoderConfig(
             name="tiny_cnn", feature_dim=32, features="spatial"
@@ -199,7 +201,8 @@ def test_serve_spatial_features_attention(toy_corpus, rng):
     p.tokenizer = tok
     p.build()
 
-    feats = rng.normal(size=(5, 196, 32)).astype(np.float32)
+    assert p.encoder.spatial_positions == 16  # tiny_cnn 4x4 grid
+    feats = rng.normal(size=(5, 16, 32)).astype(np.float32)
     ref = p.generate(feats, method="beam", beam_width=3)
     with CaptionServer(
         p, max_batch=8, max_delay_ms=100, method="beam", beam_width=3

@@ -15,6 +15,32 @@ import sys
 import numpy as np
 
 
+def _add_optimizer_flags(p):
+    """Optimizer surface flags. Shared by `train` AND every checkpoint-
+    restoring command (caption/evaluate/export/serve): the restore
+    template's opt_state structure is built from these, so a checkpoint
+    trained with --optimizer sgd restores with the same flag. Defaults
+    are None so an explicit 0 (e.g. --momentum 0) still overrides a
+    preset."""
+    p.add_argument("--optimizer", default=None,
+                   choices=["adam", "adamw", "sgd", "rmsprop", "adagrad"],
+                   help="optimizer (default adam, the reference's choice)")
+    p.add_argument("--momentum", type=float, default=None,
+                   help="sgd momentum")
+    p.add_argument("--weight-decay", type=float, default=None,
+                   help="adamw decoupled weight decay")
+    p.add_argument("--lr-schedule", default=None,
+                   choices=["constant", "cosine", "exponential"])
+    p.add_argument("--lr-decay-rate", type=float, default=None,
+                   help="exponential schedule decay rate (default 0.96)")
+    p.add_argument("--lr-decay-steps", type=int, default=None,
+                   help="exponential schedule step interval (default 1000)")
+    p.add_argument("--warmup-steps", type=int, default=None,
+                   help="linear lr warmup steps prepended to the schedule")
+    p.add_argument("--grad-clip-norm", type=float, default=None,
+                   help="global-norm gradient clipping (0 = off)")
+
+
 def _add_common_model_flags(p):
     p.add_argument("--encoder", default="vgg16",
                    choices=["vgg16", "inception_v3", "resnet50", "tiny_cnn"])
@@ -67,12 +93,13 @@ def _build_config(args):
             k: v
             for k, v in {
                 "optimizer": getattr(args, "optimizer", None),
-                "momentum": getattr(args, "momentum", 0.0) or None,
-                "weight_decay": getattr(args, "weight_decay", 0.0) or None,
+                "momentum": getattr(args, "momentum", None),
+                "weight_decay": getattr(args, "weight_decay", None),
                 "lr_schedule": getattr(args, "lr_schedule", None),
-                "warmup_steps": getattr(args, "warmup_steps", 0) or None,
-                "grad_clip_norm": getattr(args, "grad_clip_norm", 0.0)
-                or None,
+                "lr_decay_rate": getattr(args, "lr_decay_rate", None),
+                "lr_decay_steps": getattr(args, "lr_decay_steps", None),
+                "warmup_steps": getattr(args, "warmup_steps", None),
+                "grad_clip_norm": getattr(args, "grad_clip_norm", None),
             }.items()
             if v is not None
         }
@@ -119,11 +146,13 @@ def _build_config(args):
             )
             or 0,
             optimizer=getattr(args, "optimizer", None) or "adam",
-            momentum=getattr(args, "momentum", 0.0),
-            weight_decay=getattr(args, "weight_decay", 0.0),
+            momentum=getattr(args, "momentum", None) or 0.0,
+            weight_decay=getattr(args, "weight_decay", None) or 0.0,
             lr_schedule=getattr(args, "lr_schedule", None) or "constant",
-            warmup_steps=getattr(args, "warmup_steps", 0),
-            grad_clip_norm=getattr(args, "grad_clip_norm", 0.0),
+            lr_decay_rate=getattr(args, "lr_decay_rate", None) or 0.96,
+            lr_decay_steps=getattr(args, "lr_decay_steps", None) or 1000,
+            warmup_steps=getattr(args, "warmup_steps", None) or 0,
+            grad_clip_norm=getattr(args, "grad_clip_norm", None) or 0.0,
         ),
         mesh=MeshConfig(
             model_devices=getattr(args, "model_devices", 0) or 1
@@ -218,12 +247,11 @@ def cmd_train(args):
 
 def _restore_pipeline(args):
     import jax
-    import optax
 
     from tpucap.checkpoint import CheckpointManager
     from tpucap.pipeline import CaptioningPipeline
     from tpucap.text import Tokenizer
-    from tpucap.train import TrainState
+    from tpucap.train import TrainState, build_optimizer
 
     cfg = _build_config(args)
     tok = Tokenizer.load(os.path.join(args.checkpoint_dir, "tokenizer.json"))
@@ -236,8 +264,14 @@ def _restore_pipeline(args):
             args.keras_h5, cfg.encoder.name
         )
     mgr = CheckpointManager(args.checkpoint_dir)
+    # The restore template's opt_state pytree must match what training
+    # saved — build the optimizer from the SAME config resolution the
+    # train command used (pass the matching --optimizer/--lr-schedule/...
+    # flags when restoring a non-default-optimizer checkpoint).
     fresh = TrainState.create(
-        pipe.params["decoder"], optax.adam(1e-3), jax.random.key(0)
+        pipe.params["decoder"],
+        build_optimizer(cfg.train),
+        jax.random.key(0),
     )
     # Restore the best-val_loss checkpoint when metrics were recorded
     # (mirroring ModelCheckpoint(save_best_only) + restore_best_weights);
@@ -399,19 +433,7 @@ def main(argv=None):
     p.add_argument("--attention-reg", type=float, default=0.0,
                    help="doubly-stochastic attention regularizer weight "
                    "(Show-Attend-Tell; attention decoder only)")
-    p.add_argument("--optimizer", default=None,
-                   choices=["adam", "adamw", "sgd", "rmsprop", "adagrad"],
-                   help="optimizer (default adam, the reference's choice)")
-    p.add_argument("--momentum", type=float, default=0.0,
-                   help="sgd momentum")
-    p.add_argument("--weight-decay", type=float, default=0.0,
-                   help="adamw decoupled weight decay")
-    p.add_argument("--lr-schedule", default=None,
-                   choices=["constant", "cosine", "exponential"])
-    p.add_argument("--warmup-steps", type=int, default=0,
-                   help="linear lr warmup steps prepended to the schedule")
-    p.add_argument("--grad-clip-norm", type=float, default=0.0,
-                   help="global-norm gradient clipping (0 = off)")
+    _add_optimizer_flags(p)
     p.add_argument("--metrics-log", default=None)
     p.add_argument("--tensorboard-dir", default=None,
                    help="also mirror per-epoch metrics as TensorBoard "
@@ -420,6 +442,7 @@ def main(argv=None):
 
     p = sub.add_parser("caption", help="caption image files")
     _add_common_model_flags(p)
+    _add_optimizer_flags(p)
     p.add_argument("--image", nargs="+", required=True)
     p.add_argument("--checkpoint-dir", default="checkpoints")
     p.add_argument("--method", default="beam", choices=["greedy", "beam"])
@@ -435,6 +458,7 @@ def main(argv=None):
 
     p = sub.add_parser("evaluate", help="BLEU-1..4 over a split")
     _add_common_model_flags(p)
+    _add_optimizer_flags(p)
     p.add_argument("--tokens", required=True)
     p.add_argument("--split", default=None)
     p.add_argument("--features", required=True)
@@ -456,6 +480,7 @@ def main(argv=None):
         "ramp) and optionally a pipeline bundle",
     )
     _add_common_model_flags(p)
+    _add_optimizer_flags(p)
     p.add_argument("--checkpoint-dir", default="checkpoints")
     p.add_argument("--out", required=True, help="output .h5 path")
     p.add_argument("--bundle-out", default=None,
@@ -467,6 +492,7 @@ def main(argv=None):
         "serve", help="HTTP caption server (micro-batched TPU serving)"
     )
     _add_common_model_flags(p)
+    _add_optimizer_flags(p)
     p.add_argument("--model-dir", default=None,
                    help="a pipeline.save() bundle; overrides "
                    "--checkpoint-dir restore")

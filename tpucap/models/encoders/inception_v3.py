@@ -47,6 +47,11 @@ class InceptionV3:
     def feature_dim(self) -> int:
         return 2048 if self.features == "pooled" else 768
 
+    @property
+    def spatial_positions(self) -> int:
+        """Flattened spatial-grid length in 'spatial' mode (17x17)."""
+        return 17 * 17
+
     def _conv_shapes(self):
         """Trace the topology once with numpy dummy params to record each
         conv's (cin, cout, kh, kw) in creation order. numpy constants (not

@@ -41,15 +41,24 @@ class ResNet50:
     features: str = "pooled"  # 'pooled' (2048) | 'spatial' (14x14x1024)
     input_size: int = 224
     preprocess_mode: str = "caffe"
-    # Inference-only: run stride-1 identity blocks through the fused
-    # Pallas kernel (ops/pallas/bottleneck.py) once BN is folded. Opt in
-    # via dataclasses.replace / pipeline.fuse_resnet_blocks(); requires
-    # folded params (no-op until then) and is not differentiable.
+    # Inference-only OPT-IN: run stride-1 identity blocks through the
+    # fused Pallas kernel (ops/pallas/bottleneck.py) once BN is folded;
+    # requires folded params (no-op until then), not differentiable.
+    # Measured SLOWER than XLA inside the full encoder on v5e
+    # (docs/PERF.md round-2 continuation) — kept for standalone-block
+    # workloads and as a re-checkable data point; fused_stages selects
+    # which stages route through it.
     fused_blocks: bool = False
+    fused_stages: tuple = ("conv2", "conv3", "conv4", "conv5")
 
     @property
     def feature_dim(self) -> int:
         return 2048 if self.features == "pooled" else 1024
+
+    @property
+    def spatial_positions(self) -> int:
+        """Flattened spatial-grid length in 'spatial' mode (14x14)."""
+        return 14 * 14
 
     def init(self, key):
         kg = KeyGen(key)
@@ -85,6 +94,7 @@ class ResNet50:
             self.fused_blocks
             and stride == 1
             and not conv_shortcut
+            and blk.split("_")[0] in self.fused_stages
             and f"{blk}_1_bn" not in p  # BN folded -> kernel+bias convs
         ):
             from tpucap.ops.pallas.bottleneck import fused_identity_block

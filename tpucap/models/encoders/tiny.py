@@ -32,6 +32,11 @@ class TinyCNN:
     def feature_dim(self) -> int:
         return self.width
 
+    @property
+    def spatial_positions(self) -> int:
+        """Flattened spatial-grid length in 'spatial' mode (4x4)."""
+        return 4 * 4
+
     def init(self, key):
         kg = KeyGen(key)
         w = self.width

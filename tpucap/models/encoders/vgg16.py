@@ -33,6 +33,11 @@ class VGG16:
     def feature_dim(self) -> int:
         return 4096 if self.features == "fc2" else 512
 
+    @property
+    def spatial_positions(self) -> int:
+        """Flattened spatial-grid length in 'spatial' mode (14x14)."""
+        return 14 * 14
+
     def init(self, key):
         kg = KeyGen(key)
         params = {}

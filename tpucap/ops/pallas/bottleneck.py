@@ -20,6 +20,14 @@ blocks) on BN-folded params (kernel+bias convs — pipeline.fold_bn). The
 nine shifted matmuls accumulated in f32 over a zero-halo'd VMEM scratch
 — all MXU work, no im2col materialization.
 
+MEASURED (v5e, batch 256 bf16 — docs/PERF.md): beats XLA standalone at
+56x56 (-10%) and 7x7 (-28%) block shapes, but embedded in the full
+encoder every configuration LOSES (e.g. conv2-only: 26.8 ms vs 21.9) —
+in-graph XLA executes the same blocks faster than standalone (cross-op
+fusion/overlap a custom-call region can't join; compiled HLO shows zero
+layout copies, so it is scheduling, not layout). Ships OPT-IN
+(`ResNet50(fused_blocks=True)`); the XLA path stays the default.
+
 Numerics mirror the unfused path op-for-op: each conv accumulates in f32
 and downcasts to the activation dtype BEFORE the bias add (exactly what
 `encoders/common.conv` + XLA's bf16 MXU pass produce), so fused vs

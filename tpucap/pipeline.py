@@ -729,37 +729,38 @@ class CaptioningPipeline:
                 res.lengths[:B],
                 end_id=end_id,
             )
+        if method != "sample":
+            # Single source of truth for the single-device greedy/beam
+            # path: generate(x) IS generate_submit(x)().
+            return self.generate_submit(
+                features, method=method, beam_width=beam_width
+            )()
+        from tpucap.decode import sample_decode
+
         params = self._inference_params()["decoder"]
         feats = jnp.asarray(features, self._infer_dtype())
-        _, end_id = self._token_ids()
-        if method == "sample":
-            from tpucap.decode import sample_decode
+        start_id, end_id = self._token_ids()
+        key = ("sample", temperature, top_k)
+        fn = self._decode_cache.get(key)
+        if fn is None:
 
-            start_id, _ = self._token_ids()
-            key = ("sample", temperature, top_k)
-            fn = self._decode_cache.get(key)
-            if fn is None:
+            @jax.jit
+            def fn(params, features, rng):
+                state = self.decoder.init_state(params, features)
+                return sample_decode(
+                    self.decoder.step,
+                    params,
+                    state,
+                    rng=rng,
+                    start_id=start_id,
+                    end_id=end_id,
+                    max_len=self.config.decode.max_len,
+                    temperature=temperature,
+                    top_k=top_k,
+                )
 
-                @jax.jit
-                def fn(params, features, rng):
-                    state = self.decoder.init_state(params, features)
-                    return sample_decode(
-                        self.decoder.step,
-                        params,
-                        state,
-                        rng=rng,
-                        start_id=start_id,
-                        end_id=end_id,
-                        max_len=self.config.decode.max_len,
-                        temperature=temperature,
-                        top_k=top_k,
-                    )
-
-                self._decode_cache[key] = fn
-            res = fn(params, feats, jax.random.key(seed))
-        else:
-            fn = self._decode_fn(method, beam_width)
-            res = fn(params, feats)
+            self._decode_cache[key] = fn
+        res = fn(params, feats, jax.random.key(seed))
         return ids_to_captions(
             self.tokenizer, res.tokens, res.lengths, end_id=end_id
         )

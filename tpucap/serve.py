@@ -57,13 +57,21 @@ class ServerStats:
     padded_rows: int = 0  # wasted decode rows from bucket padding
     # Rolling window of per-request e2e latencies: a long-running server
     # must not grow host memory per request, so percentiles reflect the
-    # last N requests (deque maxlen).
+    # last N requests (deque maxlen). The lock covers append vs the
+    # snapshot() sort — /stats runs on HTTP handler threads while the
+    # batcher appends, and iterating a mutating deque raises.
     latencies_ms: deque = field(
         default_factory=lambda: deque(maxlen=10_000)
     )
+    lock: threading.Lock = field(default_factory=threading.Lock)
+
+    def add_latency(self, ms: float) -> None:
+        with self.lock:
+            self.latencies_ms.append(ms)
 
     def snapshot(self) -> dict:
-        lat = sorted(self.latencies_ms)
+        with self.lock:
+            lat = sorted(self.latencies_ms)
         p = lambda q: lat[int(q * (len(lat) - 1))] if lat else None
         return {
             "requests": self.requests,
@@ -134,6 +142,10 @@ class CaptionServer:
         self._queue: queue.Queue = queue.Queue()
         self._stats = ServerStats()
         self._closed = False
+        # Serializes submit() against close(): without it a submitter can
+        # pass the closed check, lose the CPU, and enqueue after the
+        # batcher consumed the close sentinel — a Future nobody resolves.
+        self._submit_lock = threading.Lock()
         self._thread = threading.Thread(
             target=self._batcher, name="tpucap-serve-batcher", daemon=True
         )
@@ -143,8 +155,6 @@ class CaptionServer:
 
     def submit(self, x) -> Future:
         """Enqueue one request; resolves to the caption string."""
-        if self._closed:
-            raise RuntimeError("server is closed")
         x = np.asarray(x)
         expect = self._expected_shape()
         if x.shape != expect:
@@ -160,7 +170,10 @@ class CaptionServer:
                 f"request queue at max_queue={self._max_queue}"
             )
         fut: Future = Future()
-        self._queue.put((x, fut, time.perf_counter()))
+        with self._submit_lock:
+            if self._closed:
+                raise RuntimeError("server is closed")
+            self._queue.put((x, fut, time.perf_counter()))
         return fut
 
     def caption(self, x, timeout: float | None = 60.0) -> str:
@@ -179,10 +192,11 @@ class CaptionServer:
 
     def close(self, timeout: float = 30.0) -> None:
         """Drain the queue, stop the batcher. Idempotent."""
-        if self._closed:
-            return
-        self._closed = True
-        self._queue.put(None)  # sentinel
+        with self._submit_lock:
+            if self._closed:
+                return
+            self._closed = True
+            self._queue.put(None)  # sentinel
         self._thread.join(timeout=timeout)
 
     def __enter__(self):
@@ -199,9 +213,10 @@ class CaptionServer:
             return (s, s, 3)
         cfg = self._pipe.config.encoder
         if cfg.features == "spatial":
-            # attention serving: flattened (positions, channels) grid,
-            # 14x14 per the judged spatial contract (SURVEY §2.1 #2).
-            return (14 * 14, cfg.feature_dim)
+            # attention serving: flattened (positions, channels) grid —
+            # the encoder's own grid (vgg16/resnet50 14x14, inception
+            # 17x17, tiny 4x4), not a hardcoded 196.
+            return (self._pipe.encoder.spatial_positions, cfg.feature_dim)
         return (cfg.feature_dim,)
 
     def _run_batch(self, batch: np.ndarray) -> list[str]:
@@ -318,7 +333,7 @@ class CaptionServer:
         self._stats.requests += n
         self._stats.batches += 1
         for cap, fut, t0 in zip(captions, futs, t0s):
-            self._stats.latencies_ms.append((now - t0) * 1e3)
+            self._stats.add_latency((now - t0) * 1e3)
             if not fut.cancelled():
                 fut.set_result(cap)
 
@@ -355,7 +370,7 @@ class ContinuousCaptionServer:
         self._end_id = end_id
         cfgE = pipeline.config.encoder
         feature_shape = (
-            (14 * 14, cfgE.feature_dim)
+            (pipeline.encoder.spatial_positions, cfgE.feature_dim)
             if cfgE.features == "spatial"
             else (cfgE.feature_dim,)
         )
@@ -379,6 +394,7 @@ class ContinuousCaptionServer:
         self._tick_count = 0
         self._tick_occupancy = 0
         self._closed = False
+        self._submit_lock = threading.Lock()  # submit vs close ordering
         self._thread = threading.Thread(
             target=self._loop, name="tpucap-continuous", daemon=True
         )
@@ -387,8 +403,6 @@ class ContinuousCaptionServer:
     # -- client surface ----------------------------------------------------
 
     def submit(self, features) -> Future:
-        if self._closed:
-            raise RuntimeError("server is closed")
         x = np.asarray(features)
         if x.shape != self._engine.feature_shape:
             raise ValueError(
@@ -403,7 +417,10 @@ class ContinuousCaptionServer:
                 f"request queue at max_queue={self._max_queue}"
             )
         fut: Future = Future()
-        self._queue.put((x, fut, time.perf_counter()))
+        with self._submit_lock:
+            if self._closed:
+                raise RuntimeError("server is closed")
+            self._queue.put((x, fut, time.perf_counter()))
         return fut
 
     def caption(self, features, timeout: float | None = 60.0) -> str:
@@ -420,10 +437,11 @@ class ContinuousCaptionServer:
         return s
 
     def close(self, timeout: float = 60.0) -> None:
-        if self._closed:
-            return
-        self._closed = True
-        self._queue.put(None)
+        with self._submit_lock:
+            if self._closed:
+                return
+            self._closed = True
+            self._queue.put(None)
         self._thread.join(timeout=timeout)
 
     def __enter__(self):
@@ -468,7 +486,10 @@ class ContinuousCaptionServer:
         if not ids:
             return
         b = self._engine.admit_bucket(len(ids))
-        idx = np.full((b,), 0, np.int32)
+        # Pad with the engine's out-of-range index (scatter-dropped), NOT
+        # slot 0 — a slot-0 pad row would clear lane 0's finished bit if
+        # a future change collects a subset of finished lanes.
+        idx = np.full((b,), self._engine.slots, np.int32)
         idx[: len(ids)] = ids
         (tokens, lengths, _), self._state = self._engine.collect(
             self._state, jnp.asarray(idx)
@@ -482,7 +503,7 @@ class ContinuousCaptionServer:
         self._stats.requests += len(ids)
         for slot, cap in zip(ids, captions):
             fut, t0 = self._futures.pop(slot)
-            self._stats.latencies_ms.append((now - t0) * 1e3)
+            self._stats.add_latency((now - t0) * 1e3)
             if not fut.cancelled():
                 fut.set_result(cap)
             self._free.append(slot)

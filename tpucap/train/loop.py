@@ -61,7 +61,12 @@ def build_optimizer(cfg, total_steps: int = 0):
     if cfg.lr_schedule == "constant":
         sched = optax.constant_schedule(lr)
     elif cfg.lr_schedule == "cosine":
-        horizon = max(1, (total_steps or cfg.lr_decay_steps))
+        # The cosine must finish AT the end of the run: its horizon is
+        # the post-warmup step budget (join_schedules offsets it to
+        # start after warmup).
+        horizon = max(
+            1, (total_steps or cfg.lr_decay_steps) - cfg.warmup_steps
+        )
         sched = optax.cosine_decay_schedule(lr, decay_steps=horizon)
     elif cfg.lr_schedule == "exponential":
         sched = optax.exponential_decay(
