@@ -226,3 +226,93 @@ def test_server_close_resolves_outstanding(pipe, rng):
     assert caps == pipe.generate(feats, method="greedy")
     with pytest.raises(RuntimeError, match="closed"):
         srv.submit(feats[0])
+
+
+class TestContinuousBeam:
+    """Continuous beam engine (decode/continuous_beam.py): group results
+    identical to beam_decode, independent of admission time."""
+
+    def _engine(self, pipe, slots=3, k=3):
+        from tpucap.decode.continuous_beam import ContinuousBeamEngine
+
+        return ContinuousBeamEngine(
+            pipe.decoder,
+            pipe.params["decoder"],
+            slots=slots,
+            beam_width=k,
+            start_id=1,
+            end_id=2,
+            max_len=10,
+            feature_shape=(128,),
+        )
+
+    def _beam_ref(self, pipe, feats, k=3):
+        from tpucap.decode import beam_decode
+
+        params = pipe.params["decoder"]
+        return beam_decode(
+            pipe.decoder.step,
+            params,
+            pipe.decoder.init_state(params, jnp.asarray(feats)),
+            start_id=1,
+            end_id=2,
+            max_len=10,
+            beam_width=k,
+        )
+
+    def test_matches_beam_decode(self, pipe, rng):
+        feats = rng.normal(size=(3, 128)).astype(np.float32)
+        ref = self._beam_ref(pipe, feats)
+        eng = self._engine(pipe)
+        st = eng.init_state()
+        idx, f = eng.pad_admission([0, 1, 2], list(feats))
+        st = eng.admit(st, idx, f)
+        st = eng.tick(st, 10)
+        fin, act, _ = jax.device_get(eng.flags(st))
+        assert fin.all() and not act.any()
+        (tokens, lengths, scores), _ = eng.collect(
+            st, jnp.asarray([0, 1, 2])
+        )
+        np.testing.assert_array_equal(
+            np.asarray(tokens), np.asarray(ref.tokens)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(lengths), np.asarray(ref.lengths)
+        )
+        np.testing.assert_allclose(
+            np.asarray(scores), np.asarray(ref.scores), atol=1e-5
+        )
+
+    def test_staggered_admission_is_equivalent(self, pipe, rng):
+        """A request admitted at tick 5 into a recycled group produces
+        the SAME beams as one admitted at tick 0 — per-group state is
+        lane-local."""
+        feats = rng.normal(size=(2, 128)).astype(np.float32)
+        ref = self._beam_ref(pipe, feats[1:2])
+        eng = self._engine(pipe, slots=1)
+        st = eng.init_state()
+        idx, f = eng.pad_admission([0], [feats[0]])
+        st = eng.admit(st, idx, f)
+        st = eng.tick(st, 5)
+        # Recycle group 0 mid-flight with request 1 (server would only
+        # readmit after retirement; admit overwrites regardless).
+        idx, f = eng.pad_admission([0], [feats[1]])
+        st = eng.admit(st, idx, f)
+        st = eng.tick(st, 10)
+        (tokens, lengths, scores), _ = eng.collect(st, jnp.asarray([0]))
+        np.testing.assert_array_equal(
+            np.asarray(tokens), np.asarray(ref.tokens)
+        )
+        np.testing.assert_allclose(
+            np.asarray(scores), np.asarray(ref.scores), atol=1e-5
+        )
+
+    def test_server_beam_mode_matches_generate(self, pipe, rng):
+        feats = rng.normal(size=(7, 128)).astype(np.float32)
+        ref = pipe.generate(feats, method="beam", beam_width=3)
+        with ContinuousCaptionServer(
+            pipe, slots=3, ticks_per_sync=2, beam_width=3
+        ) as srv:
+            futs = [srv.submit(f) for f in feats]  # 7 requests > 3 groups
+            got = [f.result(timeout=180) for f in futs]
+        assert got == ref

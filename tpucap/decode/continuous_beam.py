@@ -1,0 +1,320 @@
+"""Continuous batching for BEAM search: group-recycling over k-lane pools.
+
+Extends the greedy slot-recycling engine (continuous.py) to beam decode:
+each request occupies a GROUP of ``beam_width`` lanes that run the exact
+``beam_decode`` bookkeeping (frozen slots, lazy log-softmax, exact
+two-stage top-k, backpointers — decode/beam.py), and a group retires the
+moment every one of its beams is finished, freeing its lanes for the
+next queued request. The per-step math is transcribed from beam.py
+body-for-body so a group's result is token/score-identical to
+``beam_decode`` on the same features regardless of WHEN it was admitted
+(per-group state is fully lane-local; tests pin both properties).
+
+Same fixed-shape host API as ContinuousDecodeEngine — admit / tick /
+flags / collect over group indices, padded to a bucket ladder with
+out-of-range indices the scatters drop — so ContinuousCaptionServer
+drives either engine unchanged.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpucap.decode.beam import NEG_INF
+
+
+def _mask_tree(mask, new, old):
+    def sel(n, o):
+        m = mask.reshape(mask.shape + (1,) * (n.ndim - 1))
+        return jnp.where(m, n, o)
+
+    return jax.tree_util.tree_map(sel, new, old)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class BeamSlotState:
+    dec: Any  # decoder state pytree, leaves (R*k, ...)
+    last: Any  # (R*k,) int32
+    t: Any  # (R,) int32 per-group step counter
+    scores: Any  # (R, k) f32 raw log-prob sums
+    beam_finished: Any  # (R, k) bool — frozen beam slots
+    lengths: Any  # (R, k) int32
+    words: Any  # (R, max_len, k) int32 emitted word per step
+    parents: Any  # (R, max_len, k) int32 backpointers
+    active: Any  # (R,) bool — live request group
+    finished: Any  # (R,) bool — group done, awaiting collection
+
+
+class ContinuousBeamEngine:
+    """Device half of a continuous-batching beam server. ``slots`` is the
+    number of GROUPS (concurrent requests); lane count is slots*k."""
+
+    def __init__(
+        self,
+        decoder,
+        params,
+        *,
+        slots: int,
+        beam_width: int,
+        start_id: int,
+        end_id: int,
+        max_len: int,
+        pad_id: int = 0,
+        length_normalize: bool = True,
+        alpha: float = 1.0,
+        feature_shape: tuple | None = None,
+        feature_dtype=jnp.float32,
+    ):
+        self.decoder = decoder
+        self.params = params
+        self.slots = slots
+        self.k = beam_width
+        self.start_id = start_id
+        self.end_id = end_id
+        self.max_len = max_len
+        self.pad_id = pad_id
+        self.length_normalize = length_normalize
+        self.alpha = alpha
+        self.feature_shape = feature_shape or (decoder.feature_dim,)
+        self.feature_dtype = feature_dtype
+        self._admit_buckets = []
+        b = 1
+        while b < slots:
+            self._admit_buckets.append(b)
+            b *= 2
+        self._admit_buckets.append(slots)
+
+    # -- state --------------------------------------------------------------
+
+    def init_state(self) -> BeamSlotState:
+        R, k, L = self.slots, self.k, self.max_len
+        feats = jnp.zeros((R * k,) + self.feature_shape, self.feature_dtype)
+        dec = self.decoder.init_state(self.params, feats)
+        parents0 = jnp.broadcast_to(
+            jnp.arange(k, dtype=jnp.int32)[None, None, :], (R, L, k)
+        )
+        return BeamSlotState(
+            dec=dec,
+            last=jnp.full((R * k,), self.start_id, jnp.int32),
+            t=jnp.zeros((R,), jnp.int32),
+            scores=jnp.zeros((R, k), jnp.float32),
+            beam_finished=jnp.zeros((R, k), bool),
+            lengths=jnp.zeros((R, k), jnp.int32),
+            words=jnp.full((R, L, k), self.pad_id, jnp.int32),
+            parents=parents0,
+            active=jnp.zeros((R,), bool),
+            finished=jnp.zeros((R,), bool),
+        )
+
+    # -- jit programs -------------------------------------------------------
+
+    @partial(jax.jit, static_argnums=0)
+    def admit(self, state: BeamSlotState, group_idx, features):
+        """Scatter K new requests into groups ``group_idx`` ((K,) int32;
+        pad rows carry index >= slots). ``features``: (K, *feature_shape),
+        tiled beam-major to the group's k lanes like beam_decode's
+        _tile_state."""
+        K = group_idx.shape[0]
+        k = self.k
+        tiled = jnp.repeat(features, k, axis=0)  # (K*k, ...)
+        new_dec = self.decoder.init_state(self.params, tiled)
+        lane_idx = (group_idx[:, None] * k + jnp.arange(k)[None, :]).reshape(
+            K * k
+        )
+        # Out-of-range group indices produce out-of-range lane indices —
+        # dropped by the scatters, like continuous.py's admit.
+        lane_idx = jnp.where(
+            jnp.repeat(group_idx, k) >= self.slots,
+            self.slots * k,
+            lane_idx,
+        )
+        dec = jax.tree_util.tree_map(
+            lambda buf, new: buf.at[lane_idx].set(new), state.dec, new_dec
+        )
+        # Initial beam scores [0, -inf, ...] (beam.py scores0).
+        scores0 = jnp.tile(
+            jnp.concatenate(
+                [jnp.zeros((1,)), jnp.full((k - 1,), NEG_INF)]
+            )[None, :],
+            (K, 1),
+        ).astype(jnp.float32)
+        parents0 = jnp.broadcast_to(
+            jnp.arange(k, dtype=jnp.int32)[None, None, :],
+            (K, self.max_len, k),
+        )
+        return BeamSlotState(
+            dec=dec,
+            last=state.last.at[lane_idx].set(self.start_id),
+            t=state.t.at[group_idx].set(0),
+            scores=state.scores.at[group_idx].set(scores0),
+            beam_finished=state.beam_finished.at[group_idx].set(False),
+            lengths=state.lengths.at[group_idx].set(0),
+            words=state.words.at[group_idx].set(self.pad_id),
+            parents=state.parents.at[group_idx].set(parents0),
+            active=state.active.at[group_idx].set(True),
+            finished=state.finished.at[group_idx].set(False),
+        )
+
+    @partial(jax.jit, static_argnums=(0, 2))
+    def tick(self, state: BeamSlotState, n: int = 1) -> BeamSlotState:
+        """``n`` beam steps for every group — beam.py's body, with B=R
+        groups and inactive groups' state commits masked out."""
+        R, k = self.slots, self.k
+
+        def one(state, _):
+            with jax.named_scope("cont_beam_step"):
+                logits, new_dec = self.decoder.step(
+                    self.params, state.dec, state.last
+                )  # (R*k, V)
+            lse = jax.scipy.special.logsumexp(
+                logits.astype(jnp.float32), axis=-1
+            )
+            masked = logits.at[:, self.pad_id].set(
+                jnp.asarray(NEG_INF, logits.dtype)
+            )
+            pb_vals, pb_words = jax.lax.top_k(masked, k)  # (R*k, k)
+            pb_logp = (
+                pb_vals.astype(jnp.float32) - lse[:, None]
+            ).reshape(R, k, k)
+            pb_words = pb_words.reshape(R, k, k)
+
+            live_cand = state.scores[:, :, None] + pb_logp
+            frozen_rank = jnp.full((k,), NEG_INF).at[0].set(0.0)
+            frozen_cand = state.scores[:, :, None] + frozen_rank[None, None, :]
+            fin = state.beam_finished[:, :, None]
+            cand = jnp.where(fin, frozen_cand, live_cand)
+            cand_words = jnp.where(fin, self.pad_id, pb_words)
+
+            merged = cand.reshape(R, k * k)
+            top_scores, idx2 = jax.lax.top_k(merged, k)  # (R, k)
+            parent = idx2 // k
+            word = jnp.take_along_axis(
+                cand_words.reshape(R, k * k), idx2, axis=1
+            ).astype(jnp.int32)
+
+            take = lambda arr: jnp.take_along_axis(arr, parent, axis=1)
+            parent_finished = take(state.beam_finished)
+            lengths = take(state.lengths)
+
+            word = jnp.where(parent_finished, self.pad_id, word)
+            act = state.active
+            pos = jnp.minimum(state.t, self.max_len - 1)
+            gidx = jnp.arange(R)
+            words = state.words.at[gidx, pos].set(
+                jnp.where(act[:, None], word, state.words[gidx, pos])
+            )
+            parents = state.parents.at[gidx, pos].set(
+                jnp.where(
+                    act[:, None],
+                    parent.astype(jnp.int32),
+                    state.parents[gidx, pos],
+                )
+            )
+            lengths = lengths + (~parent_finished).astype(jnp.int32)
+            beam_finished = parent_finished | (word == self.end_id)
+
+            # Gather parent lanes' decoder state (beam.py _gather_beams)
+            # then mask the commit to active groups.
+            def gather(x):
+                xr = x.reshape((R, k) + x.shape[1:])
+                out = jax.vmap(lambda rows, idx: rows[idx])(xr, parent)
+                return out.reshape((R * k,) + x.shape[1:])
+
+            gathered = jax.tree_util.tree_map(gather, new_dec)
+            act_lane = jnp.repeat(act, k)
+            dec = _mask_tree(act_lane, gathered, state.dec)
+            last = jnp.where(act_lane, word.reshape(R * k), state.last)
+
+            t = state.t + act.astype(jnp.int32)
+            group_done = act & (
+                jnp.all(beam_finished, axis=1) | (t >= self.max_len)
+            )
+            return (
+                BeamSlotState(
+                    dec=dec,
+                    last=last,
+                    t=t,
+                    scores=jnp.where(act[:, None], top_scores, state.scores),
+                    beam_finished=jnp.where(
+                        act[:, None], beam_finished, state.beam_finished
+                    ),
+                    lengths=jnp.where(act[:, None], lengths, state.lengths),
+                    words=words,
+                    parents=parents,
+                    active=act & ~group_done,
+                    finished=state.finished | group_done,
+                ),
+                None,
+            )
+
+        state, _ = jax.lax.scan(one, state, None, length=n)
+        return state
+
+    @partial(jax.jit, static_argnums=0)
+    def flags(self, state: BeamSlotState):
+        return state.finished, state.active, state.t
+
+    @partial(jax.jit, static_argnums=0)
+    def collect(self, state: BeamSlotState, group_idx):
+        """Gather finished groups, reconstruct their sequences from the
+        backpointers (beam.py's backward scan), rank by the engine's
+        length normalization, clear the finished bits. Returns
+        ((tokens (K, max_len), lengths (K,), scores (K,)), state)."""
+        k = self.k
+        words = state.words[group_idx]  # (K, L, k)
+        parents = state.parents[group_idx]
+        lengths = state.lengths[group_idx]  # (K, k)
+        scores = state.scores[group_idx]
+        K = group_idx.shape[0]
+
+        def back(ptr, wp):
+            w_t, p_t = wp  # (K, k)
+            tok = jnp.take_along_axis(w_t, ptr, axis=1)
+            ptr = jnp.take_along_axis(p_t, ptr, axis=1)
+            return ptr, tok
+
+        init_ptr = jnp.broadcast_to(
+            jnp.arange(k, dtype=jnp.int32)[None, :], (K, k)
+        )
+        w_rev = jnp.swapaxes(words, 0, 1)[::-1]  # (L, K, k)
+        p_rev = jnp.swapaxes(parents, 0, 1)[::-1]
+        _, toks_rev = jax.lax.scan(back, init_ptr, (w_rev, p_rev))
+        tokens = jnp.moveaxis(toks_rev[::-1], 0, -1)  # (K, k, L)
+
+        if self.length_normalize:
+            norm = scores / jnp.maximum(lengths, 1).astype(
+                scores.dtype
+            ) ** self.alpha
+        else:
+            norm = scores
+        best = jnp.argmax(norm, axis=1)
+        pick = lambda arr: jnp.take_along_axis(
+            arr, best.reshape((K,) + (1,) * (arr.ndim - 1)), axis=1
+        ).squeeze(1)
+        rows = (pick(tokens), pick(lengths), pick(scores))
+        cleared = dataclasses.replace(
+            state, finished=state.finished.at[group_idx].set(False)
+        )
+        return rows, cleared
+
+    # -- host conveniences (same surface as ContinuousDecodeEngine) --------
+
+    def admit_bucket(self, n: int) -> int:
+        return next(b for b in self._admit_buckets if b >= n)
+
+    def pad_admission(self, group_ids: list, feats: list):
+        n = len(group_ids)
+        b = self.admit_bucket(n)
+        idx = np.full((b,), self.slots, np.int32)
+        idx[:n] = group_ids
+        out = np.zeros((b,) + self.feature_shape, np.float32)
+        for i, f in enumerate(feats):
+            out[i] = f
+        return jnp.asarray(idx), jnp.asarray(out, self.feature_dtype)

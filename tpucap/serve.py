@@ -362,9 +362,13 @@ class ContinuousCaptionServer:
         slots: int = 64,
         ticks_per_sync: int = 8,
         max_queue: int | None = None,
+        beam_width: int = 1,
     ):
-        from tpucap.decode.continuous import ContinuousDecodeEngine
-
+        """beam_width > 1 switches the device engine to the continuous
+        BEAM engine (decode/continuous_beam.py): each request occupies a
+        group of beam_width lanes, retired when every beam finishes —
+        results identical to beam_decode. beam_width=1 (default) is the
+        greedy engine."""
         self._pipe = pipeline
         start_id, end_id = pipeline._token_ids()
         self._end_id = end_id
@@ -374,9 +378,7 @@ class ContinuousCaptionServer:
             if cfgE.features == "spatial"
             else (cfgE.feature_dim,)
         )
-        self._engine = ContinuousDecodeEngine(
-            pipeline.decoder,
-            pipeline._inference_params()["decoder"],
+        engine_kw = dict(
             slots=slots,
             start_id=start_id,
             end_id=end_id,
@@ -384,6 +386,25 @@ class ContinuousCaptionServer:
             feature_shape=feature_shape,
             feature_dtype=pipeline._infer_dtype(),
         )
+        dec_params = pipeline._inference_params()["decoder"]
+        if beam_width > 1:
+            from tpucap.decode.continuous_beam import ContinuousBeamEngine
+
+            dcfg = pipeline.config.decode
+            self._engine = ContinuousBeamEngine(
+                pipeline.decoder,
+                dec_params,
+                beam_width=beam_width,
+                length_normalize=dcfg.length_normalize,
+                alpha=dcfg.alpha,
+                **engine_kw,
+            )
+        else:
+            from tpucap.decode.continuous import ContinuousDecodeEngine
+
+            self._engine = ContinuousDecodeEngine(
+                pipeline.decoder, dec_params, **engine_kw
+            )
         self._state = self._engine.init_state()
         self._ticks_per_sync = ticks_per_sync
         self._max_queue = max_queue
