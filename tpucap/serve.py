@@ -344,11 +344,12 @@ class ContinuousCaptionServer:
     rationale).
 
     Unlike :class:`CaptionServer` (whole batches run to completion), a
-    finished caption's lane is retired and refilled the moment it emits
-    ``endseq``, so mixed-length traffic keeps every lane busy: under
+    finished request's lanes are retired and refilled the moment it
+    finishes, so mixed-length traffic keeps every lane busy: under
     trained-model length skew (mean ~12 vs 34-token cap) that is the
-    difference between ~35% and ~100% slot utilization. Greedy,
-    features-mode, single device — the latency-serving configuration.
+    difference between ~35% and ~100% slot utilization. Features-mode,
+    single device; greedy by default, beam via ``beam_width>1`` (each
+    request then occupies a beam_width-lane group).
 
     ``ticks_per_sync`` trades retirement latency for host round-trips:
     each sync runs that many decode steps as one program, then fetches
