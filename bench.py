@@ -515,10 +515,9 @@ def main():
                 pipe, slots=args.batch, ticks_per_sync=args.serve_ticks
             )
             t0 = time.perf_counter()
-            # one request end-to-end compiles admit/tick/collect
-            srv.caption(np.zeros((feat_dim,), np.float32), timeout=600)
+            srv.warmup(timeout=900)  # all admit buckets + tick/collect
             compile_s = time.perf_counter() - t0
-            warmed = srv.stats()["requests"]
+            warmed = srv.stats()["requests"]  # 0 after warmup reset
         else:
             srv = CaptionServer(
                 pipe,

@@ -111,7 +111,7 @@ def main():
                     req_feats[j].astype(np.float32), timeout=300
                 )
 
-        srv.caption(req_feats[0].astype(np.float32), timeout=600)  # warm
+        srv.warmup(timeout=600)  # compile every bucket BEFORE the clock
         t0 = time.perf_counter()
         threads = [
             threading.Thread(target=client, args=(i,))

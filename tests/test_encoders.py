@@ -145,3 +145,37 @@ def test_encoder_init_shapes_match_keras_import(keras_vgg16):
     for k in ours:
         for sub in ours[k]:
             assert ours[k][sub].shape == theirs[k][sub].shape, (k, sub)
+
+
+@pytest.mark.parametrize(
+    "name,size",
+    [
+        ("vgg16", 224),
+        ("resnet50", 224),
+        ("resnet50", 256),
+        ("inception_v3", 299),
+        ("tiny_cnn", 32),
+    ],
+)
+def test_spatial_positions_matches_apply(name, size):
+    """encoder.spatial_positions (the serving request-shape contract)
+    must equal the ACTUAL flattened grid of apply() in spatial mode —
+    checked shape-only via eval_shape (no compute/params materialized),
+    including a non-default input_size."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from tpucap.models.encoders import build_encoder
+
+    enc = build_encoder(name, features="spatial")
+    if size != enc.input_size:
+        enc = dataclasses.replace(enc, input_size=size)
+    params = jax.eval_shape(enc.init, jax.random.key(0))
+    out = jax.eval_shape(
+        enc.apply,
+        params,
+        jax.ShapeDtypeStruct((1, size, size, 3), jnp.float32),
+    )
+    assert out.shape[1] * out.shape[2] == enc.spatial_positions, out.shape

@@ -48,6 +48,37 @@ def _mask_tree(mask, new, old):
     return jax.tree_util.tree_map(sel, new, old)
 
 
+def _bucket_ladder(n: int) -> list:
+    """Power-of-two admission ladder 1, 2, ..., n (n always included)."""
+    out, b = [], 1
+    while b < n:
+        out.append(b)
+        b *= 2
+    out.append(n)
+    return out
+
+
+class AdmissionMixin:
+    """Host-side admission helpers shared by the greedy and beam
+    continuous engines (one definition of the bucket ladder and the
+    out-of-range-pad contract — serve.py's _retire relies on it)."""
+
+    def admit_bucket(self, n: int) -> int:
+        return next(b for b in self._admit_buckets if b >= n)
+
+    def pad_admission(self, slot_ids: list, feats: list):
+        """(ids, features) padded to the bucket ladder; pad rows carry
+        slot index == slots (dropped by the scatters)."""
+        n = len(slot_ids)
+        b = self.admit_bucket(n)
+        idx = np.full((b,), self.slots, np.int32)
+        idx[:n] = slot_ids
+        out = np.zeros((b,) + self.feature_shape, np.float32)
+        for i, f in enumerate(feats):
+            out[i] = f
+        return jnp.asarray(idx), jnp.asarray(out, self.feature_dtype)
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class SlotState:
@@ -60,7 +91,7 @@ class SlotState:
     finished: Any  # (S,) bool — done, awaiting collection
 
 
-class ContinuousDecodeEngine:
+class ContinuousDecodeEngine(AdmissionMixin):
     """Device half of a continuous-batching greedy server.
 
     Host contract: the caller owns free-slot bookkeeping (this class is
@@ -80,6 +111,7 @@ class ContinuousDecodeEngine:
         pad_id: int = 0,
         feature_shape: tuple | None = None,
         feature_dtype=jnp.float32,
+        matmul_precision: str = "default",
     ):
         self.decoder = decoder
         self.params = params
@@ -90,12 +122,11 @@ class ContinuousDecodeEngine:
         self.pad_id = pad_id
         self.feature_shape = feature_shape or (decoder.feature_dim,)
         self.feature_dtype = feature_dtype
-        self._admit_buckets = []
-        b = 1
-        while b < slots:
-            self._admit_buckets.append(b)
-            b *= 2
-        self._admit_buckets.append(slots)
+        # 'highest' mirrors pipeline._decode_fn's precision='f32'
+        # contract (full-f32 matmul passes -> captions identical to the
+        # batch engines on exact-parity configs).
+        self.matmul_precision = matmul_precision
+        self._admit_buckets = _bucket_ladder(slots)
 
     # -- state construction -------------------------------------------------
 
@@ -120,7 +151,8 @@ class ContinuousDecodeEngine:
         """Scatter K new requests into lanes ``slot_idx``. Padded rows use
         slot_idx >= slots: scatter drops them (GatherScatterMode default),
         so admission shapes stay on the bucket ladder."""
-        new_dec = self.decoder.init_state(self.params, features)
+        with jax.default_matmul_precision(self.matmul_precision):
+            new_dec = self.decoder.init_state(self.params, features)
         dec = jax.tree_util.tree_map(
             lambda buf, new: buf.at[slot_idx].set(new),
             state.dec,
@@ -143,9 +175,10 @@ class ContinuousDecodeEngine:
         """Run ``n`` greedy steps for every lane (scan — one program)."""
 
         def one(state, _):
-            logits, new_dec = self.decoder.step(
-                self.params, state.dec, state.last
-            )
+            with jax.default_matmul_precision(self.matmul_precision):
+                logits, new_dec = self.decoder.step(
+                    self.params, state.dec, state.last
+                )
             logits = logits.astype(jnp.float32)
             masked = logits.at[:, self.pad_id].set(-jnp.inf)
             lse = jax.scipy.special.logsumexp(logits, axis=-1)
@@ -206,19 +239,3 @@ class ContinuousDecodeEngine:
         )
         return rows, cleared
 
-    # -- host conveniences --------------------------------------------------
-
-    def admit_bucket(self, k: int) -> int:
-        return next(b for b in self._admit_buckets if b >= k)
-
-    def pad_admission(self, slot_ids: list, feats: list):
-        """(ids, features) padded to the bucket ladder; pad rows carry
-        slot index == slots (dropped by the scatter)."""
-        k = len(slot_ids)
-        b = self.admit_bucket(k)
-        idx = np.full((b,), self.slots, np.int32)
-        idx[:k] = slot_ids
-        out = np.zeros((b,) + self.feature_shape, np.float32)
-        for i, f in enumerate(feats):
-            out[i] = f
-        return jnp.asarray(idx), jnp.asarray(out, self.feature_dtype)

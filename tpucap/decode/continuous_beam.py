@@ -2,13 +2,20 @@
 
 Extends the greedy slot-recycling engine (continuous.py) to beam decode:
 each request occupies a GROUP of ``beam_width`` lanes that run the exact
-``beam_decode`` bookkeeping (frozen slots, lazy log-softmax, exact
-two-stage top-k, backpointers — decode/beam.py), and a group retires the
-moment every one of its beams is finished, freeing its lanes for the
-next queued request. The per-step math is transcribed from beam.py
-body-for-body so a group's result is token/score-identical to
-``beam_decode`` on the same features regardless of WHEN it was admitted
-(per-group state is fully lane-local; tests pin both properties).
+``beam_decode`` bookkeeping (frozen slots, lazy log-softmax, two-stage
+top-k with the same exact/approx stage-1 choice, backpointers —
+decode/beam.py), and a group retires the moment every one of its beams
+is finished, freeing its lanes for the next queued request. The per-step
+math is transcribed from beam.py body-for-body so a group's result is
+token/score-identical to ``beam_decode`` on the same features regardless
+of WHEN it was admitted (per-group state is fully lane-local; tests pin
+both properties). ``matmul_precision='highest'`` mirrors the pipeline's
+precision='f32' exact-parity contract.
+
+``decoder.beam_shared_keys`` (the attention decoder's per-image feature
+grids) are honored like beam.py: those state entries are stored ONE row
+per group — never tiled k-fold, never parent-gathered — so spatial-mode
+beam serving keeps their HBM traffic at 1x.
 
 Same fixed-shape host API as ContinuousDecodeEngine — admit / tick /
 flags / collect over group indices, padded to a bucket ladder with
@@ -27,20 +34,17 @@ import jax.numpy as jnp
 import numpy as np
 
 from tpucap.decode.beam import NEG_INF
-
-
-def _mask_tree(mask, new, old):
-    def sel(n, o):
-        m = mask.reshape(mask.shape + (1,) * (n.ndim - 1))
-        return jnp.where(m, n, o)
-
-    return jax.tree_util.tree_map(sel, new, old)
+from tpucap.decode.continuous import (
+    AdmissionMixin,
+    _bucket_ladder,
+    _mask_tree,
+)
 
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class BeamSlotState:
-    dec: Any  # decoder state pytree, leaves (R*k, ...)
+    dec: Any  # decoder state pytree; leaves (R*k, ...), shared keys (R, ...)
     last: Any  # (R*k,) int32
     t: Any  # (R,) int32 per-group step counter
     scores: Any  # (R, k) f32 raw log-prob sums
@@ -52,7 +56,7 @@ class BeamSlotState:
     finished: Any  # (R,) bool — group done, awaiting collection
 
 
-class ContinuousBeamEngine:
+class ContinuousBeamEngine(AdmissionMixin):
     """Device half of a continuous-batching beam server. ``slots`` is the
     number of GROUPS (concurrent requests); lane count is slots*k."""
 
@@ -69,8 +73,10 @@ class ContinuousBeamEngine:
         pad_id: int = 0,
         length_normalize: bool = True,
         alpha: float = 1.0,
+        approx_topk: bool = False,
         feature_shape: tuple | None = None,
         feature_dtype=jnp.float32,
+        matmul_precision: str = "default",
     ):
         self.decoder = decoder
         self.params = params
@@ -82,21 +88,40 @@ class ContinuousBeamEngine:
         self.pad_id = pad_id
         self.length_normalize = length_normalize
         self.alpha = alpha
+        self.approx_topk = approx_topk
         self.feature_shape = feature_shape or (decoder.feature_dim,)
         self.feature_dtype = feature_dtype
-        self._admit_buckets = []
-        b = 1
-        while b < slots:
-            self._admit_buckets.append(b)
-            b *= 2
-        self._admit_buckets.append(slots)
+        self.matmul_precision = matmul_precision
+        self._admit_buckets = _bucket_ladder(slots)
+
+    def _shared(self, state_dict) -> frozenset:
+        keys = getattr(self.decoder, "beam_shared_keys", frozenset())
+        if isinstance(state_dict, dict):
+            return frozenset(k for k in keys if k in state_dict)
+        return frozenset()
 
     # -- state --------------------------------------------------------------
 
     def init_state(self) -> BeamSlotState:
         R, k, L = self.slots, self.k, self.max_len
-        feats = jnp.zeros((R * k,) + self.feature_shape, self.feature_dtype)
-        dec = self.decoder.init_state(self.params, feats)
+        feats = jnp.zeros((R,) + self.feature_shape, self.feature_dtype)
+        with jax.default_matmul_precision(self.matmul_precision):
+            dec_r = self.decoder.init_state(self.params, feats)
+        shared = self._shared(dec_r)
+        # Shared (per-image) keys stay one row per GROUP; everything else
+        # is tiled beam-major to (R*k, ...) like beam.py's _tile_state.
+        tile = lambda x: jnp.repeat(x, k, axis=0)
+        if isinstance(dec_r, dict) and shared:
+            dec = {
+                key: (
+                    v
+                    if key in shared
+                    else jax.tree_util.tree_map(tile, v)
+                )
+                for key, v in dec_r.items()
+            }
+        else:
+            dec = jax.tree_util.tree_map(tile, dec_r)
         parents0 = jnp.broadcast_to(
             jnp.arange(k, dtype=jnp.int32)[None, None, :], (R, L, k)
         )
@@ -118,13 +143,14 @@ class ContinuousBeamEngine:
     @partial(jax.jit, static_argnums=0)
     def admit(self, state: BeamSlotState, group_idx, features):
         """Scatter K new requests into groups ``group_idx`` ((K,) int32;
-        pad rows carry index >= slots). ``features``: (K, *feature_shape),
-        tiled beam-major to the group's k lanes like beam_decode's
-        _tile_state."""
+        pad rows carry index >= slots, dropped by the scatters).
+        ``features``: (K, *feature_shape); non-shared state is tiled
+        beam-major to the group's k lanes."""
         K = group_idx.shape[0]
         k = self.k
-        tiled = jnp.repeat(features, k, axis=0)  # (K*k, ...)
-        new_dec = self.decoder.init_state(self.params, tiled)
+        with jax.default_matmul_precision(self.matmul_precision):
+            new_r = self.decoder.init_state(self.params, features)
+        shared = self._shared(new_r)
         lane_idx = (group_idx[:, None] * k + jnp.arange(k)[None, :]).reshape(
             K * k
         )
@@ -135,9 +161,30 @@ class ContinuousBeamEngine:
             self.slots * k,
             lane_idx,
         )
-        dec = jax.tree_util.tree_map(
-            lambda buf, new: buf.at[lane_idx].set(new), state.dec, new_dec
-        )
+        tile = lambda x: jnp.repeat(x, k, axis=0)
+        if isinstance(new_r, dict) and shared:
+            dec = {
+                key: (
+                    jax.tree_util.tree_map(
+                        lambda buf, new: buf.at[group_idx].set(new),
+                        state.dec[key],
+                        v,
+                    )
+                    if key in shared
+                    else jax.tree_util.tree_map(
+                        lambda buf, new: buf.at[lane_idx].set(tile(new)),
+                        state.dec[key],
+                        v,
+                    )
+                )
+                for key, v in new_r.items()
+            }
+        else:
+            dec = jax.tree_util.tree_map(
+                lambda buf, new: buf.at[lane_idx].set(tile(new)),
+                state.dec,
+                new_r,
+            )
         # Initial beam scores [0, -inf, ...] (beam.py scores0).
         scores0 = jnp.tile(
             jnp.concatenate(
@@ -169,17 +216,22 @@ class ContinuousBeamEngine:
         R, k = self.slots, self.k
 
         def one(state, _):
+            shared = self._shared(state.dec)
             with jax.named_scope("cont_beam_step"):
-                logits, new_dec = self.decoder.step(
-                    self.params, state.dec, state.last
-                )  # (R*k, V)
+                with jax.default_matmul_precision(self.matmul_precision):
+                    logits, new_dec = self.decoder.step(
+                        self.params, state.dec, state.last
+                    )  # (R*k, V)
             lse = jax.scipy.special.logsumexp(
                 logits.astype(jnp.float32), axis=-1
             )
             masked = logits.at[:, self.pad_id].set(
                 jnp.asarray(NEG_INF, logits.dtype)
             )
-            pb_vals, pb_words = jax.lax.top_k(masked, k)  # (R*k, k)
+            if self.approx_topk:
+                pb_vals, pb_words = jax.lax.approx_max_k(masked, k)
+            else:
+                pb_vals, pb_words = jax.lax.top_k(masked, k)  # (R*k, k)
             pb_logp = (
                 pb_vals.astype(jnp.float32) - lse[:, None]
             ).reshape(R, k, k)
@@ -220,16 +272,35 @@ class ContinuousBeamEngine:
             lengths = lengths + (~parent_finished).astype(jnp.int32)
             beam_finished = parent_finished | (word == self.end_id)
 
-            # Gather parent lanes' decoder state (beam.py _gather_beams)
-            # then mask the commit to active groups.
+            # Gather parent lanes' decoder state (beam.py _gather_beams);
+            # shared per-group entries are identical across a group's
+            # lanes, so gathering is the identity and the commit mask is
+            # per-group. Then mask commits to active groups.
             def gather(x):
                 xr = x.reshape((R, k) + x.shape[1:])
                 out = jax.vmap(lambda rows, idx: rows[idx])(xr, parent)
                 return out.reshape((R * k,) + x.shape[1:])
 
-            gathered = jax.tree_util.tree_map(gather, new_dec)
             act_lane = jnp.repeat(act, k)
-            dec = _mask_tree(act_lane, gathered, state.dec)
+            if isinstance(new_dec, dict) and shared:
+                dec = {
+                    key: (
+                        _mask_tree(act, v, state.dec[key])
+                        if key in shared
+                        else _mask_tree(
+                            act_lane,
+                            jax.tree_util.tree_map(gather, v),
+                            state.dec[key],
+                        )
+                    )
+                    for key, v in new_dec.items()
+                }
+            else:
+                dec = _mask_tree(
+                    act_lane,
+                    jax.tree_util.tree_map(gather, new_dec),
+                    state.dec,
+                )
             last = jnp.where(act_lane, word.reshape(R * k), state.last)
 
             t = state.t + act.astype(jnp.int32)
@@ -303,18 +374,3 @@ class ContinuousBeamEngine:
             state, finished=state.finished.at[group_idx].set(False)
         )
         return rows, cleared
-
-    # -- host conveniences (same surface as ContinuousDecodeEngine) --------
-
-    def admit_bucket(self, n: int) -> int:
-        return next(b for b in self._admit_buckets if b >= n)
-
-    def pad_admission(self, group_ids: list, feats: list):
-        n = len(group_ids)
-        b = self.admit_bucket(n)
-        idx = np.full((b,), self.slots, np.int32)
-        idx[:n] = group_ids
-        out = np.zeros((b,) + self.feature_shape, np.float32)
-        for i, f in enumerate(feats):
-            out[i] = f
-        return jnp.asarray(idx), jnp.asarray(out, self.feature_dtype)

@@ -49,8 +49,16 @@ class InceptionV3:
 
     @property
     def spatial_positions(self) -> int:
-        """Flattened spatial-grid length in 'spatial' mode (17x17)."""
-        return 17 * 17
+        """Flattened spatial-grid length in 'spatial' mode (mixed7),
+        derived from input_size through the stem/mixed3 downsampling
+        chain (default 299 -> 17x17)."""
+        s = (self.input_size - 3) // 2 + 1  # stem conv3/2 VALID
+        s = s - 2  # conv3 VALID
+        s = (s - 3) // 2 + 1  # maxpool3/2
+        s = s - 2  # conv3 VALID
+        s = (s - 3) // 2 + 1  # maxpool3/2
+        s = (s - 3) // 2 + 1  # mixed3 stride-2
+        return s * s
 
     def _conv_shapes(self):
         """Trace the topology once with numpy dummy params to record each

@@ -57,8 +57,14 @@ class ResNet50:
 
     @property
     def spatial_positions(self) -> int:
-        """Flattened spatial-grid length in 'spatial' mode (14x14)."""
-        return 14 * 14
+        """Flattened spatial-grid length in 'spatial' mode, derived from
+        input_size through the conv4 downsampling chain (default 224 ->
+        14x14)."""
+        s = (self.input_size + 6 - 7) // 2 + 1  # pad3 + 7x7/2 VALID
+        s = (s + 2 - 3) // 2 + 1  # pad1 + maxpool3/2
+        s = (s - 1) // 2 + 1  # conv3 stride-2 1x1 VALID
+        s = (s - 1) // 2 + 1  # conv4 stride-2 1x1 VALID
+        return s * s
 
     def init(self, key):
         kg = KeyGen(key)

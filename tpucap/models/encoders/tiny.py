@@ -34,8 +34,9 @@ class TinyCNN:
 
     @property
     def spatial_positions(self) -> int:
-        """Flattened spatial-grid length in 'spatial' mode (4x4)."""
-        return 4 * 4
+        """Flattened spatial-grid length in 'spatial' mode: three
+        stride-2 pools -> (input_size // 8)^2 (default 32 -> 4x4)."""
+        return (self.input_size // 8) ** 2
 
     def init(self, key):
         kg = KeyGen(key)

@@ -35,8 +35,10 @@ class VGG16:
 
     @property
     def spatial_positions(self) -> int:
-        """Flattened spatial-grid length in 'spatial' mode (14x14)."""
-        return 14 * 14
+        """Flattened spatial-grid length in 'spatial' mode
+        (block5_conv3 sits after four stride-2 pools ->
+        (input_size // 16)^2; default 224 -> 14x14)."""
+        return (self.input_size // 16) ** 2
 
     def init(self, key):
         kg = KeyGen(key)

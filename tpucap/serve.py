@@ -180,8 +180,11 @@ class CaptionServer:
         """Blocking single-request convenience wrapper."""
         return self.submit(x).result(timeout=timeout)
 
-    def warmup(self) -> None:
-        """Compile every bucket shape before serving traffic."""
+    def warmup(self, timeout: float | None = None) -> None:
+        """Compile every bucket shape before serving traffic. ``timeout``
+        accepted for signature parity with the continuous server's
+        warmup (this one runs inline, not through the queue)."""
+        del timeout
         expect = self._expected_shape()
         for b in self._buckets:
             batch = np.zeros((b,) + expect, np.float32)
@@ -386,6 +389,13 @@ class ContinuousCaptionServer:
             max_len=pipeline.config.decode.max_len,
             feature_shape=feature_shape,
             feature_dtype=pipeline._infer_dtype(),
+            # Mirror pipeline._decode_fn's precision='f32' exact-parity
+            # contract so served captions == generate() on such configs.
+            matmul_precision=(
+                "highest"
+                if pipeline.config.precision == "f32"
+                else "default"
+            ),
         )
         dec_params = pipeline._inference_params()["decoder"]
         if beam_width > 1:
@@ -398,6 +408,7 @@ class ContinuousCaptionServer:
                 beam_width=beam_width,
                 length_normalize=dcfg.length_normalize,
                 alpha=dcfg.alpha,
+                approx_topk=dcfg.approx_topk,
                 **engine_kw,
             )
         else:
@@ -447,6 +458,24 @@ class ContinuousCaptionServer:
 
     def caption(self, features, timeout: float | None = 60.0) -> str:
         return self.submit(features).result(timeout=timeout)
+
+    def warmup(self, timeout: float = 600.0) -> None:
+        """Compile the engine's program family (admit buckets up to a
+        full slots-wave, tick, flags, collect) before serving traffic:
+        submit one full wave of zero requests and wait for them all."""
+        shape = self._engine.feature_shape
+        futs = [
+            self.submit(np.zeros(shape, np.float32))
+            for _ in range(self._engine.slots)
+        ]
+        for f in futs:
+            f.result(timeout=timeout)
+        with self._stats.lock:
+            self._stats.latencies_ms.clear()
+        self._stats.requests = 0
+        self._stats.batches = 0
+        self._tick_count = 0
+        self._tick_occupancy = 0
 
     def stats(self) -> dict:
         s = self._stats.snapshot()
