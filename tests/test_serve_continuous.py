@@ -316,3 +316,95 @@ class TestContinuousBeam:
             futs = [srv.submit(f) for f in feats]  # 7 requests > 3 groups
             got = [f.result(timeout=180) for f in futs]
         assert got == ref
+
+
+class TestContinuousBeamAttention:
+    """Shared-keys (attention) and approx_topk paths of the continuous
+    beam engine."""
+
+    def _attn_pipe(self, toy_corpus):
+        cfg = Config(
+            encoder=EncoderConfig(
+                name="tiny_cnn", feature_dim=32, features="spatial"
+            ),
+            decoder=DecoderConfig(
+                name="attention", embed_dim=16, hidden_dim=32,
+                dropout_rate=0.0,
+            ),
+            decode=DecodeConfig(max_len=10),
+        )
+        p = CaptioningPipeline(cfg)
+        tok = Tokenizer()
+        tok.fit_on_texts(toy_corpus)
+        p.tokenizer = tok
+        p.build()
+        return p
+
+    def test_attention_shared_keys_match_beam_decode(self, toy_corpus, rng):
+        """The attention decoder's per-image grids are stored one row
+        per group (beam_shared_keys); results still exactly match
+        beam_decode."""
+        from tpucap.decode import beam_decode
+        from tpucap.decode.continuous_beam import ContinuousBeamEngine
+
+        p = self._attn_pipe(toy_corpus)
+        feats = rng.normal(size=(2, 16, 32)).astype(np.float32)
+        params = p.params["decoder"]
+        ref = beam_decode(
+            p.decoder.step,
+            params,
+            p.decoder.init_state(params, jnp.asarray(feats)),
+            start_id=1, end_id=2, max_len=10, beam_width=3,
+            decoder=p.decoder,
+        )
+        eng = ContinuousBeamEngine(
+            p.decoder, params, slots=2, beam_width=3,
+            start_id=1, end_id=2, max_len=10, feature_shape=(16, 32),
+        )
+        st = eng.init_state()
+        # shared keys stored per-GROUP (leading dim 2, not 2*3)
+        assert st.dec["features"].shape[0] == 2
+        assert st.dec["h"].shape[0] == 6
+        idx, f = eng.pad_admission([0, 1], list(feats))
+        st = eng.admit(st, idx, f)
+        st = eng.tick(st, 10)
+        (tokens, lengths, scores), _ = eng.collect(st, jnp.asarray([0, 1]))
+        np.testing.assert_array_equal(
+            np.asarray(tokens), np.asarray(ref.tokens)
+        )
+        np.testing.assert_allclose(
+            np.asarray(scores), np.asarray(ref.scores), atol=1e-5
+        )
+
+    def test_attention_server_beam_matches_generate(self, toy_corpus, rng):
+        p = self._attn_pipe(toy_corpus)
+        feats = rng.normal(size=(5, 16, 32)).astype(np.float32)
+        ref = p.generate(feats, method="beam", beam_width=3)
+        with ContinuousCaptionServer(
+            p, slots=2, ticks_per_sync=3, beam_width=3
+        ) as srv:
+            futs = [srv.submit(f) for f in feats]
+            got = [f.result(timeout=180) for f in futs]
+        assert got == ref
+
+    def test_approx_topk_small_vocab_matches_exact(self, pipe, rng):
+        """approx_max_k at tiny vocab selects the same candidates —
+        the flag is honored without changing small-scale results."""
+        from tpucap.decode.continuous_beam import ContinuousBeamEngine
+
+        feats = rng.normal(size=(2, 128)).astype(np.float32)
+        params = pipe.params["decoder"]
+        outs = []
+        for approx in (False, True):
+            eng = ContinuousBeamEngine(
+                pipe.decoder, params, slots=2, beam_width=3,
+                start_id=1, end_id=2, max_len=10, feature_shape=(128,),
+                approx_topk=approx,
+            )
+            st = eng.init_state()
+            idx, f = eng.pad_admission([0, 1], list(feats))
+            st = eng.admit(st, idx, f)
+            st = eng.tick(st, 10)
+            (tokens, _, _), _ = eng.collect(st, jnp.asarray([0, 1]))
+            outs.append(np.asarray(tokens))
+        np.testing.assert_array_equal(outs[0], outs[1])
