@@ -198,3 +198,40 @@ def test_dp_attention_decode_matches_single(mesh):
     np.testing.assert_array_equal(
         np.asarray(ref.tokens), np.asarray(out.tokens)
     )
+
+
+class TestMultihostSeam:
+    """parallel/multihost.py — the DCN seam (SURVEY §2.5): single-process
+    no-op semantics and per-host work sharding."""
+
+    def test_single_process_is_noop(self):
+        from tpucap.parallel import initialize_distributed, process_info
+
+        assert initialize_distributed() is False
+        assert process_info() == (0, 1)
+
+    def test_env_partial_config_single(self, monkeypatch):
+        from tpucap.parallel import initialize_distributed
+
+        monkeypatch.setenv("JAX_NUM_PROCESSES", "1")
+        assert initialize_distributed() is False
+
+    def test_shard_for_host_single_process_identity(self):
+        from tpucap.parallel import shard_for_host
+
+        items = list(range(10))
+        assert shard_for_host(items) == items
+
+    def test_shard_for_host_splits(self, monkeypatch):
+        import tpucap.parallel.multihost as mh
+
+        monkeypatch.setattr(mh, "process_info", lambda: (1, 4))
+        assert mh.shard_for_host(list(range(9))) == [2, 3]  # 9//4=2 each
+        monkeypatch.setattr(mh, "process_info", lambda: (3, 4))
+        assert mh.shard_for_host(
+            list(range(9)), drop_remainder=False
+        ) == []  # ceil split: hosts 0-2 take 3 each, host 3 runs short
+        monkeypatch.setattr(mh, "process_info", lambda: (0, 4))
+        assert mh.shard_for_host(
+            list(range(9)), drop_remainder=False
+        ) == [0, 1, 2]

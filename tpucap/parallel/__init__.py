@@ -11,6 +11,11 @@ single-device step on the concatenated batch
 """
 
 from tpucap.parallel.dp import make_dp_train_step, make_dp_decode_fn
+from tpucap.parallel.multihost import (
+    initialize_distributed,
+    process_info,
+    shard_for_host,
+)
 from tpucap.parallel.tp import (
     make_tp_beam_fn,
     make_tp_train_step,
@@ -19,6 +24,9 @@ from tpucap.parallel.tp import (
 )
 
 __all__ = [
+    "initialize_distributed",
+    "process_info",
+    "shard_for_host",
     "make_dp_train_step",
     "make_dp_decode_fn",
     "make_tp_beam_fn",

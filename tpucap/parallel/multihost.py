@@ -1,0 +1,82 @@
+"""Multi-host (DCN) seam: initialization + per-host data sharding.
+
+The judged scope is a single host (SURVEY.md §2.5: "multi-slice (DCN)
+out of judged scope; jax.distributed.initialize + same mesh code scales
+if ever needed"). This module IS that seam, made concrete: call
+``initialize_distributed()`` first on every process and the existing
+mesh code (core.make_mesh uses jax.devices(), which is global across
+processes after initialization) runs the same shard_map/psum programs
+over ICI+DCN — the collectives ride whatever transport XLA picks for
+the mesh axis. Data loading becomes per-host via ``shard_for_host``:
+each process feeds only its slice of the batch/paths, the standard
+single-controller-per-host JAX recipe.
+
+Single-process calls are explicit no-ops, so the same launch script
+works on one host and on a slice.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def initialize_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> bool:
+    """Initialize JAX's multi-process runtime if (and only if) a
+    multi-process launch is configured.
+
+    Resolution order: explicit args > the standard JAX env vars
+    (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID) >
+    TPU-pod auto-detection (args all None on a pod slice lets
+    jax.distributed.initialize self-configure from the TPU metadata).
+    Returns True when distributed init ran, False for the single-process
+    no-op. Must be called before any other JAX API touches devices.
+    """
+    coordinator_address = coordinator_address or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS"
+    )
+    if num_processes is None and "JAX_NUM_PROCESSES" in os.environ:
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and "JAX_PROCESS_ID" in os.environ:
+        process_id = int(os.environ["JAX_PROCESS_ID"])
+
+    if coordinator_address is None and num_processes in (None, 1):
+        return False  # single-process: nothing to initialize
+
+    import jax
+
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    return True
+
+
+def process_info() -> tuple[int, int]:
+    """(process_index, process_count) — (0, 1) when not distributed."""
+    import jax
+
+    return jax.process_index(), jax.process_count()
+
+
+def shard_for_host(items, *, drop_remainder: bool = True):
+    """This host's contiguous slice of a work list (paths, ids, ...).
+
+    Every host must feed the same number of rows into a jit'd program
+    (static shapes), so with drop_remainder (default) the tail that
+    doesn't divide by process_count is dropped — pad the list first if
+    every item must be processed (the same rule as batch tails
+    everywhere else in this codebase).
+    """
+    idx, count = process_info()
+    if count == 1:
+        return list(items)
+    items = list(items)
+    per = len(items) // count
+    if not drop_remainder and len(items) % count:
+        per += 1  # last host runs short; caller pads its batches
+    return items[idx * per : (idx + 1) * per]
