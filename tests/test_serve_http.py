@@ -179,3 +179,14 @@ def test_http_continuous_engine(pipe, rng):
         assert payload["caption"] == ref
         status, payload = _request(srv, "GET", "/stats")
         assert status == 200 and payload["features"]["requests"] >= 1
+
+
+def test_http_warmup(pipe):
+    with CaptionHTTPServer(
+        pipe, port=0, max_batch=2, method="greedy"
+    ) as srv:
+        srv.warmup()  # compiles both servers' buckets; must not count
+        srv.serve_background()
+        status, payload = _request(srv, "GET", "/stats")
+        assert status == 200
+        assert payload["features"]["requests"] == 0

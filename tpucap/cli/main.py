@@ -366,6 +366,10 @@ def cmd_serve(args):
         max_queue=args.max_queue,
         engine=args.engine,
     )
+    if args.warmup:
+        print("warming up (compiling every batch bucket)...",
+              file=sys.stderr)
+        srv.warmup()
     host, port = srv.address
     print(f"serving on http://{host}:{port} "
           f"(POST /caption, POST /caption_features, GET /stats)",
@@ -511,6 +515,9 @@ def main(argv=None):
                    choices=["batch", "continuous"],
                    help="feature-serving engine: micro-batched (default) "
                    "or continuous slot-recycling greedy")
+    p.add_argument("--no-warmup", dest="warmup", action="store_false",
+                   help="skip pre-compiling the batch buckets at startup "
+                   "(first requests then pay the compiles)")
     p.add_argument("--method", default="beam", choices=["greedy", "beam"])
     p.add_argument("--beam-width", type=int, default=3)
     p.set_defaults(fn=cmd_serve)

@@ -94,6 +94,13 @@ class CaptionHTTPServer:
     def address(self) -> tuple[str, int]:
         return self._httpd.server_address[:2]
 
+    def warmup(self) -> None:
+        """Pre-compile both backing servers' program families so the
+        first request never pays a compile (seconds to minutes on a
+        remote-compile TPU link)."""
+        self._images.warmup()
+        self._features.warmup()
+
     def serve_background(self) -> tuple[str, int]:
         """Start serving on a daemon thread; returns (host, port)."""
         self._loop_started = True
