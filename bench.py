@@ -111,6 +111,12 @@ def main():
         "every step, so this targets small-batch/latency serving",
     )
     ap.add_argument(
+        "--no-latency",
+        action="store_true",
+        help="skip the batch-1 p50 latency measurement appended to the "
+        "headline caption mode (saves one extra program compile)",
+    )
+    ap.add_argument(
         "--encoder-only",
         action="store_true",
         help="bench the encoder alone (images -> features), no decode",
@@ -170,8 +176,9 @@ def main():
         default="batch",
         choices=["batch", "continuous"],
         help="--mode serve engine: 'batch' (CaptionServer micro-batches) "
-        "or 'continuous' (slot-recycling greedy engine; ignores "
-        "--method/--beam, greedy only)",
+        "or 'continuous' (slot-recycling engine; greedy by default, "
+        "beam when --method beam — each request then holds a "
+        "--beam-lane group)",
     )
     args = ap.parse_args()
 
@@ -508,11 +515,24 @@ def main():
         rng = np.random.default_rng(0)
         feat_dim = cfg.encoder.feature_dim
         n, k = args.serve_requests, args.serve_clients
+        if n < k:
+            raise SystemExit(
+                f"--serve-requests ({n}) must be >= --serve-clients "
+                f"({k}): each client runs requests//clients requests, "
+                f"so fewer requests than clients serves nothing"
+            )
         feats = rng.normal(size=(k, feat_dim)).astype(np.float32)
 
+        def _ms(v):  # percentiles are None when no request completed
+            return f"{v:.1f}ms" if v is not None else "n/a"
+
         if args.serve_engine == "continuous":
+            cont_bw = args.beam if args.method == "beam" else 1
             srv = ContinuousCaptionServer(
-                pipe, slots=args.batch, ticks_per_sync=args.serve_ticks
+                pipe,
+                slots=args.batch,
+                ticks_per_sync=args.serve_ticks,
+                beam_width=cont_bw,
             )
             t0 = time.perf_counter()
             srv.warmup(timeout=900)  # all admit buckets + tick/collect
@@ -552,8 +572,11 @@ def main():
         )
         cps = served / wall
         if args.serve_engine == "continuous":
+            cont_label = (
+                f"beam {args.beam}" if cont_bw > 1 else "greedy"
+            )
             result = {
-                "metric": f"serving captions/sec (continuous greedy, "
+                "metric": f"serving captions/sec (continuous {cont_label}, "
                 f"{k} clients, {args.batch} slots, {args.decoder}, "
                 f"features-mode, {args.dtype})",
                 "value": round(cps, 2),
@@ -564,7 +587,7 @@ def main():
                 f"# compile={compile_s:.1f}s served={served} "
                 f"ticks={stats['ticks']} "
                 f"occupancy={stats['mean_occupancy']:.1f}/{args.batch} "
-                f"p50={stats['p50_ms']:.1f}ms p99={stats['p99_ms']:.1f}ms",
+                f"p50={_ms(stats['p50_ms'])} p99={_ms(stats['p99_ms'])}",
                 file=sys.stderr,
             )
             print(json.dumps(result))
@@ -583,7 +606,7 @@ def main():
             f"# compile={compile_s:.1f}s served={served} "
             f"batches={stats['batches']} "
             f"mean_batch={stats['mean_batch']:.1f} "
-            f"p50={stats['p50_ms']:.1f}ms p99={stats['p99_ms']:.1f}ms",
+            f"p50={_ms(stats['p50_ms'])} p99={_ms(stats['p99_ms'])}",
             file=sys.stderr,
         )
         print(json.dumps(result))
@@ -741,6 +764,23 @@ def main():
     )
     cps = args.batch / med
     per_chip_target = 10000.0 / 8.0  # north-star on v5e-8, per chip
+
+    # True per-image latency: a batch-1 program timed per-call with a
+    # host sync each call (BASELINE.md "p50 per-image latency" row).
+    # Distinct from the amortized number below — med/batch is batch
+    # *throughput time* per image, ~27x smaller than what one request
+    # actually waits (VERDICT r2 weak #1).
+    p50_batch1_ms = None
+    if not args.no_latency:
+        lat_inputs = inputs[:-1] + (inputs[-1][:1],)  # batch-1 slice
+        _, lat_med, _ = time_fn(
+            lambda: run(*lat_inputs),
+            lambda res: np.asarray(res.lengths),
+            iters=max(args.iters, 5),
+            inner=1,  # per-call sync: each sample IS one request wait
+            warmup=args.warmup,
+        )
+        p50_batch1_ms = lat_med * 1000
     result = {
         "metric": f"captions/sec ({args.method}"
         f"{f' {args.beam}' if args.method == 'beam' else ''}"
@@ -755,10 +795,17 @@ def main():
         "unit": "captions/sec/chip",
         "vs_baseline": round(cps / per_chip_target, 4),
     }
+    if p50_batch1_ms is not None:
+        result["p50_batch1_latency_ms"] = round(p50_batch1_ms, 3)
     print(
         f"# compile={compile_s:.1f}s median_step={med * 1000:.1f}ms "
-        f"p50_latency_per_image={med / args.batch * 1000:.3f}ms "
-        f"times={[round(t, 4) for t in times]}",
+        f"amortized_ms_per_image={med / args.batch * 1000:.3f}ms "
+        + (
+            f"p50_batch1_latency={p50_batch1_ms:.2f}ms "
+            if p50_batch1_ms is not None
+            else ""
+        )
+        + f"times={[round(t, 4) for t in times]}",
         file=sys.stderr,
     )
     print(json.dumps(result))

@@ -227,11 +227,25 @@ class TestMultihostSeam:
 
         monkeypatch.setattr(mh, "process_info", lambda: (1, 4))
         assert mh.shard_for_host(list(range(9))) == [2, 3]  # 9//4=2 each
+        # drop_remainder=False spreads the remainder one-per-host
+        # (host 0 takes the extra; no host is ever empty) and the
+        # slices stay contiguous + disjoint + exhaustive.
+        expect = {0: [0, 1, 2], 1: [3, 4], 2: [5, 6], 3: [7, 8]}
+        for host, want in expect.items():
+            monkeypatch.setattr(
+                mh, "process_info", lambda h=host: (h, 4)
+            )
+            assert (
+                mh.shard_for_host(list(range(9)), drop_remainder=False)
+                == want
+            )
+
+    def test_shard_for_host_too_few_items_raises(self, monkeypatch):
+        """< process_count items cannot give every host work — an empty
+        host would skip its collectives and deadlock the slice."""
+        import tpucap.parallel.multihost as mh
+
         monkeypatch.setattr(mh, "process_info", lambda: (3, 4))
-        assert mh.shard_for_host(
-            list(range(9)), drop_remainder=False
-        ) == []  # ceil split: hosts 0-2 take 3 each, host 3 runs short
-        monkeypatch.setattr(mh, "process_info", lambda: (0, 4))
-        assert mh.shard_for_host(
-            list(range(9)), drop_remainder=False
-        ) == [0, 1, 2]
+        for drop in (True, False):
+            with pytest.raises(ValueError, match="empty slice"):
+                mh.shard_for_host(list(range(3)), drop_remainder=drop)

@@ -243,3 +243,25 @@ def test_backpressure_max_queue(pipe, rng, monkeypatch):
             assert isinstance(f.result(timeout=120), str)
     finally:
         srv.close()
+
+
+def test_close_fails_pending_futures_when_wedged(pipe, rng, monkeypatch):
+    """A wedged batcher (stuck in device dispatch) must not leave
+    accepted requests' futures unresolved forever: close(timeout=...)
+    fails them with TimeoutError (ADVICE r2 low #4)."""
+    import time as _time
+
+    release = []
+
+    def wedged_submit(feats, **kw):
+        while not release:  # park the batcher like a hung compile
+            _time.sleep(0.02)
+        raise RuntimeError("unparked")
+
+    srv = CaptionServer(pipe, max_batch=2, max_delay_ms=1, method="greedy")
+    monkeypatch.setattr(pipe, "generate_submit", wedged_submit)
+    fut = srv.submit(rng.normal(size=(128,)).astype(np.float32))
+    srv.close(timeout=0.5)
+    with pytest.raises(TimeoutError, match="did not drain"):
+        fut.result(timeout=10)
+    release.append(True)  # unpark so the daemon thread exits cleanly

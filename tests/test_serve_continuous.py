@@ -408,3 +408,58 @@ class TestContinuousBeamAttention:
             (tokens, _, _), _ = eng.collect(st, jnp.asarray([0, 1]))
             outs.append(np.asarray(tokens))
         np.testing.assert_array_equal(outs[0], outs[1])
+
+
+def test_warmup_compiles_every_admit_bucket(pipe):
+    """ADVICE r2 (medium): warmup must trace admit/collect at EVERY
+    bucket on the admission ladder deterministically — the old
+    through-the-queue warmup raced the engine loop's admission batching
+    and typically compiled only buckets 1 and `slots`, leaving the
+    intermediate shapes to compile during live traffic."""
+    from tpucap.decode.continuous import ContinuousDecodeEngine as Eng
+
+    admit0 = Eng.admit._cache_size()
+    collect0 = Eng.collect._cache_size()
+    srv = ContinuousCaptionServer(pipe, slots=8, ticks_per_sync=2)
+    try:
+        srv.warmup()
+        n_buckets = len(srv._engine._admit_buckets)  # 1,2,4,8
+        assert n_buckets == 4
+        admit_delta = Eng.admit._cache_size() - admit0
+        collect_delta = Eng.collect._cache_size() - collect0
+        assert admit_delta == n_buckets
+        assert collect_delta == n_buckets
+        assert srv.stats()["requests"] == 0  # warmup is not traffic
+        # Intermediate-bucket traffic after warmup: no new programs.
+        feats = np.zeros((3, 128), np.float32)
+        futs = [srv.submit(f) for f in feats]
+        for f in futs:
+            f.result(timeout=180)
+        assert Eng.admit._cache_size() - admit0 == admit_delta
+        assert Eng.collect._cache_size() - collect0 == collect_delta
+    finally:
+        srv.close()
+
+
+def test_close_fails_pending_futures_when_wedged(pipe, rng):
+    """A wedged engine loop (stuck in device dispatch) must not leave
+    accepted requests' futures unresolved forever: close(timeout=...)
+    fails them with TimeoutError (ADVICE r2 low #4)."""
+    import time as _time
+
+    srv = ContinuousCaptionServer(pipe, slots=2, ticks_per_sync=2)
+    srv.warmup()
+    orig_tick = srv._engine.tick
+    release = []
+
+    def wedged_tick(state, n=1):
+        while not release:  # park the loop thread like a hung compile
+            _time.sleep(0.02)
+        return orig_tick(state, n)
+
+    srv._engine.tick = wedged_tick
+    fut = srv.submit(rng.normal(size=(128,)).astype(np.float32))
+    srv.close(timeout=0.5)
+    with pytest.raises(TimeoutError, match="did not drain"):
+        fut.result(timeout=10)
+    release.append(True)  # unpark so the daemon thread exits cleanly

@@ -190,3 +190,31 @@ def test_http_warmup(pipe):
         status, payload = _request(srv, "GET", "/stats")
         assert status == 200
         assert payload["features"]["requests"] == 0
+
+
+def test_http_continuous_beam(pipe, rng):
+    """engine='continuous' + method='beam' routes /caption_features
+    through the continuous BEAM engine (ADVICE r2: no silent greedy
+    downgrade) with captions identical to the offline beam path."""
+    with CaptionHTTPServer(
+        pipe,
+        port=0,
+        max_batch=4,
+        engine="continuous",
+        method="beam",
+        beam_width=2,
+    ) as srv:
+        srv.serve_background()
+        feats = rng.normal(size=(128,)).astype(np.float32)
+        body = json.dumps({"features": feats.tolist()}).encode()
+        status, payload = _request(srv, "POST", "/caption_features", body)
+        assert status == 200
+        ref = pipe.generate(feats[None], method="beam", beam_width=2)[0]
+        assert payload["caption"] == ref
+
+
+def test_http_continuous_rejects_sampling(pipe):
+    with pytest.raises(ValueError, match="continuous"):
+        CaptionHTTPServer(
+            pipe, port=0, engine="continuous", method="sampling"
+        )

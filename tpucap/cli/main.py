@@ -514,7 +514,8 @@ def main(argv=None):
     p.add_argument("--engine", default="batch",
                    choices=["batch", "continuous"],
                    help="feature-serving engine: micro-batched (default) "
-                   "or continuous slot-recycling greedy")
+                   "or continuous slot-recycling (greedy, or beam with "
+                   "--method beam)")
     p.add_argument("--no-warmup", dest="warmup", action="store_false",
                    help="skip pre-compiling the batch buckets at startup "
                    "(first requests then pay the compiles)")

@@ -5,6 +5,7 @@ from tpucap.core.mesh import (
     data_sharding,
     replicated_sharding,
     shard_batch,
+    replicate_tree,
     local_device_count,
     pad_to_multiple,
     pad_rows,
@@ -15,6 +16,7 @@ __all__ = [
     "data_sharding",
     "replicated_sharding",
     "shard_batch",
+    "replicate_tree",
     "local_device_count",
     "pad_to_multiple",
     "pad_rows",

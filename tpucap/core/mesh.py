@@ -41,14 +41,52 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def _put_global(x: np.ndarray, sharding: NamedSharding):
+    """Place a host array under ``sharding``, multi-process aware.
+
+    Single process: plain device_put. Multi-process (the mesh spans
+    non-addressable devices): every process holds the same full logical
+    array and builds only its addressable shards — the standard
+    global-array construction for host-replicated data on a DCN mesh
+    (jax.make_array_from_callback slices x by each shard's index)."""
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    return jax.make_array_from_callback(x.shape, sharding, lambda i: x[i])
+
+
 def shard_batch(mesh: Mesh, batch):
-    """Place a pytree of host arrays with the batch axis sharded over data."""
+    """Place a pytree of host arrays with the batch axis sharded over
+    data. Each process must pass the same full global batch (the
+    multi-host contract: shard_for_host is for *work lists*; device
+    batches are logically global and built per-shard here)."""
 
     def put(x):
         x = np.asarray(x)
-        return jax.device_put(x, data_sharding(mesh, x.ndim))
+        return _put_global(x, data_sharding(mesh, x.ndim))
 
     return jax.tree_util.tree_map(put, batch)
+
+
+def replicate_tree(mesh: Mesh, tree):
+    """Replicate a pytree of host arrays over every device of the mesh
+    (params/optimizer state on a multi-process mesh — uncommitted numpy
+    inputs cannot cross a process boundary inside jit). Typed PRNG key
+    leaves (TrainState.rng) are carried via their raw key data and
+    re-wrapped, since numpy cannot hold the extended dtype."""
+    sharding = replicated_sharding(mesh)
+
+    def put(x):
+        if isinstance(x, jax.Array) and jax.dtypes.issubdtype(
+            x.dtype, jax.dtypes.prng_key
+        ):
+            raw = np.asarray(jax.random.key_data(x))
+            impl = str(jax.random.key_impl(x))
+            return jax.random.wrap_key_data(
+                _put_global(raw, sharding), impl=impl
+            )
+        return _put_global(np.asarray(x), sharding)
+
+    return jax.tree_util.tree_map(put, tree)
 
 
 def pad_to_multiple(batch_size: int, n_devices: int) -> int:

@@ -13,6 +13,14 @@ single-controller-per-host JAX recipe.
 
 Single-process calls are explicit no-ops, so the same launch script
 works on one host and on a slice.
+
+This seam is EXECUTED, not just declared: tests/test_multiprocess_dcn.py
+spawns two real OS processes (4 virtual CPU devices each) that rendezvous
+through ``initialize_distributed``, build the global 8-device mesh with
+the unchanged ``core.make_mesh``, and run the unchanged shard_map DP
+train/decode programs — the gradient psum and result all_gather cross
+the process boundary over gloo (JAX's CPU stand-in for DCN), with loss
+and tokens asserted equal to the single-process 8-device run.
 """
 
 from __future__ import annotations
@@ -70,13 +78,30 @@ def shard_for_host(items, *, drop_remainder: bool = True):
     (static shapes), so with drop_remainder (default) the tail that
     doesn't divide by process_count is dropped — pad the list first if
     every item must be processed (the same rule as batch tails
-    everywhere else in this codebase).
+    everywhere else in this codebase). With drop_remainder=False the
+    remainder is spread one item per host (hosts 0..rem-1 take one
+    extra), so host slice lengths differ by at most 1 and NO host gets
+    an empty slice — an empty host would skip its collective-
+    participating programs and deadlock the rest of the slice.
+
+    Raises ValueError when len(items) < process_count: there is no
+    split in either mode that gives every host work, and silently
+    returning empty slices is exactly the deadlock above.
     """
     idx, count = process_info()
     if count == 1:
         return list(items)
     items = list(items)
-    per = len(items) // count
-    if not drop_remainder and len(items) % count:
-        per += 1  # last host runs short; caller pads its batches
-    return items[idx * per : (idx + 1) * per]
+    if len(items) < count:
+        raise ValueError(
+            f"cannot shard {len(items)} items over {count} hosts: some "
+            f"host would receive an empty slice and desynchronize "
+            f"collective-participating programs — pad the work list to "
+            f">= process_count first"
+        )
+    per, rem = divmod(len(items), count)
+    if drop_remainder:
+        return items[idx * per : (idx + 1) * per]
+    # hosts 0..rem-1 take per+1 items, the rest take per (contiguous)
+    start = idx * per + min(idx, rem)
+    return items[start : start + per + (1 if idx < rem else 0)]

@@ -39,6 +39,26 @@ class Overloaded(RuntimeError):
     backpressure instead of unbounded latency growth."""
 
 
+def _fail_futures(futs, exc: BaseException) -> None:
+    """Best-effort set_exception on every future that is still pending
+    (cancelled/already-resolved ones raise InvalidStateError — skip)."""
+    for fut in futs:
+        try:
+            fut.set_exception(exc)
+        except Exception:
+            pass
+
+
+def _resolve(fut: Future, caption: str) -> None:
+    """set_result tolerant of cancelled AND already-failed futures (a
+    wedged-then-recovered batcher may retire a request close() already
+    timed out — the late result is dropped, not a thread crash)."""
+    try:
+        fut.set_result(caption)
+    except Exception:
+        pass
+
+
 def _buckets(max_batch: int) -> list[int]:
     """Power-of-two ladder 1, 2, 4, ..., max_batch (max_batch included
     even when not a power of two)."""
@@ -136,6 +156,7 @@ class CaptionServer:
             method or pipeline.config.decode.method
         ) in ("greedy", "beam")
         self._buckets = _buckets(max_batch)
+        self._current_futs: tuple = ()  # batch mid-dispatch (wedge path)
         # Bounded admission: reject (Overloaded) rather than queue without
         # limit — the HTTP layer maps this to 503 + Retry-After.
         self._max_queue = max_queue
@@ -194,13 +215,35 @@ class CaptionServer:
         return self._stats.snapshot()
 
     def close(self, timeout: float = 30.0) -> None:
-        """Drain the queue, stop the batcher. Idempotent."""
+        """Drain the queue, stop the batcher. Idempotent. If the batcher
+        is wedged (e.g. mid-compile) past ``timeout``, every pending
+        future is failed with a TimeoutError instead of leaving callers
+        blocked forever in result()."""
         with self._submit_lock:
             if self._closed:
                 return
             self._closed = True
             self._queue.put(None)  # sentinel
         self._thread.join(timeout=timeout)
+        if self._thread.is_alive():
+            exc = TimeoutError(
+                f"serve batcher did not drain within {timeout}s at "
+                f"close (wedged in device dispatch?); request abandoned"
+            )
+            futs = []
+            while True:  # everything still queued behind the wedge
+                try:
+                    item = self._queue.get_nowait()
+                except queue.Empty:
+                    break
+                if item is not None:
+                    futs.append(item[1])
+            # In-flight batches: the wedged thread is blocked inside
+            # device compute, not mutating the deque.
+            for _, bfuts, _ in list(self._inflight):
+                futs.extend(bfuts)
+            futs.extend(self._current_futs)  # the batch mid-dispatch
+            _fail_futures(futs, exc)
 
     def __enter__(self):
         return self
@@ -304,6 +347,9 @@ class CaptionServer:
         """Pad to the bucket ladder and dispatch; the batch is retired
         later by _drain_one (pipelined) unless dispatch itself fails."""
         xs, futs, t0s = zip(*batch)
+        # Visible to close()'s wedge path: while dispatch is in flight
+        # these futures are in neither the queue nor _inflight.
+        self._current_futs = futs
         n = len(xs)
         bucket = next(b for b in self._buckets if b >= n)
         stacked = np.stack(xs)
@@ -313,32 +359,32 @@ class CaptionServer:
         try:
             finalize = self._submit_batch(stacked)
         except Exception as e:  # propagate to every waiter, keep serving
-            for fut in futs:
-                if not fut.cancelled():
-                    fut.set_exception(e)
+            _fail_futures(futs, e)
+            self._current_futs = ()
             return
         self._stats.padded_rows += bucket - n
         self._inflight.append((finalize, futs, t0s))
+        self._current_futs = ()
 
     def _drain_one(self) -> None:
         if not self._inflight:
             return
         finalize, futs, t0s = self._inflight.popleft()
         n = len(futs)
+        self._current_futs = futs  # popped — close() can't see them else
         try:
             captions = finalize()[:n]
         except Exception as e:
-            for fut in futs:
-                if not fut.cancelled():
-                    fut.set_exception(e)
+            _fail_futures(futs, e)
+            self._current_futs = ()
             return
+        self._current_futs = ()
         now = time.perf_counter()
         self._stats.requests += n
         self._stats.batches += 1
         for cap, fut, t0 in zip(captions, futs, t0s):
             self._stats.add_latency((now - t0) * 1e3)
-            if not fut.cancelled():
-                fut.set_result(cap)
+            _resolve(fut, cap)
 
 
 class ContinuousCaptionServer:
@@ -427,6 +473,7 @@ class ContinuousCaptionServer:
         self._tick_count = 0
         self._tick_occupancy = 0
         self._closed = False
+        self._current_futs: tuple = ()  # batch mid-admission (wedge path)
         self._submit_lock = threading.Lock()  # submit vs close ordering
         self._thread = threading.Thread(
             target=self._loop, name="tpucap-continuous", daemon=True
@@ -460,16 +507,37 @@ class ContinuousCaptionServer:
         return self.submit(features).result(timeout=timeout)
 
     def warmup(self, timeout: float = 600.0) -> None:
-        """Compile the engine's program family (admit buckets up to a
-        full slots-wave, tick, flags, collect) before serving traffic:
-        submit one full wave of zero requests and wait for them all."""
-        shape = self._engine.feature_shape
-        futs = [
-            self.submit(np.zeros(shape, np.float32))
-            for _ in range(self._engine.slots)
-        ]
-        for f in futs:
-            f.result(timeout=timeout)
+        """Compile the engine's FULL program family before serving
+        traffic: admit + collect at EVERY bucket on the admission
+        ladder, plus tick and flags.
+
+        Driven deterministically on a scratch state — not through the
+        live queue, where the engine loop's admission batching decides
+        which bucket shapes trace (a race: one submitted wave typically
+        compiles only buckets 1 and ``slots``, and the intermediate
+        buckets then compile during live traffic — a seconds-to-minutes
+        stall on a remote-compile TPU link). Compilation is cached by
+        shape, so warming scratch state covers the live state. Call
+        before announcing the server, not concurrently with traffic."""
+        del timeout  # inline — nothing to wait on
+        import jax
+        import jax.numpy as jnp
+
+        eng = self._engine
+        state = eng.init_state()
+        shape = eng.feature_shape
+        for b in eng._admit_buckets:
+            n = min(b, eng.slots)
+            ids = list(range(n))
+            idx, feats = eng.pad_admission(
+                ids, [np.zeros(shape, np.float32)] * n
+            )
+            state = eng.admit(state, idx, feats)
+            state = eng.tick(state, self._ticks_per_sync)
+            jax.device_get(eng.flags(state))
+            cidx = np.full((b,), eng.slots, np.int32)
+            cidx[:n] = ids
+            _, state = eng.collect(state, jnp.asarray(cidx))
         with self._stats.lock:
             self._stats.latencies_ms.clear()
         self._stats.requests = 0
@@ -488,12 +556,31 @@ class ContinuousCaptionServer:
         return s
 
     def close(self, timeout: float = 60.0) -> None:
+        """Idempotent. If the engine loop is wedged past ``timeout``,
+        pending futures are failed with a TimeoutError rather than
+        leaving callers blocked in result() forever."""
         with self._submit_lock:
             if self._closed:
                 return
             self._closed = True
             self._queue.put(None)
         self._thread.join(timeout=timeout)
+        if self._thread.is_alive():
+            exc = TimeoutError(
+                f"continuous engine loop did not drain within {timeout}s "
+                f"at close (wedged in device dispatch?); request abandoned"
+            )
+            futs = []
+            while True:
+                try:
+                    item = self._queue.get_nowait()
+                except queue.Empty:
+                    break
+                if item is not None:
+                    futs.append(item[1])
+            futs.extend(f for f, _ in self._futures.values())
+            futs.extend(self._current_futs)  # batch mid-admission
+            _fail_futures(futs, exc)
 
     def __enter__(self):
         return self
@@ -519,6 +606,9 @@ class ContinuousCaptionServer:
                 break
             batch.append(item)
         if batch:
+            # Visible to close()'s wedge path: until registered in
+            # _futures these requests are in neither queue nor slots.
+            self._current_futs = tuple(b[1] for b in batch)
             ids = [self._free.pop() for _ in batch]
             idx, feats = self._engine.pad_admission(
                 ids, [b[0] for b in batch]
@@ -526,6 +616,7 @@ class ContinuousCaptionServer:
             self._state = self._engine.admit(self._state, idx, feats)
             for slot, (_, fut, t0) in zip(ids, batch):
                 self._futures[slot] = (fut, t0)
+            self._current_futs = ()
         return not getattr(self, "_drain_sentinel", False)
 
     def _retire(self, fin: np.ndarray) -> None:
@@ -555,8 +646,7 @@ class ContinuousCaptionServer:
         for slot, cap in zip(ids, captions):
             fut, t0 = self._futures.pop(slot)
             self._stats.add_latency((now - t0) * 1e3)
-            if not fut.cancelled():
-                fut.set_result(cap)
+            _resolve(fut, cap)
             self._free.append(slot)
 
     def _loop(self) -> None:

@@ -59,9 +59,11 @@ class CaptionHTTPServer:
         engine: str = "batch",
     ):
         """engine='continuous' serves /caption_features through the
-        slot-recycling greedy engine (ContinuousCaptionServer; ignores
-        method/beam_width — greedy only); the JPEG /caption path always
-        uses the batch server (it needs the encoder pass)."""
+        slot-recycling engine (ContinuousCaptionServer): greedy by
+        default, beam when method='beam' (each request then occupies a
+        beam_width-lane group); other methods (sampling) have no
+        continuous engine and raise. The JPEG /caption path always uses
+        the batch server (it needs the encoder pass)."""
         self._pipe = pipeline
         kw = dict(
             max_batch=max_batch,
@@ -71,18 +73,35 @@ class CaptionHTTPServer:
             parallelism=parallelism,
             max_queue=max_queue,
         )
+        if engine == "continuous":
+            # Validate before any server thread starts (no leaked
+            # batcher on a bad flag combination).
+            dcfg = pipeline.config.decode
+            resolved = method or dcfg.method
+            if resolved == "beam":
+                bw = beam_width or dcfg.beam_width
+            elif resolved == "greedy":
+                bw = 1
+            else:
+                raise ValueError(
+                    f"engine='continuous' supports method 'greedy'|'beam'"
+                    f", got {resolved!r} — use engine='batch'"
+                )
+        elif engine != "batch":
+            raise ValueError(
+                f"engine must be 'batch'|'continuous', got {engine!r}"
+            )
         self._images = CaptionServer(pipeline, mode="images", **kw)
         if engine == "continuous":
             self._features = ContinuousCaptionServer(
-                pipeline, slots=max_batch, max_queue=max_queue
-            )
-        elif engine == "batch":
-            self._features = CaptionServer(
-                pipeline, mode="features", **kw
+                pipeline,
+                slots=max_batch,
+                max_queue=max_queue,
+                beam_width=bw,
             )
         else:
-            raise ValueError(
-                f"engine must be 'batch'|'continuous', got {engine!r}"
+            self._features = CaptionServer(
+                pipeline, mode="features", **kw
             )
         self._httpd = ThreadingHTTPServer(
             (host, port), self._make_handler()
