@@ -183,6 +183,207 @@ def merge_decoder_params_from_keras(model) -> dict:
     }
 
 
+def _lstm_weight_layers(model):
+    """LSTM-bearing layers in topological order: plain LSTM layers and
+    RNN(LSTMCell) wrappers (the stepwise attention topology)."""
+    out = []
+    for l in model.layers:
+        t = _layer_type(l)
+        if t == "LSTM" or (
+            t == "RNN" and _layer_type(getattr(l, "cell", None)) == "LSTMCell"
+        ):
+            out.append(l)
+    return out
+
+
+def inject_decoder_params_from_keras(model) -> dict:
+    """Import a genre-standard init-inject Keras caption model into
+    InjectDecoder params (SURVEY.md §2.1 #7).
+
+    Expected topology (keras_export.inject_decoder_to_keras builds the
+    same one):
+        Dense(feature_dim -> hidden, tanh) x2    'init_h'/'init_c'
+        Embedding(vocab, embed)                  token branch
+        LSTM(hidden) stack, each layer taking initial_state=[h0, c0]
+        Dense(hidden -> hidden, relu)            'pre_out'
+        Dense(hidden -> vocab, softmax)          'out'
+
+    The two init Denses are taken by name when present; otherwise by
+    topological order (model.layers places the initial_state producers
+    before the LSTM that consumes them, and Keras preserves their
+    creation order h-before-c — the convention this module's exporter
+    and the genre's init-inject scripts share).
+    """
+    embeddings = [l for l in model.layers if _layer_type(l) == "Embedding"]
+    lstms = _lstm_weight_layers(model)
+    denses = [l for l in model.layers if _layer_type(l) == "Dense"]
+    if len(embeddings) != 1 or not lstms:
+        raise ValueError(
+            f"unexpected topology: {len(embeddings)} embeddings, "
+            f"{len(lstms)} lstms"
+        )
+    table = np.asarray(embeddings[0].get_weights()[0])
+    vocab = table.shape[0]
+
+    by_name = {l.name: l for l in denses}
+    out = None
+    rest = []
+    for l in denses:
+        if l.get_weights()[0].shape[1] == vocab and out is None:
+            out = _dense_params(l)
+        else:
+            rest.append(l)
+    if out is None or len(rest) != 3:
+        raise ValueError(
+            f"could not identify the four Dense layers "
+            f"(found {len(denses)}, vocab={vocab})"
+        )
+    if {"init_h", "init_c", "pre_out"} <= set(by_name):
+        init_h = _dense_params(by_name["init_h"])
+        init_c = _dense_params(by_name["init_c"])
+        pre = _dense_params(by_name["pre_out"])
+    else:
+        # Topological order: both state producers precede the first
+        # LSTM; the post-LSTM Dense is pre_out.
+        first_lstm = model.layers.index(lstms[0])
+        pre_lstm = [l for l in rest if model.layers.index(l) < first_lstm]
+        post = [l for l in rest if model.layers.index(l) > first_lstm]
+        if len(pre_lstm) != 2 or len(post) != 1:
+            raise ValueError(
+                "could not split init_h/init_c/pre_out by topology — "
+                "name the layers 'init_h'/'init_c'/'pre_out'"
+            )
+        init_h, init_c = (_dense_params(l) for l in pre_lstm)
+        pre = _dense_params(post[0])
+
+    cells = []
+    for l in lstms:
+        w = l.get_weights()
+        cells.append(
+            {
+                "kernel": np.asarray(w[0]),
+                "recurrent": np.asarray(w[1]),
+                "bias": np.asarray(w[2]),
+            }
+        )
+    return {
+        "init_h": init_h,
+        "init_c": init_c,
+        "embedding": {"table": table},
+        "cells": cells,
+        "pre_out": pre,
+        "out": out,
+    }
+
+
+def attention_decoder_params_from_keras(model) -> dict:
+    """Import a Show-Attend-Tell-style Keras model into
+    AttentionDecoder params (SURVEY.md §2.1 #8; config 4's family).
+
+    Expected weight-bearing layers (keras_export.attention_decoder_to_
+    keras builds the same stepwise topology): Dense att_feat (D->A),
+    att_hidden (H->A), att_score (A->1), gate (H->D, sigmoid), init_h /
+    init_c (D->H, tanh), Embedding, ONE shared LSTM/LSTMCell taking
+    [embed; context] (E+D -> H), Dense pre_out (H+D -> H) and out
+    (H -> V).
+
+    Layers are matched by the canonical names above when present;
+    otherwise classified by kernel shape (unambiguous whenever
+    D/H/A/E+D/H+D are pairwise distinct — when your dims collide, name
+    the layers). Dims are inferred from the Embedding and LSTM weights.
+    """
+    embeddings = [l for l in model.layers if _layer_type(l) == "Embedding"]
+    lstms = _lstm_weight_layers(model)
+    denses = [l for l in model.layers if _layer_type(l) == "Dense"]
+    if len(embeddings) != 1 or len(lstms) != 1:
+        raise ValueError(
+            f"unexpected topology: {len(embeddings)} embeddings, "
+            f"{len(lstms)} lstm layers (attention uses ONE shared cell)"
+        )
+    table = np.asarray(embeddings[0].get_weights()[0])
+    vocab, E = table.shape
+    w = lstms[0].get_weights()
+    cell = {
+        "kernel": np.asarray(w[0]),
+        "recurrent": np.asarray(w[1]),
+        "bias": np.asarray(w[2]),
+    }
+    H = cell["recurrent"].shape[0]
+    D = cell["kernel"].shape[0] - E  # input is [embed; context]
+    if D <= 0:
+        raise ValueError(
+            f"LSTM input dim {cell['kernel'].shape[0]} <= embed dim {E}: "
+            "not an [embed; context] attention cell"
+        )
+
+    names = (
+        "att_feat",
+        "att_hidden",
+        "att_score",
+        "gate",
+        "init_h",
+        "init_c",
+        "pre_out",
+        "out",
+    )
+    by_name = {l.name: l for l in denses}
+    if set(names) <= set(by_name):
+        params = {n: _dense_params(by_name[n]) for n in names}
+    else:
+        # Shape-based classification: (in, out) of each Dense kernel.
+        A = None
+        for l in denses:  # att_score is the unique A -> 1 projection
+            kin, kout = l.get_weights()[0].shape
+            if kout == 1:
+                A = kin
+        if A is None:
+            raise ValueError("no A->1 att_score Dense found")
+        want = {
+            "att_feat": (D, A),
+            "att_hidden": (H, A),
+            "att_score": (A, 1),
+            "gate": (H, D),
+            "init_h": (D, H),
+            "init_c": (D, H),
+            "pre_out": (H + D, H),
+            "out": (H, vocab),
+        }
+        # Refuse silent misassignment: distinct roles sharing a kernel
+        # shape (beyond the intentional init_h/init_c pair) cannot be
+        # told apart without names.
+        shapes = list(want.values())
+        if len(set(shapes)) != len(shapes) - 1:  # the init pair only
+            raise ValueError(
+                f"ambiguous dims (D={D}, H={H}, A={A}, V={vocab}): "
+                "multiple attention roles share a kernel shape — name "
+                "the layers canonically (att_feat/att_hidden/att_score/"
+                "gate/init_h/init_c/pre_out/out) to import"
+            )
+        params: dict = {}
+        for l in denses:
+            shape = l.get_weights()[0].shape
+            hits = [n for n, s in want.items() if s == shape and n not in params]
+            if not hits:
+                raise ValueError(
+                    f"Dense kernel {shape} matches no attention role "
+                    f"(D={D}, H={H}, A={A}, V={vocab})"
+                )
+            # init_h/init_c share a shape: taken in topological order
+            # (h before c, the exporter's and genre's convention).
+            params[hits[0]] = _dense_params(l)
+        missing = [n for n in names if n not in params]
+        if missing:
+            raise ValueError(
+                f"unmatched attention roles {missing} — name the layers "
+                f"canonically to disambiguate"
+            )
+    return {
+        **{n: params[n] for n in names},
+        "embedding": {"table": table},
+        "cell": cell,
+    }
+
+
 _IMPORTERS = {
     "vgg16": vgg16_params_from_keras,
     "resnet50": resnet50_params_from_keras,

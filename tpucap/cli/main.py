@@ -334,11 +334,17 @@ def cmd_export(args):
     from tpucap.checkpoint import export_h5
 
     pipe = _restore_pipeline(args)
+    kw = {}
+    if type(pipe.decoder).__name__ == "AttentionDecoder":
+        # The stepwise SAT export bakes the spatial grid size into the
+        # Input shape — use the restored encoder's own grid.
+        kw["positions"] = pipe.encoder.spatial_positions
     export_h5(
         pipe.decoder,
         pipe.params["decoder"],
         args.out,
         max_len=pipe.config.decode.max_len,
+        **kw,
     )
     print(f"wrote Keras h5 decoder to {args.out}")
     if args.bundle_out:
