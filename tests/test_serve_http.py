@@ -218,3 +218,22 @@ def test_http_continuous_rejects_sampling(pipe):
         CaptionHTTPServer(
             pipe, port=0, engine="continuous", method="sampling"
         )
+
+
+def test_http_continuous_images_endpoint(pipe, rng):
+    """engine='continuous': POST /caption (JPEG) runs through the
+    images-mode continuous engine — encoder in the admission path —
+    with captions identical to the direct pipeline path."""
+    size = pipe.encoder.input_size
+    with CaptionHTTPServer(
+        pipe, port=0, max_batch=4, engine="continuous"
+    ) as srv:
+        srv.serve_background()
+        blob = _jpeg_bytes(rng, size)
+        status, payload = _request(srv, "POST", "/caption", blob)
+        assert status == 200
+        x = _preprocess_jpeg(blob, size, pipe.encoder.preprocess_mode)
+        feats = pipe.encode_images(x[None])
+        assert payload["caption"] == pipe.generate(feats, method="greedy")[0]
+        status, payload = _request(srv, "GET", "/stats")
+        assert status == 200 and payload["images"]["requests"] >= 1

@@ -396,9 +396,10 @@ class ContinuousCaptionServer:
     finished request's lanes are retired and refilled the moment it
     finishes, so mixed-length traffic keeps every lane busy: under
     trained-model length skew (mean ~12 vs 34-token cap) that is the
-    difference between ~35% and ~100% slot utilization. Features-mode,
-    single device; greedy by default, beam via ``beam_width>1`` (each
-    request then occupies a beam_width-lane group).
+    difference between ~35% and ~100% slot utilization. Single device;
+    greedy by default, beam via ``beam_width>1`` (each request then
+    occupies a beam_width-lane group); ``mode='images'`` adds the
+    encoder to the admission path (see __init__).
 
     ``ticks_per_sync`` trades retirement latency for host round-trips:
     each sync runs that many decode steps as one program, then fetches
@@ -413,13 +414,29 @@ class ContinuousCaptionServer:
         ticks_per_sync: int = 8,
         max_queue: int | None = None,
         beam_width: int = 1,
+        mode: str = "features",
     ):
         """beam_width > 1 switches the device engine to the continuous
         BEAM engine (decode/continuous_beam.py): each request occupies a
         group of beam_width lanes, retired when every beam finishes —
         results identical to beam_decode. beam_width=1 (default) is the
-        greedy engine."""
+        greedy engine.
+
+        mode='images' puts the ENCODER in the admission path: submit
+        takes a preprocessed (size, size, 3) image; each admitted wave
+        is padded to the admission bucket, encoded on device
+        (pipeline.encode_images — one compiled encoder program per
+        bucket, warmed by warmup()), and the resulting feature rows are
+        scattered into lanes. Decode lanes still recycle continuously;
+        only admission pays the encoder pass, on exactly the rows being
+        admitted (the config-5 online analog with encoder in the loop,
+        VERDICT r2 missing #4)."""
+        if mode not in ("features", "images"):
+            raise ValueError(
+                f"mode must be 'features'|'images', got {mode!r}"
+            )
         self._pipe = pipeline
+        self._mode = mode
         start_id, end_id = pipeline._token_ids()
         self._end_id = end_id
         cfgE = pipeline.config.encoder
@@ -482,12 +499,19 @@ class ContinuousCaptionServer:
 
     # -- client surface ----------------------------------------------------
 
+    @property
+    def _input_shape(self) -> tuple:
+        if self._mode == "images":
+            s = self._pipe.encoder.input_size
+            return (s, s, 3)
+        return self._engine.feature_shape
+
     def submit(self, features) -> Future:
         x = np.asarray(features)
-        if x.shape != self._engine.feature_shape:
+        if x.shape != self._input_shape:
             raise ValueError(
                 f"request shape {x.shape} != expected "
-                f"{self._engine.feature_shape}"
+                f"{self._input_shape} (mode={self._mode!r})"
             )
         if (
             self._max_queue is not None
@@ -525,11 +549,11 @@ class ContinuousCaptionServer:
 
         eng = self._engine
         state = eng.init_state()
-        shape = eng.feature_shape
+        shape = self._input_shape  # images mode also warms the encoder
         for b in eng._admit_buckets:
             n = min(b, eng.slots)
             ids = list(range(n))
-            idx, feats = eng.pad_admission(
+            idx, feats = self._admission_arrays(
                 ids, [np.zeros(shape, np.float32)] * n
             )
             state = eng.admit(state, idx, feats)
@@ -590,6 +614,24 @@ class ContinuousCaptionServer:
 
     # -- engine loop --------------------------------------------------------
 
+    def _admission_arrays(self, ids: list, payloads: list):
+        """(slot_idx, feature rows) for engine.admit, padded to the
+        admission bucket ladder. mode='images' runs the encoder here on
+        the zero-padded image wave (the pad rows' features are computed
+        but scatter-dropped via the out-of-range slot index — wasted
+        encoder rows bounded by the bucket gap, never a recompile)."""
+        if self._mode != "images":
+            return self._engine.pad_admission(ids, payloads)
+        import jax.numpy as jnp
+
+        b = self._engine.admit_bucket(len(ids))
+        idx = np.full((b,), self._engine.slots, np.int32)
+        idx[: len(ids)] = ids
+        imgs = np.zeros((b,) + self._input_shape, np.float32)
+        for i, x in enumerate(payloads):
+            imgs[i] = x
+        return jnp.asarray(idx), self._pipe.encode_images(imgs)
+
     def _admit_waiting(self, block: bool) -> bool:
         """Move queued requests into free lanes. Returns False when the
         close sentinel arrives."""
@@ -610,7 +652,7 @@ class ContinuousCaptionServer:
             # _futures these requests are in neither queue nor slots.
             self._current_futs = tuple(b[1] for b in batch)
             ids = [self._free.pop() for _ in batch]
-            idx, feats = self._engine.pad_admission(
+            idx, feats = self._admission_arrays(
                 ids, [b[0] for b in batch]
             )
             self._state = self._engine.admit(self._state, idx, feats)

@@ -58,12 +58,13 @@ class CaptionHTTPServer:
         max_queue: int | None = None,
         engine: str = "batch",
     ):
-        """engine='continuous' serves /caption_features through the
+        """engine='continuous' serves BOTH endpoints through the
         slot-recycling engine (ContinuousCaptionServer): greedy by
         default, beam when method='beam' (each request then occupies a
         beam_width-lane group); other methods (sampling) have no
-        continuous engine and raise. The JPEG /caption path always uses
-        the batch server (it needs the encoder pass)."""
+        continuous engine and raise. The JPEG /caption path runs the
+        encoder in the admission path (mode='images'); /caption_features
+        skips it."""
         self._pipe = pipeline
         kw = dict(
             max_batch=max_batch,
@@ -91,8 +92,14 @@ class CaptionHTTPServer:
             raise ValueError(
                 f"engine must be 'batch'|'continuous', got {engine!r}"
             )
-        self._images = CaptionServer(pipeline, mode="images", **kw)
         if engine == "continuous":
+            self._images = ContinuousCaptionServer(
+                pipeline,
+                slots=max_batch,
+                max_queue=max_queue,
+                beam_width=bw,
+                mode="images",
+            )
             self._features = ContinuousCaptionServer(
                 pipeline,
                 slots=max_batch,
@@ -100,6 +107,7 @@ class CaptionHTTPServer:
                 beam_width=bw,
             )
         else:
+            self._images = CaptionServer(pipeline, mode="images", **kw)
             self._features = CaptionServer(
                 pipeline, mode="features", **kw
             )
