@@ -10,7 +10,10 @@ from tpucap.data.flickr8k import (
     load_split,
     prepare_descriptions,
 )
-from tpucap.data.fixtures import generate_fixture_dataset
+from tpucap.data.fixtures import (
+    generate_correlated_dataset,
+    generate_fixture_dataset,
+)
 
 __all__ = [
     "preprocess_input",
@@ -20,4 +23,5 @@ __all__ = [
     "load_split",
     "prepare_descriptions",
     "generate_fixture_dataset",
+    "generate_correlated_dataset",
 ]
