@@ -111,6 +111,13 @@ def main():
         "every step, so this targets small-batch/latency serving",
     )
     ap.add_argument(
+        "--unroll",
+        type=int,
+        default=1,
+        help="decode-loop unroll factor (steps per while_loop iteration; "
+        "token-exact — the launch-overhead experiment, docs/PERF.md)",
+    )
+    ap.add_argument(
         "--no-latency",
         action="store_true",
         help="skip the batch-1 p50 latency measurement appended to the "
@@ -707,6 +714,7 @@ def main():
                 start_id=START,
                 end_id=END,
                 max_len=args.max_len,
+                unroll=args.unroll,
             )
         return beam_decode(
             decoder.step,
@@ -718,6 +726,7 @@ def main():
             beam_width=args.beam,
             decoder=decoder,
             approx_topk=not args.exact_topk,
+            unroll=args.unroll,
         )
 
     if args.no_encoder:
@@ -790,7 +799,8 @@ def main():
         f"{'decode-only' if args.no_encoder else args.encoder + '+decode'}, "
         f"{args.dtype}"
         f"{', int8' if args.int8 and not args.no_encoder else ''}"
-        f"{', int8-vocab' if args.int8_vocab else ''})",
+        f"{', int8-vocab' if args.int8_vocab else ''}"
+        f"{f', unroll {args.unroll}' if args.unroll > 1 else ''})",
         "value": round(cps, 2),
         "unit": "captions/sec/chip",
         "vs_baseline": round(cps / per_chip_target, 4),

@@ -358,3 +358,76 @@ def test_beam_fuzz_random_shapes(seed):
     np.testing.assert_array_equal(np.asarray(res.beam_lengths), all_l)
     np.testing.assert_array_equal(np.asarray(res.tokens), bt)
     np.testing.assert_array_equal(np.asarray(res.lengths), bl)
+
+
+class TestUnroll:
+    """unroll > 1 (launch-overhead dial, docs/PERF.md): N steps per
+    while_loop iteration with frozen-carry semantics past max_len —
+    must be TOKEN-exact vs unroll=1 (lengths/tokens identical;
+    early-exit batches and max_len not divisible by the factor
+    included). Scores are compared to float tolerance: the unrolled
+    body is a different XLA program, so fused reductions (logsumexp)
+    may round differently at the last ulp."""
+
+    @pytest.mark.parametrize("name", ["lstm1", "attention"])
+    @pytest.mark.parametrize("unroll", [2, 3, 4])
+    def test_greedy_unroll_bit_exact(self, name, unroll):
+        dec, params = make(name)
+        feats = features_for(name, jax.random.key(3))
+        state = dec.init_state(params, feats)
+        kw = dict(start_id=START, end_id=END, max_len=MAXLEN)
+        ref = greedy_decode(dec.step, params, state, **kw)
+        got = greedy_decode(dec.step, params, state, unroll=unroll, **kw)
+        np.testing.assert_array_equal(
+            np.asarray(ref.tokens), np.asarray(got.tokens)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ref.lengths), np.asarray(got.lengths)
+        )
+        np.testing.assert_allclose(
+            np.asarray(ref.scores), np.asarray(got.scores), atol=1e-4
+        )
+
+    @pytest.mark.parametrize("unroll", [2, 3, 4])
+    @pytest.mark.parametrize("k", [1, 3])
+    def test_beam_unroll_bit_exact(self, unroll, k):
+        dec, params = make("lstm1")
+        feats = features_for("lstm1", jax.random.key(4))
+        state = dec.init_state(params, feats)
+        kw = dict(
+            start_id=START,
+            end_id=END,
+            max_len=MAXLEN,
+            beam_width=k,
+            decoder=dec,
+        )
+        ref = beam_decode(dec.step, params, state, **kw)
+        got = beam_decode(dec.step, params, state, unroll=unroll, **kw)
+        for field in ("tokens", "lengths", "beam_tokens", "beam_lengths"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(ref, field)),
+                np.asarray(getattr(got, field)),
+            )
+        for field in ("scores", "beam_scores"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(ref, field)),
+                np.asarray(getattr(got, field)),
+                atol=1e-4,
+            )
+
+    def test_unroll_early_exit_all_finished(self):
+        """A batch that finishes well before max_len must produce the
+        same short captions (the frozen steps are fully masked)."""
+        dec, params = make("lstm1")
+        feats = features_for("lstm1", jax.random.key(5))
+        state = dec.init_state(params, feats)
+        # Long budget + unroll that doesn't divide it.
+        kw = dict(start_id=START, end_id=END, max_len=17)
+        ref = greedy_decode(dec.step, params, state, **kw)
+        got = greedy_decode(dec.step, params, state, unroll=4, **kw)
+        np.testing.assert_array_equal(
+            np.asarray(ref.tokens), np.asarray(got.tokens)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ref.lengths), np.asarray(got.lengths)
+        )

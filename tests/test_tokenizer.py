@@ -140,3 +140,63 @@ def test_tokenizer_fuzz_matches_tf_keras():
             assert ours.sequences_to_texts(seqs) == (
                 theirs.sequences_to_texts(seqs)
             ), (trial, kwargs)
+
+
+class TestMatrixAPI:
+    """texts_to_matrix / sequences_to_matrix / fit_on_sequences —
+    differential vs tf_keras (VERDICT r2 missing #5: the last tokenizer
+    surface gap; tfidf exercises index_docs)."""
+
+    @pytest.mark.parametrize("mode", ["binary", "count", "freq", "tfidf"])
+    @pytest.mark.parametrize(
+        "kwargs", [{}, {"num_words": 5}, {"oov_token": "<unk>"}]
+    )
+    def test_texts_to_matrix_matches(self, mode, kwargs):
+        import numpy as np
+
+        corpus = CORPORA[0]
+        ours, theirs = make_pair(**kwargs)
+        ours.fit_on_texts(corpus)
+        theirs.fit_on_texts(corpus)
+        texts = corpus + ["the unknown zebra", ""]
+        np.testing.assert_allclose(
+            ours.texts_to_matrix(texts, mode=mode),
+            theirs.texts_to_matrix(texts, mode=mode),
+        )
+
+    def test_fit_on_sequences_tfidf_matches(self):
+        import numpy as np
+
+        seqs = [[1, 2, 2, 3], [2, 4], [1, 1, 5], []]
+        ours, theirs = make_pair(num_words=6)
+        ours.fit_on_sequences(seqs)
+        theirs.fit_on_sequences(seqs)
+        assert ours.document_count == theirs.document_count
+        assert ours.index_docs == dict(theirs.index_docs)
+        for mode in ("binary", "count", "freq", "tfidf"):
+            np.testing.assert_allclose(
+                ours.sequences_to_matrix(seqs, mode=mode),
+                theirs.sequences_to_matrix(seqs, mode=mode),
+            )
+
+    def test_unfit_matrix_raises(self):
+        ours, theirs = make_pair()
+        with pytest.raises(ValueError, match="num_words"):
+            ours.sequences_to_matrix([[1]])
+        with pytest.raises(ValueError):
+            theirs.sequences_to_matrix([[1]])
+        ours2, _ = make_pair(num_words=4)
+        with pytest.raises(ValueError, match="tfidf"):
+            ours2.sequences_to_matrix([[1]], mode="tfidf")
+        with pytest.raises(ValueError, match="Unknown vectorization"):
+            ours2.sequences_to_matrix([[1]], mode="l2")
+
+    def test_index_docs_json_round_trip(self):
+        from tpucap.text import Tokenizer
+
+        seqs = [[1, 2], [2, 3]]
+        tok = Tokenizer(num_words=5)
+        tok.fit_on_sequences(seqs)
+        back = Tokenizer.from_json(tok.to_json())
+        assert back.index_docs == tok.index_docs
+        assert back.document_count == tok.document_count

@@ -103,6 +103,7 @@ def beam_decode(
     decoder=None,
     scorer=None,
     approx_topk: bool = False,
+    unroll: int = 1,
 ) -> BeamResult:
     """Beam-search a batch. ``step_fn(params, state, token) -> (logits, state)``
     where state leaves carry a leading hypothesis axis. Pass ``decoder`` to
@@ -115,7 +116,11 @@ def beam_decode(
     grouped so that candidate order within a beam follows ascending global
     word index on ties) and must already exclude ``pad_id``. Used by the
     tensor-parallel engine to plug in vocab-sharded scoring while sharing
-    this loop's bookkeeping, backpointers, and reconstruction."""
+    this loop's bookkeeping, backpointers, and reconstruction.
+
+    ``unroll`` > 1 runs that many steps per while_loop iteration
+    (token-exact — frozen-carry semantics, decode/greedy.unroll_body),
+    trading early-exit granularity for fewer loop boundaries."""
     k = beam_width
     B = jax.tree_util.tree_leaves(state)[0].shape[0]
     shared = _shared_keys(decoder, state)
@@ -244,6 +249,10 @@ def beam_decode(
         jnp.zeros((B, k), jnp.int32),
         scores0,
     )
+    if unroll > 1:
+        from tpucap.decode.greedy import unroll_body
+
+        body = unroll_body(body, unroll, limit=max_len)
     _, words_acc, parents_acc, _, _, finished, lengths, scores = (
         jax.lax.while_loop(cond, body, carry)
     )

@@ -34,6 +34,34 @@ def _batch_size(state) -> int:
     return jax.tree_util.tree_leaves(state)[0].shape[0]
 
 
+def unroll_body(body, unroll: int, limit_index: int = 0, limit: int = None):
+    """Run ``unroll`` copies of a while_loop ``body`` per iteration,
+    freezing the carry once ``carry[limit_index] >= limit`` — the
+    launch-overhead experiment dial (docs/PERF.md): each while iteration
+    then dispatches ``unroll`` model steps' worth of fused kernels
+    between loop-condition evaluations, at the price of up to
+    ``unroll - 1`` wasted (frozen, fully-masked) steps at the tail.
+
+    The freeze makes unrolling TOKEN-exact: steps past the step budget
+    compute and are discarded wholesale (where(active, new, old) on
+    every carry leaf), so no accumulator write, beam reorder, or
+    length drift can occur — pinned by tests/test_decode.py against
+    unroll=1. Scores can differ at the last ulp only (the unrolled
+    body is a different XLA program; fused float reductions may round
+    differently)."""
+
+    def body_unrolled(carry):
+        for _ in range(unroll):
+            active = carry[limit_index] < limit
+            new = body(carry)
+            carry = jax.tree_util.tree_map(
+                lambda n, o: jnp.where(active, n, o), new, carry
+            )
+        return carry
+
+    return body_unrolled
+
+
 def greedy_decode(
     step_fn: Callable,
     params,
@@ -44,6 +72,7 @@ def greedy_decode(
     max_len: int,
     pad_id: int = 0,
     decoder=None,  # accepted for interface parity with beam_decode (unused)
+    unroll: int = 1,
 ) -> DecodeResult:
     """Greedy-decode a batch. ``step_fn(params, state, token) -> (logits, state)``.
 
@@ -51,6 +80,10 @@ def greedy_decode(
     — the reference's `word_for_id(0)` returns None and would abort the
     caption; a trained model never predicts it, so masking is behavior-
     preserving while keeping shapes static.
+
+    ``unroll`` > 1 runs that many steps per while_loop iteration
+    (token-exact — see unroll_body), trading early-exit granularity for
+    fewer loop-condition boundaries.
     """
     B = _batch_size(state)
     tokens0 = jnp.full((B, max_len), pad_id, jnp.int32)
@@ -93,5 +126,7 @@ def greedy_decode(
         jnp.zeros((B,), jnp.int32),
         jnp.zeros((B,), jnp.float32),
     )
+    if unroll > 1:
+        body = unroll_body(body, unroll, limit=max_len)
     _, tokens, _, _, _, lengths, scores = jax.lax.while_loop(cond, body, carry)
     return DecodeResult(tokens=tokens, lengths=lengths, scores=scores)

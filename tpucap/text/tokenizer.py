@@ -66,6 +66,7 @@ class Tokenizer:
         self.oov_token = oov_token
         self.word_counts: OrderedDict[str, int] = OrderedDict()
         self.word_docs: dict[str, int] = {}
+        self.index_docs: dict[int, int] = {}  # doc freq by word INDEX
         self.document_count = 0
         self.word_index: dict[str, int] = {}
         self.index_word: dict[int, str] = {}
@@ -94,6 +95,18 @@ class Tokenizer:
         # Index 0 reserved for padding — never assigned.
         self.word_index = {w: i for i, w in enumerate(sorted_voc, start=1)}
         self.index_word = {i: w for w, i in self.word_index.items()}
+        for w, c in self.word_docs.items():
+            self.index_docs[self.word_index[w]] = c
+
+    def fit_on_sequences(self, sequences: Iterable[Sequence[int]]) -> None:
+        """Update document frequencies from already-encoded sequences —
+        the tfidf statistics path when no raw text exists
+        [tf_keras text.py fit_on_sequences]."""
+        sequences = list(sequences)
+        self.document_count += len(sequences)
+        for seq in sequences:
+            for i in set(seq):
+                self.index_docs[i] = self.index_docs.get(i, 0) + 1
 
     # -- encoding / decoding ----------------------------------------------
 
@@ -139,6 +152,63 @@ class Tokenizer:
         """Reverse lookup used by the reference's generation loop."""
         return self.index_word.get(index)
 
+    # -- bag-of-words matrices --------------------------------------------
+
+    def sequences_to_matrix(self, sequences, mode: str = "binary"):
+        """Encoded sequences -> (N, num_words) bag-of-words matrix;
+        modes binary/count/freq/tfidf with tf_keras-identical numerics
+        (tfidf: (1+log c) * log(1 + D/(1+df)), weighting scheme 2)
+        [tf_keras text.py sequences_to_matrix]."""
+        import numpy as np
+
+        if not self.num_words:
+            if self.word_index:
+                num_words = len(self.word_index) + 1
+            else:
+                raise ValueError(
+                    "Specify a dimension (`num_words` argument), "
+                    "or fit on some text data first."
+                )
+        else:
+            num_words = self.num_words
+        if mode == "tfidf" and not self.document_count:
+            raise ValueError(
+                "Fit the Tokenizer on some data before using tfidf mode."
+            )
+        sequences = list(sequences)
+        x = np.zeros((len(sequences), num_words))
+        for i, seq in enumerate(sequences):
+            if not seq:
+                continue
+            counts: dict[int, int] = {}
+            for j in seq:
+                if j < num_words:
+                    counts[j] = counts.get(j, 0) + 1
+            for j, c in counts.items():
+                if mode == "count":
+                    x[i][j] = c
+                elif mode == "freq":
+                    x[i][j] = c / len(seq)
+                elif mode == "binary":
+                    x[i][j] = 1
+                elif mode == "tfidf":
+                    tf = 1 + np.log(c)
+                    idf = np.log(
+                        1
+                        + self.document_count
+                        / (1 + self.index_docs.get(j, 0))
+                    )
+                    x[i][j] = tf * idf
+                else:
+                    raise ValueError("Unknown vectorization mode:", mode)
+        return x
+
+    def texts_to_matrix(self, texts: Iterable[str], mode: str = "binary"):
+        """Raw texts -> bag-of-words matrix (encode then vectorize)."""
+        return self.sequences_to_matrix(
+            self.texts_to_sequences(texts), mode=mode
+        )
+
     # -- sizes -------------------------------------------------------------
 
     @property
@@ -165,6 +235,7 @@ class Tokenizer:
                 "oov_token": self.oov_token,
                 "word_counts": list(self.word_counts.items()),
                 "word_docs": self.word_docs,
+                "index_docs": self.index_docs,
                 "document_count": self.document_count,
                 "word_index": self.word_index,
             }
@@ -184,9 +255,20 @@ class Tokenizer:
             (w, int(c)) for w, c in d["word_counts"]
         )
         tok.word_docs = {w: int(c) for w, c in d["word_docs"].items()}
+        # index_docs keys are ints (JSON stringifies them); absent in
+        # pre-round-3 artifacts — rebuilt from word_docs after word_index.
+        tok.index_docs = {
+            int(i): int(c) for i, c in d.get("index_docs", {}).items()
+        }
         tok.document_count = d["document_count"]
         tok.word_index = {w: int(i) for w, i in d["word_index"].items()}
         tok.index_word = {i: w for w, i in tok.word_index.items()}
+        if not tok.index_docs and tok.word_docs:
+            tok.index_docs = {
+                tok.word_index[w]: c
+                for w, c in tok.word_docs.items()
+                if w in tok.word_index
+            }
         return tok
 
     def save(self, path) -> None:
