@@ -25,8 +25,6 @@ metadata when launched by a pod-aware runner).
 from __future__ import annotations
 
 import os
-import re
-import socket
 import subprocess
 import sys
 
@@ -103,20 +101,18 @@ def worker(coordinator: str, process_id: int) -> None:
 
 
 def launcher() -> None:
-    with socket.socket() as s:
-        s.bind(("127.0.0.1", 0))
-        coord = f"127.0.0.1:{s.getsockname()[1]}"
-    env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
-    flags = re.sub(
-        r"--xla_force_host_platform_device_count=\d+",
-        "",
-        env.get("XLA_FLAGS", ""),
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
-    env["XLA_FLAGS"] = (
-        f"{flags} "
-        f"--xla_force_host_platform_device_count={DEVICES_PER_PROCESS}"
-    ).strip()
+    # Direct module import: multihost.py has no jax at module level,
+    # so the launcher process never initializes a backend.
+    from tpucap.parallel.multihost import (
+        free_coordinator_address,
+        local_worker_env,
+    )
+
+    coord = free_coordinator_address()
+    env = local_worker_env(DEVICES_PER_PROCESS)
     procs = [
         subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), "worker", coord, str(i)],
@@ -124,7 +120,12 @@ def launcher() -> None:
         )
         for i in range(N_PROCESSES)
     ]
-    codes = [p.wait(timeout=600) for p in procs]
+    try:
+        codes = [p.wait(timeout=600) for p in procs]
+    finally:
+        for p in procs:  # a dead worker must not leak its sibling
+            if p.poll() is None:
+                p.kill()
     if any(codes):
         raise SystemExit(f"worker exit codes: {codes}")
     print(

@@ -18,8 +18,6 @@ not declared. CPU cross-process collectives ride gloo (JAX's default
 
 import json
 import os
-import re
-import socket
 import subprocess
 import sys
 
@@ -31,7 +29,12 @@ import pytest
 from tpucap.core import make_mesh, shard_batch
 from tpucap.decode import greedy_decode
 from tpucap.models.decoders import build_decoder
-from tpucap.parallel import make_dp_decode_fn, make_dp_train_step
+from tpucap.parallel import (
+    free_coordinator_address,
+    local_worker_env,
+    make_dp_decode_fn,
+    make_dp_train_step,
+)
 from tpucap.train import TrainState
 
 # Model/workload constants — the worker re-derives identical values from
@@ -111,50 +114,49 @@ print("RESULT " + json.dumps({
 """
 
 
-def _free_port() -> int:
-    with socket.socket() as s:
-        s.bind(("127.0.0.1", 0))
-        return s.getsockname()[1]
-
-
 @pytest.mark.slow
 def test_two_process_mesh_matches_single_process(tmp_path):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     worker = tmp_path / "dcn_worker.py"
     worker.write_text(WORKER)
 
-    env = dict(os.environ)
-    # 4 virtual devices per process; strip the parent's 8-device flag and
-    # any ambient distributed config so only the explicit args apply.
-    flags = re.sub(
-        r"--xla_force_host_platform_device_count=\d+",
-        "",
-        env.get("XLA_FLAGS", ""),
-    )
-    env["XLA_FLAGS"] = (
-        f"{flags} --xla_force_host_platform_device_count=4".strip()
-    )
-    env["JAX_PLATFORMS"] = "cpu"
+    # 4 virtual devices per process; env-preparation rules centralized
+    # in parallel.multihost (strip parent device-count flag, scrub
+    # ambient distributed vars).
+    env = local_worker_env(4)
     env["TPUCAP_REPO"] = repo
-    for var in ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES", "JAX_PROCESS_ID"):
-        env.pop(var, None)
 
-    coord = f"127.0.0.1:{_free_port()}"
+    coord = free_coordinator_address()
+    # Worker output goes to FILES, not PIPEs: a worker blocked in a
+    # cross-process collective must not also be blocked writing a full
+    # pipe the parent isn't reading yet (and vice versa).
+    logs = [open(tmp_path / f"worker{i}.log", "w+") for i in range(2)]
     procs = [
         subprocess.Popen(
             [sys.executable, str(worker), coord, str(i)],
             env=env,
             cwd=repo,
-            stdout=subprocess.PIPE,
-            stderr=subprocess.PIPE,
+            stdout=logs[i],
+            stderr=subprocess.STDOUT,
             text=True,
         )
         for i in range(2)
     ]
     results = {}
-    for p in procs:
-        out, err = p.communicate(timeout=600)
-        assert p.returncode == 0, f"worker failed:\n{err}\n{out}"
+    try:
+        for p in procs:
+            p.wait(timeout=600)
+    finally:
+        # One worker dying (or the wait timing out) must not leak its
+        # sibling parked in the gloo rendezvous.
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for i, p in enumerate(procs):
+        logs[i].seek(0)
+        out = logs[i].read()
+        logs[i].close()
+        assert p.returncode == 0, f"worker {i} failed:\n{out}"
         line = [l for l in out.splitlines() if l.startswith("RESULT ")][-1]
         r = json.loads(line[len("RESULT "):])
         results[r["pid"]] = r

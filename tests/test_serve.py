@@ -264,4 +264,8 @@ def test_close_fails_pending_futures_when_wedged(pipe, rng, monkeypatch):
     srv.close(timeout=0.5)
     with pytest.raises(TimeoutError, match="did not drain"):
         fut.result(timeout=10)
-    release.append(True)  # unpark so the daemon thread exits cleanly
+    # Recovery: close() re-put the shutdown sentinel after draining, so
+    # the unparked batcher terminates instead of parking forever.
+    release.append(True)
+    srv._thread.join(timeout=30)
+    assert not srv._thread.is_alive()

@@ -462,7 +462,11 @@ def test_close_fails_pending_futures_when_wedged(pipe, rng):
     srv.close(timeout=0.5)
     with pytest.raises(TimeoutError, match="did not drain"):
         fut.result(timeout=10)
-    release.append(True)  # unpark so the daemon thread exits cleanly
+    # Recovery: close() re-put the shutdown sentinel after draining, so
+    # the unparked loop terminates instead of spinning forever.
+    release.append(True)
+    srv._thread.join(timeout=30)
+    assert not srv._thread.is_alive()
 
 
 class TestImagesMode:
@@ -528,3 +532,24 @@ class TestImagesMode:
     def test_bad_mode_rejected(self, pipe):
         with pytest.raises(ValueError, match="mode"):
             ContinuousCaptionServer(pipe, mode="jpeg")
+
+
+def test_engine_loop_crash_fails_pending_futures(pipe, rng):
+    """If the engine loop DIES (not wedges — e.g. device OOM on a fresh
+    admission bucket), pending futures get the error and the server
+    closes, instead of a dead thread leaving clients blocked."""
+    srv = ContinuousCaptionServer(pipe, slots=2, ticks_per_sync=2)
+    srv.warmup()
+
+    def crashing_tick(state, n=1):
+        raise RuntimeError("synthetic device OOM")
+
+    srv._engine.tick = crashing_tick
+    fut = srv.submit(rng.normal(size=(128,)).astype(np.float32))
+    with pytest.raises(RuntimeError, match="synthetic device OOM"):
+        fut.result(timeout=30)
+    srv._thread.join(timeout=30)
+    assert not srv._thread.is_alive()
+    with pytest.raises(RuntimeError, match="closed"):
+        srv.submit(rng.normal(size=(128,)).astype(np.float32))
+    srv.close()  # idempotent no-op after the crash path

@@ -226,35 +226,32 @@ def inject_decoder_params_from_keras(model) -> dict:
     vocab = table.shape[0]
 
     by_name = {l.name: l for l in denses}
-    out = None
-    rest = []
-    for l in denses:
-        if l.get_weights()[0].shape[1] == vocab and out is None:
-            out = _dense_params(l)
-        else:
-            rest.append(l)
-    if out is None or len(rest) != 3:
-        raise ValueError(
-            f"could not identify the four Dense layers "
-            f"(found {len(denses)}, vocab={vocab})"
-        )
-    if {"init_h", "init_c", "pre_out"} <= set(by_name):
+    if {"init_h", "init_c", "pre_out", "out"} <= set(by_name):
         init_h = _dense_params(by_name["init_h"])
         init_c = _dense_params(by_name["init_c"])
         pre = _dense_params(by_name["pre_out"])
+        out = _dense_params(by_name["out"])
     else:
-        # Topological order: both state producers precede the first
-        # LSTM; the post-LSTM Dense is pre_out.
+        # Topological order (NOT shape — hidden_dim can equal vocab):
+        # both state producers precede the first LSTM; after it come
+        # pre_out then out, in dependency order.
         first_lstm = model.layers.index(lstms[0])
-        pre_lstm = [l for l in rest if model.layers.index(l) < first_lstm]
-        post = [l for l in rest if model.layers.index(l) > first_lstm]
-        if len(pre_lstm) != 2 or len(post) != 1:
+        pre_lstm = [l for l in denses if model.layers.index(l) < first_lstm]
+        post = [l for l in denses if model.layers.index(l) > first_lstm]
+        if len(pre_lstm) != 2 or len(post) != 2:
             raise ValueError(
-                "could not split init_h/init_c/pre_out by topology — "
-                "name the layers 'init_h'/'init_c'/'pre_out'"
+                f"could not split the four Dense layers by topology "
+                f"(found {len(pre_lstm)} before / {len(post)} after the "
+                f"LSTM) — name them 'init_h'/'init_c'/'pre_out'/'out'"
+            )
+        if post[1].get_weights()[0].shape[1] != vocab:
+            raise ValueError(
+                f"last Dense outputs {post[1].get_weights()[0].shape[1]}"
+                f" != vocab {vocab}: not an init-inject caption model"
             )
         init_h, init_c = (_dense_params(l) for l in pre_lstm)
         pre = _dense_params(post[0])
+        out = _dense_params(post[1])
 
     cells = []
     for l in lstms:

@@ -66,14 +66,22 @@ class AdmissionMixin:
     def admit_bucket(self, n: int) -> int:
         return next(b for b in self._admit_buckets if b >= n)
 
+    def pad_ids(self, slot_ids: list) -> np.ndarray:
+        """Slot indices padded to the bucket ladder — THE one definition
+        of the out-of-range-pad contract: pad rows carry index ==
+        ``slots``, which every scatter drops and every gather clamps to
+        host-discarded garbage. Shared by admission (features and
+        images mode) and retirement (serve.py)."""
+        b = self.admit_bucket(len(slot_ids))
+        idx = np.full((b,), self.slots, np.int32)
+        idx[: len(slot_ids)] = slot_ids
+        return idx
+
     def pad_admission(self, slot_ids: list, feats: list):
         """(ids, features) padded to the bucket ladder; pad rows carry
         slot index == slots (dropped by the scatters)."""
-        n = len(slot_ids)
-        b = self.admit_bucket(n)
-        idx = np.full((b,), self.slots, np.int32)
-        idx[:n] = slot_ids
-        out = np.zeros((b,) + self.feature_shape, np.float32)
+        idx = self.pad_ids(slot_ids)
+        out = np.zeros(idx.shape + self.feature_shape, np.float32)
         for i, f in enumerate(feats):
             out[i] = f
         return jnp.asarray(idx), jnp.asarray(out, self.feature_dtype)

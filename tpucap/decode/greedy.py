@@ -34,7 +34,7 @@ def _batch_size(state) -> int:
     return jax.tree_util.tree_leaves(state)[0].shape[0]
 
 
-def unroll_body(body, unroll: int, limit_index: int = 0, limit: int = None):
+def unroll_body(body, unroll: int, *, limit: int, limit_index: int = 0):
     """Run ``unroll`` copies of a while_loop ``body`` per iteration,
     freezing the carry once ``carry[limit_index] >= limit`` — the
     launch-overhead experiment dial (docs/PERF.md): each while iteration

@@ -12,7 +12,9 @@ single-device step on the concatenated batch
 
 from tpucap.parallel.dp import make_dp_train_step, make_dp_decode_fn
 from tpucap.parallel.multihost import (
+    free_coordinator_address,
     initialize_distributed,
+    local_worker_env,
     process_info,
     shard_for_host,
 )
@@ -27,6 +29,8 @@ __all__ = [
     "initialize_distributed",
     "process_info",
     "shard_for_host",
+    "free_coordinator_address",
+    "local_worker_env",
     "make_dp_train_step",
     "make_dp_decode_fn",
     "make_tp_beam_fn",

@@ -26,6 +26,8 @@ and tokens asserted equal to the single-process 8-device run.
 from __future__ import annotations
 
 import os
+import re
+import socket
 
 
 def initialize_distributed(
@@ -62,6 +64,49 @@ def initialize_distributed(
         process_id=process_id,
     )
     return True
+
+
+def free_coordinator_address(host: str = "127.0.0.1") -> str:
+    """host:port with a freshly-reserved free port — the coordinator
+    address for a locally-spawned multi-process run (tests, examples,
+    the driver's dryrun)."""
+    with socket.socket() as s:
+        s.bind((host, 0))
+        return f"{host}:{s.getsockname()[1]}"
+
+
+def local_worker_env(devices_per_process: int) -> dict:
+    """Environment for spawning a LOCAL multi-process JAX worker on the
+    CPU backend — the one definition of the env-preparation rules the
+    2-process test, the multihost example, and
+    ``__graft_entry__.dryrun_multiprocess`` all need:
+
+    - JAX_PLATFORMS=cpu (the worker must also call
+      ``jax.config.update('jax_platforms', 'cpu')`` — a sitecustomize
+      hook may pin a TPU backend regardless of the env var);
+    - replace any inherited ``--xla_force_host_platform_device_count``
+      (a conflicting parent value would mis-size the local mesh);
+    - scrub ambient JAX_COORDINATOR_ADDRESS/JAX_NUM_PROCESSES/
+      JAX_PROCESS_ID so only the explicit initialize args apply.
+    """
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = re.sub(
+        r"--xla_force_host_platform_device_count=\d+",
+        "",
+        env.get("XLA_FLAGS", ""),
+    )
+    env["XLA_FLAGS"] = (
+        f"{flags} "
+        f"--xla_force_host_platform_device_count={devices_per_process}"
+    ).strip()
+    for var in (
+        "JAX_COORDINATOR_ADDRESS",
+        "JAX_NUM_PROCESSES",
+        "JAX_PROCESS_ID",
+    ):
+        env.pop(var, None)
+    return env
 
 
 def process_info() -> tuple[int, int]:

@@ -59,6 +59,35 @@ def _resolve(fut: Future, caption: str) -> None:
         pass
 
 
+def _drain_pending(q: queue.Queue) -> list:
+    """Pop every queued request and return the futures. Re-puts ONE
+    close sentinel afterwards: a wedged worker that eventually recovers
+    must still see the shutdown signal, or it would park on the empty
+    queue (batch server) / spin (continuous server) forever."""
+    futs = []
+    while True:
+        try:
+            item = q.get_nowait()
+        except queue.Empty:
+            break
+        if item is not None:
+            futs.append(item[1])
+    q.put(None)
+    return futs
+
+
+def _snapshot(fn, attempts: int = 5):
+    """Copy a container a slow-but-alive worker thread may still be
+    mutating (close()'s join timing out means slow, not stopped):
+    retry on the mutated-during-iteration RuntimeError."""
+    for _ in range(attempts):
+        try:
+            return fn()
+        except RuntimeError:
+            time.sleep(0.01)
+    return []
+
+
 def _buckets(max_batch: int) -> list[int]:
     """Power-of-two ladder 1, 2, 4, ..., max_batch (max_batch included
     even when not a power of two)."""
@@ -230,17 +259,8 @@ class CaptionServer:
                 f"serve batcher did not drain within {timeout}s at "
                 f"close (wedged in device dispatch?); request abandoned"
             )
-            futs = []
-            while True:  # everything still queued behind the wedge
-                try:
-                    item = self._queue.get_nowait()
-                except queue.Empty:
-                    break
-                if item is not None:
-                    futs.append(item[1])
-            # In-flight batches: the wedged thread is blocked inside
-            # device compute, not mutating the deque.
-            for _, bfuts, _ in list(self._inflight):
+            futs = _drain_pending(self._queue)
+            for _, bfuts, _ in _snapshot(lambda: list(self._inflight)):
                 futs.extend(bfuts)
             futs.extend(self._current_futs)  # the batch mid-dispatch
             _fail_futures(futs, exc)
@@ -287,6 +307,22 @@ class CaptionServer:
         return lambda: captions
 
     def _batcher(self) -> None:
+        """Top-level worker guard: _flush/_drain_one contain the
+        per-batch dispatch errors, but an unexpected exception anywhere
+        else must not silently kill the only dispatch thread and leave
+        every pending future unresolved."""
+        try:
+            self._batcher_inner()
+        except Exception as e:
+            with self._submit_lock:
+                self._closed = True  # subsequent submits raise
+            futs = _drain_pending(self._queue)
+            for _, bfuts, _ in _snapshot(lambda: list(self._inflight)):
+                futs.extend(bfuts)
+            futs.extend(self._current_futs)
+            _fail_futures(futs, e)
+
+    def _batcher_inner(self) -> None:
         while True:
             try:
                 item = self._queue.get(
@@ -559,9 +595,7 @@ class ContinuousCaptionServer:
             state = eng.admit(state, idx, feats)
             state = eng.tick(state, self._ticks_per_sync)
             jax.device_get(eng.flags(state))
-            cidx = np.full((b,), eng.slots, np.int32)
-            cidx[:n] = ids
-            _, state = eng.collect(state, jnp.asarray(cidx))
+            _, state = eng.collect(state, jnp.asarray(eng.pad_ids(ids)))
         with self._stats.lock:
             self._stats.latencies_ms.clear()
         self._stats.requests = 0
@@ -594,15 +628,13 @@ class ContinuousCaptionServer:
                 f"continuous engine loop did not drain within {timeout}s "
                 f"at close (wedged in device dispatch?); request abandoned"
             )
-            futs = []
-            while True:
-                try:
-                    item = self._queue.get_nowait()
-                except queue.Empty:
-                    break
-                if item is not None:
-                    futs.append(item[1])
-            futs.extend(f for f, _ in self._futures.values())
+            futs = _drain_pending(self._queue)
+            futs.extend(
+                f
+                for f, _ in _snapshot(
+                    lambda: list(self._futures.values())
+                )
+            )
             futs.extend(self._current_futs)  # batch mid-admission
             _fail_futures(futs, exc)
 
@@ -624,10 +656,8 @@ class ContinuousCaptionServer:
             return self._engine.pad_admission(ids, payloads)
         import jax.numpy as jnp
 
-        b = self._engine.admit_bucket(len(ids))
-        idx = np.full((b,), self._engine.slots, np.int32)
-        idx[: len(ids)] = ids
-        imgs = np.zeros((b,) + self._input_shape, np.float32)
+        idx = self._engine.pad_ids(ids)
+        imgs = np.zeros(idx.shape + self._input_shape, np.float32)
         for i, x in enumerate(payloads):
             imgs[i] = x
         return jnp.asarray(idx), self._pipe.encode_images(imgs)
@@ -669,12 +699,10 @@ class ContinuousCaptionServer:
         ids = [int(i) for i in np.where(fin)[0]]
         if not ids:
             return
-        b = self._engine.admit_bucket(len(ids))
-        # Pad with the engine's out-of-range index (scatter-dropped), NOT
-        # slot 0 — a slot-0 pad row would clear lane 0's finished bit if
-        # a future change collects a subset of finished lanes.
-        idx = np.full((b,), self._engine.slots, np.int32)
-        idx[: len(ids)] = ids
+        # pad_ids pads with the engine's out-of-range index (scatter-
+        # dropped), NOT slot 0 — a slot-0 pad row would clear lane 0's
+        # finished bit if a future change collects a subset of lanes.
+        idx = self._engine.pad_ids(ids)
         (tokens, lengths, _), self._state = self._engine.collect(
             self._state, jnp.asarray(idx)
         )
@@ -692,6 +720,23 @@ class ContinuousCaptionServer:
             self._free.append(slot)
 
     def _loop(self) -> None:
+        """Top-level worker guard: the engine loop is the ONLY device
+        dispatcher — if admission (which in images mode runs the
+        encoder), tick, or collect raises (e.g. RESOURCE_EXHAUSTED on a
+        fresh bucket), every accepted request's future is failed with
+        that error and the server closes, instead of a dead thread
+        leaving clients blocked in result() forever."""
+        try:
+            self._loop_inner()
+        except Exception as e:
+            with self._submit_lock:
+                self._closed = True  # subsequent submits raise
+            futs = _drain_pending(self._queue)
+            futs.extend(f for f, _ in self._futures.values())
+            futs.extend(self._current_futs)
+            _fail_futures(futs, e)
+
+    def _loop_inner(self) -> None:
         self._drain_sentinel = False
         while True:
             keep = self._admit_waiting(block=not self._futures)
