@@ -249,3 +249,36 @@ class TestMultihostSeam:
         for drop in (True, False):
             with pytest.raises(ValueError, match="empty slice"):
                 mh.shard_for_host(list(range(3)), drop_remainder=drop)
+
+    def test_shard_for_host_invariants_fuzz(self, monkeypatch):
+        """Across random (n_items, process_count): slices are disjoint,
+        contiguous, exhaustive, and sized within 1 of each other
+        (drop_remainder=False), or exactly n//count (True)."""
+        import random
+
+        import tpucap.parallel.multihost as mh
+
+        rng = random.Random(0)
+        for _ in range(200):
+            count = rng.randint(2, 9)
+            n = rng.randint(count, 50)
+            items = list(range(n))
+            for drop in (True, False):
+                slices = []
+                for host in range(count):
+                    monkeypatch.setattr(
+                        mh, "process_info", lambda h=host: (h, count)
+                    )
+                    slices.append(
+                        mh.shard_for_host(items, drop_remainder=drop)
+                    )
+                sizes = {len(s) for s in slices}
+                assert all(s for s in slices), "no host may be empty"
+                flat = [x for s in slices for x in s]
+                assert flat == sorted(flat)  # contiguous + ordered
+                assert len(set(flat)) == len(flat)  # disjoint
+                if drop:
+                    assert sizes == {n // count}
+                else:
+                    assert flat == items  # exhaustive
+                    assert max(sizes) - min(sizes) <= 1
