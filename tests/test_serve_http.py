@@ -237,3 +237,53 @@ def test_http_continuous_images_endpoint(pipe, rng):
         assert payload["caption"] == pipe.generate(feats, method="greedy")[0]
         status, payload = _request(srv, "GET", "/stats")
         assert status == 200 and payload["images"]["requests"] >= 1
+
+
+def test_http_continuous_concurrent_mixed_endpoints(pipe, rng):
+    """Both continuous engines (images-mode /caption and features-mode
+    /caption_features) serve concurrent mixed traffic correctly — two
+    engine-loop threads dispatching JAX programs at once."""
+    import threading
+
+    size = pipe.encoder.input_size
+    with CaptionHTTPServer(
+        pipe, port=0, max_batch=4, engine="continuous"
+    ) as srv:
+        srv.serve_background()
+        blob = _jpeg_bytes(rng, size)
+        x = _preprocess_jpeg(blob, size, pipe.encoder.preprocess_mode)
+        ref_img = pipe.generate(
+            pipe.encode_images(x[None]), method="greedy"
+        )[0]
+        feats = rng.normal(size=(128,)).astype(np.float32)
+        ref_feat = pipe.generate(feats[None], method="greedy")[0]
+        body = json.dumps({"features": feats.tolist()}).encode()
+
+        results = []
+        lock = threading.Lock()
+
+        def client(i):
+            if i % 2:
+                status, payload = _request(srv, "POST", "/caption", blob)
+                want = ref_img
+            else:
+                status, payload = _request(
+                    srv, "POST", "/caption_features", body
+                )
+                want = ref_feat
+            with lock:
+                results.append(
+                    (status, payload.get("caption"), want)
+                )
+
+        threads = [
+            threading.Thread(target=client, args=(i,)) for i in range(12)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=180)
+        assert len(results) == 12
+        for status, got, want in results:
+            assert status == 200
+            assert got == want
