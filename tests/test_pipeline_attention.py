@@ -2,6 +2,7 @@
 val-loss-keyed best checkpointing through the pipeline."""
 
 import numpy as np
+import pytest
 
 from tpucap.checkpoint import CheckpointManager
 from tpucap.config import (
@@ -148,3 +149,107 @@ def test_attention_reg_exposed_through_fit(tmp_path):
     pipe2.build()
     h2 = pipe2.fit(prepared, feats, epochs=2, parallelism="dp", log=None)
     assert "attention_reg" in h2[0]
+
+
+def _attention_pipe():
+    import tpucap.text as text
+
+    cfg = Config(
+        encoder=EncoderConfig(
+            name="tiny_cnn", features="spatial", feature_dim=128
+        ),
+        decoder=DecoderConfig(
+            name="attention", embed_dim=16, hidden_dim=32, dropout_rate=0.0
+        ),
+        decode=DecodeConfig(max_len=10),
+        precision="f32",
+    )
+    pipe = CaptioningPipeline(cfg)
+    tok = text.Tokenizer()
+    tok.fit_on_texts(
+        ["startseq a dog runs endseq", "startseq a man rides a horse endseq"]
+    )
+    pipe.tokenizer = tok
+    pipe.build()
+    return pipe
+
+
+def test_generate_with_attention_maps():
+    """Show-Attend-Tell visualization surface: alphas are (B, T, L)
+    per-token softmax maps over the spatial grid, exactly the weights
+    the decode loop used (verified against a manual step-by-step
+    oracle), and captions match generate()."""
+    import jax.numpy as jnp
+
+    pipe = _attention_pipe()
+    rng = np.random.default_rng(3)
+    L = pipe.encoder.spatial_positions
+    feats = rng.normal(size=(3, L, 128)).astype(np.float32)
+
+    caps, alphas, lengths = pipe.generate_with_attention(
+        feats, method="greedy"
+    )
+    assert caps == pipe.generate(feats, method="greedy")
+    B, T, L2 = alphas.shape
+    assert (B, T, L2) == (3, pipe.config.decode.max_len, L)
+    for b in range(B):
+        for t in range(int(lengths[b])):
+            np.testing.assert_allclose(alphas[b, t].sum(), 1.0, atol=1e-5)
+
+    # Oracle: manual incremental decode collecting _step_full's alphas.
+    params = pipe._inference_params()["decoder"]
+    start_id, end_id = pipe._token_ids()
+    dec = pipe.decoder
+    state = dec.init_state(params, jnp.asarray(feats))
+    last = jnp.full((3,), start_id, jnp.int32)
+    done = np.zeros((3,), bool)
+    from tpucap.models.layers import dense
+
+    for t in range(int(lengths.max())):
+        hidden, state, alpha = dec._step_full(params, state, last)
+        logits = dense(params["out"], hidden)
+        nxt = np.asarray(
+            jnp.argmax(logits.at[:, 0].set(-jnp.inf), axis=-1)
+        ).astype(np.int32)
+        for b in range(3):
+            if t < int(lengths[b]):
+                np.testing.assert_allclose(
+                    alphas[b, t], np.asarray(alpha)[b], atol=1e-5
+                )
+        last = jnp.asarray(np.where(done, 0, nxt))
+        done |= nxt == end_id
+
+
+def test_generate_with_attention_beam_and_errors():
+    pipe = _attention_pipe()
+    rng = np.random.default_rng(4)
+    L = pipe.encoder.spatial_positions
+    feats = rng.normal(size=(2, L, 128)).astype(np.float32)
+    caps, alphas, lengths = pipe.generate_with_attention(
+        feats, method="beam", beam_width=2
+    )
+    assert caps == pipe.generate(feats, method="beam", beam_width=2)
+    for b in range(2):
+        for t in range(int(lengths[b])):
+            np.testing.assert_allclose(alphas[b, t].sum(), 1.0, atol=1e-5)
+    with pytest.raises(ValueError, match="greedy|beam"):
+        pipe.generate_with_attention(feats, method="sample")
+
+
+def test_generate_with_attention_rejects_non_attention():
+    import tpucap.text as text
+
+    cfg = Config(
+        encoder=EncoderConfig(name="tiny_cnn", feature_dim=128),
+        decoder=DecoderConfig(embed_dim=16, hidden_dim=32),
+    )
+    pipe = CaptioningPipeline(cfg)
+    tok = text.Tokenizer()
+    tok.fit_on_texts(["startseq a dog endseq"])
+    pipe.tokenizer = tok
+    pipe.build()
+    rng = np.random.default_rng(0)
+    with pytest.raises(ValueError, match="attention decoder"):
+        pipe.generate_with_attention(
+            rng.normal(size=(1, 128)).astype(np.float32)
+        )

@@ -795,6 +795,76 @@ class CaptioningPipeline:
             self.tokenizer, res.tokens, res.lengths, end_id=end_id
         )
 
+    def generate_with_attention(
+        self,
+        features,
+        *,
+        method: str | None = None,
+        beam_width: int | None = None,
+    ):
+        """Attention-family (config 4) captions WITH their attention
+        maps — the Show-Attend-Tell visualization surface.
+
+        Returns ``(captions, alphas, lengths)``: alphas (B, T, L) float32
+        where row t is the softmax attention over the L spatial grid
+        cells the decoder attended to while emitting token t (rows past
+        lengths[b] are meaningless). Reshape L to the encoder's grid
+        (e.g. 14x14) and upsample over the image for overlays.
+
+        Implementation: decode normally (greedy or beam), then teacher-
+        force the generated tokens back through
+        ``forward_hidden_with_alphas`` under the SAME matmul-precision
+        contract — the recurrence is deterministic, so this reproduces
+        exactly the (h, c) trajectory and attention weights the decode
+        loop used (the chosen beam's path, for beam search).
+        """
+        if not hasattr(self.decoder, "forward_hidden_with_alphas"):
+            raise ValueError(
+                "generate_with_attention requires the attention decoder "
+                f"(config 4); got {type(self.decoder).__name__}"
+            )
+        method = method or self.config.decode.method
+        beam_width = beam_width or self.config.decode.beam_width
+        if method not in ("greedy", "beam"):
+            raise ValueError(
+                f"generate_with_attention supports greedy|beam, got "
+                f"{method!r}"
+            )
+        params = self._inference_params()["decoder"]
+        feats = jnp.asarray(features, self._infer_dtype())
+        res = self._decode_fn(method, beam_width)(params, feats)
+        start_id, end_id = self._token_ids()
+        tokens = np.asarray(res.tokens)
+        lengths = np.asarray(res.lengths)
+        # Input at step t is the previous output (start token at t=0).
+        tf_tokens = np.concatenate(
+            [
+                np.full((tokens.shape[0], 1), start_id, np.int32),
+                tokens[:, :-1],
+            ],
+            axis=1,
+        )
+        fn = self._decode_cache.get("alphas")
+        if fn is None:
+            matmul_precision = (
+                "highest" if self.config.precision == "f32" else "default"
+            )
+
+            @jax.jit
+            def fn(params, features, tokens):
+                with jax.default_matmul_precision(matmul_precision):
+                    _, alphas = self.decoder.forward_hidden_with_alphas(
+                        params, features, tokens
+                    )
+                return alphas.astype(jnp.float32)
+
+            self._decode_cache["alphas"] = fn
+        alphas = np.asarray(fn(params, feats, jnp.asarray(tf_tokens)))
+        captions = ids_to_captions(
+            self.tokenizer, tokens, lengths, end_id=end_id
+        )
+        return captions, alphas, lengths
+
     def caption_images(self, image_paths, **kw) -> list[str]:
         """One-call demo path (reference's single-image script, §2.1 #13)."""
         feats = self.extract_features(list(image_paths))
