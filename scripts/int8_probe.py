@@ -23,6 +23,12 @@ def main():
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--inner", type=int, default=8)
+    ap.add_argument(
+        "--cases",
+        default=None,
+        help="comma-separated substring filter over case names (run a "
+        "subset — each case costs two uncached remote compiles)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -75,7 +81,15 @@ def main():
         return float(np.median(ts))
 
     rng = np.random.default_rng(0)
-    print(f"{'case':>14} {'bf16 ms':>9} {'int8 ms':>9} {'speedup':>8}")
+    if args.cases:
+        wanted = [w.strip() for w in args.cases.split(",") if w.strip()]
+        cases = [c for c in cases if any(w in c[0] for w in wanted)]
+    # flush per row: over the tunnel one case can take tens of minutes,
+    # and a timeout-killed buffered run would lose every completed row.
+    print(
+        f"{'case':>14} {'bf16 ms':>9} {'int8 ms':>9} {'speedup':>8}",
+        flush=True,
+    )
     total_bf16 = total_int8 = 0.0
     for name, xs, ks in cases:
         xf = jnp.asarray(
@@ -92,7 +106,8 @@ def main():
         total_int8 += t_i8
         print(
             f"{name:>14} {t_bf * 1e3:9.3f} {t_i8 * 1e3:9.3f} "
-            f"{t_bf / t_i8:8.2f}x"
+            f"{t_bf / t_i8:8.2f}x",
+            flush=True,
         )
     print(
         f"{'TOTAL':>14} {total_bf16 * 1e3:9.3f} {total_int8 * 1e3:9.3f} "
