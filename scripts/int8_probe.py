@@ -67,20 +67,25 @@ def main():
             preferred_element_type=ptype,
         )
 
+    @jax.jit
+    def first_elem(out):
+        # Sync via ONE scalar: np.asarray(out) would device_get the
+        # whole ~0.9 GB activation over the tunnel per sync.
+        return out.ravel()[0]
+
     def timeit(fn, *a):
         out = fn(*a)
-        np.asarray(out).ravel()[:1]  # sync (block_until_ready is a no-op)
+        np.asarray(first_elem(out))  # sync (block_until_ready is a no-op)
         ts = []
         for _ in range(args.iters):
             t0 = time.perf_counter()
             for _ in range(args.inner - 1):
                 fn(*a)
             out = fn(*a)
-            np.asarray(out).ravel()[:1]
+            np.asarray(first_elem(out))
             ts.append((time.perf_counter() - t0) / args.inner)
         return float(np.median(ts))
 
-    rng = np.random.default_rng(0)
     if args.cases:
         wanted = [w.strip() for w in args.cases.split(",") if w.strip()]
         cases = [c for c in cases if any(w in c[0] for w in wanted)]
@@ -91,15 +96,17 @@ def main():
         flush=True,
     )
     total_bf16 = total_int8 = 0.0
+    # Inputs are generated ON DEVICE: materializing these on the host
+    # and device_put-ing them would ship ~0.7 GB per case over the axon
+    # tunnel (~2 MB/s host->device) — the actual reason earlier full
+    # runs never produced a row, not the compiles.
+    key = jax.random.key(0)
     for name, xs, ks in cases:
-        xf = jnp.asarray(
-            rng.normal(size=xs).astype(np.float32), jnp.bfloat16
-        )
-        kf = jnp.asarray(
-            (rng.normal(size=ks) * 0.05).astype(np.float32), jnp.bfloat16
-        )
-        xi = jnp.asarray(rng.integers(-127, 128, xs), jnp.int8)
-        ki = jnp.asarray(rng.integers(-127, 128, ks), jnp.int8)
+        k1, k2, k3, k4, key = jax.random.split(key, 5)
+        xf = jax.random.normal(k1, xs, jnp.bfloat16)
+        kf = jax.random.normal(k2, ks, jnp.bfloat16) * 0.05
+        xi = jax.random.randint(k3, xs, -127, 128).astype(jnp.int8)
+        ki = jax.random.randint(k4, ks, -127, 128).astype(jnp.int8)
         t_bf = timeit(conv, xf, kf, jnp.bfloat16)
         t_i8 = timeit(conv, xi, ki, jnp.int32)
         total_bf16 += t_bf
