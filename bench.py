@@ -74,8 +74,9 @@ def main():
     ap.add_argument(
         "--decoder",
         default="lstm1",
-        choices=["lstm1", "lstm2", "inject", "attention"],
-        help="attention implies spatial encoder features (config 4)",
+        choices=["lstm1", "lstm2", "inject", "attention", "transformer"],
+        help="attention implies spatial encoder features (config 4); "
+        "transformer is the beyond-parity KV-cached family",
     )
     ap.add_argument("--dtype", default="bf16", choices=["f32", "bf16"])
     ap.add_argument(
@@ -265,7 +266,8 @@ def main():
         feature_dim=encoder.feature_dim,
         embed_dim=256,
         hidden_dim=256,
-        num_layers=2 if args.decoder == "lstm2" else 1,
+        num_layers=2 if args.decoder in ("lstm2", "transformer") else 1,
+        max_positions=max(40, args.max_len + 2),
     )
 
     def encode(ep, images):
@@ -355,7 +357,10 @@ def main():
             encoder=encoder_config(args.encoder),
             decoder=DecoderConfig(
                 name=args.decoder,
-                num_layers=2 if args.decoder == "lstm2" else 1,
+                num_layers=2
+                if args.decoder in ("lstm2", "transformer")
+                else 1,
+                max_positions=max(40, args.max_len + 2),
             ),
             decode=DecodeConfig(
                 method=args.method,
@@ -501,7 +506,10 @@ def main():
             encoder=encoder_config(args.encoder),
             decoder=DecoderConfig(
                 name=args.decoder,
-                num_layers=2 if args.decoder == "lstm2" else 1,
+                num_layers=2
+                if args.decoder in ("lstm2", "transformer")
+                else 1,
+                max_positions=max(40, args.max_len + 2),
             ),
             decode=DecodeConfig(
                 method=args.method,

@@ -39,7 +39,7 @@ def features_for(name, key):
     return jax.random.normal(key, (B, FEAT))
 
 
-DECODERS = ["lstm1", "lstm2", "inject", "attention"]
+DECODERS = ["lstm1", "lstm2", "inject", "attention", "transformer"]
 
 
 @pytest.mark.parametrize("name", DECODERS)
@@ -191,7 +191,7 @@ def test_beam_shared_state_matches_tiled_attention():
     )
 
 
-@pytest.mark.parametrize("name", ["lstm1", "attention"])
+@pytest.mark.parametrize("name", ["lstm1", "attention", "transformer"])
 def test_beam_score_equals_teacher_forced_logprob(name):
     """Cross-check decode against training: the winning beam's raw score
     must equal the sum of next-token log-probs under forward_train for the
@@ -369,7 +369,7 @@ class TestUnroll:
     body is a different XLA program, so fused reductions (logsumexp)
     may round differently at the last ulp."""
 
-    @pytest.mark.parametrize("name", ["lstm1", "attention"])
+    @pytest.mark.parametrize("name", ["lstm1", "attention", "transformer"])
     @pytest.mark.parametrize("unroll", [2, 3, 4])
     def test_greedy_unroll_bit_exact(self, name, unroll):
         dec, params = make(name)

@@ -50,7 +50,7 @@ def test_beam_width_equals_vocab_minus_special():
 
 def test_unknown_decoder_name():
     with pytest.raises(ValueError, match="unknown decoder"):
-        build_decoder("transformer", vocab_size=10, feature_dim=4)
+        build_decoder("mamba", vocab_size=10, feature_dim=4)
 
 
 def test_unknown_encoder_name():

@@ -24,7 +24,7 @@ def model_mesh():
     return Mesh(_np.asarray(devices), ("model",))
 
 
-@pytest.mark.parametrize("name", ["lstm1", "lstm2", "inject"])
+@pytest.mark.parametrize("name", ["lstm1", "lstm2", "inject", "transformer"])
 @pytest.mark.parametrize("k", [1, 3])
 def test_tp_beam_matches_single_device(model_mesh, name, k):
     dec = build_decoder(
@@ -134,7 +134,8 @@ def test_2d_mesh_dp_x_tp_decode():
     )
 
 
-def test_tp_train_matches_single_device(model_mesh):
+@pytest.mark.parametrize("name", ["lstm1", "transformer"])
+def test_tp_train_matches_single_device(model_mesh, name):
     """Vocab-parallel CE training step == single-device step (SGD so the
     param delta is the gradient)."""
     import optax
@@ -143,7 +144,7 @@ def test_tp_train_matches_single_device(model_mesh):
     from tpucap.train import TrainState, make_train_step
 
     dec = build_decoder(
-        "lstm1", vocab_size=VOCAB, feature_dim=FEAT, embed_dim=EMB,
+        name, vocab_size=VOCAB, feature_dim=FEAT, embed_dim=EMB,
         hidden_dim=HID,
     )
     params = dec.init(jax.random.key(0))

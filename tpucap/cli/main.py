@@ -45,11 +45,19 @@ def _add_common_model_flags(p):
     p.add_argument("--encoder", default="vgg16",
                    choices=["vgg16", "inception_v3", "resnet50", "tiny_cnn"])
     p.add_argument("--decoder", default="lstm1",
-                   choices=["lstm1", "lstm2", "inject", "attention"])
+                   choices=["lstm1", "lstm2", "inject", "attention",
+                            "transformer"])
     p.add_argument("--features-kind", default="pooled",
                    choices=["pooled", "spatial"])
     p.add_argument("--embed-dim", type=int, default=256)
     p.add_argument("--hidden-dim", type=int, default=256)
+    p.add_argument("--num-layers", type=int, default=None,
+                   help="decoder depth (default: 1; lstm2 forces 2, "
+                   "transformer defaults to 2)")
+    p.add_argument("--num-heads", type=int, default=4,
+                   help="attention heads (transformer decoder only)")
+    p.add_argument("--mlp-dim", type=int, default=1024,
+                   help="MLP width (transformer decoder only)")
     p.add_argument("--max-len", type=int, default=34)
     p.add_argument("--preset", default=None,
                    help="config preset name (config1..config5), overrides "
@@ -122,13 +130,22 @@ def _build_config(args):
     feats = args.features_kind
     if args.decoder == "attention":
         feats = "spatial"
+    num_layers = getattr(args, "num_layers", None)
+    if num_layers is None:
+        num_layers = {"lstm2": 2, "transformer": 2}.get(args.decoder, 1)
+    elif args.decoder == "lstm2":
+        num_layers = 2
     return Config(
         encoder=encoder_config(args.encoder, feats),
         decoder=DecoderConfig(
             name=args.decoder,
             embed_dim=args.embed_dim,
             hidden_dim=args.hidden_dim,
-            num_layers=2 if args.decoder == "lstm2" else 1,
+            num_layers=num_layers,
+            num_heads=getattr(args, "num_heads", 4),
+            mlp_dim=getattr(args, "mlp_dim", 1024),
+            # KV-cache/positional capacity tracks the decode budget.
+            max_positions=max(40, args.max_len + 2),
         ),
         decode=DecodeConfig(
             method=getattr(args, "method", "greedy"),

@@ -18,7 +18,7 @@ import dataclasses
 from typing import Literal
 
 EncoderName = Literal["vgg16", "inception_v3", "resnet50", "tiny_cnn"]
-DecoderName = Literal["lstm1", "lstm2", "inject", "attention"]
+DecoderName = Literal["lstm1", "lstm2", "inject", "attention", "transformer"]
 DecodeMethod = Literal["greedy", "beam"]
 
 
@@ -40,6 +40,12 @@ class DecoderConfig:
     num_layers: int = 1
     dropout_rate: float = 0.5
     attention_dim: int = 256  # attention MLP width (attention decoder only)
+    # Transformer family only (name == "transformer"):
+    num_heads: int = 4
+    mlp_dim: int = 1024
+    # Positional table + KV-cache capacity; must cover decode.max_len + 1
+    # (start token + generated tokens). Default covers max_len=34.
+    max_positions: int = 40
 
 
 @dataclasses.dataclass(frozen=True)

@@ -9,11 +9,15 @@ batched greedy/beam engines in tpucap.decode drive any of them:
                             (SURVEY.md §2.1 #7)
 - ``attention.AttentionDecoder`` — Show-Attend-Tell soft attention over a
                             spatial feature grid (SURVEY.md §2.1 #8)
+- ``transformer.TransformerDecoder`` — beyond-parity pre-LN causal
+                            Transformer with cross-attention + incremental
+                            KV cache (MXU-first; no recurrence)
 """
 
 from tpucap.models.decoders.base import CaptionDecoder
 from tpucap.models.decoders.lstm import MergeDecoder, InjectDecoder
 from tpucap.models.decoders.attention import AttentionDecoder
+from tpucap.models.decoders.transformer import TransformerDecoder
 
 
 def build_decoder(
@@ -25,6 +29,9 @@ def build_decoder(
     num_layers: int = 1,
     dropout_rate: float = 0.5,
     attention_dim: int = 256,
+    num_heads: int = 4,
+    mlp_dim: int = 1024,
+    max_positions: int = 40,
 ) -> CaptionDecoder:
     """Factory keyed by config.DecoderConfig.name."""
     if name in ("lstm1", "lstm2"):
@@ -55,6 +62,17 @@ def build_decoder(
             attention_dim=attention_dim,
             dropout_rate=dropout_rate,
         )
+    if name == "transformer":
+        return TransformerDecoder(
+            vocab_size=vocab_size,
+            feature_dim=feature_dim,
+            hidden_dim=hidden_dim,
+            num_layers=num_layers,
+            num_heads=num_heads,
+            mlp_dim=mlp_dim,
+            max_positions=max_positions,
+            dropout_rate=dropout_rate,
+        )
     raise ValueError(f"unknown decoder {name!r}")
 
 
@@ -63,5 +81,6 @@ __all__ = [
     "MergeDecoder",
     "InjectDecoder",
     "AttentionDecoder",
+    "TransformerDecoder",
     "build_decoder",
 ]

@@ -1,0 +1,338 @@
+"""Transformer caption decoder with an incremental KV cache (TPU-first).
+
+The reference's decoder families are all LSTM-based (SURVEY.md §2.1 #6-8);
+this family goes beyond parity: a pre-LN causal Transformer decoder that
+cross-attends over the encoder features — the modern counterpart of the
+Show-Attend-Tell soft-attention decoder, and a much better fit for the MXU
+(every hot op is a batched matmul; no sequential gate recurrence).
+
+Decode interface (models/decoders/base.py): state carries
+
+- ``mem_k`` / ``mem_v``: per-layer cross-attention K/V computed ONCE from
+  the image features in ``init_state`` and never updated — declared in
+  ``beam_shared_keys`` so the beam engine keeps one copy per image instead
+  of one per hypothesis (k-fold less HBM traffic, same trick as the
+  attention decoder's feature grids).
+- ``cache_k`` / ``cache_v``: the causal self-attention KV cache,
+  (B, L, max_positions, heads, head_dim), written at each lane's own
+  ``pos`` — per-row positions, so the continuous-batching engines (which
+  host lanes at different generation depths in one state) work unchanged.
+- ``pos``: (B,) int32 per-lane write position.
+
+Incremental stepping is mathematically identical to the full causal forward
+(causal attention at step t sees exactly positions <= t either way), so the
+greedy/beam engines' token-exact oracle contracts apply to this family too
+(tests/test_transformer_decoder.py).
+
+TP seam: like the LSTM families, the final vocab projection lives in
+``params["out"]`` and ``step_hidden``/``forward_hidden`` stop before it, so
+the vocab-sharded tensor-parallel engines (tpucap.parallel.tp) drive this
+decoder without modification.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from tpucap.models.layers import (
+    dense,
+    dropout,
+    embed,
+    init_dense,
+    init_embedding,
+    init_layer_norm,
+    layer_norm,
+)
+
+
+def _split_heads(x, num_heads: int):
+    """(..., H) -> (..., num_heads, head_dim)."""
+    return x.reshape(x.shape[:-1] + (num_heads, x.shape[-1] // num_heads))
+
+
+def _merge_heads(x):
+    """(..., num_heads, head_dim) -> (..., H)."""
+    return x.reshape(x.shape[:-2] + (x.shape[-2] * x.shape[-1],))
+
+
+def _sdpa(q, k, v, mask, scale: float):
+    """Scaled dot-product attention, q (..., Q, h, d) over k/v (..., T, h, d).
+
+    mask (..., Q, T) bool — True = attend. Softmax in f32 (bf16 logits +
+    exp underflow are the classic bf16-attention trap), output in q.dtype.
+    """
+    scores = jnp.einsum("...qhd,...thd->...hqt", q, k).astype(jnp.float32)
+    scores = scores * scale
+    scores = jnp.where(mask[..., None, :, :], scores, -1e30)
+    w = jax.nn.softmax(scores, axis=-1)
+    ctx = jnp.einsum("...hqt,...thd->...qhd", w.astype(q.dtype), v)
+    return ctx
+
+
+@dataclasses.dataclass(frozen=True)
+class TransformerDecoder:
+    vocab_size: int
+    feature_dim: int
+    hidden_dim: int = 256  # d_model; also the embedding width
+    num_layers: int = 2
+    num_heads: int = 4
+    mlp_dim: int = 1024
+    max_positions: int = 40  # positional table + KV-cache capacity
+    dropout_rate: float = 0.1
+
+    # Cross-attention K/V are per-image constants — the beam engine keeps
+    # them untiled across a beam's hypotheses (decode/beam._shared_keys).
+    beam_shared_keys = frozenset({"mem_k", "mem_v"})
+
+    def __post_init__(self):
+        if self.hidden_dim % self.num_heads:
+            raise ValueError(
+                f"hidden_dim {self.hidden_dim} not divisible by "
+                f"num_heads {self.num_heads}"
+            )
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_dim // self.num_heads
+
+    # -- params -------------------------------------------------------------
+
+    def init(self, key):
+        H, M = self.hidden_dim, self.mlp_dim
+        n_layer_keys = 9
+        ks = jax.random.split(key, 4 + self.num_layers * n_layer_keys)
+        layers = []
+        for l in range(self.num_layers):
+            k = ks[4 + l * n_layer_keys : 4 + (l + 1) * n_layer_keys]
+            layers.append(
+                {
+                    "ln1": init_layer_norm(H),
+                    "q": init_dense(k[0], H, H),
+                    "k": init_dense(k[1], H, H),
+                    "v": init_dense(k[2], H, H),
+                    "o": init_dense(k[3], H, H),
+                    "ln2": init_layer_norm(H),
+                    "xq": init_dense(k[4], H, H),
+                    "xk": init_dense(k[5], H, H),
+                    "xv": init_dense(k[6], H, H),
+                    "xo": init_dense(k[7], H, H),
+                    "ln3": init_layer_norm(H),
+                    "mlp_in": init_dense(k[8], H, M),
+                    "mlp_out": init_dense(
+                        jax.random.fold_in(k[8], 1), M, H
+                    ),
+                }
+            )
+        return {
+            "embedding": init_embedding(ks[0], self.vocab_size, H),
+            "pos_embedding": 0.02
+            * jax.random.normal(ks[1], (self.max_positions, H)),
+            "mem_proj": init_dense(ks[2], self.feature_dim, H),
+            "layers": layers,
+            "ln_f": init_layer_norm(H),
+            "out": init_dense(ks[3], H, self.vocab_size),
+        }
+
+    # -- shared pieces --------------------------------------------------------
+
+    def _memory(self, params, features):
+        """Project features to per-layer cross-attention K/V.
+
+        features (B, D) pooled or (B, Lm, D) spatial; returns mem_k/mem_v
+        (B, num_layers, Lm, heads, head_dim). Hoisted out of the decode
+        loop: computed once per image in init_state / once per batch in
+        forward_hidden.
+        """
+        if features.ndim == 2:
+            features = features[:, None, :]
+        mem = dense(params["mem_proj"], features)  # (B, Lm, H)
+        mem_k = jnp.stack(
+            [
+                _split_heads(dense(layer["xk"], mem), self.num_heads)
+                for layer in params["layers"]
+            ],
+            axis=1,
+        )
+        mem_v = jnp.stack(
+            [
+                _split_heads(dense(layer["xv"], mem), self.num_heads)
+                for layer in params["layers"]
+            ],
+            axis=1,
+        )
+        return mem_k, mem_v
+
+    def _cross_attend(self, layer, x, mem_k_l, mem_v_l):
+        """Cross-attention block with beam-shared memory: x (Bq, Q, H) while
+        mem is (Bm, Lm, h, d); when Bq = Bm*k the per-image memory
+        broadcasts over the k hypotheses instead of being tiled (same
+        shape-ratio trick as AttentionDecoder._attend)."""
+        h2 = layer_norm(layer["ln2"], x)
+        qx = _split_heads(dense(layer["xq"], h2), self.num_heads)
+        Bq, Bm = qx.shape[0], mem_k_l.shape[0]
+        scale = 1.0 / float(self.head_dim) ** 0.5
+        Lm = mem_k_l.shape[1]
+        if Bq == Bm:
+            mask = jnp.ones((Bq, qx.shape[1], Lm), bool)
+            ctx = _sdpa(qx, mem_k_l, mem_v_l, mask, scale)
+        else:
+            k = Bq // Bm
+            qx = qx.reshape((Bm, k) + qx.shape[1:])
+            mask = jnp.ones((Bm, k, qx.shape[2], Lm), bool)
+            ctx = _sdpa(
+                qx, mem_k_l[:, None], mem_v_l[:, None], mask, scale
+            )
+            ctx = ctx.reshape((Bq,) + ctx.shape[2:])
+        return x + dense(layer["xo"], _merge_heads(ctx))
+
+    # -- decode interface ------------------------------------------------------
+
+    def init_state(self, params, features, rng=None, deterministic=True):
+        if rng is not None and not deterministic:
+            features = dropout(rng, features, self.dropout_rate, False)
+        mem_k, mem_v = self._memory(params, features)
+        B = mem_k.shape[0]
+        shape = (
+            B,
+            self.num_layers,
+            self.max_positions,
+            self.num_heads,
+            self.head_dim,
+        )
+        return {
+            "mem_k": mem_k,
+            "mem_v": mem_v,
+            "cache_k": jnp.zeros(shape, mem_k.dtype),
+            "cache_v": jnp.zeros(shape, mem_k.dtype),
+            "pos": jnp.zeros((B,), jnp.int32),
+        }
+
+    def step_hidden(self, params, state, token):
+        pos = state["pos"]  # (Bq,) per-lane positions (continuous engines
+        # host lanes at different depths; offline engines keep them equal)
+        pos_c = jnp.clip(pos, 0, self.max_positions - 1)
+        x = embed(params["embedding"], token) + params[
+            "pos_embedding"
+        ].astype(state["mem_k"].dtype)[pos_c]
+        x = x[:, None, :]  # (Bq, 1, H)
+
+        cache_k, cache_v = state["cache_k"], state["cache_v"]
+        scale = 1.0 / float(self.head_dim) ** 0.5
+        # Key positions <= own pos are visible (the new token writes at pos).
+        vis = (
+            jnp.arange(self.max_positions)[None, None, :] <= pos[:, None, None]
+        )  # (Bq, 1, T)
+
+        def write(cache_l, p, kv_row):
+            # (T, h, d) <- row at p; vmapped over the batch so every lane
+            # writes at its own position (scatter, not a shared slice).
+            return jax.lax.dynamic_update_slice(
+                cache_l, kv_row[None], (p, 0, 0)
+            )
+
+        for l, layer in enumerate(params["layers"]):
+            h1 = layer_norm(layer["ln1"], x)
+            q = _split_heads(dense(layer["q"], h1), self.num_heads)
+            k_new = _split_heads(dense(layer["k"], h1[:, 0]), self.num_heads)
+            v_new = _split_heads(dense(layer["v"], h1[:, 0]), self.num_heads)
+            ck = jax.vmap(write)(cache_k[:, l], pos_c, k_new)
+            cv = jax.vmap(write)(cache_v[:, l], pos_c, v_new)
+            cache_k = cache_k.at[:, l].set(ck)
+            cache_v = cache_v.at[:, l].set(cv)
+            ctx = _sdpa(q, ck, cv, vis, scale)
+            x = x + dense(layer["o"], _merge_heads(ctx))
+            x = self._cross_attend(
+                layer, x, state["mem_k"][:, l], state["mem_v"][:, l]
+            )
+            h3 = layer_norm(layer["ln3"], x)
+            x = x + dense(
+                layer["mlp_out"], dense(layer["mlp_in"], h3, jax.nn.gelu)
+            )
+
+        hidden = layer_norm(params["ln_f"], x[:, 0])
+        new_state = {
+            "mem_k": state["mem_k"],
+            "mem_v": state["mem_v"],
+            "cache_k": cache_k,
+            "cache_v": cache_v,
+            "pos": pos + 1,
+        }
+        return hidden, new_state
+
+    def step(self, params, state, token):
+        hidden, new_state = self.step_hidden(params, state, token)
+        return dense(params["out"], hidden), new_state
+
+    # -- training ------------------------------------------------------------
+
+    def forward_hidden(
+        self, params, features, tokens, rng=None, deterministic=True
+    ):
+        """Teacher-forced hidden states (B, T, H) before the vocab
+        projection. Causal masking only: inputs are post-padded, so real
+        query positions never see pad keys (pads come after) and padded
+        query rows are dropped by the masked CE (train/loss.py)."""
+        B, T = tokens.shape
+        if T > self.max_positions:
+            raise ValueError(
+                f"sequence length {T} exceeds max_positions "
+                f"{self.max_positions}"
+            )
+        if rng is not None and not deterministic:
+            r_feat, r_emb, r_layers = jax.random.split(rng, 3)
+            features = dropout(r_feat, features, self.dropout_rate, False)
+        else:
+            r_emb = r_layers = None
+
+        mem_k, mem_v = self._memory(params, features)
+        x = embed(params["embedding"], tokens) + params["pos_embedding"][
+            :T
+        ].astype(mem_k.dtype)
+        if r_emb is not None:
+            x = dropout(r_emb, x, self.dropout_rate, False)
+
+        scale = 1.0 / float(self.head_dim) ** 0.5
+        causal = jnp.tril(jnp.ones((T, T), bool))[None]  # (1, T, T)
+
+        for l, layer in enumerate(params["layers"]):
+            h1 = layer_norm(layer["ln1"], x)
+            q = _split_heads(dense(layer["q"], h1), self.num_heads)
+            k = _split_heads(dense(layer["k"], h1), self.num_heads)
+            v = _split_heads(dense(layer["v"], h1), self.num_heads)
+            ctx = _sdpa(q, k, v, causal, scale)
+            attn = dense(layer["o"], _merge_heads(ctx))
+            if r_layers is not None:
+                attn = dropout(
+                    jax.random.fold_in(r_layers, 2 * l),
+                    attn,
+                    self.dropout_rate,
+                    False,
+                )
+            x = x + attn
+            x = self._cross_attend(layer, x, mem_k[:, l], mem_v[:, l])
+            h3 = layer_norm(layer["ln3"], x)
+            mlp = dense(
+                layer["mlp_out"], dense(layer["mlp_in"], h3, jax.nn.gelu)
+            )
+            if r_layers is not None:
+                mlp = dropout(
+                    jax.random.fold_in(r_layers, 2 * l + 1),
+                    mlp,
+                    self.dropout_rate,
+                    False,
+                )
+            x = x + mlp
+
+        return layer_norm(params["ln_f"], x)
+
+    def forward_train(
+        self, params, features, tokens, rng=None, deterministic=True
+    ):
+        """tokens (B, T) post-padded input ids -> logits (B, T, V)."""
+        hidden = self.forward_hidden(
+            params, features, tokens, rng=rng, deterministic=deterministic
+        )
+        return dense(params["out"], hidden)

@@ -154,6 +154,26 @@ def lstm_forward(p, xs, mask=None, h0=None, c0=None, return_sequences=False):
 
 
 # ---------------------------------------------------------------------------
+# LayerNorm (transformer decoder family)
+
+
+def init_layer_norm(dim: int, dtype=jnp.float32):
+    return {"scale": jnp.ones((dim,), dtype), "bias": jnp.zeros((dim,), dtype)}
+
+
+def layer_norm(p, x, eps: float = 1e-5):
+    """Normalize the last axis. Statistics in f32 (bf16 mean/var loses
+    ~3 decimal digits at d_model=256), output cast back to x.dtype so a
+    bf16 flow stays bf16."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = y * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
 # Dropout (inverted, Keras/flax-identical scaling)
 
 

@@ -84,6 +84,15 @@ class CaptioningPipeline:
         and would otherwise pay a full random init (hundreds of MB for
         VGG16's fc kernels) just to discard it."""
         d = self.config.decoder
+        if (
+            d.name == "transformer"
+            and d.max_positions < self.config.decode.max_len + 1
+        ):
+            raise ValueError(
+                f"decoder.max_positions {d.max_positions} cannot hold "
+                f"decode.max_len {self.config.decode.max_len} generated "
+                "tokens plus the start token"
+            )
         self.decoder = build_decoder(
             d.name,
             vocab_size=self.vocab_size,
@@ -93,6 +102,9 @@ class CaptioningPipeline:
             num_layers=d.num_layers,
             dropout_rate=d.dropout_rate,
             attention_dim=d.attention_dim,
+            num_heads=d.num_heads,
+            mlp_dim=d.mlp_dim,
+            max_positions=d.max_positions,
         )
         if init_params:
             rng = rng if rng is not None else jax.random.key(
