@@ -170,6 +170,73 @@ def test_capacity_validation():
         )
 
 
+def test_continuous_beam_staggered_admission():
+    """ContinuousBeamEngine with the transformer: a group admitted into a
+    recycled slot mid-flight produces the identical beams — the absolute-
+    position KV cache resets cleanly on admission."""
+    from tpucap.decode.continuous_beam import ContinuousBeamEngine
+
+    dec, params = make()
+    feats = np.asarray(
+        jax.random.normal(jax.random.key(11), (2, FEAT)), np.float32
+    )
+    ref = beam_decode(
+        dec.step,
+        params,
+        dec.init_state(params, jnp.asarray(feats[1:2])),
+        start_id=START,
+        end_id=END,
+        max_len=10,
+        beam_width=3,
+        decoder=dec,
+    )
+    eng = ContinuousBeamEngine(
+        dec, params, slots=1, beam_width=3, start_id=START, end_id=END,
+        max_len=10, feature_shape=(FEAT,),
+    )
+    st = eng.init_state()
+    idx, f = eng.pad_admission([0], [feats[0]])
+    st = eng.admit(st, idx, f)
+    st = eng.tick(st, 5)
+    idx, f = eng.pad_admission([0], [feats[1]])
+    st = eng.admit(st, idx, f)
+    st = eng.tick(st, 10)
+    (tokens, lengths, scores), _ = eng.collect(st, jnp.asarray([0]))
+    np.testing.assert_array_equal(
+        np.asarray(tokens), np.asarray(ref.tokens)
+    )
+    np.testing.assert_allclose(
+        np.asarray(scores), np.asarray(ref.scores), atol=1e-5
+    )
+
+
+def test_save_load_round_trip(toy_corpus, tmp_path):
+    """Orbax bundle save/load restores the transformer family exactly
+    (config fields incl. num_heads/mlp_dim/max_positions survive)."""
+    cfg = Config(
+        encoder=EncoderConfig(name="tiny_cnn", feature_dim=128),
+        decoder=DecoderConfig(
+            name="transformer", hidden_dim=32, num_layers=1, num_heads=2,
+            mlp_dim=64, max_positions=16, dropout_rate=0.0,
+        ),
+        decode=DecodeConfig(max_len=12),
+    )
+    pipe = CaptioningPipeline(cfg)
+    desc = {f"im{i}": [c] for i, c in enumerate(toy_corpus)}
+    pipe.fit_tokenizer(desc)
+    pipe.build()
+    feats = np.random.default_rng(2).normal(size=(3, 128)).astype(np.float32)
+    ref = pipe.generate(feats, method="beam", beam_width=2)
+
+    bundle = str(tmp_path / "bundle")
+    pipe.save(bundle)
+    loaded = CaptioningPipeline.load(bundle)
+    assert loaded.config.decoder.name == "transformer"
+    assert loaded.config.decoder.num_heads == 2
+    assert loaded.config.decoder.max_positions == 16
+    assert loaded.generate(feats, method="beam", beam_width=2) == ref
+
+
 def test_pipeline_end_to_end_overfits(toy_corpus):
     """Config wiring: name='transformer' trains through pipeline.fit and
     generates via both engines (greedy + beam)."""

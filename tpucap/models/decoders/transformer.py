@@ -110,9 +110,10 @@ class TransformerDecoder:
             layers.append(
                 {
                     "ln1": init_layer_norm(H),
-                    "q": init_dense(k[0], H, H),
-                    "k": init_dense(k[1], H, H),
-                    "v": init_dense(k[2], H, H),
+                    # One fused H -> 3H projection (not separate q/k/v):
+                    # the decode step is launch-bound at M=1, so fewer,
+                    # larger matmuls are the win (docs/PERF.md).
+                    "qkv": init_dense(k[0], H, 3 * H),
                     "o": init_dense(k[3], H, H),
                     "ln2": init_layer_norm(H),
                     "xq": init_dense(k[4], H, H),
@@ -221,25 +222,30 @@ class TransformerDecoder:
 
         cache_k, cache_v = state["cache_k"], state["cache_v"]
         scale = 1.0 / float(self.head_dim) ** 0.5
+        positions = jnp.arange(self.max_positions)
         # Key positions <= own pos are visible (the new token writes at pos).
-        vis = (
-            jnp.arange(self.max_positions)[None, None, :] <= pos[:, None, None]
-        )  # (Bq, 1, T)
+        vis = positions[None, None, :] <= pos[:, None, None]  # (Bq, 1, T)
+        # Per-lane cache write as a fused one-hot select, NOT a vmapped
+        # dynamic_update_slice: batch-dependent slice indices lower to a
+        # serialized scatter on TPU (measured ~8 ms/step at 768 lanes vs
+        # ~0.3 ms of raw select traffic — the whole decode was 36x slower
+        # than the LSTM family before this rewrite).
+        write_here = (positions[None, :] == pos_c[:, None])[
+            :, :, None, None
+        ]  # (Bq, T, 1, 1)
 
-        def write(cache_l, p, kv_row):
-            # (T, h, d) <- row at p; vmapped over the batch so every lane
-            # writes at its own position (scatter, not a shared slice).
-            return jax.lax.dynamic_update_slice(
-                cache_l, kv_row[None], (p, 0, 0)
-            )
+        def write(cache_l, kv_new):
+            return jnp.where(write_here, kv_new[:, None], cache_l)
 
+        H = self.hidden_dim
         for l, layer in enumerate(params["layers"]):
             h1 = layer_norm(layer["ln1"], x)
-            q = _split_heads(dense(layer["q"], h1), self.num_heads)
-            k_new = _split_heads(dense(layer["k"], h1[:, 0]), self.num_heads)
-            v_new = _split_heads(dense(layer["v"], h1[:, 0]), self.num_heads)
-            ck = jax.vmap(write)(cache_k[:, l], pos_c, k_new)
-            cv = jax.vmap(write)(cache_v[:, l], pos_c, v_new)
+            qkv = dense(layer["qkv"], h1[:, 0])  # (Bq, 3H)
+            q = _split_heads(qkv[:, :H], self.num_heads)[:, None]
+            k_new = _split_heads(qkv[:, H : 2 * H], self.num_heads)
+            v_new = _split_heads(qkv[:, 2 * H :], self.num_heads)
+            ck = write(cache_k[:, l], k_new)
+            cv = write(cache_v[:, l], v_new)
             cache_k = cache_k.at[:, l].set(ck)
             cache_v = cache_v.at[:, l].set(cv)
             ctx = _sdpa(q, ck, cv, vis, scale)
@@ -297,11 +303,13 @@ class TransformerDecoder:
         scale = 1.0 / float(self.head_dim) ** 0.5
         causal = jnp.tril(jnp.ones((T, T), bool))[None]  # (1, T, T)
 
+        H = self.hidden_dim
         for l, layer in enumerate(params["layers"]):
             h1 = layer_norm(layer["ln1"], x)
-            q = _split_heads(dense(layer["q"], h1), self.num_heads)
-            k = _split_heads(dense(layer["k"], h1), self.num_heads)
-            v = _split_heads(dense(layer["v"], h1), self.num_heads)
+            qkv = dense(layer["qkv"], h1)  # (B, T, 3H)
+            q = _split_heads(qkv[..., :H], self.num_heads)
+            k = _split_heads(qkv[..., H : 2 * H], self.num_heads)
+            v = _split_heads(qkv[..., 2 * H :], self.num_heads)
             ctx = _sdpa(q, k, v, causal, scale)
             attn = dense(layer["o"], _merge_heads(ctx))
             if r_layers is not None:
