@@ -249,7 +249,7 @@ def test_generate_with_attention_rejects_non_attention():
     pipe.tokenizer = tok
     pipe.build()
     rng = np.random.default_rng(0)
-    with pytest.raises(ValueError, match="attention decoder"):
+    with pytest.raises(ValueError, match="forward_hidden_with_alphas"):
         pipe.generate_with_attention(
             rng.normal(size=(1, 128)).astype(np.float32)
         )

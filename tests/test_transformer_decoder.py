@@ -237,6 +237,67 @@ def test_save_load_round_trip(toy_corpus, tmp_path):
     assert loaded.generate(feats, method="beam", beam_width=2) == ref
 
 
+@pytest.mark.parametrize("spatial", [False, True])
+def test_forward_hidden_with_alphas_contract(spatial):
+    """forward_hidden_with_alphas: hidden identical to forward_hidden;
+    alphas (B, T, Lm) float32 rows are softmax distributions over the
+    memory positions (last layer, head-averaged)."""
+    dec, params = make()
+    L = 9
+    shape = (B, L, FEAT) if spatial else (B, FEAT)
+    feats = jax.random.normal(jax.random.key(5), shape)
+    T = 7
+    tokens = jax.random.randint(jax.random.key(6), (B, T), 0, VOCAB)
+
+    hidden, alphas = dec.forward_hidden_with_alphas(params, feats, tokens)
+    ref = dec.forward_hidden(params, feats, tokens)
+    np.testing.assert_allclose(
+        np.asarray(hidden), np.asarray(ref), atol=1e-6
+    )
+    assert alphas.shape == (B, T, L if spatial else 1)
+    assert alphas.dtype == jnp.float32
+    np.testing.assert_allclose(
+        np.asarray(alphas.sum(axis=-1)), 1.0, atol=1e-5
+    )
+
+
+def test_pipeline_generate_with_attention_transformer(toy_corpus):
+    """pipeline.generate_with_attention works for the transformer family:
+    captions match generate(), alphas are per-token distributions over
+    the spatial grid."""
+    cfg = Config(
+        encoder=EncoderConfig(
+            name="tiny_cnn", features="spatial", feature_dim=128
+        ),
+        decoder=DecoderConfig(
+            name="transformer", hidden_dim=32, num_layers=1, num_heads=2,
+            mlp_dim=64, max_positions=16, dropout_rate=0.0,
+        ),
+        decode=DecodeConfig(max_len=10),
+        precision="f32",
+    )
+    pipe = CaptioningPipeline(cfg)
+    desc = {f"im{i}": [c] for i, c in enumerate(toy_corpus)}
+    pipe.fit_tokenizer(desc)
+    pipe.build()
+    L = pipe.encoder.spatial_positions
+    feats = (
+        np.random.default_rng(7)
+        .normal(size=(3, L, 128))
+        .astype(np.float32)
+    )
+    caps, alphas, lengths = pipe.generate_with_attention(
+        feats, method="beam", beam_width=2
+    )
+    assert caps == pipe.generate(feats, method="beam", beam_width=2)
+    assert alphas.shape == (3, pipe.config.decode.max_len, L)
+    for b in range(3):
+        for t in range(int(lengths[b])):
+            np.testing.assert_allclose(
+                alphas[b, t].sum(), 1.0, atol=1e-5
+            )
+
+
 def test_pipeline_end_to_end_overfits(toy_corpus):
     """Config wiring: name='transformer' trains through pipeline.fit and
     generates via both engines (greedy + beam)."""

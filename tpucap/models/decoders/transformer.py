@@ -63,13 +63,15 @@ def _sdpa(q, k, v, mask, scale: float):
 
     mask (..., Q, T) bool — True = attend. Softmax in f32 (bf16 logits +
     exp underflow are the classic bf16-attention trap), output in q.dtype.
+    Returns ``(ctx, w)`` with w (..., h, Q, T) float32 — callers that don't
+    need the weights drop them (XLA dead-code-eliminates the extra output).
     """
     scores = jnp.einsum("...qhd,...thd->...hqt", q, k).astype(jnp.float32)
     scores = scores * scale
     scores = jnp.where(mask[..., None, :, :], scores, -1e30)
     w = jax.nn.softmax(scores, axis=-1)
     ctx = jnp.einsum("...hqt,...thd->...qhd", w.astype(q.dtype), v)
-    return ctx
+    return ctx, w
 
 
 @dataclasses.dataclass(frozen=True)
@@ -88,6 +90,8 @@ class TransformerDecoder:
     beam_shared_keys = frozenset({"mem_k", "mem_v"})
 
     def __post_init__(self):
+        if self.num_layers < 1:
+            raise ValueError(f"num_layers must be >= 1, got {self.num_layers}")
         if self.hidden_dim % self.num_heads:
             raise ValueError(
                 f"hidden_dim {self.hidden_dim} not divisible by "
@@ -170,7 +174,12 @@ class TransformerDecoder:
         """Cross-attention block with beam-shared memory: x (Bq, Q, H) while
         mem is (Bm, Lm, h, d); when Bq = Bm*k the per-image memory
         broadcasts over the k hypotheses instead of being tiled (same
-        shape-ratio trick as AttentionDecoder._attend)."""
+        shape-ratio trick as AttentionDecoder._attend).
+
+        Returns ``(out, alpha)`` — alpha (Bq, Q, Lm) float32 is the
+        head-averaged cross-attention distribution (sums to 1 over Lm);
+        callers that don't need it drop it.
+        """
         h2 = layer_norm(layer["ln2"], x)
         qx = _split_heads(dense(layer["xq"], h2), self.num_heads)
         Bq, Bm = qx.shape[0], mem_k_l.shape[0]
@@ -178,16 +187,18 @@ class TransformerDecoder:
         Lm = mem_k_l.shape[1]
         if Bq == Bm:
             mask = jnp.ones((Bq, qx.shape[1], Lm), bool)
-            ctx = _sdpa(qx, mem_k_l, mem_v_l, mask, scale)
+            ctx, w = _sdpa(qx, mem_k_l, mem_v_l, mask, scale)
         else:
             k = Bq // Bm
             qx = qx.reshape((Bm, k) + qx.shape[1:])
             mask = jnp.ones((Bm, k, qx.shape[2], Lm), bool)
-            ctx = _sdpa(
+            ctx, w = _sdpa(
                 qx, mem_k_l[:, None], mem_v_l[:, None], mask, scale
             )
             ctx = ctx.reshape((Bq,) + ctx.shape[2:])
-        return x + dense(layer["xo"], _merge_heads(ctx))
+            w = w.reshape((Bq,) + w.shape[2:])
+        out = x + dense(layer["xo"], _merge_heads(ctx))
+        return out, w.mean(axis=-3)
 
     # -- decode interface ------------------------------------------------------
 
@@ -248,9 +259,9 @@ class TransformerDecoder:
             cv = write(cache_v[:, l], v_new)
             cache_k = cache_k.at[:, l].set(ck)
             cache_v = cache_v.at[:, l].set(cv)
-            ctx = _sdpa(q, ck, cv, vis, scale)
+            ctx, _ = _sdpa(q, ck, cv, vis, scale)
             x = x + dense(layer["o"], _merge_heads(ctx))
-            x = self._cross_attend(
+            x, _ = self._cross_attend(
                 layer, x, state["mem_k"][:, l], state["mem_v"][:, l]
             )
             h3 = layer_norm(layer["ln3"], x)
@@ -281,6 +292,15 @@ class TransformerDecoder:
         projection. Causal masking only: inputs are post-padded, so real
         query positions never see pad keys (pads come after) and padded
         query rows are dropped by the masked CE (train/loss.py)."""
+        hidden, _ = self._forward_with_alpha(
+            params, features, tokens, rng=rng, deterministic=deterministic
+        )
+        return hidden
+
+    def _forward_with_alpha(
+        self, params, features, tokens, rng=None, deterministic=True
+    ):
+        """Shared teacher-forced body -> (hidden, last-layer cross alpha)."""
         B, T = tokens.shape
         if T > self.max_positions:
             raise ValueError(
@@ -310,7 +330,7 @@ class TransformerDecoder:
             q = _split_heads(qkv[..., :H], self.num_heads)
             k = _split_heads(qkv[..., H : 2 * H], self.num_heads)
             v = _split_heads(qkv[..., 2 * H :], self.num_heads)
-            ctx = _sdpa(q, k, v, causal, scale)
+            ctx, _ = _sdpa(q, k, v, causal, scale)
             attn = dense(layer["o"], _merge_heads(ctx))
             if r_layers is not None:
                 attn = dropout(
@@ -320,7 +340,7 @@ class TransformerDecoder:
                     False,
                 )
             x = x + attn
-            x = self._cross_attend(layer, x, mem_k[:, l], mem_v[:, l])
+            x, alpha = self._cross_attend(layer, x, mem_k[:, l], mem_v[:, l])
             h3 = layer_norm(layer["ln3"], x)
             mlp = dense(
                 layer["mlp_out"], dense(layer["mlp_in"], h3, jax.nn.gelu)
@@ -334,7 +354,25 @@ class TransformerDecoder:
                 )
             x = x + mlp
 
-        return layer_norm(params["ln_f"], x)
+        return layer_norm(params["ln_f"], x), alpha
+
+    def forward_hidden_with_alphas(
+        self, params, features, tokens, rng=None, deterministic=True
+    ):
+        """-> (hidden (B, T, H) pre-projection, alphas (B, T, Lm)).
+
+        alphas is the LAST layer's cross-attention distribution over the
+        Lm memory positions, averaged over heads — the transformer analog
+        of the SAT decoder's soft-attention alphas (same visualization
+        contract: each row sums to 1 over Lm; reshape Lm to the encoder
+        grid for overlays). Last layer because its cross-attention feeds
+        the vocab projection most directly; head-mean is the standard
+        summary (per-head maps would be (B, T, h, Lm)).
+        """
+        hidden, alpha = self._forward_with_alpha(
+            params, features, tokens, rng=rng, deterministic=deterministic
+        )
+        return hidden, alpha.astype(jnp.float32)
 
     def forward_train(
         self, params, features, tokens, rng=None, deterministic=True

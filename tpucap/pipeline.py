@@ -814,8 +814,9 @@ class CaptioningPipeline:
         method: str | None = None,
         beam_width: int | None = None,
     ):
-        """Attention-family (config 4) captions WITH their attention
-        maps — the Show-Attend-Tell visualization surface.
+        """Attention-family captions WITH their attention maps — the
+        Show-Attend-Tell visualization surface (config 4), also served by
+        the transformer family (last-layer head-averaged cross-attention).
 
         Returns ``(captions, alphas, lengths)``: alphas (B, T, L) float32
         where row t is the softmax attention over the L spatial grid
@@ -832,8 +833,9 @@ class CaptioningPipeline:
         """
         if not hasattr(self.decoder, "forward_hidden_with_alphas"):
             raise ValueError(
-                "generate_with_attention requires the attention decoder "
-                f"(config 4); got {type(self.decoder).__name__}"
+                "generate_with_attention requires a decoder exposing "
+                "forward_hidden_with_alphas (the attention or transformer "
+                f"family); got {type(self.decoder).__name__}"
             )
         method = method or self.config.decode.method
         beam_width = beam_width or self.config.decode.beam_width
