@@ -155,6 +155,8 @@ def test_encoder_init_shapes_match_keras_import(keras_vgg16):
         ("resnet50", 256),
         ("inception_v3", 299),
         ("tiny_cnn", 32),
+        ("vit_b16", 224),
+        ("vit_tiny", 32),
     ],
 )
 def test_spatial_positions_matches_apply(name, size):

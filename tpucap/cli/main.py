@@ -43,7 +43,8 @@ def _add_optimizer_flags(p):
 
 def _add_common_model_flags(p):
     p.add_argument("--encoder", default="vgg16",
-                   choices=["vgg16", "inception_v3", "resnet50", "tiny_cnn"])
+                   choices=["vgg16", "inception_v3", "resnet50", "tiny_cnn",
+                            "vit_b16", "vit_tiny"])
     p.add_argument("--decoder", default="lstm1",
                    choices=["lstm1", "lstm2", "inject", "attention",
                             "transformer"])

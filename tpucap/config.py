@@ -17,7 +17,9 @@ from __future__ import annotations
 import dataclasses
 from typing import Literal
 
-EncoderName = Literal["vgg16", "inception_v3", "resnet50", "tiny_cnn"]
+EncoderName = Literal[
+    "vgg16", "inception_v3", "resnet50", "tiny_cnn", "vit_b16", "vit_tiny"
+]
 DecoderName = Literal["lstm1", "lstm2", "inject", "attention", "transformer"]
 DecodeMethod = Literal["greedy", "beam"]
 
@@ -139,6 +141,12 @@ FEATURE_DIMS = {
     ("resnet50", "spatial"): 1024,
     ("tiny_cnn", "pooled"): 128,
     ("tiny_cnn", "spatial"): 128,
+    # ViT family (beyond parity): feature width == d_model either way
+    # (pooled = token mean, spatial = the g x g token grid).
+    ("vit_b16", "pooled"): 768,
+    ("vit_b16", "spatial"): 768,
+    ("vit_tiny", "pooled"): 64,
+    ("vit_tiny", "spatial"): 64,
 }
 
 

@@ -23,6 +23,7 @@ from tpucap.models.encoders.vgg16 import VGG16
 from tpucap.models.encoders.resnet50 import ResNet50
 from tpucap.models.encoders.inception_v3 import InceptionV3
 from tpucap.models.encoders.tiny import TinyCNN
+from tpucap.models.encoders.vit import ViT, vit_tiny
 
 __all__ = [
     "build_encoder",
@@ -32,4 +33,6 @@ __all__ = [
     "ResNet50",
     "InceptionV3",
     "TinyCNN",
+    "ViT",
+    "vit_tiny",
 ]

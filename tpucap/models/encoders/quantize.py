@@ -74,6 +74,10 @@ def quantize_encoder_params(params):
                 else:
                     out[name] = walk(child)
             return out
+        if isinstance(node, (list, tuple)):
+            # Repeated-block params (e.g. the ViT's `blocks`) are lists of
+            # per-layer dicts — recurse, preserving the container type.
+            return type(node)(walk(child) for child in node)
         return node
 
     return walk(params)

@@ -11,12 +11,15 @@ from tpucap.models.encoders.inception_v3 import InceptionV3
 from tpucap.models.encoders.resnet50 import ResNet50
 from tpucap.models.encoders.tiny import TinyCNN
 from tpucap.models.encoders.vgg16 import VGG16
+from tpucap.models.encoders.vit import ViT, vit_tiny
 
 ENCODERS = {
     "vgg16": VGG16,
     "inception_v3": InceptionV3,
     "resnet50": ResNet50,
     "tiny_cnn": TinyCNN,
+    "vit_b16": ViT,  # beyond-parity transformer family (encoders/vit.py)
+    "vit_tiny": vit_tiny,
 }
 
 # encoder name -> (input size, preprocess mode)
@@ -25,6 +28,8 @@ PREPROCESS_MODES = {
     "inception_v3": (299, "tf"),
     "resnet50": (224, "caffe"),
     "tiny_cnn": (32, "tf"),
+    "vit_b16": (224, "tf"),
+    "vit_tiny": (32, "tf"),
 }
 
 

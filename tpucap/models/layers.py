@@ -183,3 +183,36 @@ def dropout(rng, x, rate: float, deterministic: bool):
     keep = 1.0 - rate
     mask = jax.random.bernoulli(rng, keep, x.shape)
     return jnp.where(mask, x / keep, jnp.zeros_like(x))
+
+
+# ---------------------------------------------------------------------------
+# Multi-head attention primitives (transformer decoder family + ViT encoder)
+
+
+def split_heads(x, num_heads: int):
+    """(..., H) -> (..., num_heads, head_dim)."""
+    return x.reshape(x.shape[:-1] + (num_heads, x.shape[-1] // num_heads))
+
+
+def merge_heads(x):
+    """(..., num_heads, head_dim) -> (..., H)."""
+    return x.reshape(x.shape[:-2] + (x.shape[-2] * x.shape[-1],))
+
+
+def sdpa(q, k, v, mask, scale: float):
+    """Scaled dot-product attention, q (..., Q, h, d) over k/v (..., T, h, d).
+
+    mask (..., Q, T) bool — True = attend; pass None for dense (all-visible)
+    attention, which skips the mask select entirely. Softmax in f32 (bf16
+    logits + exp underflow are the classic bf16-attention trap), output in
+    q.dtype. Returns ``(ctx, w)`` with w (..., h, Q, T) float32 — callers
+    that don't need the weights drop them (XLA dead-code-eliminates the
+    extra output).
+    """
+    scores = jnp.einsum("...qhd,...thd->...hqt", q, k).astype(jnp.float32)
+    scores = scores * scale
+    if mask is not None:
+        scores = jnp.where(mask[..., None, :, :], scores, -1e30)
+    w = jax.nn.softmax(scores, axis=-1)
+    ctx = jnp.einsum("...hqt,...thd->...qhd", w.astype(q.dtype), v)
+    return ctx, w
