@@ -130,6 +130,13 @@ def main():
         help="bench the encoder alone (images -> features), no decode",
     )
     ap.add_argument(
+        "--vit-flash",
+        action="store_true",
+        help="ViT encoders only: token-grid attention through the stock "
+        "TPU Pallas flash kernel instead of XLA sdpa (grid padded to a "
+        "block multiple + segment-id masking; docs/PERF.md)",
+    )
+    ap.add_argument(
         "--mode",
         default="caption",
         choices=[
@@ -260,6 +267,10 @@ def main():
     encoder = build_encoder(
         args.encoder, "spatial" if spatial else "pooled"
     )
+    if args.vit_flash:
+        import dataclasses as _dc
+
+        encoder = _dc.replace(encoder, attention_impl="flash")
     decoder = build_decoder(
         args.decoder,
         vocab_size=args.vocab,

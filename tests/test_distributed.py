@@ -41,11 +41,14 @@ def setup(name="lstm1"):
     return dec, params, feats, tokens
 
 
-def test_dp_update_matches_single_device(mesh):
+@pytest.mark.parametrize("name", ["lstm1", "transformer"])
+def test_dp_update_matches_single_device(mesh, name):
     # SGD so the param delta is proportional to the gradient — a direct
     # gradient-equivalence check without Adam's 1/sqrt(v) amplification of
-    # f32 reduction-order noise.
-    dec, params, feats, tokens = setup()
+    # f32 reduction-order noise. Parametrized over the recurrent family
+    # AND the KV-cached transformer (its causal mask + position handling
+    # must shard cleanly under shard_map).
+    dec, params, feats, tokens = setup(name)
     optimizer = optax.sgd(0.5)
 
     single = make_train_step(dec, optimizer, deterministic=True)
@@ -84,8 +87,11 @@ def test_dp_multi_step_training_descends(mesh):
     assert float(metrics["loss"]) < first
 
 
-def test_dp_greedy_decode_matches_single(mesh):
-    dec, params, feats, _ = setup()
+@pytest.mark.parametrize("name", ["lstm1", "transformer"])
+def test_dp_greedy_decode_matches_single(mesh, name):
+    # The transformer step's fused one-hot KV-cache write runs inside
+    # shard_map here — per-shard lane indexing must stay local.
+    dec, params, feats, _ = setup(name)
     state = dec.init_state(params, jnp.asarray(feats))
     ref = greedy_decode(
         dec.step, params, state, start_id=START, end_id=END, max_len=MAXLEN

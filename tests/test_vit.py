@@ -73,6 +73,43 @@ def test_validation_errors():
         ViT(input_size=224, patch_size=15)
     with pytest.raises(ValueError, match="num_heads"):
         ViT(hidden_dim=64, num_heads=5)
+    with pytest.raises(ValueError, match="attention_impl"):
+        ViT(attention_impl="fused")
+
+
+def test_flash_variant_constructs_and_shares_params():
+    """attention_impl is an apply-time dispatch only: the flash variant
+    must expose identical init/param structure (so a checkpoint trained
+    with one impl loads under the other)."""
+    enc = vit_tiny()
+    enc_f = dataclasses.replace(enc, attention_impl="flash")
+    assert enc_f.attention_impl == "flash"
+    p = enc.init(jax.random.key(11))
+    pf = enc_f.init(jax.random.key(11))
+    assert jax.tree_util.tree_structure(p) == jax.tree_util.tree_structure(
+        pf
+    )
+    for a, b in zip(jax.tree.leaves(p), jax.tree.leaves(pf)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.skipif(
+    jax.default_backend() != "tpu",
+    reason="stock Pallas flash kernel lowers on TPU only "
+    "(the suite pins CPU; run manually on the chip)",
+)
+def test_flash_matches_xla_on_tpu():
+    """Numerics gate for the opt-in flash path: the padded+segment-masked
+    flash attention must match XLA sdpa through a full ViT-B/16 forward
+    (pad tokens are fenced by segment ids, so real rows are unaffected)."""
+    enc = build_encoder("vit_b16", features="spatial")
+    enc_f = dataclasses.replace(enc, attention_impl="flash")
+    params = enc.init(jax.random.key(12))
+    p16 = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
+    x = _x(b=2, size=224, seed=13).astype(jnp.bfloat16)
+    ref = np.asarray(jax.jit(enc.apply)(p16, x), dtype=np.float32)
+    got = np.asarray(jax.jit(enc_f.apply)(p16, x), dtype=np.float32)
+    np.testing.assert_allclose(got, ref, atol=0.1, rtol=0.05)
 
 
 def test_jit_and_bf16():

@@ -49,6 +49,42 @@ from tpucap.models.layers import (
 )
 
 
+def _flash_ctx(q, k, v, scale: float):
+    """Token-grid attention via the stock TPU Pallas flash kernel.
+
+    q/k/v (B, L, h, d) -> ctx (B, L, h, d). The kernel wants (B, h, L, d)
+    with L a multiple of its 128-wide blocks, so the 196-token ViT grid is
+    zero-padded to 256 and masked with segment ids (pad tokens form their
+    own segment — real queries never see pad keys; pad rows are sliced
+    off). TPU-only and opt-in: XLA's fused sdpa is the portable default
+    (A/B numbers in docs/PERF.md).
+    """
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        SegmentIds,
+        flash_attention,
+    )
+
+    B, L, h, d = q.shape
+    Lp = -(-L // 128) * 128
+    qT = jnp.moveaxis(q, 1, 2)
+    kT = jnp.moveaxis(k, 1, 2)
+    vT = jnp.moveaxis(v, 1, 2)
+    if Lp != L:
+        pad = ((0, 0), (0, 0), (0, Lp - L), (0, 0))
+        qT, kT, vT = (jnp.pad(a, pad) for a in (qT, kT, vT))
+    seg = jnp.broadcast_to(
+        (jnp.arange(Lp) < L).astype(jnp.int32), (B, Lp)
+    )
+    out = flash_attention(
+        qT,
+        kT,
+        vT,
+        segment_ids=SegmentIds(q=seg, kv=seg),
+        sm_scale=scale,
+    )
+    return jnp.moveaxis(out[:, :, :L, :], 1, 2)
+
+
 @dataclasses.dataclass(frozen=True)
 class ViT:
     """Pre-LN ViT. Defaults are ViT-B/16 (224 input, 12x768, 12 heads)."""
@@ -61,6 +97,7 @@ class ViT:
     num_heads: int = 12
     mlp_dim: int = 3072
     preprocess_mode: str = "tf"
+    attention_impl: str = "xla"  # 'xla' | 'flash' (TPU Pallas, opt-in)
 
     def __post_init__(self):
         if self.input_size % self.patch_size:
@@ -72,6 +109,11 @@ class ViT:
             raise ValueError(
                 f"hidden_dim {self.hidden_dim} not divisible by "
                 f"num_heads {self.num_heads}"
+            )
+        if self.attention_impl not in ("xla", "flash"):
+            raise ValueError(
+                f"attention_impl must be 'xla' or 'flash', got "
+                f"{self.attention_impl!r}"
             )
 
     @property
@@ -131,7 +173,10 @@ class ViT:
             q = split_heads(qkv[..., :H], self.num_heads)
             k = split_heads(qkv[..., H : 2 * H], self.num_heads)
             v = split_heads(qkv[..., 2 * H :], self.num_heads)
-            ctx, _ = sdpa(q, k, v, None, scale)  # dense attention
+            if self.attention_impl == "flash":
+                ctx = _flash_ctx(q, k, v, scale)
+            else:
+                ctx, _ = sdpa(q, k, v, None, scale)  # dense attention
             t = t + dense(block["o"], merge_heads(ctx))
             h2 = layer_norm(block["ln2"], t)
             t = t + dense(
