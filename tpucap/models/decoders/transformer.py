@@ -120,6 +120,24 @@ class TransformerDecoder:
 
     # -- shared pieces --------------------------------------------------------
 
+    def project_memory(self, params, features):
+        """features (B, D) pooled or (B, Lm, D) spatial -> (B, Lm, H)
+        shared memory (the mem_proj projection every layer's cross-attention
+        keys/values are computed from). Exposed separately so the
+        pipeline-parallel step (parallel/pp.py) can compute each stage's
+        own layers' K/V locally from replicated features."""
+        if features.ndim == 2:
+            features = features[:, None, :]
+        return dense(params["mem_proj"], features)
+
+    def layer_memory(self, layer, mem):
+        """One layer's cross-attention K/V from the shared memory:
+        mem (B, Lm, H) -> (mem_k_l, mem_v_l) each (B, Lm, heads, head_dim)."""
+        return (
+            _split_heads(dense(layer["xk"], mem), self.num_heads),
+            _split_heads(dense(layer["xv"], mem), self.num_heads),
+        )
+
     def _memory(self, params, features):
         """Project features to per-layer cross-attention K/V.
 
@@ -128,23 +146,10 @@ class TransformerDecoder:
         loop: computed once per image in init_state / once per batch in
         forward_hidden.
         """
-        if features.ndim == 2:
-            features = features[:, None, :]
-        mem = dense(params["mem_proj"], features)  # (B, Lm, H)
-        mem_k = jnp.stack(
-            [
-                _split_heads(dense(layer["xk"], mem), self.num_heads)
-                for layer in params["layers"]
-            ],
-            axis=1,
-        )
-        mem_v = jnp.stack(
-            [
-                _split_heads(dense(layer["xv"], mem), self.num_heads)
-                for layer in params["layers"]
-            ],
-            axis=1,
-        )
+        mem = self.project_memory(params, features)  # (B, Lm, H)
+        kv = [self.layer_memory(layer, mem) for layer in params["layers"]]
+        mem_k = jnp.stack([k for k, _ in kv], axis=1)
+        mem_v = jnp.stack([v for _, v in kv], axis=1)
         return mem_k, mem_v
 
     def _cross_attend(self, layer, x, mem_k_l, mem_v_l):
@@ -176,6 +181,38 @@ class TransformerDecoder:
             w = w.reshape((Bq,) + w.shape[2:])
         out = x + dense(layer["xo"], _merge_heads(ctx))
         return out, w.mean(axis=-3)
+
+    def layer_train(
+        self, layer, x, mem_k_l, mem_v_l, causal, r_attn=None, r_mlp=None
+    ):
+        """One teacher-forced decoder layer: causal self-attention +
+        cross-attention + MLP, pre-LN residuals. x (B, T, H) -> (x', alpha)
+        with alpha (B, T, Lm) the layer's head-averaged cross-attention.
+
+        The single source of the layer math: ``_forward_with_alpha`` loops
+        it over ``params['layers']`` and the pipeline-parallel step
+        (parallel/pp.py) runs each stage's slice of layers through it —
+        bit-identical numerics either way."""
+        H = self.hidden_dim
+        scale = 1.0 / float(self.head_dim) ** 0.5
+        h1 = layer_norm(layer["ln1"], x)
+        qkv = dense(layer["qkv"], h1)  # (B, T, 3H)
+        q = _split_heads(qkv[..., :H], self.num_heads)
+        k = _split_heads(qkv[..., H : 2 * H], self.num_heads)
+        v = _split_heads(qkv[..., 2 * H :], self.num_heads)
+        ctx, _ = _sdpa(q, k, v, causal, scale)
+        attn = dense(layer["o"], _merge_heads(ctx))
+        if r_attn is not None:
+            attn = dropout(r_attn, attn, self.dropout_rate, False)
+        x = x + attn
+        x, alpha = self._cross_attend(layer, x, mem_k_l, mem_v_l)
+        h3 = layer_norm(layer["ln3"], x)
+        mlp = dense(
+            layer["mlp_out"], dense(layer["mlp_in"], h3, jax.nn.gelu)
+        )
+        if r_mlp is not None:
+            mlp = dropout(r_mlp, mlp, self.dropout_rate, False)
+        return x + mlp, alpha
 
     # -- decode interface ------------------------------------------------------
 
@@ -297,39 +334,16 @@ class TransformerDecoder:
         if r_emb is not None:
             x = dropout(r_emb, x, self.dropout_rate, False)
 
-        scale = 1.0 / float(self.head_dim) ** 0.5
         causal = jnp.tril(jnp.ones((T, T), bool))[None]  # (1, T, T)
 
-        H = self.hidden_dim
         for l, layer in enumerate(params["layers"]):
-            h1 = layer_norm(layer["ln1"], x)
-            qkv = dense(layer["qkv"], h1)  # (B, T, 3H)
-            q = _split_heads(qkv[..., :H], self.num_heads)
-            k = _split_heads(qkv[..., H : 2 * H], self.num_heads)
-            v = _split_heads(qkv[..., 2 * H :], self.num_heads)
-            ctx, _ = _sdpa(q, k, v, causal, scale)
-            attn = dense(layer["o"], _merge_heads(ctx))
+            r_attn = r_mlp = None
             if r_layers is not None:
-                attn = dropout(
-                    jax.random.fold_in(r_layers, 2 * l),
-                    attn,
-                    self.dropout_rate,
-                    False,
-                )
-            x = x + attn
-            x, alpha = self._cross_attend(layer, x, mem_k[:, l], mem_v[:, l])
-            h3 = layer_norm(layer["ln3"], x)
-            mlp = dense(
-                layer["mlp_out"], dense(layer["mlp_in"], h3, jax.nn.gelu)
+                r_attn = jax.random.fold_in(r_layers, 2 * l)
+                r_mlp = jax.random.fold_in(r_layers, 2 * l + 1)
+            x, alpha = self.layer_train(
+                layer, x, mem_k[:, l], mem_v[:, l], causal, r_attn, r_mlp
             )
-            if r_layers is not None:
-                mlp = dropout(
-                    jax.random.fold_in(r_layers, 2 * l + 1),
-                    mlp,
-                    self.dropout_rate,
-                    False,
-                )
-            x = x + mlp
 
         return layer_norm(params["ln_f"], x), alpha
 

@@ -18,6 +18,11 @@ from tpucap.parallel.multihost import (
     process_info,
     shard_for_host,
 )
+from tpucap.parallel.pp import (
+    make_pp_train_step,
+    stack_pp_layers,
+    unstack_pp_layers,
+)
 from tpucap.parallel.tp import (
     make_tp_beam_fn,
     make_tp_train_step,
@@ -33,6 +38,9 @@ __all__ = [
     "local_worker_env",
     "make_dp_train_step",
     "make_dp_decode_fn",
+    "make_pp_train_step",
+    "stack_pp_layers",
+    "unstack_pp_layers",
     "make_tp_beam_fn",
     "make_tp_train_step",
     "pad_vocab_params",
