@@ -154,6 +154,81 @@ def test_fit_dp_tp_2d_training(toy_corpus, rng):
         )
 
 
+def make_transformer_pipe(corpus, *, num_layers, model_devices=1):
+    cfg = Config(
+        encoder=EncoderConfig(name="tiny_cnn", feature_dim=128),
+        decoder=DecoderConfig(
+            name="transformer",
+            hidden_dim=32,
+            num_layers=num_layers,
+            num_heads=2,
+            mlp_dim=64,
+            max_positions=16,
+            dropout_rate=0.0,
+        ),
+        decode=DecodeConfig(max_len=10),
+        mesh=MeshConfig(model_devices=model_devices),
+        precision="f32",
+    )
+    pipe = CaptioningPipeline(cfg)
+    tok = Tokenizer()
+    tok.fit_on_texts(corpus)
+    pipe.tokenizer = tok
+    pipe.build()
+    return pipe
+
+
+def test_fit_pp_pipeline_training(toy_corpus, rng):
+    """fit(parallelism='pp'): 8-stage GPipe pipeline over the full mesh,
+    with a val split (exercising the stacked->canonical eval conversion);
+    the pipeline hands back CANONICAL params that still decode."""
+    pipe = make_transformer_pipe(toy_corpus, num_layers=8)
+    ids = [f"i{k}" for k in range(8)]
+    desc = {i: [toy_corpus[k % len(toy_corpus)]] for k, i in enumerate(ids)}
+    features = {i: rng.normal(size=(128,)).astype(np.float32) for i in ids}
+    history = pipe.fit(
+        desc,
+        features,
+        epochs=6,
+        batch_size=8,
+        parallelism="pp",
+        val_data=(desc, features),
+        log=None,
+    )
+    assert history[-1]["loss"] < history[0]["loss"]
+    assert "val_loss" in history[-1]
+    assert isinstance(pipe.params["decoder"]["layers"], list)
+    caps = pipe.generate(
+        rng.normal(size=(2, 128)).astype(np.float32), method="greedy"
+    )
+    assert len(caps) == 2
+
+
+def test_fit_dp_pp_2d_training(toy_corpus, rng):
+    """fit(parallelism='dp_pp') trains on the 2-D (data=4, stage=2) mesh."""
+    pipe = make_transformer_pipe(toy_corpus, num_layers=2, model_devices=2)
+    ids = [f"i{k}" for k in range(8)]
+    desc = {i: [toy_corpus[k % len(toy_corpus)]] for k, i in enumerate(ids)}
+    features = {i: rng.normal(size=(128,)).astype(np.float32) for i in ids}
+    history = pipe.fit(
+        desc, features, epochs=6, batch_size=8, parallelism="dp_pp",
+        log=None,
+    )
+    assert history[-1]["loss"] < history[0]["loss"]
+
+
+def test_fit_pp_rejects_non_transformer(toy_corpus, rng):
+    pipe = make_pipe(toy_corpus)  # merge-LSTM decoder
+    ids = [f"i{k}" for k in range(8)]
+    desc = {i: [toy_corpus[k % len(toy_corpus)]] for k, i in enumerate(ids)}
+    features = {i: rng.normal(size=(128,)).astype(np.float32) for i in ids}
+    with pytest.raises(ValueError, match="layer stages"):
+        pipe.fit(
+            desc, features, epochs=1, batch_size=8, parallelism="pp",
+            log=None,
+        )
+
+
 def test_extract_features_dp_matches_single(toy_corpus, tmp_path):
     from tpucap.data import generate_fixture_dataset
 

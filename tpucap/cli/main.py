@@ -294,8 +294,22 @@ def _restore_pipeline(args):
     # Restore the best-val_loss checkpoint when metrics were recorded
     # (mirroring ModelCheckpoint(save_best_only) + restore_best_weights);
     # best_step() is None for metric-less checkpoints -> latest.
-    restored = mgr.restore(fresh, step=mgr.best_step())
-    dec_params = restored.params
+    try:
+        restored = mgr.restore(fresh, step=mgr.best_step())
+        dec_params = restored.params
+    except Exception:
+        # Checkpoints written under --parallelism pp/dp_pp carry the
+        # STACKED layer layout (parallel/pp.py); retry with a stacked
+        # template and convert back to the canonical list-of-layers form.
+        from tpucap.parallel import stack_pp_layers, unstack_pp_layers
+
+        stacked_tmpl = TrainState.create(
+            stack_pp_layers(pipe.params["decoder"]),
+            build_optimizer(cfg.train),
+            jax.random.key(0),
+        )
+        restored = mgr.restore(stacked_tmpl, step=mgr.best_step())
+        dec_params = unstack_pp_layers(restored.params)
     # Checkpoints written mid-training under --parallelism tp/dp_tp carry
     # the sharding-padded vocab; slice it back to the tokenizer's true
     # vocabulary (exact — padded columns never decode).
@@ -451,13 +465,15 @@ def main(argv=None):
                    "--preset when given)")
     p.add_argument("--data-parallel", action="store_true")
     p.add_argument("--parallelism", default=None,
-                   choices=["none", "dp", "tp", "dp_tp"],
+                   choices=["none", "dp", "tp", "dp_tp", "pp", "dp_pp"],
                    help="dp: batch-sharded shard_map+psum; tp: vocab-"
                    "sharded CE (vocab auto-padded to the mesh); dp_tp: "
-                   "2-D batch x vocab mesh")
+                   "2-D batch x vocab mesh; pp: GPipe pipeline over a "
+                   "stage axis (transformer decoder only); dp_pp: 2-D "
+                   "batch x stage mesh")
     p.add_argument("--model-devices", type=int, default=0,
                    help="model-axis width for --parallelism dp_tp "
-                   "(required >1 for dp_tp)")
+                   "(required >1 for dp_tp) / stage-axis width for dp_pp")
     p.add_argument("--attention-reg", type=float, default=0.0,
                    help="doubly-stochastic attention regularizer weight "
                    "(Show-Attend-Tell; attention decoder only)")

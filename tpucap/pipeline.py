@@ -299,7 +299,10 @@ class CaptioningPipeline:
     ):
         """parallelism: 'none' | 'dp' (batch sharded, psum grads) | 'tp'
         (vocab-sharded CE over the mesh) | 'dp_tp' (2-D batch x vocab
-        mesh, model-axis width from config.mesh.model_devices).
+        mesh, model-axis width from config.mesh.model_devices) | 'pp'
+        (GPipe pipeline over a stage axis — transformer decoder only,
+        num_layers divisible by the stage count) | 'dp_pp' (2-D batch x
+        stage mesh, stage width from config.mesh.model_devices).
         ``data_parallel=True`` is the back-compat spelling of
         parallelism='dp'."""
         cfg = self.config.train
@@ -334,6 +337,7 @@ class CaptioningPipeline:
             self.params["decoder"], optimizer, jax.random.key(cfg.seed)
         )
         unpad_to = None  # set if tp/dp_tp pads the vocab to shard evenly
+        pp_layout = False  # set if pp/dp_pp trains on stacked layer params
 
         if parallelism == "dp":
             self._mesh = make_mesh(self.config.mesh.n_devices)
@@ -400,6 +404,42 @@ class CaptioningPipeline:
                 self._mesh,
                 pad_id=0,
                 data_axis="data" if parallelism == "dp_tp" else None,
+            )
+        elif parallelism in ("pp", "dp_pp"):
+            from tpucap.parallel import make_pp_train_step, stack_pp_layers
+
+            if cfg.attention_reg:
+                raise NotImplementedError(
+                    "attention_reg applies to the SAT attention decoder, "
+                    "which has no pipeline-parallel step; use "
+                    "parallelism='dp'"
+                )
+            if not hasattr(self.decoder, "layer_train"):
+                raise ValueError(
+                    "pipeline parallelism requires the transformer decoder "
+                    f"family; {type(self.decoder).__name__} has no layer "
+                    "stages"
+                )
+            self._mesh = self._inference_mesh(parallelism)
+            data_n = dict(self._mesh.shape).get("data", 1)
+            if batch_size % data_n:
+                raise ValueError(
+                    f"batch_size {batch_size} must divide by the "
+                    f"{data_n}-device data mesh axis"
+                )
+            pp_layout = True
+            self.state = TrainState.create(
+                stack_pp_layers(self.params["decoder"]),
+                optimizer,
+                jax.random.key(cfg.seed),
+            )
+            step = make_pp_train_step(
+                self.decoder,
+                optimizer,
+                self._mesh,
+                data_axis="data" if parallelism == "dp_pp" else None,
+                pad_id=0,
+                label_smoothing=cfg.label_smoothing,
             )
         elif parallelism == "none":
             step = make_train_step(
@@ -471,8 +511,16 @@ class CaptioningPipeline:
                 from tpucap.train.loss import loss_from_sums
 
                 vsums: dict = {}
+                eval_params = self.state.params
+                if pp_layout:
+                    # eval_step runs the canonical single-device forward;
+                    # slicing the stacked stage-sharded layers back into
+                    # the list layout is a cheap device-side gather.
+                    from tpucap.parallel import unstack_pp_layers
+
+                    eval_params = unstack_pp_layers(eval_params)
                 for vf, vt in val_chunks:
-                    piece = eval_step(self.state.params, vf, vt)
+                    piece = eval_step(eval_params, vf, vt)
                     for k, v in piece.items():
                         vsums[k] = vsums.get(k, 0.0) + v
                 _, vm = loss_from_sums(
@@ -523,6 +571,13 @@ class CaptioningPipeline:
                             )
                         break
         dec_params = self.state.params
+        if pp_layout:
+            # The pipeline object always exposes the canonical layout
+            # (decode engines, checkpoints, h5 export); self.state keeps
+            # the stacked form so pp training can resume from it.
+            from tpucap.parallel import unstack_pp_layers
+
+            dec_params = unstack_pp_layers(dec_params)
         if unpad_to is not None:
             # Slice the sharding pad back off: pipeline state and saved
             # bundles always carry the true vocabulary (exact — padded
@@ -625,6 +680,25 @@ class CaptioningPipeline:
                 )
             return Mesh(
                 np.asarray(devices).reshape(n // tp, tp), ("data", "model")
+            )
+        if parallelism == "pp":
+            return Mesh(np.asarray(devices), ("stage",))
+        if parallelism == "dp_pp":
+            pp = self.config.mesh.model_devices
+            if pp <= 1:
+                raise ValueError(
+                    "parallelism='dp_pp' needs mesh.model_devices > 1 "
+                    "(the stage-axis width; 1 means no pipeline "
+                    "parallelism — use parallelism='dp' instead)"
+                )
+            if n % pp:
+                raise ValueError(
+                    f"{n} devices do not factor into a (data, stage={pp}) "
+                    "mesh; set mesh.model_devices to a divisor of the "
+                    "device count"
+                )
+            return Mesh(
+                np.asarray(devices).reshape(n // pp, pp), ("data", "stage")
             )
         raise ValueError(f"unknown parallelism {parallelism!r}")
 
