@@ -217,6 +217,43 @@ def test_fit_dp_pp_2d_training(toy_corpus, rng):
     assert history[-1]["loss"] < history[0]["loss"]
 
 
+def test_fit_ep_moe_training(toy_corpus, rng):
+    """fit(parallelism='ep'): 8-way expert-parallel MoE training through
+    the public surface; the trained MoE decoder still decodes."""
+    cfg = Config(
+        encoder=EncoderConfig(name="tiny_cnn", feature_dim=128),
+        decoder=DecoderConfig(
+            name="transformer",
+            hidden_dim=32,
+            num_layers=1,
+            num_heads=2,
+            mlp_dim=64,
+            max_positions=16,
+            dropout_rate=0.0,
+            num_experts=8,
+        ),
+        decode=DecodeConfig(max_len=10),
+        precision="f32",
+    )
+    pipe = CaptioningPipeline(cfg)
+    tok = Tokenizer()
+    tok.fit_on_texts(toy_corpus)
+    pipe.tokenizer = tok
+    pipe.build()
+    ids = [f"i{k}" for k in range(8)]
+    desc = {i: [toy_corpus[k % len(toy_corpus)]] for k, i in enumerate(ids)}
+    features = {i: rng.normal(size=(128,)).astype(np.float32) for i in ids}
+    history = pipe.fit(
+        desc, features, epochs=6, batch_size=8, parallelism="ep", log=None
+    )
+    assert history[-1]["loss"] < history[0]["loss"]
+    assert history[-1]["moe_aux"] > 0.0
+    caps = pipe.generate(
+        rng.normal(size=(2, 128)).astype(np.float32), method="greedy"
+    )
+    assert len(caps) == 2
+
+
 def test_fit_pp_rejects_non_transformer(toy_corpus, rng):
     pipe = make_pipe(toy_corpus)  # merge-LSTM decoder
     ids = [f"i{k}" for k in range(8)]

@@ -147,6 +147,7 @@ def _build_config(args):
             mlp_dim=getattr(args, "mlp_dim", 1024),
             # KV-cache/positional capacity tracks the decode budget.
             max_positions=max(40, args.max_len + 2),
+            num_experts=getattr(args, "num_experts", 0),
         ),
         decode=DecodeConfig(
             method=getattr(args, "method", "greedy"),
@@ -465,15 +466,23 @@ def main(argv=None):
                    "--preset when given)")
     p.add_argument("--data-parallel", action="store_true")
     p.add_argument("--parallelism", default=None,
-                   choices=["none", "dp", "tp", "dp_tp", "pp", "dp_pp"],
+                   choices=["none", "dp", "tp", "dp_tp", "pp", "dp_pp",
+                            "ep", "dp_ep"],
                    help="dp: batch-sharded shard_map+psum; tp: vocab-"
                    "sharded CE (vocab auto-padded to the mesh); dp_tp: "
                    "2-D batch x vocab mesh; pp: GPipe pipeline over a "
                    "stage axis (transformer decoder only); dp_pp: 2-D "
-                   "batch x stage mesh")
+                   "batch x stage mesh; ep: expert-parallel MoE "
+                   "(transformer with --num-experts); dp_ep: 2-D batch "
+                   "x expert mesh")
     p.add_argument("--model-devices", type=int, default=0,
                    help="model-axis width for --parallelism dp_tp "
-                   "(required >1 for dp_tp) / stage-axis width for dp_pp")
+                   "(required >1 for dp_tp) / stage-axis width for "
+                   "dp_pp / expert-axis width for dp_ep")
+    p.add_argument("--num-experts", type=int, default=0,
+                   help="transformer decoder only: MoE experts per layer "
+                   "(0 = dense MLP); top-2 routed, Switch load-balance "
+                   "aux under --parallelism ep/dp_ep")
     p.add_argument("--attention-reg", type=float, default=0.0,
                    help="doubly-stochastic attention regularizer weight "
                    "(Show-Attend-Tell; attention decoder only)")

@@ -48,6 +48,12 @@ class DecoderConfig:
     # Positional table + KV-cache capacity; must cover decode.max_len + 1
     # (start token + generated tokens). Default covers max_len=34.
     max_positions: int = 40
+    # Mixture-of-experts MLP (transformer family only): 0 = dense MLP;
+    # >0 = that many experts per layer with top-k routing
+    # (models/decoders/transformer.py; expert-parallel training via
+    # parallel/ep.py).
+    num_experts: int = 0
+    moe_top_k: int = 2
 
 
 @dataclasses.dataclass(frozen=True)
@@ -82,6 +88,9 @@ class TrainConfig:
     # already retained by the CheckpointManager, mirroring
     # restore_best_weights via restore-from-best.
     early_stopping_patience: int = 0
+    # Switch load-balance aux weight for MoE decoders trained with
+    # fit(parallelism='ep'|'dp_ep') / parallel/ep.py.
+    moe_aux_weight: float = 0.01
     # Optimizer surface (the Keras compile(optimizer=...) contract the
     # rebuild re-owns — SURVEY.md §2.2 "fit loop"). Defaults reproduce
     # the reference exactly (plain Adam, constant lr, no clipping) and

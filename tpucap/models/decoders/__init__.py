@@ -32,6 +32,8 @@ def build_decoder(
     num_heads: int = 4,
     mlp_dim: int = 1024,
     max_positions: int = 40,
+    num_experts: int = 0,
+    moe_top_k: int = 2,
 ) -> CaptionDecoder:
     """Factory keyed by config.DecoderConfig.name."""
     if name in ("lstm1", "lstm2"):
@@ -72,6 +74,8 @@ def build_decoder(
             mlp_dim=mlp_dim,
             max_positions=max_positions,
             dropout_rate=dropout_rate,
+            num_experts=num_experts,
+            moe_top_k=moe_top_k,
         )
     raise ValueError(f"unknown decoder {name!r}")
 

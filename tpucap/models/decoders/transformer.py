@@ -61,6 +61,15 @@ class TransformerDecoder:
     mlp_dim: int = 1024
     max_positions: int = 40  # positional table + KV-cache capacity
     dropout_rate: float = 0.1
+    # Mixture-of-experts MLP (opt-in, beyond parity): 0 = dense MLP;
+    # >0 replaces every layer's MLP with num_experts experts and a
+    # top-k-routed combine. Dense dispatch — every expert runs on every
+    # token as one stacked (E, H, M) einsum, gates zero the non-chosen
+    # ones — which is the MXU-shaped formulation at captioning scale:
+    # static shapes, no sort/scatter, and the expert axis shards over a
+    # mesh ('expert' axis, parallel/ep.py) with a single psum combine.
+    num_experts: int = 0
+    moe_top_k: int = 2
 
     # Cross-attention K/V are per-image constants — the beam engine keeps
     # them untiled across a beam's hypotheses (decode/beam._shared_keys).
@@ -73,6 +82,13 @@ class TransformerDecoder:
             raise ValueError(
                 f"hidden_dim {self.hidden_dim} not divisible by "
                 f"num_heads {self.num_heads}"
+            )
+        if self.num_experts and not (
+            1 <= self.moe_top_k <= self.num_experts
+        ):
+            raise ValueError(
+                f"moe_top_k {self.moe_top_k} must be in "
+                f"[1, num_experts={self.num_experts}]"
             )
 
     @property
@@ -88,26 +104,47 @@ class TransformerDecoder:
         layers = []
         for l in range(self.num_layers):
             k = ks[4 + l * n_layer_keys : 4 + (l + 1) * n_layer_keys]
-            layers.append(
-                {
-                    "ln1": init_layer_norm(H),
-                    # One fused H -> 3H projection (not separate q/k/v):
-                    # the decode step is launch-bound at M=1, so fewer,
-                    # larger matmuls are the win (docs/PERF.md).
-                    "qkv": init_dense(k[0], H, 3 * H),
-                    "o": init_dense(k[3], H, H),
-                    "ln2": init_layer_norm(H),
-                    "xq": init_dense(k[4], H, H),
-                    "xk": init_dense(k[5], H, H),
-                    "xv": init_dense(k[6], H, H),
-                    "xo": init_dense(k[7], H, H),
-                    "ln3": init_layer_norm(H),
-                    "mlp_in": init_dense(k[8], H, M),
-                    "mlp_out": init_dense(
-                        jax.random.fold_in(k[8], 1), M, H
-                    ),
-                }
-            )
+            layer = {
+                "ln1": init_layer_norm(H),
+                # One fused H -> 3H projection (not separate q/k/v):
+                # the decode step is launch-bound at M=1, so fewer,
+                # larger matmuls are the win (docs/PERF.md).
+                "qkv": init_dense(k[0], H, 3 * H),
+                "o": init_dense(k[3], H, H),
+                "ln2": init_layer_norm(H),
+                "xq": init_dense(k[4], H, H),
+                "xk": init_dense(k[5], H, H),
+                "xv": init_dense(k[6], H, H),
+                "xo": init_dense(k[7], H, H),
+                "ln3": init_layer_norm(H),
+            }
+            if self.num_experts:
+                E = self.num_experts
+                k_in = jax.random.split(
+                    jax.random.fold_in(k[8], 3), E
+                )
+                k_out = jax.random.split(
+                    jax.random.fold_in(k[8], 4), E
+                )
+                layer["router"] = init_dense(
+                    jax.random.fold_in(k[8], 2), H, E
+                )
+                # Per-expert weights stacked on a leading (E, ...) axis —
+                # the axis parallel/ep.py shards over the expert mesh axis.
+                layer["moe_in"] = jax.tree_util.tree_map(
+                    lambda *xs: jnp.stack(xs),
+                    *[init_dense(k_in[e], H, M) for e in range(E)],
+                )
+                layer["moe_out"] = jax.tree_util.tree_map(
+                    lambda *xs: jnp.stack(xs),
+                    *[init_dense(k_out[e], M, H) for e in range(E)],
+                )
+            else:
+                layer["mlp_in"] = init_dense(k[8], H, M)
+                layer["mlp_out"] = init_dense(
+                    jax.random.fold_in(k[8], 1), M, H
+                )
+            layers.append(layer)
         return {
             "embedding": init_embedding(ks[0], self.vocab_size, H),
             "pos_embedding": 0.02
@@ -182,17 +219,94 @@ class TransformerDecoder:
         out = x + dense(layer["xo"], _merge_heads(ctx))
         return out, w.mean(axis=-3)
 
+    def _mlp_block(self, layer, h, expert_axis=None, data_axis=None):
+        """Post-LN MLP: dense or mixture-of-experts, per config.
+
+        h (..., H) -> (y (..., H), aux) where aux is the scalar MoE
+        load-balance loss (0.0 for the dense MLP)."""
+        if not self.num_experts:
+            y = dense(layer["mlp_out"], dense(layer["mlp_in"], h, jax.nn.gelu))
+            return y, jnp.zeros((), jnp.float32)
+        return self._moe_mlp(layer, h, expert_axis, data_axis)
+
+    def _moe_mlp(self, layer, h, expert_axis=None, data_axis=None):
+        """Top-k-routed mixture-of-experts MLP, dense dispatch.
+
+        Every expert runs on every token as ONE stacked einsum over the
+        (E, H, M) weight stack — static shapes, no sort/scatter/all-to-all,
+        exactly the formulation the MXU wants at captioning scale (E is
+        small; the flops "wasted" on unchosen experts are cheaper than a
+        dynamic dispatch on this hardware). The router's top-k gates are
+        renormalized and zero the rest. ``expert_axis`` switches on expert
+        parallelism: the stacked weights arrive sharded (leading E axis
+        partitioned by shard_map, parallel/ep.py), each device computes its
+        local experts' contribution and a single psum over ICI combines —
+        numerically identical to the single-device sum over experts.
+
+        aux is the Switch-Transformer load-balance loss
+        E * sum_e f_e * P_e (f_e = fraction of top-k routings to expert e,
+        P_e = mean router probability) — replicated under EP because the
+        router is replicated, so no collective is needed for it.
+        """
+        E, K = self.num_experts, self.moe_top_k
+        logits = dense(layer["router"], h)  # (..., E)
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        _, top_idx = jax.lax.top_k(probs, K)  # (..., K)
+        sel = jax.nn.one_hot(top_idx, E, dtype=probs.dtype).sum(-2)
+        kept = probs * sel
+        gates = kept / jnp.sum(kept, axis=-1, keepdims=True)  # (..., E)
+
+        lead = tuple(range(probs.ndim - 1))
+        f = jnp.mean(sel / K, axis=lead)  # (E,)
+        P = jnp.mean(probs, axis=lead)  # (E,)
+        if data_axis is not None:
+            # The aux is NONLINEAR in the token means (sum_e f_e * P_e),
+            # so under a batch-sharded mesh the means must be globalized
+            # BEFORE the product — averaging per-shard aux values is not
+            # the full-batch aux (equal shard sizes make pmean exact).
+            f = jax.lax.pmean(f, data_axis)
+            P = jax.lax.pmean(P, data_axis)
+        aux = E * jnp.sum(f * P)
+
+        w_in, b_in = layer["moe_in"]["kernel"], layer["moe_in"]["bias"]
+        w_out, b_out = layer["moe_out"]["kernel"], layer["moe_out"]["bias"]
+        g = gates.astype(h.dtype)
+        if expert_axis is not None:
+            e_local = w_in.shape[0]
+            off = jax.lax.axis_index(expert_axis) * e_local
+            g = jax.lax.dynamic_slice_in_dim(g, off, e_local, axis=-1)
+        act = jax.nn.gelu(
+            jnp.einsum("...h,ehm->...em", h, w_in) + b_in
+        )
+        out_e = jnp.einsum("...em,emh->...eh", act, w_out) + b_out
+        y = jnp.einsum("...eh,...e->...h", out_e, g)
+        if expert_axis is not None:
+            y = jax.lax.psum(y, expert_axis)
+        return y, aux
+
     def layer_train(
-        self, layer, x, mem_k_l, mem_v_l, causal, r_attn=None, r_mlp=None
+        self,
+        layer,
+        x,
+        mem_k_l,
+        mem_v_l,
+        causal,
+        r_attn=None,
+        r_mlp=None,
+        expert_axis=None,
+        data_axis=None,
     ):
         """One teacher-forced decoder layer: causal self-attention +
-        cross-attention + MLP, pre-LN residuals. x (B, T, H) -> (x', alpha)
-        with alpha (B, T, Lm) the layer's head-averaged cross-attention.
+        cross-attention + MLP, pre-LN residuals. x (B, T, H) ->
+        (x', alpha, moe_aux) with alpha (B, T, Lm) the layer's
+        head-averaged cross-attention and moe_aux the scalar MoE
+        load-balance piece (0.0 for dense-MLP configs).
 
         The single source of the layer math: ``_forward_with_alpha`` loops
-        it over ``params['layers']`` and the pipeline-parallel step
-        (parallel/pp.py) runs each stage's slice of layers through it —
-        bit-identical numerics either way."""
+        it over ``params['layers']``, the pipeline-parallel step
+        (parallel/pp.py) runs each stage's slice of layers through it, and
+        the expert-parallel step (parallel/ep.py) passes ``expert_axis`` —
+        bit-identical numerics every way."""
         H = self.hidden_dim
         scale = 1.0 / float(self.head_dim) ** 0.5
         h1 = layer_norm(layer["ln1"], x)
@@ -207,12 +321,10 @@ class TransformerDecoder:
         x = x + attn
         x, alpha = self._cross_attend(layer, x, mem_k_l, mem_v_l)
         h3 = layer_norm(layer["ln3"], x)
-        mlp = dense(
-            layer["mlp_out"], dense(layer["mlp_in"], h3, jax.nn.gelu)
-        )
+        mlp, aux = self._mlp_block(layer, h3, expert_axis, data_axis)
         if r_mlp is not None:
             mlp = dropout(r_mlp, mlp, self.dropout_rate, False)
-        return x + mlp, alpha
+        return x + mlp, alpha, aux
 
     # -- decode interface ------------------------------------------------------
 
@@ -279,9 +391,8 @@ class TransformerDecoder:
                 layer, x, state["mem_k"][:, l], state["mem_v"][:, l]
             )
             h3 = layer_norm(layer["ln3"], x)
-            x = x + dense(
-                layer["mlp_out"], dense(layer["mlp_in"], h3, jax.nn.gelu)
-            )
+            mlp, _ = self._mlp_block(layer, h3)
+            x = x + mlp
 
         hidden = layer_norm(params["ln_f"], x[:, 0])
         new_state = {
@@ -306,15 +417,23 @@ class TransformerDecoder:
         projection. Causal masking only: inputs are post-padded, so real
         query positions never see pad keys (pads come after) and padded
         query rows are dropped by the masked CE (train/loss.py)."""
-        hidden, _ = self._forward_with_alpha(
+        hidden, _, _ = self._forward_with_alpha(
             params, features, tokens, rng=rng, deterministic=deterministic
         )
         return hidden
 
     def _forward_with_alpha(
-        self, params, features, tokens, rng=None, deterministic=True
+        self,
+        params,
+        features,
+        tokens,
+        rng=None,
+        deterministic=True,
+        expert_axis=None,
+        data_axis=None,
     ):
-        """Shared teacher-forced body -> (hidden, last-layer cross alpha)."""
+        """Shared teacher-forced body -> (hidden, last-layer cross alpha,
+        summed MoE load-balance aux — 0.0 for dense-MLP configs)."""
         B, T = tokens.shape
         if T > self.max_positions:
             raise ValueError(
@@ -336,16 +455,26 @@ class TransformerDecoder:
 
         causal = jnp.tril(jnp.ones((T, T), bool))[None]  # (1, T, T)
 
+        aux_total = jnp.zeros((), jnp.float32)
         for l, layer in enumerate(params["layers"]):
             r_attn = r_mlp = None
             if r_layers is not None:
                 r_attn = jax.random.fold_in(r_layers, 2 * l)
                 r_mlp = jax.random.fold_in(r_layers, 2 * l + 1)
-            x, alpha = self.layer_train(
-                layer, x, mem_k[:, l], mem_v[:, l], causal, r_attn, r_mlp
+            x, alpha, aux = self.layer_train(
+                layer,
+                x,
+                mem_k[:, l],
+                mem_v[:, l],
+                causal,
+                r_attn,
+                r_mlp,
+                expert_axis=expert_axis,
+                data_axis=data_axis,
             )
+            aux_total = aux_total + aux
 
-        return layer_norm(params["ln_f"], x), alpha
+        return layer_norm(params["ln_f"], x), alpha, aux_total
 
     def forward_hidden_with_alphas(
         self, params, features, tokens, rng=None, deterministic=True
@@ -360,7 +489,7 @@ class TransformerDecoder:
         the vocab projection most directly; head-mean is the standard
         summary (per-head maps would be (B, T, h, Lm)).
         """
-        hidden, alpha = self._forward_with_alpha(
+        hidden, alpha, _ = self._forward_with_alpha(
             params, features, tokens, rng=rng, deterministic=deterministic
         )
         return hidden, alpha.astype(jnp.float32)
@@ -373,3 +502,31 @@ class TransformerDecoder:
             params, features, tokens, rng=rng, deterministic=deterministic
         )
         return dense(params["out"], hidden)
+
+    def forward_train_with_moe_aux(
+        self,
+        params,
+        features,
+        tokens,
+        rng=None,
+        deterministic=True,
+        expert_axis=None,
+        data_axis=None,
+    ):
+        """-> (logits (B, T, V), moe_aux scalar): the teacher-forced
+        forward plus the summed Switch load-balance loss, for train steps
+        that regularize routing (parallel/ep.py, or a single-device loop
+        adding ``moe_aux_weight * aux`` to the CE). ``expert_axis`` runs
+        the MoE blocks expert-parallel inside a shard_map body;
+        ``data_axis`` globalizes the routing statistics when the batch is
+        sharded (the aux is nonlinear in the token means)."""
+        hidden, _, aux = self._forward_with_alpha(
+            params,
+            features,
+            tokens,
+            rng=rng,
+            deterministic=deterministic,
+            expert_axis=expert_axis,
+            data_axis=data_axis,
+        )
+        return dense(params["out"], hidden), aux

@@ -18,6 +18,7 @@ from tpucap.parallel.multihost import (
     process_info,
     shard_for_host,
 )
+from tpucap.parallel.ep import make_ep_train_step
 from tpucap.parallel.pp import (
     make_pp_train_step,
     stack_pp_layers,
@@ -38,6 +39,7 @@ __all__ = [
     "local_worker_env",
     "make_dp_train_step",
     "make_dp_decode_fn",
+    "make_ep_train_step",
     "make_pp_train_step",
     "stack_pp_layers",
     "unstack_pp_layers",

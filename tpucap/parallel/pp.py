@@ -133,6 +133,12 @@ def make_pp_train_step(
     stage axis (sharded over ``data_axis`` when given). ``num_microbatches``
     defaults to the stage count; the (data-local) batch must divide by it.
     """
+    if getattr(decoder, "num_experts", 0):
+        raise NotImplementedError(
+            "pipeline parallelism does not carry the MoE load-balance "
+            "loss; train MoE decoders with parallel/ep.py (expert "
+            "parallel) or the dp/single-device steps"
+        )
     num_stages = mesh.shape[axis]
     if decoder.num_layers % num_stages:
         raise ValueError(
@@ -228,7 +234,7 @@ def make_pp_train_step(
                     )
                     r_attn = jax.random.fold_in(r_mb, 2 * gl)
                     r_mlp = jax.random.fold_in(r_mb, 2 * gl + 1)
-                x, _ = decoder.layer_train(
+                x, _, _ = decoder.layer_train(
                     layer, x, mk, mv, causal, r_attn, r_mlp
                 )
 

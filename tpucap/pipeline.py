@@ -105,6 +105,8 @@ class CaptioningPipeline:
             num_heads=d.num_heads,
             mlp_dim=d.mlp_dim,
             max_positions=d.max_positions,
+            num_experts=d.num_experts,
+            moe_top_k=d.moe_top_k,
         )
         if init_params:
             rng = rng if rng is not None else jax.random.key(
@@ -302,7 +304,9 @@ class CaptioningPipeline:
         mesh, model-axis width from config.mesh.model_devices) | 'pp'
         (GPipe pipeline over a stage axis — transformer decoder only,
         num_layers divisible by the stage count) | 'dp_pp' (2-D batch x
-        stage mesh, stage width from config.mesh.model_devices).
+        stage mesh, stage width from config.mesh.model_devices) | 'ep'
+        (expert-parallel MoE — transformer with num_experts > 0) |
+        'dp_ep' (2-D batch x expert mesh).
         ``data_parallel=True`` is the back-compat spelling of
         parallelism='dp'."""
         cfg = self.config.train
@@ -440,6 +444,31 @@ class CaptioningPipeline:
                 data_axis="data" if parallelism == "dp_pp" else None,
                 pad_id=0,
                 label_smoothing=cfg.label_smoothing,
+            )
+        elif parallelism in ("ep", "dp_ep"):
+            from tpucap.parallel import make_ep_train_step
+
+            if cfg.attention_reg:
+                raise NotImplementedError(
+                    "attention_reg applies to the SAT attention decoder; "
+                    "expert parallelism trains the MoE transformer — use "
+                    "parallelism='dp'"
+                )
+            self._mesh = self._inference_mesh(parallelism)
+            data_n = dict(self._mesh.shape).get("data", 1)
+            if batch_size % data_n:
+                raise ValueError(
+                    f"batch_size {batch_size} must divide by the "
+                    f"{data_n}-device data mesh axis"
+                )
+            step = make_ep_train_step(
+                self.decoder,
+                optimizer,
+                self._mesh,
+                data_axis="data" if parallelism == "dp_ep" else None,
+                pad_id=0,
+                label_smoothing=cfg.label_smoothing,
+                moe_aux_weight=cfg.moe_aux_weight,
             )
         elif parallelism == "none":
             step = make_train_step(
@@ -683,6 +712,25 @@ class CaptioningPipeline:
             )
         if parallelism == "pp":
             return Mesh(np.asarray(devices), ("stage",))
+        if parallelism == "ep":
+            return Mesh(np.asarray(devices), ("expert",))
+        if parallelism == "dp_ep":
+            ep = self.config.mesh.model_devices
+            if ep <= 1:
+                raise ValueError(
+                    "parallelism='dp_ep' needs mesh.model_devices > 1 "
+                    "(the expert-axis width; 1 means no expert "
+                    "parallelism — use parallelism='dp' instead)"
+                )
+            if n % ep:
+                raise ValueError(
+                    f"{n} devices do not factor into a (data, expert={ep}) "
+                    "mesh; set mesh.model_devices to a divisor of the "
+                    "device count"
+                )
+            return Mesh(
+                np.asarray(devices).reshape(n // ep, ep), ("data", "expert")
+            )
         if parallelism == "dp_pp":
             pp = self.config.mesh.model_devices
             if pp <= 1:
