@@ -387,27 +387,128 @@ class TestContinuousBeamAttention:
             got = [f.result(timeout=180) for f in futs]
         assert got == ref
 
-    def test_approx_topk_small_vocab_matches_exact(self, pipe, rng):
-        """approx_max_k at tiny vocab selects the same candidates —
-        the flag is honored without changing small-scale results."""
+class TestContinuousTransformer:
+    """The KV-cached transformer through the continuous engines: its
+    per-lane ``pos`` and one-hot cache writes were designed so lanes can
+    sit at different generation depths in one state — this pins that
+    claim (models/decoders/transformer.py docstring) token-exactly."""
+
+    def _tf_pipe(self, toy_corpus):
+        cfg = Config(
+            encoder=EncoderConfig(name="tiny_cnn", feature_dim=32),
+            decoder=DecoderConfig(
+                name="transformer", hidden_dim=32, num_layers=2,
+                num_heads=2, mlp_dim=64, max_positions=16,
+                dropout_rate=0.0,
+            ),
+            decode=DecodeConfig(max_len=10),
+        )
+        p = CaptioningPipeline(cfg)
+        tok = Tokenizer()
+        tok.fit_on_texts(toy_corpus)
+        p.tokenizer = tok
+        p.build()
+        return p
+
+    def test_greedy_staggered_recycle_matches(self, toy_corpus, rng):
+        """A lane recycled mid-flight resets pos to 0 and must not see
+        the evicted request's stale KV rows (the causal visibility mask
+        is per-lane): captions match a fresh greedy_decode exactly."""
+        p = self._tf_pipe(toy_corpus)
+        params = p.params["decoder"]
+        feats = rng.normal(size=(2, 32)).astype(np.float32)
+        ref = greedy_decode(
+            p.decoder.step,
+            params,
+            p.decoder.init_state(params, jnp.asarray(feats[1:2])),
+            start_id=1, end_id=2, max_len=10,
+        )
+        eng = ContinuousDecodeEngine(
+            p.decoder, params, slots=1, start_id=1, end_id=2, max_len=10,
+            feature_shape=(32,),
+        )
+        st = eng.init_state()
+        idx, f = eng.pad_admission([0], [feats[0]])
+        st = eng.admit(st, idx, f)
+        st = eng.tick(st, 5)  # lane 0 is 5 tokens deep
+        idx, f = eng.pad_admission([0], [feats[1]])
+        st = eng.admit(st, idx, f)  # recycle mid-flight
+        st = eng.tick(st, 10)
+        (tokens, lengths, _), _ = eng.collect(st, jnp.asarray([0]))
+        np.testing.assert_array_equal(
+            np.asarray(tokens), np.asarray(ref.tokens)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(lengths), np.asarray(ref.lengths)
+        )
+
+    def test_beam_shared_keys_match_beam_decode(self, toy_corpus, rng):
+        """mem_k/mem_v are beam_shared_keys: stored once per group, not
+        per hypothesis; beams still exactly match beam_decode."""
+        from tpucap.decode import beam_decode
         from tpucap.decode.continuous_beam import ContinuousBeamEngine
 
-        feats = rng.normal(size=(2, 128)).astype(np.float32)
-        params = pipe.params["decoder"]
-        outs = []
-        for approx in (False, True):
-            eng = ContinuousBeamEngine(
-                pipe.decoder, params, slots=2, beam_width=3,
-                start_id=1, end_id=2, max_len=10, feature_shape=(128,),
-                approx_topk=approx,
-            )
-            st = eng.init_state()
-            idx, f = eng.pad_admission([0, 1], list(feats))
-            st = eng.admit(st, idx, f)
-            st = eng.tick(st, 10)
-            (tokens, _, _), _ = eng.collect(st, jnp.asarray([0, 1]))
-            outs.append(np.asarray(tokens))
-        np.testing.assert_array_equal(outs[0], outs[1])
+        p = self._tf_pipe(toy_corpus)
+        params = p.params["decoder"]
+        feats = rng.normal(size=(2, 32)).astype(np.float32)
+        ref = beam_decode(
+            p.decoder.step,
+            params,
+            p.decoder.init_state(params, jnp.asarray(feats)),
+            start_id=1, end_id=2, max_len=10, beam_width=3,
+            decoder=p.decoder,
+        )
+        eng = ContinuousBeamEngine(
+            p.decoder, params, slots=2, beam_width=3,
+            start_id=1, end_id=2, max_len=10, feature_shape=(32,),
+        )
+        st = eng.init_state()
+        assert st.dec["mem_k"].shape[0] == 2  # per GROUP
+        assert st.dec["cache_k"].shape[0] == 6  # per hypothesis
+        idx, f = eng.pad_admission([0, 1], list(feats))
+        st = eng.admit(st, idx, f)
+        st = eng.tick(st, 10)
+        (tokens, lengths, scores), _ = eng.collect(st, jnp.asarray([0, 1]))
+        np.testing.assert_array_equal(
+            np.asarray(tokens), np.asarray(ref.tokens)
+        )
+        np.testing.assert_allclose(
+            np.asarray(scores), np.asarray(ref.scores), atol=1e-5
+        )
+
+    def test_server_matches_generate_transformer(self, toy_corpus, rng):
+        p = self._tf_pipe(toy_corpus)
+        feats = rng.normal(size=(5, 32)).astype(np.float32)
+        ref = p.generate(feats, method="greedy")
+        with ContinuousCaptionServer(
+            p, slots=2, ticks_per_sync=2
+        ) as srv:
+            futs = [srv.submit(f) for f in feats]  # 5 requests > 2 slots
+            got = [f.result(timeout=180) for f in futs]
+        assert got == ref
+
+
+def test_approx_topk_small_vocab_matches_exact(pipe, rng):
+    """approx_max_k at tiny vocab selects the same candidates —
+    the flag is honored without changing small-scale results."""
+    from tpucap.decode.continuous_beam import ContinuousBeamEngine
+
+    feats = rng.normal(size=(2, 128)).astype(np.float32)
+    params = pipe.params["decoder"]
+    outs = []
+    for approx in (False, True):
+        eng = ContinuousBeamEngine(
+            pipe.decoder, params, slots=2, beam_width=3,
+            start_id=1, end_id=2, max_len=10, feature_shape=(128,),
+            approx_topk=approx,
+        )
+        st = eng.init_state()
+        idx, f = eng.pad_admission([0, 1], list(feats))
+        st = eng.admit(st, idx, f)
+        st = eng.tick(st, 10)
+        (tokens, _, _), _ = eng.collect(st, jnp.asarray([0, 1]))
+        outs.append(np.asarray(tokens))
+    np.testing.assert_array_equal(outs[0], outs[1])
 
 
 def test_warmup_compiles_every_admit_bucket(pipe):
