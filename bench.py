@@ -130,6 +130,13 @@ def main():
         help="bench the encoder alone (images -> features), no decode",
     )
     ap.add_argument(
+        "--num-experts",
+        type=int,
+        default=0,
+        help="transformer decoder only: MoE experts per layer (0 = dense "
+        "MLP); dense top-k dispatch (models/decoders/transformer.py)",
+    )
+    ap.add_argument(
         "--vit-flash",
         action="store_true",
         help="ViT encoders only: token-grid attention through the stock "
@@ -279,6 +286,7 @@ def main():
         hidden_dim=256,
         num_layers=2 if args.decoder in ("lstm2", "transformer") else 1,
         max_positions=max(40, args.max_len + 2),
+        num_experts=args.num_experts,
     )
 
     def encode(ep, images):

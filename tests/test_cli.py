@@ -228,9 +228,12 @@ def test_cli_parallelism_flag_choices(capsys):
 
     with _pytest.raises(SystemExit):
         main(["train", "--tokens", "x", "--features", "y",
-              "--parallelism", "pp"])
+              "--parallelism", "zz"])
     err = capsys.readouterr().err
-    assert "dp_tp" in err and "invalid choice" in err
+    assert "invalid choice" in err
+    # every training strategy is a named choice
+    for name in ("dp_tp", "pp", "dp_pp", "ep", "dp_ep"):
+        assert name in err, name
 
 
 @pytest.mark.slow
