@@ -77,6 +77,49 @@ def run_pinned(tmp_path):
     }
 
 
+def test_heldout_bleu_gate_transformer(tmp_path):
+    """The same held-out generalization bar for the transformer family:
+    an absolute gate only (the LSTM gate pins exact captions; the
+    transformer's numerics are pinned by its oracle/parity tests), so a
+    quality regression anywhere in the cross-attention training path
+    turns red."""
+    img_dir, token_file, train_file, test_file = (
+        generate_correlated_dataset(tmp_path, seed=7)
+    )
+    desc = load_descriptions(token_file)
+    train_ids = load_split(train_file)
+    test_ids = load_split(test_file)
+    prep_train = prepare_descriptions(desc, train_ids)
+    prep_test = prepare_descriptions(desc, test_ids)
+
+    cfg = Config(
+        encoder=EncoderConfig(name="tiny_cnn", feature_dim=128),
+        decoder=DecoderConfig(
+            name="transformer", hidden_dim=32, num_layers=1, num_heads=2,
+            mlp_dim=64, max_positions=16, dropout_rate=0.0,
+        ),
+        decode=DecodeConfig(max_len=12),
+        train=TrainConfig(batch_size=16, learning_rate=5e-3, seed=42),
+        precision="f32",
+    )
+    pipe = CaptioningPipeline(cfg)
+    pipe.fit_tokenizer(prep_train)
+    pipe.build()
+    feats_tr = pipe.extract_features(
+        [f"{img_dir}/{i}.jpg" for i in train_ids], batch_size=16
+    )
+    feats_te = pipe.extract_features(
+        [f"{img_dir}/{i}.jpg" for i in test_ids], batch_size=16
+    )
+    pipe.fit(prep_train, dict(zip(train_ids, feats_tr)), epochs=30, log=None)
+    scores = pipe.evaluate(
+        prep_test, dict(zip(test_ids, feats_te)), method="greedy"
+    )
+    assert scores["bleu4"] > 0.6, (
+        f"transformer held-out BLEU-4 gate failed: {scores}"
+    )
+
+
 def test_heldout_bleu_gate(tmp_path):
     result = run_pinned(tmp_path)
     # Absolute generalization bar FIRST — cannot be weakened by
