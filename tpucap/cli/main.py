@@ -59,6 +59,10 @@ def _add_common_model_flags(p):
                    help="attention heads (transformer decoder only)")
     p.add_argument("--mlp-dim", type=int, default=1024,
                    help="MLP width (transformer decoder only)")
+    p.add_argument("--num-experts", type=int, default=0,
+                   help="transformer decoder only: MoE experts per layer "
+                   "(0 = dense MLP); top-2 routed. Pass the SAME value "
+                   "used at training time when restoring a checkpoint")
     p.add_argument("--max-len", type=int, default=34)
     p.add_argument("--preset", default=None,
                    help="config preset name (config1..config5), overrides "
@@ -302,6 +306,10 @@ def _restore_pipeline(args):
         # Checkpoints written under --parallelism pp/dp_pp carry the
         # STACKED layer layout (parallel/pp.py); retry with a stacked
         # template and convert back to the canonical list-of-layers form.
+        # Only the transformer family has a stacked layout — re-raise the
+        # original restore error for everything else.
+        if not hasattr(pipe.decoder, "layer_train"):
+            raise
         from tpucap.parallel import stack_pp_layers, unstack_pp_layers
 
         stacked_tmpl = TrainState.create(
@@ -479,10 +487,6 @@ def main(argv=None):
                    help="model-axis width for --parallelism dp_tp "
                    "(required >1 for dp_tp) / stage-axis width for "
                    "dp_pp / expert-axis width for dp_ep")
-    p.add_argument("--num-experts", type=int, default=0,
-                   help="transformer decoder only: MoE experts per layer "
-                   "(0 = dense MLP); top-2 routed, Switch load-balance "
-                   "aux under --parallelism ep/dp_ep")
     p.add_argument("--attention-reg", type=float, default=0.0,
                    help="doubly-stochastic attention regularizer weight "
                    "(Show-Attend-Tell; attention decoder only)")
