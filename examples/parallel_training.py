@@ -142,7 +142,16 @@ def main():
         model_devices=2,
     ), "dp_ep")
 
-    print("all seven strategies trained through the public fit() surface")
+    # 8. Sequence parallel: ring attention over an 8-way 'seq' axis —
+    # token blocks local, K/V rotating via ppermute. fit auto-pads the
+    # teacher-forced length (10) up to the next ring multiple (16).
+    run("sp 8-ring (transformer)", build_pipe(
+        DecoderConfig(name="transformer", hidden_dim=32, num_layers=1,
+                      num_heads=2, mlp_dim=64, max_positions=20,
+                      dropout_rate=0.0),
+    ), "sp")
+
+    print("all eight strategies trained through the public fit() surface")
 
 
 if __name__ == "__main__":

@@ -254,6 +254,43 @@ def test_fit_ep_moe_training(toy_corpus, rng):
     assert len(caps) == 2
 
 
+def test_fit_sp_ring_attention_training(toy_corpus, rng):
+    """fit(parallelism='sp'): 8-way ring-attention sequence parallelism
+    through the public surface. max_len=10 gives a teacher-forced length
+    of 10, which fit auto-pads to 16 (the next 8-ring multiple) with
+    loss-masked pad columns; trained params still decode."""
+    cfg = Config(
+        encoder=EncoderConfig(name="tiny_cnn", feature_dim=128),
+        decoder=DecoderConfig(
+            name="transformer",
+            hidden_dim=32,
+            num_layers=1,
+            num_heads=2,
+            mlp_dim=64,
+            max_positions=20,
+            dropout_rate=0.0,
+        ),
+        decode=DecodeConfig(max_len=10),
+        precision="f32",
+    )
+    pipe = CaptioningPipeline(cfg)
+    tok = Tokenizer()
+    tok.fit_on_texts(toy_corpus)
+    pipe.tokenizer = tok
+    pipe.build()
+    ids = [f"i{k}" for k in range(8)]
+    desc = {i: [toy_corpus[k % len(toy_corpus)]] for k, i in enumerate(ids)}
+    features = {i: rng.normal(size=(128,)).astype(np.float32) for i in ids}
+    history = pipe.fit(
+        desc, features, epochs=6, batch_size=8, parallelism="sp", log=None
+    )
+    assert history[-1]["loss"] < history[0]["loss"]
+    caps = pipe.generate(
+        rng.normal(size=(2, 128)).astype(np.float32), method="greedy"
+    )
+    assert len(caps) == 2
+
+
 def test_fit_pp_rejects_non_transformer(toy_corpus, rng):
     pipe = make_pipe(toy_corpus)  # merge-LSTM decoder
     ids = [f"i{k}" for k in range(8)]

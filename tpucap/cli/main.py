@@ -475,18 +475,21 @@ def main(argv=None):
     p.add_argument("--data-parallel", action="store_true")
     p.add_argument("--parallelism", default=None,
                    choices=["none", "dp", "tp", "dp_tp", "pp", "dp_pp",
-                            "ep", "dp_ep"],
+                            "ep", "dp_ep", "sp", "dp_sp"],
                    help="dp: batch-sharded shard_map+psum; tp: vocab-"
                    "sharded CE (vocab auto-padded to the mesh); dp_tp: "
                    "2-D batch x vocab mesh; pp: GPipe pipeline over a "
                    "stage axis (transformer decoder only); dp_pp: 2-D "
                    "batch x stage mesh; ep: expert-parallel MoE "
                    "(transformer with --num-experts); dp_ep: 2-D batch "
-                   "x expert mesh")
+                   "x expert mesh; sp: ring-attention sequence parallel "
+                   "(transformer; sequences auto-pad to the ring); "
+                   "dp_sp: 2-D batch x sequence mesh")
     p.add_argument("--model-devices", type=int, default=0,
                    help="model-axis width for --parallelism dp_tp "
                    "(required >1 for dp_tp) / stage-axis width for "
-                   "dp_pp / expert-axis width for dp_ep")
+                   "dp_pp / expert-axis width for dp_ep / seq-axis "
+                   "width for dp_sp")
     p.add_argument("--attention-reg", type=float, default=0.0,
                    help="doubly-stochastic attention regularizer weight "
                    "(Show-Attend-Tell; attention decoder only)")

@@ -24,6 +24,7 @@ from tpucap.parallel.pp import (
     stack_pp_layers,
     unstack_pp_layers,
 )
+from tpucap.parallel.sp import make_sp_train_step
 from tpucap.parallel.tp import (
     make_tp_beam_fn,
     make_tp_train_step,
@@ -41,6 +42,7 @@ __all__ = [
     "make_dp_decode_fn",
     "make_ep_train_step",
     "make_pp_train_step",
+    "make_sp_train_step",
     "stack_pp_layers",
     "unstack_pp_layers",
     "make_tp_beam_fn",

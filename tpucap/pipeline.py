@@ -306,7 +306,10 @@ class CaptioningPipeline:
         num_layers divisible by the stage count) | 'dp_pp' (2-D batch x
         stage mesh, stage width from config.mesh.model_devices) | 'ep'
         (expert-parallel MoE — transformer with num_experts > 0) |
-        'dp_ep' (2-D batch x expert mesh).
+        'dp_ep' (2-D batch x expert mesh) | 'sp' (ring-attention
+        sequence parallel — transformer; the teacher-forced length is
+        auto-padded to a ring multiple, needing decoder max_positions
+        headroom) | 'dp_sp' (2-D batch x sequence mesh).
         ``data_parallel=True`` is the back-compat spelling of
         parallelism='dp'."""
         cfg = self.config.train
@@ -442,6 +445,50 @@ class CaptioningPipeline:
                 optimizer,
                 self._mesh,
                 data_axis="data" if parallelism == "dp_pp" else None,
+                pad_id=0,
+                label_smoothing=cfg.label_smoothing,
+            )
+        elif parallelism in ("sp", "dp_sp"):
+            from tpucap.parallel import make_sp_train_step
+
+            if cfg.attention_reg:
+                raise NotImplementedError(
+                    "attention_reg applies to the SAT attention decoder; "
+                    "sequence parallelism trains the transformer — use "
+                    "parallelism='dp'"
+                )
+            self._mesh = self._inference_mesh(parallelism)
+            data_n = dict(self._mesh.shape).get("data", 1)
+            if batch_size % data_n:
+                raise ValueError(
+                    f"batch_size {batch_size} must divide by the "
+                    f"{data_n}-device data mesh axis"
+                )
+            # Round the teacher-forced length up to a ring multiple with
+            # pad columns — pads are masked out of the CE, so the update
+            # is unchanged and the ring-divisibility constraint never
+            # reaches the user.
+            seq_n = dict(self._mesh.shape)["seq"]
+            T_tf = T.shape[1] - 1
+            pad_to = -(-T_tf // seq_n) * seq_n
+            if pad_to != T_tf:
+                if pad_to > self.decoder.max_positions:
+                    raise ValueError(
+                        f"sequence parallelism pads the teacher-forced "
+                        f"length {T_tf} up to {pad_to} (the {seq_n}-way "
+                        f"ring), which exceeds decoder max_positions "
+                        f"{self.decoder.max_positions}; raise "
+                        "decoder.max_positions or shrink the ring"
+                    )
+                T = np.concatenate(
+                    [T, np.zeros((T.shape[0], pad_to - T_tf), T.dtype)],
+                    axis=1,
+                )
+            step = make_sp_train_step(
+                self.decoder,
+                optimizer,
+                self._mesh,
+                data_axis="data" if parallelism == "dp_sp" else None,
                 pad_id=0,
                 label_smoothing=cfg.label_smoothing,
             )
@@ -714,6 +761,25 @@ class CaptioningPipeline:
             return Mesh(np.asarray(devices), ("stage",))
         if parallelism == "ep":
             return Mesh(np.asarray(devices), ("expert",))
+        if parallelism == "sp":
+            return Mesh(np.asarray(devices), ("seq",))
+        if parallelism == "dp_sp":
+            sp = self.config.mesh.model_devices
+            if sp <= 1:
+                raise ValueError(
+                    "parallelism='dp_sp' needs mesh.model_devices > 1 "
+                    "(the seq-axis width; 1 means no sequence "
+                    "parallelism — use parallelism='dp' instead)"
+                )
+            if n % sp:
+                raise ValueError(
+                    f"{n} devices do not factor into a (data, seq={sp}) "
+                    "mesh; set mesh.model_devices to a divisor of the "
+                    "device count"
+                )
+            return Mesh(
+                np.asarray(devices).reshape(n // sp, sp), ("data", "seq")
+            )
         if parallelism == "dp_ep":
             ep = self.config.mesh.model_devices
             if ep <= 1:
