@@ -114,6 +114,36 @@ def test_sp_multi_step_descends_with_dropout():
     assert loss < first
 
 
+def test_fit_sp_non_transformer_friendly_error():
+    """fit(parallelism='sp') with an LSTM decoder raises the designed
+    family ValueError (not an AttributeError from the pad block)."""
+    from tpucap.config import (
+        Config,
+        DecodeConfig,
+        DecoderConfig,
+        EncoderConfig,
+    )
+    from tpucap.pipeline import CaptioningPipeline
+    from tpucap.text.tokenizer import Tokenizer
+
+    cfg = Config(
+        encoder=EncoderConfig(name="tiny_cnn", feature_dim=32),
+        decoder=DecoderConfig(name="lstm1", embed_dim=8, hidden_dim=16),
+        decode=DecodeConfig(max_len=10),
+        precision="f32",
+    )
+    pipe = CaptioningPipeline(cfg)
+    tok = Tokenizer()
+    tok.fit_on_texts(["startseq a dog runs endseq"])
+    pipe.tokenizer = tok
+    pipe.build()
+    desc = {"i0": ["startseq a dog runs endseq"]}
+    feats = {"i0": np.zeros((32,), np.float32)}
+    with pytest.raises(ValueError, match="transformer decoder"):
+        pipe.fit(desc, feats, epochs=1, batch_size=1, parallelism="sp",
+                 log=None)
+
+
 def test_sp_validation_errors():
     dec, params, feats, tokens = setup()
     mesh = seq_mesh(8)

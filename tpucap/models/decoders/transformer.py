@@ -295,6 +295,7 @@ class TransformerDecoder:
         r_mlp=None,
         expert_axis=None,
         data_axis=None,
+        self_attention=None,
     ):
         """One teacher-forced decoder layer: causal self-attention +
         cross-attention + MLP, pre-LN residuals. x (B, T, H) ->
@@ -304,9 +305,13 @@ class TransformerDecoder:
 
         The single source of the layer math: ``_forward_with_alpha`` loops
         it over ``params['layers']``, the pipeline-parallel step
-        (parallel/pp.py) runs each stage's slice of layers through it, and
-        the expert-parallel step (parallel/ep.py) passes ``expert_axis`` —
-        bit-identical numerics every way."""
+        (parallel/pp.py) runs each stage's slice of layers through it, the
+        expert-parallel step (parallel/ep.py) passes ``expert_axis``, and
+        the sequence-parallel step (parallel/sp.py) overrides
+        ``self_attention`` with ring attention — bit-identical numerics
+        every way. ``self_attention``: optional ``(q, k, v, scale) -> ctx``
+        (each (B, T, heads, head_dim)) replacing the local causal sdpa;
+        the override owns its causal masking and ``causal`` is ignored."""
         H = self.hidden_dim
         scale = 1.0 / float(self.head_dim) ** 0.5
         h1 = layer_norm(layer["ln1"], x)
@@ -314,7 +319,10 @@ class TransformerDecoder:
         q = _split_heads(qkv[..., :H], self.num_heads)
         k = _split_heads(qkv[..., H : 2 * H], self.num_heads)
         v = _split_heads(qkv[..., 2 * H :], self.num_heads)
-        ctx, _ = _sdpa(q, k, v, causal, scale)
+        if self_attention is None:
+            ctx, _ = _sdpa(q, k, v, causal, scale)
+        else:
+            ctx = self_attention(q, k, v, scale)
         attn = dense(layer["o"], _merge_heads(ctx))
         if r_attn is not None:
             attn = dropout(r_attn, attn, self.dropout_rate, False)

@@ -15,13 +15,17 @@ This module builds that seam for real, for when the sequence axis grows
   (B, T, V) logits) NEVER materializes on one device (complementary to
   tp.py, which shards the same tensor along V).
 - **Ring self-attention with an online softmax.** Queries stay local;
-  K/V blocks rotate around the ring with one ``lax.ppermute`` per step
-  (S steps total). Each step's block scores fold into running
+  step 0 consumes the local K/V block, then K/V rotate around the ring
+  with one ``lax.ppermute`` per step (S - 1 rotations total). Each
+  step's block scores fold into running
   (max, denominator, numerator) accumulators — the flash-attention
   recurrence — with block-granular causal masking on GLOBAL positions
   (a fully-future block contributes exp(-1e30) = 0). With the causal
   mask, step r=0 is the local block, so every query row sees at least
-  its own diagonal and the accumulators never divide by zero.
+  its own diagonal and the accumulators never divide by zero. The
+  per-layer math itself is ``TransformerDecoder.layer_train`` (the
+  single source pp.py/ep.py also reuse) with only ``self_attention``
+  overridden to the ring.
 - **Cross-attention needs no collective**: the image memory is tiny and
   replicated; local queries attend the full memory locally.
 - **Params replicated, grads pmean'd** over the ring (each device's raw
@@ -45,14 +49,7 @@ import optax
 from jax.sharding import PartitionSpec as P
 from jax import shard_map
 
-from tpucap.models.layers import (
-    dense,
-    dropout,
-    embed,
-    layer_norm,
-    merge_heads,
-    split_heads,
-)
+from tpucap.models.layers import dense, dropout, embed, layer_norm
 from tpucap.train.loop import TrainState
 from tpucap.train.loss import masked_cross_entropy_sums
 
@@ -62,21 +59,17 @@ _NEG = -1e30  # finite -inf: keeps the online-softmax rescale NaN-free
 
 def _ring_attention(q, k, v, scale, *, axis, s_idx, n_shards, block_len):
     """Causal ring attention: q/k/v (B, Tl, h, d) local blocks ->
-    ctx (B, Tl, h, d). K/V rotate ``n_shards`` times over the ring
-    (one ppermute per step); scores fold into flash-style running
-    (max, denom, numer) accumulators; causal masking is on global
-    positions so the result equals full-sequence causal attention."""
-    B, Tl, h, d = q.shape
+    ctx (B, Tl, h, d). Step 0 consumes the LOCAL K/V block (no
+    communication); each of the remaining ``n_shards - 1`` steps rotates
+    K/V once over the ring (one ppermute pair) and folds that block's
+    scores into flash-style running (max, denom, numer) accumulators.
+    Causal masking is on global positions, so the result equals
+    full-sequence causal attention."""
     qT = jnp.moveaxis(q, 2, 1)  # (B, h, Tl, d)
     perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
-    qpos = s_idx * block_len + jnp.arange(Tl)  # global query positions
+    qpos = s_idx * block_len + jnp.arange(block_len)  # global q positions
 
-    m0 = jnp.full((B, h, Tl), _NEG, jnp.float32)
-    l0 = jnp.zeros((B, h, Tl), jnp.float32)
-    a0 = jnp.zeros((B, h, Tl, d), jnp.float32)
-
-    def rot(carry, r):
-        m, l, acc, k_cur, v_cur = carry
+    def fold(m, l, acc, k_cur, v_cur, r):
         src = (s_idx - r) % n_shards  # whose block we hold this step
         kT = jnp.moveaxis(k_cur, 2, 1)
         vT = jnp.moveaxis(v_cur, 2, 1)
@@ -89,7 +82,7 @@ def _ring_attention(q, k, v, scale, *, axis, s_idx, n_shards, block_len):
             )
             * scale
         )
-        kpos = src * block_len + jnp.arange(Tl)
+        kpos = src * block_len + jnp.arange(block_len)
         visible = qpos[:, None] >= kpos[None, :]  # (Tl, Tl) global causal
         scores = jnp.where(visible[None, None], scores, _NEG)
 
@@ -100,12 +93,26 @@ def _ring_attention(q, k, v, scale, *, axis, s_idx, n_shards, block_len):
         acc_new = acc * corr[..., None] + jnp.einsum(
             "bhqk,bhkd->bhqd", p, vT.astype(jnp.float32)
         )
-        k_next = jax.lax.ppermute(k_cur, axis, perm)
-        v_next = jax.lax.ppermute(v_cur, axis, perm)
-        return (m_new, l_new, acc_new, k_next, v_next), None
+        return m_new, l_new, acc_new
+
+    B, Tl, h, d = q.shape
+    m0 = jnp.full((B, h, Tl), _NEG, jnp.float32)
+    l0 = jnp.zeros((B, h, Tl), jnp.float32)
+    a0 = jnp.zeros((B, h, Tl, d), jnp.float32)
+    # r = 0: the local block — with causal masking every query row sees
+    # at least its own diagonal here, so the denominator never starts
+    # from an all-masked row.
+    m, l, acc = fold(m0, l0, a0, k, v, 0)
+
+    def rot(carry, r):
+        m, l, acc, k_cur, v_cur = carry
+        k_cur = jax.lax.ppermute(k_cur, axis, perm)
+        v_cur = jax.lax.ppermute(v_cur, axis, perm)
+        m, l, acc = fold(m, l, acc, k_cur, v_cur, r)
+        return (m, l, acc, k_cur, v_cur), None
 
     (m, l, acc, _, _), _ = jax.lax.scan(
-        rot, (m0, l0, a0, k, v), jnp.arange(n_shards)
+        rot, (m, l, acc, k, v), jnp.arange(1, n_shards)
     )
     ctx = acc / l[..., None]  # causal: l >= exp(0) from the diagonal
     return jnp.moveaxis(ctx, 1, 2).astype(q.dtype)
@@ -141,8 +148,6 @@ def make_sp_train_step(
             "loss; train MoE decoders with parallel/ep.py"
         )
     n_shards = mesh.shape[axis]
-    num_heads = decoder.num_heads
-    scale = 1.0 / float(decoder.head_dim) ** 0.5
 
     def local_loss(params, features, tokens, rng):
         s = jax.lax.axis_index(axis)
@@ -161,8 +166,6 @@ def make_sp_train_step(
                 f"{decoder.max_positions}"
             )
         Tl = T // n_shards
-        if features.ndim == 2:
-            features = features[:, None, :]
 
         use_dropout = rng is not None and not deterministic
         if use_dropout:
@@ -198,41 +201,32 @@ def make_sp_train_step(
                 False,
             )
 
-        H = decoder.hidden_dim
+        # The exact decoder layer math (layer_train is the single source
+        # — pre-LN residuals, cross-attention on the replicated memory,
+        # MLP) with only the self-attention overridden to the ring.
+        ring = lambda q, k, v, scale: _ring_attention(  # noqa: E731
+            q, k, v, scale,
+            axis=axis, s_idx=s, n_shards=n_shards, block_len=Tl,
+        )
         for li, layer in enumerate(params["layers"]):
-            h1 = layer_norm(layer["ln1"], x)
-            qkv = dense(layer["qkv"], h1)  # (B, Tl, 3H)
-            q = split_heads(qkv[..., :H], num_heads)
-            k = split_heads(qkv[..., H : 2 * H], num_heads)
-            v = split_heads(qkv[..., 2 * H :], num_heads)
-            ctx = _ring_attention(
-                q, k, v, scale,
-                axis=axis, s_idx=s, n_shards=n_shards, block_len=Tl,
+            x, _, _ = decoder.layer_train(
+                layer,
+                x,
+                mem_k[:, li],
+                mem_v[:, li],
+                causal=None,  # the ring owns its (global) causal mask
+                r_attn=(
+                    jax.random.fold_in(rng_local, 3 + 2 * li)
+                    if use_dropout
+                    else None
+                ),
+                r_mlp=(
+                    jax.random.fold_in(rng_local, 4 + 2 * li)
+                    if use_dropout
+                    else None
+                ),
+                self_attention=ring,
             )
-            attn = dense(layer["o"], merge_heads(ctx))
-            if use_dropout:
-                attn = dropout(
-                    jax.random.fold_in(rng_local, 3 + 2 * li),
-                    attn,
-                    decoder.dropout_rate,
-                    False,
-                )
-            x = x + attn
-            # Cross-attention: replicated memory, local queries — the
-            # exact decoder block, no collective.
-            x, _ = decoder._cross_attend(
-                layer, x, mem_k[:, li], mem_v[:, li]
-            )
-            h3 = layer_norm(layer["ln3"], x)
-            mlp, _ = decoder._mlp_block(layer, h3)
-            if use_dropout:
-                mlp = dropout(
-                    jax.random.fold_in(rng_local, 4 + 2 * li),
-                    mlp,
-                    decoder.dropout_rate,
-                    False,
-                )
-            x = x + mlp
 
         hidden = layer_norm(params["ln_f"], x)
         logits = dense(params["out"], hidden)  # (B, Tl, V) — local only

@@ -464,6 +464,16 @@ class CaptioningPipeline:
                     f"batch_size {batch_size} must divide by the "
                     f"{data_n}-device data mesh axis"
                 )
+            # Validates the decoder family (transformer-only) before the
+            # padding below dereferences max_positions.
+            step = make_sp_train_step(
+                self.decoder,
+                optimizer,
+                self._mesh,
+                data_axis="data" if parallelism == "dp_sp" else None,
+                pad_id=0,
+                label_smoothing=cfg.label_smoothing,
+            )
             # Round the teacher-forced length up to a ring multiple with
             # pad columns — pads are masked out of the CE, so the update
             # is unchanged and the ring-divisibility constraint never
@@ -484,14 +494,6 @@ class CaptioningPipeline:
                     [T, np.zeros((T.shape[0], pad_to - T_tf), T.dtype)],
                     axis=1,
                 )
-            step = make_sp_train_step(
-                self.decoder,
-                optimizer,
-                self._mesh,
-                data_axis="data" if parallelism == "dp_sp" else None,
-                pad_id=0,
-                label_smoothing=cfg.label_smoothing,
-            )
         elif parallelism in ("ep", "dp_ep"):
             from tpucap.parallel import make_ep_train_step
 
