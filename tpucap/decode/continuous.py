@@ -232,6 +232,16 @@ class ContinuousDecodeEngine(AdmissionMixin):
         return state.finished, state.active, state.lengths
 
     @partial(jax.jit, static_argnums=0)
+    def progress(self, state: SlotState):
+        """Streaming fetch: every lane's (tokens, lengths) so far.
+
+        (slots, max_len) int32 + (slots,) int32 — a few KB for a
+        64-lane pool, fetched once per sync group only while a
+        streaming request is live (ContinuousCaptionServer
+        ``submit_stream``). Rows beyond ``lengths`` are pad_id."""
+        return state.tokens, state.lengths
+
+    @partial(jax.jit, static_argnums=0)
     def collect(self, state: SlotState, slot_idx):
         """Gather (tokens, lengths, scores) rows for finished lanes and
         clear their finished bit. Padded rows (slot_idx >= slots) gather

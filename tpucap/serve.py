@@ -473,6 +473,7 @@ class ContinuousCaptionServer:
             )
         self._pipe = pipeline
         self._mode = mode
+        self._beam_width = beam_width
         start_id, end_id = pipeline._token_ids()
         self._end_id = end_id
         cfgE = pipeline.config.encoder
@@ -543,6 +544,33 @@ class ContinuousCaptionServer:
         return self._engine.feature_shape
 
     def submit(self, features) -> Future:
+        return self._submit(features, None)
+
+    def submit_stream(self, features, on_words) -> Future:
+        """Streaming submit: ``on_words(words: list[str])`` is invoked
+        with each NEW span of decoded words as the request progresses
+        (granularity = ``ticks_per_sync`` tokens — the engine syncs with
+        the host once per tick group); the returned Future still
+        resolves with the full caption after the final span. Greedy
+        engine only: a beam request has no stable prefix until its lane
+        group retires (the leading beam can change every step), so
+        ``beam_width > 1`` servers reject streaming.
+
+        ``on_words`` runs on the engine thread — it must be fast and
+        never block (hand off to a queue for slow consumers, as the
+        HTTP front-end does); exceptions it raises are swallowed so a
+        broken client callback cannot kill the shared engine loop."""
+        if self._beam_width > 1:
+            raise ValueError(
+                "submit_stream needs the greedy continuous engine; "
+                f"this server runs beam_width={self._beam_width} — "
+                "beam prefixes are not stable until retirement"
+            )
+        if not callable(on_words):
+            raise TypeError("on_words must be callable")
+        return self._submit(features, on_words)
+
+    def _submit(self, features, on_words) -> Future:
         x = np.asarray(features)
         if x.shape != self._input_shape:
             raise ValueError(
@@ -560,7 +588,7 @@ class ContinuousCaptionServer:
         with self._submit_lock:
             if self._closed:
                 raise RuntimeError("server is closed")
-            self._queue.put((x, fut, time.perf_counter()))
+            self._queue.put((x, fut, time.perf_counter(), on_words))
         return fut
 
     def caption(self, features, timeout: float | None = 60.0) -> str:
@@ -631,7 +659,7 @@ class ContinuousCaptionServer:
             futs = _drain_pending(self._queue)
             futs.extend(
                 f
-                for f, _ in _snapshot(
+                for f, *_ in _snapshot(
                     lambda: list(self._futures.values())
                 )
             )
@@ -686,8 +714,10 @@ class ContinuousCaptionServer:
                 ids, [b[0] for b in batch]
             )
             self._state = self._engine.admit(self._state, idx, feats)
-            for slot, (_, fut, t0) in zip(ids, batch):
-                self._futures[slot] = (fut, t0)
+            for slot, (_, fut, t0, cb) in zip(ids, batch):
+                # [future, t0, on_words callback, words emitted so far]
+                # — emitted is mutated by _stream_progress.
+                self._futures[slot] = [fut, t0, cb, 0]
             self._current_futs = ()
         return not getattr(self, "_drain_sentinel", False)
 
@@ -714,10 +744,49 @@ class ContinuousCaptionServer:
         now = time.perf_counter()
         self._stats.requests += len(ids)
         for slot, cap in zip(ids, captions):
-            fut, t0 = self._futures.pop(slot)
+            fut, t0, _, _ = self._futures.pop(slot)
             self._stats.add_latency((now - t0) * 1e3)
             _resolve(fut, cap)
             self._free.append(slot)
+
+    def _stream_progress(self, lengths: np.ndarray) -> None:
+        """Emit newly-decoded words to streaming requests' callbacks.
+
+        One extra (slots, max_len) device fetch per sync group, paid
+        ONLY while at least one streaming request is live; non-streaming
+        traffic never fetches token progress early. Runs before
+        ``_retire`` so the final span (everything up to the end token)
+        is delivered before the future resolves."""
+        live = [e for e in self._futures.values() if e[2] is not None]
+        if not live:
+            return
+        import jax
+
+        tokens, _ = jax.device_get(self._engine.progress(self._state))
+        tokens = np.asarray(tokens)
+        tok = self._pipe.tokenizer
+        for slot, entry in self._futures.items():
+            _, _, cb, emitted = entry
+            if cb is None:
+                continue
+            n = int(lengths[slot])
+            if n <= emitted:
+                continue
+            words = [
+                w
+                for t in tokens[slot, emitted:n]
+                if int(t) != self._end_id
+                and (w := tok.word_for_id(int(t))) is not None
+            ]
+            entry[3] = n
+            if words:
+                try:
+                    cb(words)
+                except Exception:
+                    # A broken client callback must not kill the shared
+                    # engine loop; the future still resolves with the
+                    # full caption at retirement.
+                    pass
 
     def _loop(self) -> None:
         """Top-level worker guard: the engine loop is the ONLY device
@@ -732,7 +801,7 @@ class ContinuousCaptionServer:
             with self._submit_lock:
                 self._closed = True  # subsequent submits raise
             futs = _drain_pending(self._queue)
-            futs.extend(f for f, _ in self._futures.values())
+            futs.extend(f for f, *_ in self._futures.values())
             futs.extend(self._current_futs)
             _fail_futures(futs, e)
 
@@ -746,7 +815,7 @@ class ContinuousCaptionServer:
                 self._state = self._engine.tick(
                     self._state, self._ticks_per_sync
                 )
-                fin, act, _ = jax.device_get(
+                fin, act, lens = jax.device_get(
                     self._engine.flags(self._state)
                 )
                 self._tick_count += self._ticks_per_sync
@@ -754,6 +823,7 @@ class ContinuousCaptionServer:
                     int(act.sum()) + len(np.where(fin)[0])
                 ) * self._ticks_per_sync
                 self._stats.batches += 1  # one sync group
+                self._stream_progress(lens)
                 self._retire(fin)
             if not keep and not self._futures:
                 return

@@ -11,8 +11,17 @@ Endpoints:
 - ``POST /caption``            body = JPEG bytes -> {"caption": ...}
 - ``POST /caption_features``   body = JSON {"features": [...]} (one row,
                                the reference's pickled-features shape)
+- ``POST /caption_stream``     JPEG bytes -> ndjson STREAM of
+                               {"words": [...]} spans as the caption
+                               decodes, then {"caption": ..., "done":
+                               true} (continuous greedy engine only)
+- ``POST /caption_stream_features``  same, JSON features body
 - ``GET  /healthz``            liveness + backend
 - ``GET  /stats``              batcher stats (batch sizes, p50/p99 ms)
+
+Streaming uses connection-close framing (no Content-Length; read lines
+until EOF) so the stdlib handler needs no chunked-encoding machinery;
+span granularity is the engine's ``ticks_per_sync``.
 
 Stdlib-only by design: zero extra dependencies, and the batching layer —
 not the HTTP framework — is what makes TPU serving fast.
@@ -57,6 +66,7 @@ class CaptionHTTPServer:
         parallelism: str | None = None,
         max_queue: int | None = None,
         engine: str = "batch",
+        ticks_per_sync: int = 8,
     ):
         """engine='continuous' serves BOTH endpoints through the
         slot-recycling engine (ContinuousCaptionServer): greedy by
@@ -99,12 +109,14 @@ class CaptionHTTPServer:
                 max_queue=max_queue,
                 beam_width=bw,
                 mode="images",
+                ticks_per_sync=ticks_per_sync,
             )
             self._features = ContinuousCaptionServer(
                 pipeline,
                 slots=max_batch,
                 max_queue=max_queue,
                 beam_width=bw,
+                ticks_per_sync=ticks_per_sync,
             )
         else:
             self._images = CaptionServer(pipeline, mode="images", **kw)
@@ -203,6 +215,69 @@ class CaptionHTTPServer:
                 else:
                     self._reply(404, {"error": f"no route {self.path}"})
 
+            def _stream(self, server, x):
+                """Stream a request's decoded words as ndjson lines.
+                Bridges the engine-thread on_words callback to this
+                handler thread through a queue (the callback must never
+                block); the future's done-callback posts the sentinel,
+                covering results AND failures."""
+                import queue as _q
+
+                spans: _q.Queue = _q.Queue()
+                try:
+                    fut = server.submit_stream(
+                        x, on_words=lambda ws: spans.put(ws)
+                    )
+                except AttributeError:
+                    self._reply(
+                        400,
+                        {
+                            "error": "streaming needs "
+                            "engine='continuous' (batch engine has no "
+                            "token-progress surface)"
+                        },
+                    )
+                    return
+                except (ValueError, Overloaded) as e:
+                    code = 503 if isinstance(e, Overloaded) else 400
+                    self._reply(code, {"error": str(e)})
+                    return
+                fut.add_done_callback(lambda f: spans.put(None))
+                self.send_response(200)
+                self.send_header("Content-Type", "application/x-ndjson")
+                # No Content-Length: connection-close framing.
+                self.end_headers()
+                while True:
+                    try:
+                        item = spans.get(timeout=120)
+                    except _q.Empty:
+                        # Headers are already out — emit an in-band
+                        # error line instead of a second status line.
+                        self.wfile.write(
+                            (
+                                json.dumps(
+                                    {
+                                        "done": True,
+                                        "error": "stream timed out",
+                                    }
+                                )
+                                + "\n"
+                            ).encode()
+                        )
+                        return
+                    if item is None:
+                        break
+                    self.wfile.write(
+                        (json.dumps({"words": item}) + "\n").encode()
+                    )
+                    self.wfile.flush()
+                final = {"done": True}
+                try:
+                    final["caption"] = fut.result(timeout=0)
+                except Exception as e:
+                    final["error"] = str(e)
+                self.wfile.write((json.dumps(final) + "\n").encode())
+
             def do_POST(self):  # noqa: N802
                 n = int(self.headers.get("Content-Length", 0))
                 body = self.rfile.read(n)
@@ -215,6 +290,19 @@ class CaptionHTTPServer:
                             json.loads(body)["features"], np.float32
                         )
                         fut = outer._features.submit(feats)
+                    elif self.path == "/caption_stream":
+                        self._stream(
+                            outer._images, _preprocess_jpeg(body, size, mode)
+                        )
+                        return
+                    elif self.path == "/caption_stream_features":
+                        self._stream(
+                            outer._features,
+                            np.asarray(
+                                json.loads(body)["features"], np.float32
+                            ),
+                        )
+                        return
                     else:
                         self._reply(404, {"error": f"no route {self.path}"})
                         return
