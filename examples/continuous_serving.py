@@ -49,6 +49,19 @@ def main():
     assert caps == pipe.generate(feats, method="beam", beam_width=3)
     print("continuous serving example OK (matches batch beam decode)")
 
+    # Streaming (greedy engine): words arrive as the caption decodes,
+    # at ticks_per_sync granularity; the future still resolves with the
+    # full caption. (HTTP analog: POST /caption_stream.)
+    greedy = pipe.generate(feats, method="greedy")
+    row = int(np.argmax([len(c.split()) for c in greedy]))
+    with ContinuousCaptionServer(pipe, slots=4, ticks_per_sync=2) as srv:
+        spans = []
+        fut = srv.submit_stream(feats[row], on_words=spans.append)
+        cap = fut.result(timeout=300)
+    assert cap == greedy[row]
+    assert " ".join(w for s in spans for w in s) == cap
+    print(f"streamed {len(spans)} spans -> {cap!r}")
+
 
 if __name__ == "__main__":
     main()
