@@ -37,6 +37,10 @@ def _add_optimizer_flags(p):
                    help="exponential schedule step interval (default 1000)")
     p.add_argument("--warmup-steps", type=int, default=None,
                    help="linear lr warmup steps prepended to the schedule")
+    p.add_argument("--grad-accum-steps", type=int, default=None,
+                   help="scan each batch as N microbatches (exact "
+                   "full-batch update, 1/N peak activation memory; "
+                   "parallelism none|dp)")
     p.add_argument("--grad-clip-norm", type=float, default=None,
                    help="global-norm gradient clipping (0 = off)")
 
@@ -94,6 +98,11 @@ def _build_config(args):
         if lr is not None:
             cfg = cfg.replace(
                 train=dataclasses.replace(cfg.train, learning_rate=lr)
+            )
+        ga = getattr(args, "grad_accum_steps", None)
+        if ga:
+            cfg = cfg.replace(
+                train=dataclasses.replace(cfg.train, grad_accum_steps=ga)
             )
         esp = getattr(args, "early_stopping_patience", None)
         if esp is not None:
@@ -168,6 +177,7 @@ def _build_config(args):
                 args, "early_stopping_patience", None
             )
             or 0,
+            grad_accum_steps=getattr(args, "grad_accum_steps", None) or 1,
             optimizer=getattr(args, "optimizer", None) or "adam",
             momentum=getattr(args, "momentum", None) or 0.0,
             weight_decay=getattr(args, "weight_decay", None) or 0.0,

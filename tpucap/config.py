@@ -105,6 +105,12 @@ class TrainConfig:
     lr_decay_steps: int = 1000
     warmup_steps: int = 0  # linear warmup prepended to any schedule
     grad_clip_norm: float = 0.0  # global-norm clip; 0 = off
+    # Gradient accumulation: scan each step's batch as A microbatches
+    # (per shard under DP), cutting peak activation memory A-fold while
+    # producing the EXACT full-batch update (sum-form accumulation,
+    # tpucap.train.loop.accumulated_sum_grads). batch_size (per shard)
+    # must divide by it. Supported by parallelism 'none' and 'dp'.
+    grad_accum_steps: int = 1
 
 
 @dataclasses.dataclass(frozen=True)

@@ -17,7 +17,11 @@ import optax
 from jax.sharding import PartitionSpec as P
 from jax import shard_map
 
-from tpucap.train.loop import TrainState
+from tpucap.train.loop import (
+    TrainState,
+    accumulated_sum_grads,
+    normalized_accum_grads,
+)
 from tpucap.train.loss import caption_loss_sums, loss_from_sums
 
 
@@ -31,8 +35,16 @@ def make_dp_train_step(
     label_smoothing: float = 0.0,
     attention_reg: float = 0.0,
     deterministic: bool = False,
+    grad_accum_steps: int = 1,
 ):
-    """(state, features, tokens) -> (state, metrics), batch sharded over axis."""
+    """(state, features, tokens) -> (state, metrics), batch sharded over axis.
+
+    ``grad_accum_steps=A`` scans each shard's slice as A microbatches
+    (sum-form accumulation — tpucap.train.loop.accumulated_sum_grads),
+    then psums BOTH the raw-sum gradients and the loss pieces before
+    normalizing once by the global token count: the update is exactly
+    the single-device full-batch update, and per-chip peak activation
+    memory drops by N*A."""
     from tpucap.train.loss import warn_if_attention_reg_unused
 
     warn_if_attention_reg_unused(decoder, attention_reg)
@@ -60,16 +72,47 @@ def make_dp_train_step(
         dropout_rng = jax.random.fold_in(
             dropout_rng, jax.lax.axis_index(axis)
         )
-        (loss, metrics), grads = jax.value_and_grad(
-            local_loss, has_aux=True
-        )(state.params, features, tokens, dropout_rng)
-        # shard_map AD transposes the forward psum in local_loss into a psum
-        # of the (replicated) cotangent, so each shard's grad comes out as
-        # N * (its local contribution to the global loss). pmean therefore
-        # reconstructs exactly the single-device gradient: (1/N) * sum_i
-        # N*local_i = sum_i local_i — verified bitwise-ish 8-way vs single
-        # device in tests/test_distributed.py.
-        grads = jax.lax.pmean(grads, axis)
+        if grad_accum_steps > 1:
+            # Pure sum space: accumulate each shard's raw-sum gradients
+            # locally, psum grads AND loss pieces, normalize once by the
+            # GLOBAL counts — no psum-transpose bookkeeping needed.
+            g_nll, g_reg, sums = accumulated_sum_grads(
+                decoder,
+                state.params,
+                features,
+                tokens,
+                None if deterministic else dropout_rng,
+                steps=grad_accum_steps,
+                deterministic=deterministic,
+                pad_id=pad_id,
+                label_smoothing=label_smoothing,
+                attention_reg=attention_reg,
+            )
+            psum = lambda t: jax.tree_util.tree_map(  # noqa: E731
+                lambda s: jax.lax.psum(s, axis), t
+            )
+            sums = psum(sums)
+            g_nll = psum(g_nll)
+            if g_reg is not None:
+                g_reg = psum(g_reg)
+            grads = normalized_accum_grads(
+                g_nll, g_reg, sums, attention_reg=attention_reg
+            )
+            loss, metrics = loss_from_sums(
+                sums, attention_reg=attention_reg
+            )
+        else:
+            (loss, metrics), grads = jax.value_and_grad(
+                local_loss, has_aux=True
+            )(state.params, features, tokens, dropout_rng)
+            # shard_map AD transposes the forward psum in local_loss
+            # into a psum of the (replicated) cotangent, so each shard's
+            # grad comes out as N * (its local contribution to the
+            # global loss). pmean therefore reconstructs exactly the
+            # single-device gradient: (1/N) * sum_i N*local_i = sum_i
+            # local_i — verified bitwise-ish 8-way vs single device in
+            # tests/test_distributed.py.
+            grads = jax.lax.pmean(grads, axis)
         updates, opt_state = optimizer.update(
             grads, state.opt_state, state.params
         )

@@ -346,6 +346,13 @@ class CaptioningPipeline:
         unpad_to = None  # set if tp/dp_tp pads the vocab to shard evenly
         pp_layout = False  # set if pp/dp_pp trains on stacked layer params
 
+        if cfg.grad_accum_steps > 1 and parallelism not in ("none", "dp"):
+            raise NotImplementedError(
+                f"grad_accum_steps={cfg.grad_accum_steps} is wired into "
+                f"the single-device and data-parallel steps only; "
+                f"parallelism={parallelism!r} runs its own loss "
+                "schedule — drop the flag or use 'none'/'dp'"
+            )
         if parallelism == "dp":
             self._mesh = make_mesh(self.config.mesh.n_devices)
             if batch_size % dict(self._mesh.shape)["data"]:
@@ -360,6 +367,7 @@ class CaptioningPipeline:
                 pad_id=0,
                 label_smoothing=cfg.label_smoothing,
                 attention_reg=cfg.attention_reg,
+                grad_accum_steps=cfg.grad_accum_steps,
             )
         elif parallelism in ("tp", "dp_tp"):
             from tpucap.parallel import make_tp_train_step
@@ -526,6 +534,7 @@ class CaptioningPipeline:
                 pad_id=0,
                 label_smoothing=cfg.label_smoothing,
                 attention_reg=cfg.attention_reg,
+                grad_accum_steps=cfg.grad_accum_steps,
             )
         else:
             raise ValueError(f"unknown parallelism {parallelism!r}")

@@ -111,6 +111,120 @@ def build_optimizer(cfg, total_steps: int = 0):
     return base
 
 
+def accumulated_sum_grads(
+    decoder,
+    params,
+    features,
+    tokens,
+    rng,
+    *,
+    steps: int,
+    deterministic: bool,
+    pad_id: int = 0,
+    label_smoothing: float = 0.0,
+    attention_reg: float = 0.0,
+):
+    """Gradient accumulation in SUM form: scan ``steps`` microbatches,
+    accumulating the sum-form loss pieces (caption_loss_sums) AND the
+    gradients of the RAW, unnormalized sums. -> (g_nll, g_reg, sums)
+    with g_reg None unless the doubly-stochastic regularizer applies.
+
+    Normalizing ONCE at the end by the accumulated token/batch counts —
+    grads = g_nll / tokens (+ attention_reg * g_reg / batch) — makes the
+    accumulated gradient EXACTLY the full-batch gradient (up to f32
+    reassociation), because the loss is linear in the sums. The naive
+    recipe (average per-microbatch mean-loss gradients) is NOT exact
+    when pad counts differ across microbatches — the reason this runs in
+    sum space. The two heads need separate trees since their final
+    weights (1/tokens vs attention_reg/batch) are data-dependent and
+    unknown until every microbatch is counted; the second backward is
+    paid only when attention_reg is active.
+
+    Peak activation memory (the (B, T, V) logits) drops by ``steps``x —
+    the point of accumulation. Dropout decorrelates per microbatch via
+    fold_in; ``rng=None`` means deterministic.
+    """
+    from tpucap.train.loss import caption_loss_sums
+
+    B = features.shape[0]
+    if B % steps:
+        raise ValueError(
+            f"batch size {B} not divisible by grad_accum_steps {steps}"
+        )
+    mb = B // steps
+    f = features.reshape((steps, mb) + features.shape[1:])
+    t = tokens.reshape((steps, mb) + tokens.shape[1:])
+    use_reg = attention_reg > 0.0 and hasattr(
+        decoder, "forward_train_with_alphas"
+    )
+    kw = dict(
+        deterministic=deterministic,
+        pad_id=pad_id,
+        label_smoothing=label_smoothing,
+        attention_reg=attention_reg,
+    )
+
+    def nll_head(p, fm, tm, r):
+        sums = caption_loss_sums(decoder, p, fm, tm, rng=r, **kw)
+        return sums["nll_sum"], sums
+
+    def reg_head(p, fm, tm, r):
+        return caption_loss_sums(decoder, p, fm, tm, rng=r, **kw)[
+            "reg_sum"
+        ]
+
+    zeros = jax.tree_util.tree_map(
+        lambda x: jnp.zeros(x.shape, x.dtype), params
+    )
+    sums0 = {
+        k: jnp.zeros((), jnp.float32)
+        for k in ("nll_sum", "tokens", "correct", "reg_sum", "batch")
+    }
+    add = jax.tree_util.tree_map
+
+    def body(carry, xs):
+        fm, tm, i = xs
+        r = None if rng is None else jax.random.fold_in(rng, i)
+        if use_reg:
+            g_nll, g_reg, sums = carry
+            g2 = jax.grad(reg_head)(params, fm, tm, r)
+            g_reg = add(jnp.add, g_reg, g2)
+        else:
+            g_nll, sums = carry
+        (_, s), g = jax.value_and_grad(nll_head, has_aux=True)(
+            params, fm, tm, r
+        )
+        g_nll = add(jnp.add, g_nll, g)
+        sums = add(jnp.add, sums, s)
+        carry = (
+            (g_nll, g_reg, sums) if use_reg else (g_nll, sums)
+        )
+        return carry, None
+
+    init = (
+        (zeros, zeros, sums0) if use_reg else (zeros, sums0)
+    )
+    carry, _ = jax.lax.scan(body, init, (f, t, jnp.arange(steps)))
+    if use_reg:
+        g_nll, g_reg, sums = carry
+        return g_nll, g_reg, sums
+    g_nll, sums = carry
+    return g_nll, None, sums
+
+
+def normalized_accum_grads(g_nll, g_reg, sums, *, attention_reg: float):
+    """Turn accumulated raw-sum gradients into the full-batch gradient:
+    g_nll / tokens (+ attention_reg * g_reg / batch)."""
+    denom = jnp.maximum(sums["tokens"], 1.0)
+    grads = jax.tree_util.tree_map(lambda g: g / denom, g_nll)
+    if g_reg is not None:
+        bden = jnp.maximum(sums["batch"], 1.0)
+        grads = jax.tree_util.tree_map(
+            lambda g, h: g + attention_reg * (h / bden), grads, g_reg
+        )
+    return grads
+
+
 def make_train_step(
     decoder,
     optimizer,
@@ -119,9 +233,19 @@ def make_train_step(
     label_smoothing: float = 0.0,
     attention_reg: float = 0.0,
     deterministic: bool = False,
+    grad_accum_steps: int = 1,
 ) -> Callable:
-    """Single-device jit'd step: (state, features, tokens) -> (state, metrics)."""
-    from tpucap.train.loss import warn_if_attention_reg_unused
+    """Single-device jit'd step: (state, features, tokens) -> (state, metrics).
+
+    ``grad_accum_steps=A`` splits the batch into A microbatches scanned
+    sequentially, cutting peak activation memory (the (B, T, V) logits)
+    by A while producing the EXACT full-batch update (sum-form
+    accumulation — see accumulated_sum_grads). Train batches A-times
+    larger than HBM would otherwise allow."""
+    from tpucap.train.loss import (
+        loss_from_sums,
+        warn_if_attention_reg_unused,
+    )
 
     warn_if_attention_reg_unused(decoder, attention_reg)
 
@@ -141,9 +265,29 @@ def make_train_step(
     @jax.jit
     def step(state: TrainState, features, tokens):
         rng, dropout_rng = jax.random.split(state.rng)
-        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, features, tokens, dropout_rng
-        )
+        if grad_accum_steps > 1:
+            g_nll, g_reg, sums = accumulated_sum_grads(
+                decoder,
+                state.params,
+                features,
+                tokens,
+                None if deterministic else dropout_rng,
+                steps=grad_accum_steps,
+                deterministic=deterministic,
+                pad_id=pad_id,
+                label_smoothing=label_smoothing,
+                attention_reg=attention_reg,
+            )
+            grads = normalized_accum_grads(
+                g_nll, g_reg, sums, attention_reg=attention_reg
+            )
+            loss, metrics = loss_from_sums(
+                sums, attention_reg=attention_reg
+            )
+        else:
+            (loss, metrics), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params, features, tokens, dropout_rng)
         updates, opt_state = optimizer.update(
             grads, state.opt_state, state.params
         )
