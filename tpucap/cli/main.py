@@ -374,6 +374,7 @@ def cmd_evaluate(args):
         beam_width=args.beam_width,
         batch_size=args.batch_size,
         parallelism=args.parallelism,
+        metrics=tuple(args.metrics.split(",")),
     )
     print(json.dumps(scores))
 
@@ -526,7 +527,9 @@ def main(argv=None):
                    "random encoder")
     p.set_defaults(fn=cmd_caption)
 
-    p = sub.add_parser("evaluate", help="BLEU-1..4 over a split")
+    p = sub.add_parser(
+        "evaluate", help="BLEU-1..4 (+ CIDEr-D/ROUGE-L) over a split"
+    )
     _add_common_model_flags(p)
     _add_optimizer_flags(p)
     p.add_argument("--tokens", required=True)
@@ -542,6 +545,9 @@ def main(argv=None):
                    "dp_tp (2-D batch x vocab)")
     p.add_argument("--model-devices", type=int, default=0,
                    help="model-axis width for --parallelism dp_tp")
+    p.add_argument("--metrics", default="bleu",
+                   help="comma list from bleu,cider,rouge_l (default "
+                   "bleu = the reference-parity BLEU-1..4)")
     p.set_defaults(fn=cmd_evaluate)
 
     p = sub.add_parser(

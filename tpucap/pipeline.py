@@ -1307,12 +1307,15 @@ class CaptioningPipeline:
         method: str | None = None,
         beam_width: int | None = None,
         parallelism: str | None = None,
+        metrics: tuple = ("bleu",),
     ) -> dict[str, float]:
         """Batched decode + NLTK corpus BLEU-1..4. The tail chunk is
         zero-padded to ``batch_size`` so evaluation compiles exactly ONE
         program per (batch, beam) shape — an unpadded tail would retrace,
         and a recompile over the TPU tunnel costs minutes (docs/PERF.md).
-        ``parallelism`` as in :meth:`generate`."""
+        ``parallelism`` as in :meth:`generate`. ``metrics`` adds 'cider'
+        (CIDEr-D) / 'rouge_l' beyond the reference-parity BLEU default
+        (tpucap.train.metrics)."""
         ids = list(descriptions.keys())
         generated = {}
         for s in range(0, len(ids), batch_size):
@@ -1327,4 +1330,4 @@ class CaptioningPipeline:
                 parallelism=parallelism,
             )[:n]
             generated.update(dict(zip(chunk, caps)))
-        return evaluate_captions(descriptions, generated)
+        return evaluate_captions(descriptions, generated, metrics=metrics)

@@ -39,6 +39,7 @@ def evaluate_captions(
     generated: dict[str, str],
     *,
     strip_sentinels: bool = True,
+    metrics: tuple = ("bleu",),
 ) -> dict[str, float]:
     """Reference-parity evaluate_model: compare generated captions against
     the 5 reference captions per image, corpus-level BLEU-1..4.
@@ -46,7 +47,9 @@ def evaluate_captions(
     descriptions values are the cleaned, wrapped captions; sentinels are
     stripped from both sides (the reference keeps them in the refs it
     compares against — controlled by strip_sentinels=False for strict
-    compat)."""
+    compat). ``metrics`` selects from 'bleu' (the reference-parity
+    default), 'cider' (CIDEr-D), 'rouge_l' — extras come from
+    tpucap.train.metrics (clean-room coco-caption conventions)."""
     refs, hyps = [], []
     for image_id, hyp in generated.items():
         caps = descriptions[image_id]
@@ -62,4 +65,21 @@ def evaluate_captions(
             ]
         refs.append(ref_tokens)
         hyps.append(hyp_tokens)
-    return bleu_scores(refs, hyps)
+    unknown = set(metrics) - {"bleu", "cider", "rouge_l"}
+    if unknown:
+        raise ValueError(
+            f"unknown metrics {sorted(unknown)}; "
+            "have bleu|cider|rouge_l"
+        )
+    out: dict[str, float] = {}
+    if "bleu" in metrics:
+        out.update(bleu_scores(refs, hyps))
+    if "cider" in metrics:
+        from tpucap.train.metrics import cider_d
+
+        out["cider"] = cider_d(refs, hyps)
+    if "rouge_l" in metrics:
+        from tpucap.train.metrics import rouge_l
+
+        out["rouge_l"] = rouge_l(refs, hyps)
+    return out

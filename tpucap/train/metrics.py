@@ -1,0 +1,150 @@
+"""CIDEr-D and ROUGE-L caption metrics (pure numpy/stdlib).
+
+The reference evaluates BLEU-1..4 only (SURVEY.md §2.1 #12 —
+train/evaluate.py keeps that parity path on NLTK). Captioning practice
+standardized on the coco-caption toolkit's additional metrics; these are
+clean-room implementations of its conventions so offline evaluation
+reports the numbers the field expects:
+
+- **CIDEr-D** (Vedantam et al., CVPR 2015, the -D variant): TF-IDF
+  weighted n-gram (n=1..4) cosine similarity between the candidate and
+  each reference, with count clipping (``min(cand, ref)`` against the
+  reference vector — repetitions can't inflate the score) and a Gaussian
+  length penalty ``exp(-(len_c - len_r)^2 / (2 * 6^2))``; per-image
+  score = mean over n, averaged over references, x10; corpus score =
+  mean over images. IDF is ``log(N_images) - log(max(1, DF))`` with DF
+  counting images whose reference SET contains the n-gram.
+- **ROUGE-L** (Lin 2004, coco-caption convention): LCS-based
+  precision/recall per reference, max over references taken separately
+  for P and R, F-beta with beta=1.2; corpus score = mean over images.
+
+Both take the same (references, hypotheses) token-list layout as
+train/evaluate.bleu_scores and are exposed through
+``evaluate_captions(metrics=...)`` / ``pipeline.evaluate`` / the CLI.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+_CIDER_N = 4
+_CIDER_SIGMA = 6.0
+_ROUGE_BETA = 1.2
+
+
+def _ngram_counts(tokens: list, n: int) -> Counter:
+    return Counter(
+        tuple(tokens[i : i + n]) for i in range(len(tokens) - n + 1)
+    )
+
+
+def _counts_to_vec(tokens: list, doc_freq: dict, log_n: float):
+    """-> (per-n {ngram: tfidf}, per-n L2 norm, length)."""
+    vecs, norms = [], []
+    for n in range(1, _CIDER_N + 1):
+        vec = {}
+        for ngram, count in _ngram_counts(tokens, n).items():
+            idf = log_n - math.log(max(1.0, doc_freq.get(ngram, 0.0)))
+            vec[ngram] = count * idf
+        vecs.append(vec)
+        norms.append(math.sqrt(sum(v * v for v in vec.values())))
+    return vecs, norms, len(tokens)
+
+
+def cider_d(
+    references: list[list[list[str]]], hypotheses: list[list[str]]
+) -> float:
+    """references: per-image list of tokenized reference captions;
+    hypotheses: per-image tokenized candidate. -> corpus CIDEr-D.
+
+    Matches the coco-caption CiderScorer (sigma 6.0, n 1..4, DF over
+    reference sets, corpus-level IDF base log(N_images))."""
+    if len(references) != len(hypotheses):
+        raise ValueError(
+            f"{len(references)} reference sets vs "
+            f"{len(hypotheses)} hypotheses"
+        )
+    if not references:
+        raise ValueError("empty corpus")
+    # Document frequency: an n-gram counts once per image whose
+    # reference set contains it anywhere.
+    doc_freq: Counter = Counter()
+    for refs in references:
+        seen = set()
+        for ref in refs:
+            for n in range(1, _CIDER_N + 1):
+                seen.update(_ngram_counts(ref, n))
+        doc_freq.update(seen)
+    log_n = math.log(float(len(references)))
+
+    scores = []
+    for refs, hyp in zip(references, hypotheses):
+        vec_h, norm_h, len_h = _counts_to_vec(hyp, doc_freq, log_n)
+        per_n = [0.0] * _CIDER_N
+        for ref in refs:
+            vec_r, norm_r, len_r = _counts_to_vec(ref, doc_freq, log_n)
+            penalty = math.exp(
+                -((len_h - len_r) ** 2) / (2.0 * _CIDER_SIGMA**2)
+            )
+            for n in range(_CIDER_N):
+                # Clipped dot product: candidate counts can't exceed
+                # the reference's (the -D anti-gaming term).
+                val = sum(
+                    min(w, vec_r[n].get(g, 0.0)) * vec_r[n].get(g, 0.0)
+                    for g, w in vec_h[n].items()
+                )
+                if norm_h[n] != 0.0 and norm_r[n] != 0.0:
+                    val /= norm_h[n] * norm_r[n]
+                per_n[n] += val * penalty
+        score = sum(per_n) / _CIDER_N / max(1, len(refs)) * 10.0
+        scores.append(score)
+    return float(sum(scores) / len(scores))
+
+
+def _lcs_len(a: list, b: list) -> int:
+    """Classic O(len(a)*len(b)) LCS table, one rolling row."""
+    if not a or not b:
+        return 0
+    prev = [0] * (len(b) + 1)
+    for x in a:
+        cur = [0]
+        for j, y in enumerate(b, 1):
+            cur.append(
+                prev[j - 1] + 1 if x == y else max(prev[j], cur[j - 1])
+            )
+        prev = cur
+    return prev[-1]
+
+
+def rouge_l(
+    references: list[list[list[str]]], hypotheses: list[list[str]]
+) -> float:
+    """Corpus ROUGE-L, coco-caption convention: per image take the MAX
+    precision and MAX recall over references (independently), combine
+    with F-beta (beta=1.2), average over images."""
+    if len(references) != len(hypotheses):
+        raise ValueError(
+            f"{len(references)} reference sets vs "
+            f"{len(hypotheses)} hypotheses"
+        )
+    if not references:
+        raise ValueError("empty corpus")
+    beta2 = _ROUGE_BETA**2
+    scores = []
+    for refs, hyp in zip(references, hypotheses):
+        prec_max = rec_max = 0.0
+        for ref in refs:
+            lcs = _lcs_len(hyp, ref)
+            if hyp:
+                prec_max = max(prec_max, lcs / len(hyp))
+            if ref:
+                rec_max = max(rec_max, lcs / len(ref))
+        if prec_max and rec_max:
+            f = ((1 + beta2) * prec_max * rec_max) / (
+                rec_max + beta2 * prec_max
+            )
+        else:
+            f = 0.0
+        scores.append(f)
+    return float(sum(scores) / len(scores))
