@@ -1,0 +1,189 @@
+"""End-to-end encoder fine-tuning (train/finetune.py +
+pipeline.fit_finetune): joint gradients reach the encoder, the
+freeze_encoder dial reproduces feature-based training exactly, the
+encoder-lr scaling works, and grad accumulation composes."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from tpucap.models.decoders import build_decoder
+from tpucap.models.encoders import build_encoder
+from tpucap.train import TrainState, make_train_step
+from tpucap.train.finetune import (
+    encode_for_decoder,
+    encoder_learning_rate_optimizer,
+    make_joint_train_step,
+)
+
+VOCAB, B, T, SIZE = 19, 8, 9, 32
+START, PAD = 1, 0
+
+
+def setup(decoder_name="lstm1", features="pooled"):
+    enc = build_encoder("tiny_cnn", features)
+    dec = build_decoder(
+        decoder_name,
+        vocab_size=VOCAB,
+        feature_dim=enc.feature_dim,
+        embed_dim=8,
+        hidden_dim=16,
+    )
+    params = {
+        "encoder": enc.init(jax.random.key(0)),
+        "decoder": dec.init(jax.random.key(1)),
+    }
+    rng = np.random.default_rng(0)
+    images = rng.normal(size=(B, SIZE, SIZE, 3)).astype(np.float32)
+    tokens = rng.integers(1, VOCAB, size=(B, T)).astype(np.int32)
+    tokens[:, 0] = START
+    tokens[:, -2:] = PAD
+    return enc, dec, params, images, tokens
+
+
+def leaves_equal(a, b):
+    return all(
+        np.array_equal(np.asarray(x), np.asarray(y))
+        for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b), strict=True)
+    )
+
+
+def test_freeze_encoder_matches_feature_training():
+    """freeze_encoder=True: decoder updates == make_train_step on the
+    precomputed features; encoder params bit-identical."""
+    enc, dec, params, images, tokens = setup()
+    optimizer = optax.sgd(0.5)
+    feats = encode_for_decoder(enc, params["encoder"], jnp.asarray(images))
+
+    ref_state = TrainState.create(
+        params["decoder"], optimizer, jax.random.key(2)
+    )
+    ref_step = make_train_step(dec, optimizer, deterministic=True)
+    ref_state, ref_m = ref_step(ref_state, feats, jnp.asarray(tokens))
+
+    joint = make_joint_train_step(
+        enc, dec, optimizer, deterministic=True, freeze_encoder=True
+    )
+    state = TrainState.create(params, optimizer, jax.random.key(2))
+    state, m = joint(state, jnp.asarray(images), jnp.asarray(tokens))
+
+    np.testing.assert_allclose(
+        float(ref_m["loss"]), float(m["loss"]), rtol=1e-6
+    )
+    assert leaves_equal(state.params["encoder"], params["encoder"])
+    for a, b in zip(
+        jax.tree.leaves(ref_state.params),
+        jax.tree.leaves(jax.device_get(state.params["decoder"])),
+        strict=True,
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_joint_training_updates_encoder_and_descends():
+    enc, dec, params, images, tokens = setup()
+    optimizer = optax.adam(1e-2)
+    joint = make_joint_train_step(enc, dec, optimizer, deterministic=True)
+    state = TrainState.create(params, optimizer, jax.random.key(2))
+    first = None
+    for _ in range(12):
+        state, m = joint(state, jnp.asarray(images), jnp.asarray(tokens))
+        loss = float(m["loss"])
+        assert np.isfinite(loss)
+        if first is None:
+            first = loss
+    assert loss < first
+    assert not leaves_equal(state.params["encoder"], params["encoder"])
+
+
+def test_encoder_lr_scale_zero_freezes_encoder_updates():
+    enc, dec, params, images, tokens = setup()
+    optimizer = encoder_learning_rate_optimizer(
+        optax.sgd(0.5), encoder_lr_scale=0.0
+    )
+    joint = make_joint_train_step(enc, dec, optimizer, deterministic=True)
+    state = TrainState.create(params, optimizer, jax.random.key(2))
+    state, _ = joint(state, jnp.asarray(images), jnp.asarray(tokens))
+    assert leaves_equal(state.params["encoder"], params["encoder"])
+    assert not leaves_equal(state.params["decoder"], params["decoder"])
+
+
+def test_joint_grad_accum_matches_full_batch():
+    enc, dec, params, images, tokens = setup()
+    optimizer = optax.sgd(0.5)
+    full = make_joint_train_step(enc, dec, optimizer, deterministic=True)
+    acc = make_joint_train_step(
+        enc, dec, optimizer, deterministic=True, grad_accum_steps=4
+    )
+    s1 = TrainState.create(params, optimizer, jax.random.key(2))
+    s1, m1 = full(s1, jnp.asarray(images), jnp.asarray(tokens))
+    s2 = TrainState.create(params, optimizer, jax.random.key(2))
+    s2, m2 = acc(s2, jnp.asarray(images), jnp.asarray(tokens))
+    np.testing.assert_allclose(
+        float(m1["loss"]), float(m2["loss"]), rtol=1e-6
+    )
+    for a, b in zip(
+        jax.tree.leaves(jax.device_get(s1.params)),
+        jax.tree.leaves(jax.device_get(s2.params)),
+        strict=True,
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-6)
+
+
+def test_joint_spatial_attention_decoder():
+    """Spatial grid flows into the SAT decoder with the attention
+    regularizer's second head active."""
+    enc, dec, params, images, tokens = setup("attention", "spatial")
+    optimizer = optax.adam(1e-2)
+    joint = make_joint_train_step(
+        enc, dec, optimizer, deterministic=True, attention_reg=0.05
+    )
+    state = TrainState.create(params, optimizer, jax.random.key(2))
+    first = None
+    for _ in range(8):
+        state, m = joint(state, jnp.asarray(images), jnp.asarray(tokens))
+        loss = float(m["loss"])
+        assert np.isfinite(loss)
+        if first is None:
+            first = loss
+    assert loss < first
+    assert "attention_reg" in m
+
+
+def test_pipeline_fit_finetune(toy_corpus, rng):
+    from tpucap.config import (
+        Config,
+        DecodeConfig,
+        DecoderConfig,
+        EncoderConfig,
+        TrainConfig,
+    )
+    from tpucap.pipeline import CaptioningPipeline
+    from tpucap.text import Tokenizer
+
+    cfg = Config(
+        encoder=EncoderConfig(name="tiny_cnn", feature_dim=128),
+        decoder=DecoderConfig(embed_dim=8, hidden_dim=16, dropout_rate=0.0),
+        decode=DecodeConfig(max_len=10),
+        train=TrainConfig(batch_size=8, learning_rate=1e-2),
+        precision="f32",
+    )
+    pipe = CaptioningPipeline(cfg)
+    tok = Tokenizer()
+    tok.fit_on_texts(toy_corpus)
+    pipe.tokenizer = tok
+    pipe.build()
+    enc_before = jax.device_get(pipe.params["encoder"])
+    desc = {f"i{k}": [toy_corpus[k % len(toy_corpus)]] for k in range(8)}
+    images = {
+        i: rng.normal(size=(32, 32, 3)).astype(np.float32) for i in desc
+    }
+    hist = pipe.fit_finetune(desc, images, epochs=8, log=None)
+    assert hist[-1]["loss"] < hist[0]["loss"]
+    assert not leaves_equal(pipe.params["encoder"], enc_before)
+    # the tuned pipeline still captions (decode caches were invalidated)
+    caps = pipe.generate(
+        rng.normal(size=(2, 128)).astype(np.float32), method="greedy"
+    )
+    assert len(caps) == 2

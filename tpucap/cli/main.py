@@ -228,6 +228,57 @@ def _load_dataset(args):
     return prepare_descriptions(desc, split_ids)
 
 
+def _cmd_train_finetune(args, pipe, prepared):
+    """train --finetune-encoder: end-to-end (encoder + decoder) training
+    from IMAGES (--images DIR, one <id>.jpg per caption id). Writes a
+    pipeline bundle (--bundle-out, default <checkpoint-dir>/bundle) —
+    the tuned encoder lives there; `tpucap serve --model-dir` and
+    CaptioningPipeline.load() consume it."""
+    from tpucap.data.preprocess import preprocess_batch
+
+    if not args.images:
+        raise SystemExit("--finetune-encoder needs --images DIR")
+    pipe.fit_tokenizer(prepared)
+    pipe.build()
+    if getattr(args, "keras_h5", None):
+        # Start from pretrained encoder weights — the normal fine-tune
+        # setup (a random encoder would just be joint from-scratch).
+        from tpucap.checkpoint import params_from_keras
+
+        pipe.params["encoder"] = params_from_keras(
+            args.keras_h5, pipe.config.encoder.name
+        )
+        pipe._bf16_params = None
+    os.makedirs(args.checkpoint_dir, exist_ok=True)
+    pipe.tokenizer.save(
+        os.path.join(args.checkpoint_dir, "tokenizer.json")
+    )
+    size = pipe.encoder.input_size
+    mode = pipe.encoder.preprocess_mode
+    ids = list(prepared.keys())
+    images = {}
+    for s in range(0, len(ids), 64):
+        chunk = ids[s : s + 64]
+        paths = [os.path.join(args.images, f"{i}.jpg") for i in chunk]
+        x = preprocess_batch(paths, size=size, mode=mode)
+        images.update(dict(zip(chunk, x)))
+    history = pipe.fit_finetune(
+        prepared,
+        images,
+        epochs=args.epochs,
+        batch_size=args.batch_size,
+        encoder_lr_scale=args.encoder_lr_scale,
+    )
+    bundle = args.bundle_out or os.path.join(
+        args.checkpoint_dir, "bundle"
+    )
+    pipe.save(bundle)
+    print(
+        f"finetuned {len(history)} epochs; final loss "
+        f"{history[-1]['loss']:.4f}; bundle in {bundle}"
+    )
+
+
 def cmd_train(args):
     from tpucap.checkpoint import CheckpointManager
     from tpucap.pipeline import CaptioningPipeline
@@ -236,6 +287,15 @@ def cmd_train(args):
     cfg = _build_config(args)
     pipe = CaptioningPipeline(cfg)
     prepared = _load_dataset(args)
+
+    if getattr(args, "finetune_encoder", False):
+        _cmd_train_finetune(args, pipe, prepared)
+        return
+    if not args.features:
+        raise SystemExit(
+            "--features is required (or use --finetune-encoder --images "
+            "to train end-to-end from JPEGs)"
+        )
     features = dict(np.load(args.features))
 
     pipe.fit_tokenizer(prepared)
@@ -476,7 +536,24 @@ def main(argv=None):
                    help="stop when val_loss hasn't improved for N epochs "
                    "(needs --val-split); 0 = disabled; also overrides "
                    "--preset when given")
-    p.add_argument("--features", required=True)
+    p.add_argument("--features", default=None,
+                   help="precomputed-features .npz (required unless "
+                   "--finetune-encoder)")
+    p.add_argument("--finetune-encoder", action="store_true",
+                   help="end-to-end: train the encoder THROUGH the "
+                   "captioning loss from --images (frozen-BN; writes a "
+                   "pipeline bundle for serve --model-dir)")
+    p.add_argument("--images", default=None,
+                   help="image dir (<id>.jpg) for --finetune-encoder")
+    p.add_argument("--encoder-lr-scale", type=float, default=0.1,
+                   help="scale on the encoder's updates during "
+                   "--finetune-encoder (0.1 = standard backbone lr)")
+    p.add_argument("--bundle-out", default=None,
+                   help="pipeline bundle dir for --finetune-encoder "
+                   "(default <checkpoint-dir>/bundle)")
+    p.add_argument("--keras-h5", default=None,
+                   help="pretrained Keras encoder weights to start "
+                   "--finetune-encoder from")
     p.add_argument("--checkpoint-dir", default="checkpoints")
     p.add_argument("--epochs", type=int, default=20)
     p.add_argument("--batch-size", type=int, default=64)

@@ -20,6 +20,7 @@ from jax import shard_map
 from tpucap.train.loop import (
     TrainState,
     accumulated_sum_grads,
+    caption_sums_fn,
     normalized_accum_grads,
 )
 from tpucap.train.loss import caption_loss_sums, loss_from_sums
@@ -76,17 +77,21 @@ def make_dp_train_step(
             # Pure sum space: accumulate each shard's raw-sum gradients
             # locally, psum grads AND loss pieces, normalize once by the
             # GLOBAL counts — no psum-transpose bookkeeping needed.
-            g_nll, g_reg, sums = accumulated_sum_grads(
+            sums_fn, use_reg = caption_sums_fn(
                 decoder,
+                deterministic=deterministic,
+                pad_id=pad_id,
+                label_smoothing=label_smoothing,
+                attention_reg=attention_reg,
+            )
+            g_nll, g_reg, sums = accumulated_sum_grads(
+                sums_fn,
                 state.params,
                 features,
                 tokens,
                 None if deterministic else dropout_rng,
                 steps=grad_accum_steps,
-                deterministic=deterministic,
-                pad_id=pad_id,
-                label_smoothing=label_smoothing,
-                attention_reg=attention_reg,
+                use_reg=use_reg,
             )
             psum = lambda t: jax.tree_util.tree_map(  # noqa: E731
                 lambda s: jax.lax.psum(s, axis), t

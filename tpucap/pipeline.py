@@ -683,6 +683,106 @@ class CaptioningPipeline:
         self._bf16_params = None
         return history
 
+    def fit_finetune(
+        self,
+        descriptions: dict[str, list[str]],
+        images: dict[str, np.ndarray],
+        *,
+        epochs: int | None = None,
+        batch_size: int | None = None,
+        encoder_lr_scale: float = 0.1,
+        freeze_encoder: bool = False,
+        log=print,
+    ) -> list[dict]:
+        """End-to-end fine-tuning: train the ENCODER and decoder jointly
+        through the captioning loss — a capability the reference cannot
+        offer (its CNN is frozen behind one-shot feature extraction;
+        SURVEY.md §2.1 #2), and the fix when pretrained features don't
+        match the domain.
+
+        ``images``: id -> PREPROCESSED (H, W, 3) float32 array (the
+        shape ``extract_features`` consumes). BN encoders fine-tune with
+        FROZEN BN statistics (train/finetune.py docstring); VGG16/
+        TinyCNN/ViT have no BN constraint. ``encoder_lr_scale`` scales
+        the pretrained backbone's updates (0.1x the decoder's lr is the
+        standard recipe); ``freeze_encoder=True`` stops gradients at the
+        feature boundary (decoder updates then match fit() on extracted
+        features exactly). config.train.grad_accum_steps composes —
+        encoder activations dominate memory here, so it buys A-times
+        larger image batches. Updates self.params in place: generate /
+        evaluate / save immediately use the tuned encoder."""
+        from tpucap.train import build_optimizer
+        from tpucap.train.finetune import (
+            encoder_learning_rate_optimizer,
+            make_joint_train_step,
+        )
+
+        cfg = self.config.train
+        epochs = epochs or cfg.epochs
+        batch_size = batch_size or cfg.batch_size
+        if self.decoder is None:
+            self.build()
+        F, T = build_training_batch(
+            self.tokenizer, descriptions, images, self.config.decode.max_len
+        )
+        if F.shape[0] < batch_size:
+            if log:
+                log(
+                    f"batch_size {batch_size} > {F.shape[0]} training "
+                    f"rows; clamping batch_size to {F.shape[0]}"
+                )
+            batch_size = F.shape[0]
+        optimizer = build_optimizer(
+            cfg, total_steps=epochs * max(1, F.shape[0] // batch_size)
+        )
+        if encoder_lr_scale != 1.0 and not freeze_encoder:
+            optimizer = encoder_learning_rate_optimizer(
+                optimizer, encoder_lr_scale=encoder_lr_scale
+            )
+        params = {
+            "encoder": self.params["encoder"],
+            "decoder": self.params["decoder"],
+        }
+        state = TrainState.create(
+            params, optimizer, jax.random.key(cfg.seed)
+        )
+        step = make_joint_train_step(
+            self.encoder,
+            self.decoder,
+            optimizer,
+            pad_id=0,
+            label_smoothing=cfg.label_smoothing,
+            attention_reg=cfg.attention_reg,
+            grad_accum_steps=cfg.grad_accum_steps,
+            freeze_encoder=freeze_encoder,
+        )
+        rng = np.random.default_rng(cfg.seed)
+        history = []
+        for epoch in range(epochs):
+            metrics_sum: dict = {}
+            n = 0
+            for bf, bt in batch_iterator((F, T), batch_size, rng=rng):
+                state, metrics = step(state, bf, bt)
+                n += 1
+                for k, v in metrics.items():
+                    metrics_sum[k] = metrics_sum.get(k, 0.0) + v
+            metrics_sum = jax.device_get(metrics_sum)
+            epoch_metrics = {
+                k: float(v) / max(n, 1) for k, v in metrics_sum.items()
+            }
+            epoch_metrics["epoch"] = epoch
+            history.append(epoch_metrics)
+            if log:
+                log(
+                    f"epoch {epoch}: loss={epoch_metrics.get('loss', 0):.4f} "
+                    f"acc={epoch_metrics.get('accuracy', 0):.4f}"
+                )
+        self.params["encoder"] = state.params["encoder"]
+        self.params["decoder"] = state.params["decoder"]
+        self._decode_cache.clear()
+        self._bf16_params = None
+        return history
+
     # -- generation (reference: generate_desc / beam_search_desc) ----------
 
     def _decode_fn(self, method: str, beam_width: int):

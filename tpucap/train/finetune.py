@@ -1,0 +1,159 @@
+"""End-to-end encoder fine-tuning: joint (encoder + decoder) training.
+
+The reference freezes its CNN permanently — features are extracted once
+and the decoder trains on them (SURVEY.md §2.1 #2/#9); domain shift
+(medical, aerial, sketches) is unfixable there. This module trains the
+encoder THROUGH the captioning loss: one jit'd step whose params pytree
+is ``{"encoder": ..., "decoder": ...}``, with the encoder forward inside
+the differentiated loss.
+
+Semantics on BN encoders (ResNet-50 / InceptionV3): the zoo's apply is
+inference-mode BN — running statistics as a fixed affine
+(models/encoders/common.py:8 records that design decision) — so this is
+FROZEN-BN fine-tuning, the standard recipe for small datasets (BN stats
+from the pretrain corpus are better estimates than any small-batch
+update). Conv/dense weights and all LN/ViT parameters train fully;
+VGG16/TinyCNN have no BN at all.
+
+``freeze_encoder=True`` stops gradients at the feature boundary, making
+the decoder updates EXACTLY those of make_train_step on precomputed
+features (tests/test_finetune.py pins it) — the dial between the
+reference's recipe and full fine-tuning. Gradient accumulation composes
+(the sum-form scan from train/loop.py), which matters here: encoder
+activations dominate memory, so image batches shrink A-fold.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from tpucap.train.loop import (
+    TrainState,
+    accumulated_sum_grads,
+    normalized_accum_grads,
+)
+from tpucap.train.loss import (
+    caption_loss_sums,
+    loss_from_sums,
+    warn_if_attention_reg_unused,
+)
+
+
+def encode_for_decoder(encoder, enc_params, images):
+    """Encoder forward in the training graph: (B, H, W, 3) preprocessed
+    images -> decoder-ready features ((B, D) pooled or (B, L, D)
+    spatial-grid rows, the same shapes pipeline.extract_features emits)."""
+    feats = encoder.apply(enc_params, images)
+    if feats.ndim == 4:  # (B, h, w, c) spatial grid -> (B, h*w, c)
+        b, h, w, c = feats.shape
+        feats = feats.reshape(b, h * w, c)
+    return feats
+
+
+def make_joint_train_step(
+    encoder,
+    decoder,
+    optimizer,
+    *,
+    pad_id: int = 0,
+    label_smoothing: float = 0.0,
+    attention_reg: float = 0.0,
+    deterministic: bool = False,
+    grad_accum_steps: int = 1,
+    freeze_encoder: bool = False,
+) -> Callable:
+    """Joint jit'd step: (state, images, tokens) -> (state, metrics),
+    state.params = {"encoder": ..., "decoder": ...}.
+
+    The optimizer must be initialized over the SAME two-tree pytree
+    (TrainState.create({"encoder": ..., "decoder": ...}, optimizer, rng)).
+    """
+    warn_if_attention_reg_unused(decoder, attention_reg)
+    use_reg = attention_reg > 0.0 and hasattr(
+        decoder, "forward_train_with_alphas"
+    )
+
+    def sums_fn(params, images, tokens, rng):
+        enc_params = params["encoder"]
+        if freeze_encoder:
+            enc_params = jax.lax.stop_gradient(enc_params)
+        feats = encode_for_decoder(encoder, enc_params, images)
+        return caption_loss_sums(
+            decoder,
+            params["decoder"],
+            feats,
+            tokens,
+            rng=rng,
+            deterministic=deterministic,
+            pad_id=pad_id,
+            label_smoothing=label_smoothing,
+            attention_reg=attention_reg,
+        )
+
+    def loss_fn(params, images, tokens, rng):
+        sums = sums_fn(params, images, tokens, rng)
+        return loss_from_sums(sums, attention_reg=attention_reg)
+
+    @jax.jit
+    def step(state: TrainState, images, tokens):
+        rng, dropout_rng = jax.random.split(state.rng)
+        if grad_accum_steps > 1:
+            g_nll, g_reg, sums = accumulated_sum_grads(
+                sums_fn,
+                state.params,
+                images,
+                tokens,
+                None if deterministic else dropout_rng,
+                steps=grad_accum_steps,
+                use_reg=use_reg,
+            )
+            grads = normalized_accum_grads(
+                g_nll, g_reg, sums, attention_reg=attention_reg
+            )
+            loss, metrics = loss_from_sums(
+                sums, attention_reg=attention_reg
+            )
+        else:
+            (loss, metrics), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params, images, tokens, dropout_rng)
+        updates, opt_state = optimizer.update(
+            grads, state.opt_state, state.params
+        )
+        params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(
+                step=state.step + 1,
+                params=params,
+                opt_state=opt_state,
+                rng=rng,
+            ),
+            metrics,
+        )
+
+    return step
+
+
+def encoder_learning_rate_optimizer(
+    base_optimizer, *, encoder_lr_scale: float
+):
+    """Scale the encoder subtree's updates by ``encoder_lr_scale`` —
+    the standard fine-tuning recipe (pretrained backbone at 0.1x the
+    fresh decoder's lr). Wraps any optax optimizer via multi_transform
+    over the {"encoder", "decoder"} split."""
+    return optax.multi_transform(
+        {
+            "encoder": optax.chain(
+                base_optimizer, optax.scale(encoder_lr_scale)
+            ),
+            "decoder": base_optimizer,
+        },
+        lambda params: {
+            "encoder": jax.tree_util.tree_map(lambda _: "encoder", params["encoder"]),
+            "decoder": jax.tree_util.tree_map(lambda _: "decoder", params["decoder"]),
+        },
+    )

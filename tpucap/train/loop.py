@@ -111,23 +111,54 @@ def build_optimizer(cfg, total_steps: int = 0):
     return base
 
 
-def accumulated_sum_grads(
+def caption_sums_fn(
     decoder,
+    *,
+    deterministic: bool,
+    pad_id: int = 0,
+    label_smoothing: float = 0.0,
+    attention_reg: float = 0.0,
+):
+    """-> (sums_fn(params, features, tokens, rng) -> sums dict, use_reg)
+    — the standard decoder-on-precomputed-features loss pieces, shaped
+    for :func:`accumulated_sum_grads`."""
+    from tpucap.train.loss import caption_loss_sums
+
+    use_reg = attention_reg > 0.0 and hasattr(
+        decoder, "forward_train_with_alphas"
+    )
+
+    def sums_fn(p, fm, tm, r):
+        return caption_loss_sums(
+            decoder,
+            p,
+            fm,
+            tm,
+            rng=r,
+            deterministic=deterministic,
+            pad_id=pad_id,
+            label_smoothing=label_smoothing,
+            attention_reg=attention_reg,
+        )
+
+    return sums_fn, use_reg
+
+
+def accumulated_sum_grads(
+    sums_fn,
     params,
     features,
     tokens,
     rng,
     *,
     steps: int,
-    deterministic: bool,
-    pad_id: int = 0,
-    label_smoothing: float = 0.0,
-    attention_reg: float = 0.0,
+    use_reg: bool = False,
 ):
     """Gradient accumulation in SUM form: scan ``steps`` microbatches,
-    accumulating the sum-form loss pieces (caption_loss_sums) AND the
-    gradients of the RAW, unnormalized sums. -> (g_nll, g_reg, sums)
-    with g_reg None unless the doubly-stochastic regularizer applies.
+    accumulating the sum-form loss pieces (``sums_fn(params, f, t, rng)
+    -> caption_loss_sums-shaped dict``) AND the gradients of the RAW,
+    unnormalized sums. -> (g_nll, g_reg, sums) with g_reg None unless
+    ``use_reg`` (the doubly-stochastic regularizer head).
 
     Normalizing ONCE at the end by the accumulated token/batch counts —
     grads = g_nll / tokens (+ attention_reg * g_reg / batch) — makes the
@@ -138,14 +169,12 @@ def accumulated_sum_grads(
     sum space. The two heads need separate trees since their final
     weights (1/tokens vs attention_reg/batch) are data-dependent and
     unknown until every microbatch is counted; the second backward is
-    paid only when attention_reg is active.
+    paid only when ``use_reg``.
 
     Peak activation memory (the (B, T, V) logits) drops by ``steps``x —
     the point of accumulation. Dropout decorrelates per microbatch via
     fold_in; ``rng=None`` means deterministic.
     """
-    from tpucap.train.loss import caption_loss_sums
-
     B = features.shape[0]
     if B % steps:
         raise ValueError(
@@ -154,24 +183,13 @@ def accumulated_sum_grads(
     mb = B // steps
     f = features.reshape((steps, mb) + features.shape[1:])
     t = tokens.reshape((steps, mb) + tokens.shape[1:])
-    use_reg = attention_reg > 0.0 and hasattr(
-        decoder, "forward_train_with_alphas"
-    )
-    kw = dict(
-        deterministic=deterministic,
-        pad_id=pad_id,
-        label_smoothing=label_smoothing,
-        attention_reg=attention_reg,
-    )
 
     def nll_head(p, fm, tm, r):
-        sums = caption_loss_sums(decoder, p, fm, tm, rng=r, **kw)
+        sums = sums_fn(p, fm, tm, r)
         return sums["nll_sum"], sums
 
     def reg_head(p, fm, tm, r):
-        return caption_loss_sums(decoder, p, fm, tm, rng=r, **kw)[
-            "reg_sum"
-        ]
+        return sums_fn(p, fm, tm, r)["reg_sum"]
 
     zeros = jax.tree_util.tree_map(
         lambda x: jnp.zeros(x.shape, x.dtype), params
@@ -266,17 +284,21 @@ def make_train_step(
     def step(state: TrainState, features, tokens):
         rng, dropout_rng = jax.random.split(state.rng)
         if grad_accum_steps > 1:
-            g_nll, g_reg, sums = accumulated_sum_grads(
+            sums_fn, use_reg = caption_sums_fn(
                 decoder,
+                deterministic=deterministic,
+                pad_id=pad_id,
+                label_smoothing=label_smoothing,
+                attention_reg=attention_reg,
+            )
+            g_nll, g_reg, sums = accumulated_sum_grads(
+                sums_fn,
                 state.params,
                 features,
                 tokens,
                 None if deterministic else dropout_rng,
                 steps=grad_accum_steps,
-                deterministic=deterministic,
-                pad_id=pad_id,
-                label_smoothing=label_smoothing,
-                attention_reg=attention_reg,
+                use_reg=use_reg,
             )
             grads = normalized_accum_grads(
                 g_nll, g_reg, sums, attention_reg=attention_reg
