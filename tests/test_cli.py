@@ -236,6 +236,26 @@ def test_cli_parallelism_flag_choices(capsys):
         assert name in err, name
 
 
+def test_cli_evaluate_metrics_validated_before_decode(tmp_path):
+    """A typo'd --metrics entry must die at argument time, not after
+    minutes of TPU decode; whitespace around commas is tolerated."""
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit, match="ciderr"):
+        main(["evaluate", "--tokens", "x", "--features", "y",
+              "--metrics", "bleu, ciderr"])
+
+
+def test_cli_finetune_rejects_unsupported_flags(tmp_path):
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit, match="--val-split"):
+        main(["train", "--tokens", "x", "--finetune-encoder",
+              "--images", "d", "--val-split", "v"])
+    with _pytest.raises(SystemExit, match="--features is required"):
+        main(["train", "--tokens", "x"])
+
+
 @pytest.mark.slow
 def test_cli_restore_with_nondefault_optimizer(tmp_path, capsys):
     """A checkpoint trained with --optimizer sgd --grad-clip-norm (whose

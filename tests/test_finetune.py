@@ -109,6 +109,54 @@ def test_encoder_lr_scale_zero_freezes_encoder_updates():
     assert not leaves_equal(state.params["decoder"], params["decoder"])
 
 
+def test_freeze_encoder_holds_under_adamw_weight_decay():
+    """Frozen must mean frozen for EVERY optimizer: adamw's decoupled
+    weight decay is grad-independent, so zeroed gradients alone would
+    still shrink the encoder — the step masks the updates."""
+    enc, dec, params, images, tokens = setup()
+    optimizer = optax.adamw(1e-2, weight_decay=1e-2)
+    joint = make_joint_train_step(
+        enc, dec, optimizer, deterministic=True, freeze_encoder=True
+    )
+    state = TrainState.create(params, optimizer, jax.random.key(2))
+    for _ in range(3):
+        state, _ = joint(state, jnp.asarray(images), jnp.asarray(tokens))
+    assert leaves_equal(state.params["encoder"], params["encoder"])
+    assert not leaves_equal(state.params["decoder"], params["decoder"])
+
+
+def test_encoder_lr_scale_one_is_identity_even_with_clipping():
+    """The lr-scale wrapper chains AFTER the base optimizer, so joint
+    global-norm clipping semantics are preserved: at scale 1.0 the
+    wrapped run's params equal the unwrapped run's exactly (a
+    multi_transform split would clip each subtree separately and
+    diverge)."""
+    enc, dec, params, images, tokens = setup()
+
+    def base():
+        return optax.chain(
+            optax.clip_by_global_norm(0.01), optax.adam(1e-2)
+        )
+
+    plain = base()
+    s1 = TrainState.create(params, plain, jax.random.key(2))
+    step1 = make_joint_train_step(enc, dec, plain, deterministic=True)
+    s1, _ = step1(s1, jnp.asarray(images), jnp.asarray(tokens))
+
+    wrapped = encoder_learning_rate_optimizer(
+        base(), encoder_lr_scale=1.0
+    )
+    s2 = TrainState.create(params, wrapped, jax.random.key(2))
+    step2 = make_joint_train_step(enc, dec, wrapped, deterministic=True)
+    s2, _ = step2(s2, jnp.asarray(images), jnp.asarray(tokens))
+    for a, b in zip(
+        jax.tree.leaves(jax.device_get(s1.params)),
+        jax.tree.leaves(jax.device_get(s2.params)),
+        strict=True,
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_joint_grad_accum_matches_full_batch():
     enc, dec, params, images, tokens = setup()
     optimizer = optax.sgd(0.5)

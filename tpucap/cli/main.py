@@ -228,6 +228,33 @@ def _load_dataset(args):
     return prepare_descriptions(desc, split_ids)
 
 
+def _validate_finetune_flags(args):
+    """Fail loudly on flag combinations the joint trainer does not
+    implement — silently training single-device with no validation /
+    early stopping would be worse than an error."""
+    if not args.images:
+        raise SystemExit("--finetune-encoder needs --images DIR")
+    unsupported = [
+        name
+        for name, val in (
+            ("--val-split", getattr(args, "val_split", None)),
+            (
+                "--early-stopping-patience",
+                getattr(args, "early_stopping_patience", None),
+            ),
+            ("--parallelism", getattr(args, "parallelism", None)),
+            ("--data-parallel", getattr(args, "data_parallel", False)),
+        )
+        if val
+    ]
+    if unsupported:
+        raise SystemExit(
+            f"{', '.join(unsupported)} not supported with "
+            "--finetune-encoder (single-device joint training; train "
+            "the decoder with `train` + extracted features for those)"
+        )
+
+
 def _cmd_train_finetune(args, pipe, prepared):
     """train --finetune-encoder: end-to-end (encoder + decoder) training
     from IMAGES (--images DIR, one <id>.jpg per caption id). Writes a
@@ -236,8 +263,6 @@ def _cmd_train_finetune(args, pipe, prepared):
     CaptioningPipeline.load() consume it."""
     from tpucap.data.preprocess import preprocess_batch
 
-    if not args.images:
-        raise SystemExit("--finetune-encoder needs --images DIR")
     pipe.fit_tokenizer(prepared)
     pipe.build()
     if getattr(args, "keras_h5", None):
@@ -269,6 +294,18 @@ def _cmd_train_finetune(args, pipe, prepared):
         batch_size=args.batch_size,
         encoder_lr_scale=args.encoder_lr_scale,
     )
+    if getattr(args, "metrics_log", None) or getattr(
+        args, "tensorboard_dir", None
+    ):
+        from tpucap.utils import MetricsLogger
+
+        logger = MetricsLogger(
+            args.metrics_log,
+            tensorboard_dir=getattr(args, "tensorboard_dir", None),
+        )
+        for h in history:
+            logger.log(h)
+        logger.close()
     bundle = args.bundle_out or os.path.join(
         args.checkpoint_dir, "bundle"
     )
@@ -284,6 +321,15 @@ def cmd_train(args):
     from tpucap.pipeline import CaptioningPipeline
     from tpucap.utils import MetricsLogger
 
+    # Flag validation BEFORE any dataset/checkpoint IO — a bad flag
+    # combination must not surface as a FileNotFoundError.
+    if getattr(args, "finetune_encoder", False):
+        _validate_finetune_flags(args)
+    elif not args.features:
+        raise SystemExit(
+            "--features is required (or use --finetune-encoder --images "
+            "to train end-to-end from JPEGs)"
+        )
     cfg = _build_config(args)
     pipe = CaptioningPipeline(cfg)
     prepared = _load_dataset(args)
@@ -291,11 +337,6 @@ def cmd_train(args):
     if getattr(args, "finetune_encoder", False):
         _cmd_train_finetune(args, pipe, prepared)
         return
-    if not args.features:
-        raise SystemExit(
-            "--features is required (or use --finetune-encoder --images "
-            "to train end-to-end from JPEGs)"
-        )
     features = dict(np.load(args.features))
 
     pipe.fit_tokenizer(prepared)
@@ -424,6 +465,18 @@ def cmd_caption(args):
 
 
 def cmd_evaluate(args):
+    # Validate (and whitespace-strip) BEFORE any IO or decoding: the
+    # decode pass over a full split costs minutes on the TPU, a typo'd
+    # metric name must not throw it away.
+    metrics = tuple(
+        m.strip() for m in args.metrics.split(",") if m.strip()
+    )
+    bad = set(metrics) - {"bleu", "cider", "rouge_l"}
+    if bad or not metrics:
+        raise SystemExit(
+            f"--metrics: unknown {sorted(bad) or '(empty)'}; "
+            "choose from bleu,cider,rouge_l"
+        )
     pipe = _restore_pipeline(args)
     prepared = _load_dataset(args)
     features = dict(np.load(args.features))
@@ -434,7 +487,7 @@ def cmd_evaluate(args):
         beam_width=args.beam_width,
         batch_size=args.batch_size,
         parallelism=args.parallelism,
-        metrics=tuple(args.metrics.split(",")),
+        metrics=metrics,
     )
     print(json.dumps(scores))
 

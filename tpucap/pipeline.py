@@ -722,18 +722,31 @@ class CaptioningPipeline:
         batch_size = batch_size or cfg.batch_size
         if self.decoder is None:
             self.build()
-        F, T = build_training_batch(
-            self.tokenizer, descriptions, images, self.config.decode.max_len
+        # One image per ID on the host; the token rows carry an INDEX
+        # into that store, gathered per minibatch — an image with 5
+        # captions must NOT be stacked 5x (at 224px that multiplies host
+        # memory by the caption count; feature-based fit never cared
+        # because feature rows are small).
+        store_ids = list(descriptions.keys())
+        store = np.stack([np.asarray(images[i]) for i in store_ids])
+        index_of = {
+            i: np.asarray(k, np.int32) for k, i in enumerate(store_ids)
+        }
+        F_idx, T = build_training_batch(
+            self.tokenizer,
+            descriptions,
+            index_of,
+            self.config.decode.max_len,
         )
-        if F.shape[0] < batch_size:
+        if F_idx.shape[0] < batch_size:
             if log:
                 log(
-                    f"batch_size {batch_size} > {F.shape[0]} training "
-                    f"rows; clamping batch_size to {F.shape[0]}"
+                    f"batch_size {batch_size} > {F_idx.shape[0]} training "
+                    f"rows; clamping batch_size to {F_idx.shape[0]}"
                 )
-            batch_size = F.shape[0]
+            batch_size = F_idx.shape[0]
         optimizer = build_optimizer(
-            cfg, total_steps=epochs * max(1, F.shape[0] // batch_size)
+            cfg, total_steps=epochs * max(1, F_idx.shape[0] // batch_size)
         )
         if encoder_lr_scale != 1.0 and not freeze_encoder:
             optimizer = encoder_learning_rate_optimizer(
@@ -761,7 +774,8 @@ class CaptioningPipeline:
         for epoch in range(epochs):
             metrics_sum: dict = {}
             n = 0
-            for bf, bt in batch_iterator((F, T), batch_size, rng=rng):
+            for bi, bt in batch_iterator((F_idx, T), batch_size, rng=rng):
+                bf = store[np.asarray(bi)]  # minibatch-sized image gather
                 state, metrics = step(state, bf, bt)
                 n += 1
                 for k, v in metrics.items():

@@ -521,7 +521,9 @@ class ContinuousCaptionServer:
         self._ticks_per_sync = ticks_per_sync
         self._max_queue = max_queue
         self._queue: queue.Queue = queue.Queue()
-        self._futures: dict[int, tuple] = {}  # slot -> (future, t0)
+        # slot -> [future, t0, on_words|None, words_emitted] (mutable —
+        # _stream_progress advances words_emitted in place)
+        self._futures: dict[int, list] = {}
         self._free = list(range(slots))
         self._stats = ServerStats()
         self._tick_count = 0

@@ -224,11 +224,9 @@ class CaptionHTTPServer:
                 import queue as _q
 
                 spans: _q.Queue = _q.Queue()
-                try:
-                    fut = server.submit_stream(
-                        x, on_words=lambda ws: spans.put(ws)
-                    )
-                except AttributeError:
+                if not hasattr(server, "submit_stream"):
+                    # Precise capability check — a broad AttributeError
+                    # catch would misreport internal bugs as this 400.
                     self._reply(
                         400,
                         {
@@ -238,6 +236,10 @@ class CaptionHTTPServer:
                         },
                     )
                     return
+                try:
+                    fut = server.submit_stream(
+                        x, on_words=lambda ws: spans.put(ws)
+                    )
                 except (ValueError, Overloaded) as e:
                     code = 503 if isinstance(e, Overloaded) else 400
                     self._reply(code, {"error": str(e)})

@@ -46,9 +46,12 @@ from tpucap.train.loss import (
 def encode_for_decoder(encoder, enc_params, images):
     """Encoder forward in the training graph: (B, H, W, 3) preprocessed
     images -> decoder-ready features ((B, D) pooled or (B, L, D)
-    spatial-grid rows, the same shapes pipeline.extract_features emits)."""
+    spatial-grid rows, the same shapes pipeline.extract_features emits).
+    Keyed on the encoder's declared ``features`` mode — the same
+    predicate pipeline._apply_encoder uses — so training-time and
+    serving-time feature shapes can't diverge."""
     feats = encoder.apply(enc_params, images)
-    if feats.ndim == 4:  # (B, h, w, c) spatial grid -> (B, h*w, c)
+    if encoder.features == "spatial":  # (B, h, w, c) grid -> (B, h*w, c)
         b, h, w, c = feats.shape
         feats = feats.reshape(b, h * w, c)
     return feats
@@ -124,6 +127,16 @@ def make_joint_train_step(
         updates, opt_state = optimizer.update(
             grads, state.opt_state, state.params
         )
+        if freeze_encoder:
+            # stop_gradient zeroes the encoder GRADIENTS, but
+            # grad-independent optimizer terms (adamw's decoupled weight
+            # decay) would still move the "frozen" weights — mask the
+            # UPDATES so frozen means frozen for every optimizer, and
+            # the decoder-matches-feature-training contract holds.
+            updates = dict(updates)
+            updates["encoder"] = jax.tree_util.tree_map(
+                jnp.zeros_like, updates["encoder"]
+            )
         params = optax.apply_updates(state.params, updates)
         return (
             TrainState(
@@ -141,19 +154,30 @@ def make_joint_train_step(
 def encoder_learning_rate_optimizer(
     base_optimizer, *, encoder_lr_scale: float
 ):
-    """Scale the encoder subtree's updates by ``encoder_lr_scale`` —
+    """Scale the encoder subtree's UPDATES by ``encoder_lr_scale`` —
     the standard fine-tuning recipe (pretrained backbone at 0.1x the
-    fresh decoder's lr). Wraps any optax optimizer via multi_transform
-    over the {"encoder", "decoder"} split."""
-    return optax.multi_transform(
-        {
-            "encoder": optax.chain(
-                base_optimizer, optax.scale(encoder_lr_scale)
-            ),
-            "decoder": base_optimizer,
-        },
-        lambda params: {
-            "encoder": jax.tree_util.tree_map(lambda _: "encoder", params["encoder"]),
-            "decoder": jax.tree_util.tree_map(lambda _: "decoder", params["decoder"]),
-        },
+    fresh decoder's lr).
+
+    Implemented as ``chain(base, scale-encoder-subtree)`` rather than
+    optax.multi_transform so the base optimizer still sees the JOINT
+    gradient tree: global-norm clipping (build_optimizer's
+    grad_clip_norm) keeps clipping against the joint norm, and adaptive
+    statistics stay identical to the unscaled run — only the final
+    encoder update is scaled. A multi_transform split would silently
+    clip each subtree against the full threshold on its own norm."""
+
+    def init(params):
+        del params
+        return optax.EmptyState()
+
+    def update(updates, state, params=None):
+        del params
+        updates = dict(updates)
+        updates["encoder"] = jax.tree_util.tree_map(
+            lambda u: u * encoder_lr_scale, updates["encoder"]
+        )
+        return updates, state
+
+    return optax.chain(
+        base_optimizer, optax.GradientTransformation(init, update)
     )
