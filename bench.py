@@ -204,6 +204,42 @@ def main():
     )
     args = ap.parse_args()
 
+    import os
+
+    if args.mode != "host-decode" and os.environ.get(
+        "JAX_PLATFORMS", ""
+    ).lower() not in ("cpu",):
+        # Device reachability probe, timeout-bounded in a subprocess:
+        # jax device init HANGS indefinitely in-process when the
+        # remote-TPU tunnel is down (observed 2026-08-17) — a fast,
+        # honest failure beats wedging the caller for hours. No fake
+        # 0-value JSON is printed: a dead tunnel is not a measurement.
+        import subprocess
+        import sys as _sys
+
+        try:
+            probe = subprocess.run(
+                [
+                    _sys.executable,
+                    "-c",
+                    "import jax, sys; "
+                    "sys.stdout.write(str(len(jax.devices())))",
+                ],
+                capture_output=True,
+                timeout=180,
+            )
+            ok = probe.returncode == 0 and int(probe.stdout) >= 1
+        except (subprocess.TimeoutExpired, ValueError):
+            ok = False
+        if not ok:
+            print(
+                "bench: TPU backend unreachable (device probe timed "
+                "out/failed) — not printing a metric; fix the tunnel "
+                "and re-run. --mode host-decode works without a device.",
+                file=sys.stderr,
+            )
+            raise SystemExit(3)
+
     if args.mode == "host-decode":
         # Pure host-side benchmark (no device): the C++ threaded JPEG
         # decode feeding config 5. Recorded so the e2e throughput claim
