@@ -199,6 +199,70 @@ def test_joint_spatial_attention_decoder():
     assert "attention_reg" in m
 
 
+def test_dp_joint_matches_single_device():
+    """mesh= shards the image batch; pure-sum-space psum + global
+    normalization makes the DP update exactly the single-device one."""
+    from jax.sharding import Mesh
+
+    enc, dec, params, images, tokens = setup()
+    optimizer = optax.sgd(0.5)
+    single = make_joint_train_step(enc, dec, optimizer, deterministic=True)
+    s1 = TrainState.create(params, optimizer, jax.random.key(2))
+    s1, m1 = single(s1, jnp.asarray(images), jnp.asarray(tokens))
+
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("data",))
+    dp = make_joint_train_step(
+        enc, dec, optimizer, deterministic=True, mesh=mesh,
+        grad_accum_steps=2,  # composes: per-shard batch 2 -> microbatch 1
+    )
+    s2 = TrainState.create(params, optimizer, jax.random.key(2))
+    s2, m2 = dp(s2, jnp.asarray(images), jnp.asarray(tokens))
+    np.testing.assert_allclose(
+        float(m1["loss"]), float(m2["loss"]), rtol=1e-6
+    )
+    for a, b in zip(
+        jax.tree.leaves(jax.device_get(s1.params)),
+        jax.tree.leaves(jax.device_get(s2.params)),
+        strict=True,
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-6)
+
+
+def test_pipeline_fit_finetune_dp(toy_corpus, rng):
+    from tpucap.config import (
+        Config,
+        DecodeConfig,
+        DecoderConfig,
+        EncoderConfig,
+        TrainConfig,
+    )
+    from tpucap.pipeline import CaptioningPipeline
+    from tpucap.text import Tokenizer
+
+    cfg = Config(
+        encoder=EncoderConfig(name="tiny_cnn", feature_dim=128),
+        decoder=DecoderConfig(embed_dim=8, hidden_dim=16, dropout_rate=0.0),
+        decode=DecodeConfig(max_len=10),
+        train=TrainConfig(batch_size=8, learning_rate=1e-2),
+        precision="f32",
+    )
+    pipe = CaptioningPipeline(cfg)
+    tok = Tokenizer()
+    tok.fit_on_texts(toy_corpus)
+    pipe.tokenizer = tok
+    pipe.build()
+    desc = {f"i{k}": [toy_corpus[k % len(toy_corpus)]] for k in range(8)}
+    images = {
+        i: rng.normal(size=(32, 32, 3)).astype(np.float32) for i in desc
+    }
+    hist = pipe.fit_finetune(
+        desc, images, epochs=8, parallelism="dp", log=None
+    )
+    assert hist[-1]["loss"] < hist[0]["loss"]
+    with pytest.raises(NotImplementedError, match="parallelism"):
+        pipe.fit_finetune(desc, images, epochs=1, parallelism="tp", log=None)
+
+
 def test_pipeline_fit_finetune(toy_corpus, rng):
     from tpucap.config import (
         Config,

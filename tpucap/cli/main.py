@@ -234,6 +234,7 @@ def _validate_finetune_flags(args):
     early stopping would be worse than an error."""
     if not args.images:
         raise SystemExit("--finetune-encoder needs --images DIR")
+    par = getattr(args, "parallelism", None)
     unsupported = [
         name
         for name, val in (
@@ -242,16 +243,19 @@ def _validate_finetune_flags(args):
                 "--early-stopping-patience",
                 getattr(args, "early_stopping_patience", None),
             ),
-            ("--parallelism", getattr(args, "parallelism", None)),
-            ("--data-parallel", getattr(args, "data_parallel", False)),
+            (
+                f"--parallelism {par}",
+                par not in (None, "none", "dp"),
+            ),
         )
         if val
     ]
     if unsupported:
         raise SystemExit(
             f"{', '.join(unsupported)} not supported with "
-            "--finetune-encoder (single-device joint training; train "
-            "the decoder with `train` + extracted features for those)"
+            "--finetune-encoder (joint training runs single-device or "
+            "--parallelism dp; train the decoder with `train` + "
+            "extracted features for the rest)"
         )
 
 
@@ -287,12 +291,16 @@ def _cmd_train_finetune(args, pipe, prepared):
         paths = [os.path.join(args.images, f"{i}.jpg") for i in chunk]
         x = preprocess_batch(paths, size=size, mode=mode)
         images.update(dict(zip(chunk, x)))
+    parallelism = getattr(args, "parallelism", None)
+    if getattr(args, "data_parallel", False):
+        parallelism = "dp"
     history = pipe.fit_finetune(
         prepared,
         images,
         epochs=args.epochs,
         batch_size=args.batch_size,
         encoder_lr_scale=args.encoder_lr_scale,
+        parallelism=parallelism,
     )
     if getattr(args, "metrics_log", None) or getattr(
         args, "tensorboard_dir", None

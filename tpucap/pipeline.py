@@ -692,6 +692,7 @@ class CaptioningPipeline:
         batch_size: int | None = None,
         encoder_lr_scale: float = 0.1,
         freeze_encoder: bool = False,
+        parallelism: str | None = None,
         log=print,
     ) -> list[dict]:
         """End-to-end fine-tuning: train the ENCODER and decoder jointly
@@ -709,8 +710,10 @@ class CaptioningPipeline:
         feature boundary (decoder updates then match fit() on extracted
         features exactly). config.train.grad_accum_steps composes —
         encoder activations dominate memory here, so it buys A-times
-        larger image batches. Updates self.params in place: generate /
-        evaluate / save immediately use the tuned encoder."""
+        larger image batches. ``parallelism='dp'`` shards the image
+        batch over the data mesh (update-exact vs single device, pure
+        sum space — train/finetune.py). Updates self.params in place:
+        generate / evaluate / save immediately use the tuned encoder."""
         from tpucap.train import build_optimizer
         from tpucap.train.finetune import (
             encoder_learning_rate_optimizer,
@@ -752,6 +755,21 @@ class CaptioningPipeline:
             optimizer = encoder_learning_rate_optimizer(
                 optimizer, encoder_lr_scale=encoder_lr_scale
             )
+        if parallelism not in (None, "none", "dp"):
+            raise NotImplementedError(
+                f"fit_finetune supports parallelism None|'none'|'dp', "
+                f"got {parallelism!r}"
+            )
+        mesh = None
+        if parallelism == "dp":
+            mesh = make_mesh(self.config.mesh.n_devices)
+            data_n = dict(mesh.shape)["data"]
+            if batch_size % data_n:
+                raise ValueError(
+                    f"batch_size {batch_size} must divide by the "
+                    f"{data_n}-device data mesh"
+                )
+            self._mesh = mesh
         params = {
             "encoder": self.params["encoder"],
             "decoder": self.params["decoder"],
@@ -768,6 +786,7 @@ class CaptioningPipeline:
             attention_reg=cfg.attention_reg,
             grad_accum_steps=cfg.grad_accum_steps,
             freeze_encoder=freeze_encoder,
+            mesh=mesh,
         )
         rng = np.random.default_rng(cfg.seed)
         history = []
@@ -776,6 +795,8 @@ class CaptioningPipeline:
             n = 0
             for bi, bt in batch_iterator((F_idx, T), batch_size, rng=rng):
                 bf = store[np.asarray(bi)]  # minibatch-sized image gather
+                if mesh is not None:
+                    bf, bt = shard_batch(mesh, (bf, bt))
                 state, metrics = step(state, bf, bt)
                 n += 1
                 for k, v in metrics.items():

@@ -68,12 +68,23 @@ def make_joint_train_step(
     deterministic: bool = False,
     grad_accum_steps: int = 1,
     freeze_encoder: bool = False,
+    mesh=None,
+    axis: str = "data",
 ) -> Callable:
     """Joint jit'd step: (state, images, tokens) -> (state, metrics),
     state.params = {"encoder": ..., "decoder": ...}.
 
     The optimizer must be initialized over the SAME two-tree pytree
     (TrainState.create({"encoder": ..., "decoder": ...}, optimizer, rng)).
+
+    ``mesh`` switches on data parallelism: images/tokens shard over
+    ``axis`` under shard_map, params replicate, and the update is
+    computed in pure sum space — per-shard raw-sum gradients and loss
+    pieces are psum'd, then normalized once by the GLOBAL counts — so
+    the DP update is exactly the single-device update on the
+    concatenated batch (same identity the dp.py accumulation path
+    uses). grad_accum_steps composes per shard: per-chip image
+    activations shrink N*A-fold.
     """
     warn_if_attention_reg_unused(decoder, attention_reg)
     use_reg = attention_reg > 0.0 and hasattr(
@@ -101,29 +112,31 @@ def make_joint_train_step(
         sums = sums_fn(params, images, tokens, rng)
         return loss_from_sums(sums, attention_reg=attention_reg)
 
-    @jax.jit
-    def step(state: TrainState, images, tokens):
-        rng, dropout_rng = jax.random.split(state.rng)
-        if grad_accum_steps > 1:
-            g_nll, g_reg, sums = accumulated_sum_grads(
-                sums_fn,
-                state.params,
-                images,
-                tokens,
-                None if deterministic else dropout_rng,
-                steps=grad_accum_steps,
-                use_reg=use_reg,
-            )
-            grads = normalized_accum_grads(
-                g_nll, g_reg, sums, attention_reg=attention_reg
-            )
-            loss, metrics = loss_from_sums(
-                sums, attention_reg=attention_reg
-            )
-        else:
-            (loss, metrics), grads = jax.value_and_grad(
-                loss_fn, has_aux=True
-            )(state.params, images, tokens, dropout_rng)
+    def _sum_space_update(params, images, tokens, dropout_rng, psum):
+        """Shared by the DP branch (any accum) and the single-device
+        accum branch: raw-sum gradients + pieces, psum'd when sharded,
+        normalized once by the global counts."""
+        g_nll, g_reg, sums = accumulated_sum_grads(
+            sums_fn,
+            params,
+            images,
+            tokens,
+            dropout_rng,
+            steps=grad_accum_steps,
+            use_reg=use_reg,
+        )
+        if psum is not None:
+            sums = psum(sums)
+            g_nll = psum(g_nll)
+            if g_reg is not None:
+                g_reg = psum(g_reg)
+        grads = normalized_accum_grads(
+            g_nll, g_reg, sums, attention_reg=attention_reg
+        )
+        loss, metrics = loss_from_sums(sums, attention_reg=attention_reg)
+        return grads, loss, metrics
+
+    def _apply(state, grads, metrics, rng):
         updates, opt_state = optimizer.update(
             grads, state.opt_state, state.params
         )
@@ -147,6 +160,54 @@ def make_joint_train_step(
             ),
             metrics,
         )
+
+    if mesh is not None:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        def shard_body(state: TrainState, images, tokens):
+            rng, dropout_rng = jax.random.split(state.rng)
+            dropout_rng = jax.random.fold_in(
+                dropout_rng, jax.lax.axis_index(axis)
+            )
+            psum = lambda t: jax.tree_util.tree_map(  # noqa: E731
+                lambda s: jax.lax.psum(s, axis), t
+            )
+            grads, _, metrics = _sum_space_update(
+                state.params,
+                images,
+                tokens,
+                None if deterministic else dropout_rng,
+                psum,
+            )
+            return _apply(state, grads, metrics, rng)
+
+        return jax.jit(
+            shard_map(
+                shard_body,
+                mesh=mesh,
+                in_specs=(P(), P(axis), P(axis)),
+                out_specs=(P(), P()),
+                check_vma=False,
+            )
+        )
+
+    @jax.jit
+    def step(state: TrainState, images, tokens):
+        rng, dropout_rng = jax.random.split(state.rng)
+        if grad_accum_steps > 1:
+            grads, _, metrics = _sum_space_update(
+                state.params,
+                images,
+                tokens,
+                None if deterministic else dropout_rng,
+                None,
+            )
+        else:
+            (_, metrics), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params, images, tokens, dropout_rng)
+        return _apply(state, grads, metrics, rng)
 
     return step
 
