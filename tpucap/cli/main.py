@@ -37,6 +37,11 @@ def _add_optimizer_flags(p):
                    help="exponential schedule step interval (default 1000)")
     p.add_argument("--warmup-steps", type=int, default=None,
                    help="linear lr warmup steps prepended to the schedule")
+    p.add_argument("--ema-decay", type=float, default=None,
+                   help="track an exponential moving average of the "
+                   "weights (e.g. 0.999); train/finetune then also "
+                   "write a bundle_ema pipeline bundle with the "
+                   "averaged weights")
     p.add_argument("--grad-accum-steps", type=int, default=None,
                    help="scan each batch as N microbatches (exact "
                    "full-batch update, 1/N peak activation memory; "
@@ -103,6 +108,11 @@ def _build_config(args):
         if ga:
             cfg = cfg.replace(
                 train=dataclasses.replace(cfg.train, grad_accum_steps=ga)
+            )
+        ed = getattr(args, "ema_decay", None)
+        if ed:
+            cfg = cfg.replace(
+                train=dataclasses.replace(cfg.train, ema_decay=ed)
             )
         esp = getattr(args, "early_stopping_patience", None)
         if esp is not None:
@@ -178,6 +188,7 @@ def _build_config(args):
             )
             or 0,
             grad_accum_steps=getattr(args, "grad_accum_steps", None) or 1,
+            ema_decay=getattr(args, "ema_decay", None) or 0.0,
             optimizer=getattr(args, "optimizer", None) or "adam",
             momentum=getattr(args, "momentum", None) or 0.0,
             weight_decay=getattr(args, "weight_decay", None) or 0.0,
@@ -318,6 +329,7 @@ def _cmd_train_finetune(args, pipe, prepared):
         args.checkpoint_dir, "bundle"
     )
     pipe.save(bundle)
+    _maybe_save_ema_bundle(args, pipe)
     print(
         f"finetuned {len(history)} epochs; final loss "
         f"{history[-1]['loss']:.4f}; bundle in {bundle}"
@@ -383,8 +395,24 @@ def cmd_train(args):
             logger.log(h)
         logger.close()
     mgr.close()
+    _maybe_save_ema_bundle(args, pipe)
     print(f"trained {len(history)} epochs; final loss "
           f"{history[-1]['loss']:.4f}; checkpoints in {args.checkpoint_dir}")
+
+
+def _maybe_save_ema_bundle(args, pipe):
+    """--ema-decay: also write a pipeline bundle carrying the averaged
+    weights (the raw weights go back afterwards — checkpoints stay the
+    live training iterate)."""
+    if not getattr(args, "ema_decay", None):
+        return
+    replaced = pipe.use_ema_weights()
+    bundle = os.path.join(args.checkpoint_dir, "bundle_ema")
+    pipe.save(bundle)
+    pipe.params.update(replaced)
+    pipe._decode_cache.clear()
+    pipe._bf16_params = None
+    print(f"EMA weights (decay {args.ema_decay}) bundled in {bundle}")
 
 
 def _restore_pipeline(args):

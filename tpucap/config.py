@@ -105,6 +105,13 @@ class TrainConfig:
     lr_decay_steps: int = 1000
     warmup_steps: int = 0  # linear warmup prepended to any schedule
     grad_clip_norm: float = 0.0  # global-norm clip; 0 = off
+    # Exponential moving average of the weights: shadow params updated
+    # ema = d*ema + (1-d)*params after every step (initialized AT the
+    # starting params, so no zero-debias term is needed). 0 = off.
+    # The averaged weights land on pipeline.ema_params; swap them in for
+    # eval/serving with pipeline.use_ema_weights(). Training itself is
+    # untouched — the trajectory is identical with EMA on or off.
+    ema_decay: float = 0.0
     # Gradient accumulation: scan each step's batch as A microbatches
     # (per shard under DP), cutting peak activation memory A-fold while
     # producing the EXACT full-batch update (sum-form accumulation,

@@ -353,6 +353,13 @@ class CaptioningPipeline:
                 f"parallelism={parallelism!r} runs its own loss "
                 "schedule — drop the flag or use 'none'/'dp'"
             )
+        if cfg.ema_decay and parallelism not in ("none", "dp"):
+            raise NotImplementedError(
+                f"ema_decay={cfg.ema_decay} tracks canonical-layout "
+                f"params; parallelism={parallelism!r} trains on a "
+                "transformed layout (stacked stages / padded vocab) — "
+                "drop the flag or use 'none'/'dp'"
+            )
         if parallelism == "dp":
             self._mesh = make_mesh(self.config.mesh.n_devices)
             if batch_size % dict(self._mesh.shape)["data"]:
@@ -576,6 +583,7 @@ class CaptioningPipeline:
         history = []
         best_val = float("inf")
         epochs_since_best = 0
+        ema, ema_update = self._make_ema(cfg, self.state.params)
         for epoch in range(epochs):
             metrics_sum: dict = {}
             n = 0
@@ -583,6 +591,8 @@ class CaptioningPipeline:
                 if data_parallel:
                     bf, bt = shard_batch(self._mesh, (bf, bt))
                 self.state, metrics = step(self.state, bf, bt)
+                if ema_update is not None:
+                    ema = ema_update(ema, self.state.params)
                 n += 1
                 # Device-side accumulation: a per-step device_get blocks
                 # async dispatch (one host round-trip per step); sync
@@ -679,9 +689,47 @@ class CaptioningPipeline:
                 self.decoder, vocab_size=unpad_to
             )
         self.params["decoder"] = dec_params
+        if ema is not None:
+            self.ema_params = {"decoder": ema}
         self._decode_cache.clear()
         self._bf16_params = None
         return history
+
+    def _make_ema(self, cfg, params):
+        """-> (shadow tree | None, jitted update | None) for
+        TrainConfig.ema_decay. The shadow initializes AT the starting
+        params (no zero-debias needed); one elementwise device program
+        per step."""
+        if not cfg.ema_decay:
+            return None, None
+        d = float(cfg.ema_decay)
+        if not 0.0 < d < 1.0:
+            raise ValueError(f"ema_decay must be in (0, 1), got {d}")
+        update = jax.jit(
+            lambda e, p: jax.tree_util.tree_map(
+                lambda a, b: d * a + (1.0 - d) * b, e, p
+            )
+        )
+        return params, update
+
+    def use_ema_weights(self):
+        """Swap the EMA-averaged weights (tracked when
+        TrainConfig.ema_decay > 0 during fit/fit_finetune) into
+        self.params for eval/serving/save; returns the replaced
+        subtrees so the raw weights can be swapped back. The EMA of a
+        converging run is a lower-variance iterate — the standard
+        serving trick."""
+        ema = getattr(self, "ema_params", None)
+        if not ema:
+            raise ValueError(
+                "no EMA weights tracked — set TrainConfig.ema_decay > 0 "
+                "and run fit()/fit_finetune() first"
+            )
+        replaced = {k: self.params[k] for k in ema}
+        self.params.update(ema)
+        self._decode_cache.clear()
+        self._bf16_params = None
+        return replaced
 
     def fit_finetune(
         self,
@@ -790,6 +838,7 @@ class CaptioningPipeline:
         )
         rng = np.random.default_rng(cfg.seed)
         history = []
+        ema, ema_update = self._make_ema(cfg, state.params)
         for epoch in range(epochs):
             metrics_sum: dict = {}
             n = 0
@@ -798,6 +847,8 @@ class CaptioningPipeline:
                 if mesh is not None:
                     bf, bt = shard_batch(mesh, (bf, bt))
                 state, metrics = step(state, bf, bt)
+                if ema_update is not None:
+                    ema = ema_update(ema, state.params)
                 n += 1
                 for k, v in metrics.items():
                     metrics_sum[k] = metrics_sum.get(k, 0.0) + v
@@ -814,6 +865,8 @@ class CaptioningPipeline:
                 )
         self.params["encoder"] = state.params["encoder"]
         self.params["decoder"] = state.params["decoder"]
+        if ema is not None:
+            self.ema_params = dict(ema)  # {"encoder", "decoder"}
         self._decode_cache.clear()
         self._bf16_params = None
         return history
