@@ -182,6 +182,68 @@ def test_tp_train_matches_single_device(model_mesh, name):
         )
 
 
+@pytest.mark.parametrize("vocab", [VOCAB, 29])
+def test_tp_train_label_smoothing_matches(model_mesh, vocab):
+    """Smoothed vocab-parallel CE == single-device smoothed CE. vocab=29
+    exercises the padded path: ls/V and the smoothing logit-sum must use
+    the TRUE 29-word vocabulary, not the 32 padded columns (whose -1e9
+    biases would poison a naive sum)."""
+    import optax
+
+    from tpucap.parallel.tp import make_tp_train_step, pad_vocab_params
+    from tpucap.train import TrainState, make_train_step
+
+    LS = 0.1
+    dec = build_decoder(
+        "lstm1", vocab_size=vocab, feature_dim=FEAT, embed_dim=EMB,
+        hidden_dim=HID,
+    )
+    params = dec.init(jax.random.key(0))
+    optimizer = optax.sgd(0.5)
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.normal(size=(B, FEAT)).astype(np.float32))
+    tokens = jnp.asarray(
+        rng.integers(1, vocab, size=(B, 7)).astype(np.int32)
+    )
+    tokens = tokens.at[:, -2:].set(0)
+
+    single = make_train_step(
+        dec, optimizer, deterministic=True, label_smoothing=LS
+    )
+    s1 = TrainState.create(params, optimizer, jax.random.key(1))
+    s1, m1 = single(s1, feats, tokens)
+
+    padded, new_v = pad_vocab_params(params, 8)
+    import dataclasses
+
+    dec_p = dataclasses.replace(dec, vocab_size=new_v)
+    tp_step = make_tp_train_step(
+        dec_p, optimizer, model_mesh, deterministic=True,
+        label_smoothing=LS, true_vocab=vocab,
+    )
+    s8 = TrainState.create(padded, optimizer, jax.random.key(1))
+    s8, m8 = tp_step(s8, feats, tokens)
+
+    np.testing.assert_allclose(
+        float(m1["loss"]), float(m8["loss"]), rtol=1e-5
+    )
+    # Compare the shared (unpadded) slices of every param.
+    p8 = jax.device_get(s8.params)
+    p8["embedding"] = {"table": p8["embedding"]["table"][:vocab]}
+    p8["out"] = {
+        "kernel": p8["out"]["kernel"][:, :vocab],
+        "bias": p8["out"]["bias"][:vocab],
+    }
+    for a, b in zip(
+        jax.tree_util.tree_leaves(jax.device_get(s1.params)),
+        jax.tree_util.tree_leaves(p8),
+        strict=True,
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-6
+        )
+
+
 def test_tp_beam_attention_with_shared_grids(model_mesh):
     """TP vocab-sharded beam decode over the attention decoder (shared
     per-image grids + sharded projection together), token-exact."""

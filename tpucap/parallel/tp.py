@@ -93,6 +93,8 @@ def make_tp_train_step(
     data_axis: str | None = None,
     pad_id: int = 0,
     deterministic: bool = False,
+    label_smoothing: float = 0.0,
+    true_vocab: int | None = None,
 ):
     """Vocab-parallel training step: each shard computes only its (B, T,
     V/p) logits slice from its columns of the (replicated) output kernel —
@@ -103,6 +105,17 @@ def make_tp_train_step(
         lse      = pmax/psum two-pass logsumexp over vocab shards
         tgt_logit= psum of the shard that owns each target column
         nll      = lse - tgt_logit           (masked, sum-form, psum'd)
+
+    ``label_smoothing`` keeps the Keras convention (uniform over ALL
+    true classes, target included) without materializing logp: since
+    sum_j logp_j = sum_j logit_j - V*lse, the smoothed nll collapses to
+    ``lse - (1-ls)*tgt_logit - (ls/V) * sum_j logit_j`` — one extra
+    psum of per-shard logit sums. ``true_vocab`` bounds that sum when
+    the vocabulary was padded to shard evenly (pad_vocab_params gives
+    padded columns a -1e9 bias: invisible to lse, catastrophic to a
+    naive sum — so padded columns are masked out and ls/V uses the TRUE
+    vocabulary size, matching the single-device step on unpadded
+    params).
 
     Params and optimizer state stay replicated (this model's params are
     small; it's the activations that need sharding); dynamic-slice's
@@ -162,7 +175,20 @@ def make_tp_train_step(
         )
 
         mask = (targets != pad_id).astype(jnp.float32)
-        nll_sum = jnp.sum((lse - tgt_logit) * mask)
+        if label_smoothing > 0.0:
+            Vt = true_vocab or V
+            col_valid = (off + jnp.arange(vl)) < Vt  # true columns only
+            sum_logits = jax.lax.psum(
+                jnp.sum(jnp.where(col_valid, local, 0.0), axis=-1), axis
+            )  # (B, T) = sum_j logit_j over the TRUE vocabulary
+            nll = (
+                lse
+                - (1.0 - label_smoothing) * tgt_logit
+                - (label_smoothing / Vt) * sum_logits
+            )
+        else:
+            nll = lse - tgt_logit
+        nll_sum = jnp.sum(nll * mask)
         n_tokens = jnp.sum(mask)
         if data_axis is not None:
             # 2-D DPxTP: batch is also sharded; globalize the sum-form

@@ -379,11 +379,6 @@ class CaptioningPipeline:
         elif parallelism in ("tp", "dp_tp"):
             from tpucap.parallel import make_tp_train_step
 
-            if cfg.label_smoothing:
-                raise NotImplementedError(
-                    "label smoothing is not supported by the vocab-parallel "
-                    "CE step"
-                )
             if cfg.attention_reg:
                 raise NotImplementedError(
                     "attention_reg is not supported by the vocab-parallel "
@@ -426,6 +421,10 @@ class CaptioningPipeline:
                 self._mesh,
                 pad_id=0,
                 data_axis="data" if parallelism == "dp_tp" else None,
+                label_smoothing=cfg.label_smoothing,
+                # ls/V and the smoothing logit-sum use the TRUE vocab
+                # when the padding branch above widened it.
+                true_vocab=unpad_to,
             )
         elif parallelism in ("pp", "dp_pp"):
             from tpucap.parallel import make_pp_train_step, stack_pp_layers
