@@ -280,6 +280,11 @@ def _cmd_train_finetune(args, pipe, prepared):
 
     pipe.fit_tokenizer(prepared)
     pipe.build()
+    if getattr(args, "embeddings", None):
+        pipe.set_pretrained_embeddings(
+            args.embeddings,
+            freeze=getattr(args, "freeze_embeddings", False),
+        )
     if getattr(args, "keras_h5", None):
         # Start from pretrained encoder weights — the normal fine-tune
         # setup (a random encoder would just be joint from-scratch).
@@ -343,6 +348,10 @@ def cmd_train(args):
 
     # Flag validation BEFORE any dataset/checkpoint IO — a bad flag
     # combination must not surface as a FileNotFoundError.
+    if getattr(args, "freeze_embeddings", False) and not getattr(
+        args, "embeddings", None
+    ):
+        raise SystemExit("--freeze-embeddings needs --embeddings FILE")
     if getattr(args, "finetune_encoder", False):
         _validate_finetune_flags(args)
     elif not args.features:
@@ -361,6 +370,11 @@ def cmd_train(args):
 
     pipe.fit_tokenizer(prepared)
     pipe.build()
+    if getattr(args, "embeddings", None):
+        pipe.set_pretrained_embeddings(
+            args.embeddings,
+            freeze=getattr(args, "freeze_embeddings", False),
+        )
     os.makedirs(args.checkpoint_dir, exist_ok=True)
     pipe.tokenizer.save(os.path.join(args.checkpoint_dir, "tokenizer.json"))
 
@@ -643,6 +657,13 @@ def main(argv=None):
     p.add_argument("--keras-h5", default=None,
                    help="pretrained Keras encoder weights to start "
                    "--finetune-encoder from")
+    p.add_argument("--embeddings", default=None,
+                   help="GloVe-format word-vector file to initialize the "
+                   "decoder embedding table from (zero rows for "
+                   "uncovered words)")
+    p.add_argument("--freeze-embeddings", action="store_true",
+                   help="pin the pretrained embedding table during "
+                   "training (optimizer updates masked to zero)")
     p.add_argument("--checkpoint-dir", default="checkpoints")
     p.add_argument("--epochs", type=int, default=20)
     p.add_argument("--batch-size", type=int, default=64)

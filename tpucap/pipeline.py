@@ -54,6 +54,7 @@ class CaptioningPipeline:
         self._mesh = None
         self._decode_cache: dict = {}
         self._encode_fn = None
+        self._freeze_embeddings = False
 
     # -- tokenizer ---------------------------------------------------------
 
@@ -134,6 +135,65 @@ class CaptioningPipeline:
         self._encode_fn = None
         self._decode_cache.clear()
         self._bf16_params = None
+
+    def set_pretrained_embeddings(
+        self, source, *, freeze: bool = False, log=print
+    ) -> int:
+        """Initialize the decoder's embedding table from pretrained word
+        vectors (the reference genre's GloVe recipe — SURVEY.md §2.2
+        Embedding row; tpucap.text.embeddings).
+
+        ``source`` is a path to a GloVe-format text file, a
+        ``{word: vector}`` dict, or a ready ``(vocab_size, embed_dim)``
+        matrix. Rows for words without a vector (and padding row 0) stay
+        zero. ``freeze=True`` pins the table for subsequent fit() calls
+        by masking the optimizer UPDATES (so adamw weight decay cannot
+        move it either — the finetune.py freeze rule); supported under
+        parallelism 'none' and 'dp', which train on the canonical param
+        layout. Returns the pretrained-row hit count.
+        """
+        from tpucap.text.embeddings import (
+            build_embedding_matrix,
+            load_word_vectors,
+        )
+
+        if self.decoder is None:
+            self.build()
+        table = self.params["decoder"]["embedding"]["table"]
+        if isinstance(source, str):
+            source = load_word_vectors(source)
+        if isinstance(source, dict):
+            if self.tokenizer is None:
+                raise ValueError(
+                    "a fitted tokenizer is required to index word vectors "
+                    "— call fit_tokenizer() first or pass a matrix"
+                )
+            matrix, hits = build_embedding_matrix(
+                self.tokenizer,
+                source,
+                embed_dim=table.shape[1],
+                vocab_size=table.shape[0],
+            )
+        else:
+            matrix, hits = np.asarray(source), None
+        if matrix.shape != table.shape:
+            raise ValueError(
+                f"embedding matrix shape {matrix.shape} != decoder "
+                f"table shape {tuple(table.shape)}"
+            )
+        self.params["decoder"]["embedding"]["table"] = jnp.asarray(
+            matrix, table.dtype
+        )
+        self._freeze_embeddings = freeze
+        self._decode_cache.clear()
+        self._bf16_params = None
+        if log and hits is not None:
+            log(
+                f"pretrained embeddings: {hits}/{table.shape[0] - 1} vocab "
+                f"words covered ({100.0 * hits / max(1, table.shape[0] - 1):.1f}%)"
+                + (", table frozen" if freeze else "")
+            )
+        return hits if hits is not None else int(matrix.shape[0])
 
     def quantize_encoder(self) -> None:
         """Quantize the frozen encoder to int8 serving weights (per-channel
@@ -340,6 +400,26 @@ class CaptioningPipeline:
         optimizer = build_optimizer(
             cfg, total_steps=epochs * max(1, F.shape[0] // batch_size)
         )
+        if self._freeze_embeddings:
+            if parallelism not in ("none", "dp"):
+                raise NotImplementedError(
+                    "freeze_embeddings masks the canonical-layout "
+                    f"'embedding' subtree; parallelism={parallelism!r} "
+                    "trains on a transformed layout — unfreeze or use "
+                    "'none'/'dp'"
+                )
+            # Zero the UPDATES (not just gradients) for the embedding
+            # table, so grad-independent optimizer terms (adamw weight
+            # decay) cannot move the frozen pretrained vectors — the
+            # same rule as train/finetune.py freeze_encoder. The wrapper
+            # is state-transparent: opt_state (and thus checkpoint
+            # restore templates) match the unfrozen optimizer exactly.
+            from tpucap.train import freeze_subtree_updates
+
+            optimizer = freeze_subtree_updates(
+                optimizer,
+                lambda path: getattr(path[0], "key", None) == "embedding",
+            )
         self.state = TrainState.create(
             self.params["decoder"], optimizer, jax.random.key(cfg.seed)
         )
@@ -801,6 +881,18 @@ class CaptioningPipeline:
         if encoder_lr_scale != 1.0 and not freeze_encoder:
             optimizer = encoder_learning_rate_optimizer(
                 optimizer, encoder_lr_scale=encoder_lr_scale
+            )
+        if self._freeze_embeddings:
+            # Same state-transparent update-masking rule as fit(): the
+            # frozen pretrained table must not move under any optimizer
+            # term, in the joint {"encoder", "decoder"} layout.
+            from tpucap.train import freeze_subtree_updates
+
+            optimizer = freeze_subtree_updates(
+                optimizer,
+                lambda path: len(path) >= 2
+                and getattr(path[0], "key", None) == "decoder"
+                and getattr(path[1], "key", None) == "embedding",
             )
         if parallelism not in (None, "none", "dp"):
             raise NotImplementedError(

@@ -4,6 +4,7 @@ from tpucap.train.loss import masked_cross_entropy, caption_loss
 from tpucap.train.loop import (
     TrainState,
     build_optimizer,
+    freeze_subtree_updates,
     make_train_step,
     train_epoch,
 )
@@ -14,6 +15,7 @@ __all__ = [
     "caption_loss",
     "TrainState",
     "build_optimizer",
+    "freeze_subtree_updates",
     "make_train_step",
     "train_epoch",
     "build_training_batch",

@@ -37,6 +37,29 @@ class TrainState:
         )
 
 
+def freeze_subtree_updates(optimizer, is_frozen):
+    """Zero the updates whose key path satisfies ``is_frozen(path)``
+    AFTER the base optimizer runs — so grad-independent terms (adamw's
+    decoupled weight decay) cannot move frozen params either, the same
+    rule as finetune.py's freeze_encoder.
+
+    STATE-TRANSPARENT by design: ``init`` and the opt_state pytree are
+    the base optimizer's unchanged (no ``optax.chain`` wrapper), so
+    checkpoint save/restore templates and resume work identically with
+    or without the freeze.
+    """
+
+    def update(updates, state, params=None):
+        updates, state = optimizer.update(updates, state, params)
+        updates = jax.tree_util.tree_map_with_path(
+            lambda path, u: jnp.zeros_like(u) if is_frozen(path) else u,
+            updates,
+        )
+        return updates, state
+
+    return optax.GradientTransformation(optimizer.init, update)
+
+
 def build_optimizer(cfg, total_steps: int = 0):
     """TrainConfig -> optax optimizer (the Keras compile(optimizer=...)
     surface — SURVEY.md §2.2 "fit loop" row).
