@@ -1,0 +1,243 @@
+"""Self-critical sequence training (tpucap.train.scst): per-sentence
+CiderDScorer consistency with the corpus metric, the hand-checked
+policy-gradient loss, the REINFORCE direction property, and the
+pipeline.fit_scst surface."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from tpucap.config import (
+    Config,
+    DecodeConfig,
+    DecoderConfig,
+    EncoderConfig,
+    TrainConfig,
+)
+from tpucap.models.decoders import MergeDecoder
+from tpucap.pipeline import CaptioningPipeline
+from tpucap.text import Tokenizer
+from tpucap.train import TrainState, make_scst_rollout, make_scst_step
+from tpucap.train.metrics import CiderDScorer, cider_d
+from tpucap.train.scst import scst_loss
+
+FEAT, EMBED, HID = 16, 8, 16
+
+
+def tiny_decoder(vocab=11, seed=0):
+    dec = MergeDecoder(
+        vocab_size=vocab,
+        feature_dim=FEAT,
+        embed_dim=EMBED,
+        hidden_dim=HID,
+        dropout_rate=0.0,
+    )
+    return dec, dec.init(jax.random.key(seed))
+
+
+# -- scorer -------------------------------------------------------------------
+
+
+def test_cider_scorer_matches_corpus_metric(toy_corpus):
+    refs = [[c.split()[1:-1]] for c in toy_corpus]  # strip sentinels
+    hyps = [c.split()[1:-1][:4] for c in toy_corpus]
+    scorer = CiderDScorer(refs)
+    per_image = [scorer.score(r, h) for r, h in zip(refs, hyps)]
+    np.testing.assert_allclose(
+        np.mean(per_image), cider_d(refs, hyps), rtol=1e-12
+    )
+
+
+def test_cider_scorer_perfect_match_beats_mismatch(toy_corpus):
+    refs = [[c.split()[1:-1]] for c in toy_corpus]
+    scorer = CiderDScorer(refs)
+    exact = scorer.score(refs[0], refs[0][0])
+    wrong = scorer.score(refs[0], refs[3][0])
+    assert exact > wrong >= 0.0
+
+
+# -- loss ---------------------------------------------------------------------
+
+
+def test_scst_loss_hand_value(rng):
+    """Loss == -(1/Ntok) sum_b adv_b * sum_t logp(sampled_bt) computed
+    by hand from the same forward."""
+    dec, params = tiny_decoder()
+    B, T = 3, 5
+    feats = jnp.asarray(rng.normal(size=(B, FEAT)), jnp.float32)
+    sampled = jnp.asarray(
+        [[4, 5, 2, 0, 0], [3, 3, 3, 3, 2], [7, 2, 0, 0, 0]], jnp.int32
+    )
+    adv = jnp.asarray([0.5, -1.0, 2.0], jnp.float32)
+    loss, metrics = scst_loss(
+        dec, params, feats, sampled, adv, start_id=1
+    )
+
+    inputs = jnp.concatenate(
+        [jnp.full((B, 1), 1, jnp.int32), sampled[:, :-1]], axis=1
+    )
+    logits = dec.forward_train(params, feats, inputs, deterministic=True)
+    logp = jax.nn.log_softmax(np.asarray(logits, np.float64), axis=-1)
+    total, n_tok = 0.0, 0
+    for b in range(B):
+        for t in range(T):
+            w = int(sampled[b, t])
+            if w == 0:
+                continue
+            total += float(adv[b]) * logp[b, t, w]
+            n_tok += 1
+    np.testing.assert_allclose(float(loss), -total / n_tok, rtol=1e-5)
+    assert float(metrics["tokens"]) == n_tok
+
+
+def test_scst_pad_rows_contribute_nothing(rng):
+    """A zero-padded tail row (all-pad sampled tokens, advantage 0)
+    leaves loss AND gradients identical to the unpadded batch."""
+    dec, params = tiny_decoder()
+    feats = jnp.asarray(rng.normal(size=(2, FEAT)), jnp.float32)
+    sampled = jnp.asarray([[4, 5, 2, 0], [3, 6, 2, 0]], jnp.int32)
+    adv = jnp.asarray([1.0, -0.5], jnp.float32)
+
+    def loss_of(params, f, s, a):
+        return scst_loss(dec, params, f, s, a, start_id=1)[0]
+
+    g = jax.grad(loss_of)(params, feats, sampled, adv)
+    feats_p = jnp.concatenate([feats, jnp.zeros((1, FEAT))], axis=0)
+    sampled_p = jnp.concatenate(
+        [sampled, jnp.zeros((1, 4), jnp.int32)], axis=0
+    )
+    adv_p = jnp.concatenate([adv, jnp.zeros((1,))])
+    g_p = jax.grad(loss_of)(params, feats_p, sampled_p, adv_p)
+    for a, b in zip(
+        jax.tree.leaves(g), jax.tree.leaves(g_p), strict=True
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6
+        )
+
+
+def test_scst_step_reinforce_direction(rng):
+    """One update with positive advantage on a sampled sequence raises
+    its log-likelihood; negative advantage lowers it."""
+    dec, params = tiny_decoder()
+    feats = jnp.asarray(rng.normal(size=(1, FEAT)), jnp.float32)
+    sampled = jnp.asarray([[4, 5, 2, 0, 0]], jnp.int32)
+
+    def seq_logp(params):
+        loss, m = scst_loss(
+            dec,
+            params,
+            feats,
+            sampled,
+            jnp.ones((1,), jnp.float32),
+            start_id=1,
+        )
+        return float(m["sample_logp"])
+
+    for sign in (1.0, -1.0):
+        opt = optax.sgd(0.5)
+        state = TrainState.create(params, opt, jax.random.key(0))
+        step = make_scst_step(dec, opt, start_id=1)
+        before = seq_logp(state.params)
+        state, _ = step(
+            state, feats, sampled, jnp.asarray([sign], jnp.float32)
+        )
+        after = seq_logp(state.params)
+        if sign > 0:
+            assert after > before
+        else:
+            assert after < before
+
+
+def test_scst_rollout_shapes_and_greedy_parity(toy_corpus, rng):
+    """The rollout's greedy half is exactly greedy_decode; the sampled
+    half is reproducible under the same key."""
+    dec, params = tiny_decoder(vocab=30)
+    rollout = make_scst_rollout(
+        dec, start_id=1, end_id=2, max_len=7, temperature=1.0
+    )
+    feats = jnp.asarray(rng.normal(size=(4, FEAT)), jnp.float32)
+    key = jax.random.key(7)
+    s1, g1 = rollout(params, feats, key)
+    s2, g2 = rollout(params, feats, key)
+    assert s1.tokens.shape == (4, 7) and g1.tokens.shape == (4, 7)
+    np.testing.assert_array_equal(
+        np.asarray(s1.tokens), np.asarray(s2.tokens)
+    )
+    from tpucap.decode import greedy_decode
+
+    ref = greedy_decode(
+        dec.step,
+        params,
+        dec.init_state(params, feats),
+        start_id=1,
+        end_id=2,
+        max_len=7,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(g1.tokens), np.asarray(ref.tokens)
+    )
+
+
+# -- pipeline surface -----------------------------------------------------------
+
+
+def make_pipe(toy_corpus, lr=1e-3):
+    cfg = Config(
+        encoder=EncoderConfig(name="tiny_cnn", feature_dim=128),
+        decoder=DecoderConfig(embed_dim=8, hidden_dim=16, dropout_rate=0.0),
+        decode=DecodeConfig(max_len=10),
+        train=TrainConfig(batch_size=8, learning_rate=lr, seed=0),
+        precision="f32",
+    )
+    pipe = CaptioningPipeline(cfg)
+    tok = Tokenizer()
+    tok.fit_on_texts(toy_corpus)
+    pipe.tokenizer = tok
+    pipe.build()
+    return pipe
+
+
+def test_fit_scst_runs_and_updates(toy_corpus, rng):
+    pipe = make_pipe(toy_corpus)
+    desc = {f"i{k}": [toy_corpus[k]] for k in range(8)}
+    feats = {i: rng.normal(size=(128,)).astype(np.float32) for i in desc}
+    pipe.fit(desc, feats, epochs=3, log=None)
+    before = np.asarray(pipe.params["decoder"]["out"]["kernel"]).copy()
+    hist = pipe.fit_scst(desc, feats, epochs=2, batch_size=4, log=None)
+    after = np.asarray(pipe.params["decoder"]["out"]["kernel"])
+    assert len(hist) == 2
+    for h in hist:
+        assert set(h) >= {"loss", "reward", "baseline", "advantage"}
+        assert np.isfinite(h["loss"]) and np.isfinite(h["reward"])
+        assert h["reward"] >= 0.0 and h["baseline"] >= 0.0
+    assert np.abs(after - before).max() > 0
+    caps = pipe.generate(
+        np.stack([feats["i0"], feats["i1"]]), method="greedy"
+    )
+    assert len(caps) == 2
+
+
+def test_fit_scst_improves_reward_on_memorizable_fixture(toy_corpus, rng):
+    """On a tiny memorizable corpus with a warm CE start, SCST's greedy
+    baseline reward must improve over its own starting value (the
+    self-critical objective directly maximizes expected CIDEr-D)."""
+    pipe = make_pipe(toy_corpus)
+    desc = {f"i{k}": [toy_corpus[k]] for k in range(8)}
+    feats = {i: rng.normal(size=(128,)).astype(np.float32) for i in desc}
+    pipe.fit(desc, feats, epochs=12, log=None)
+
+    import dataclasses
+
+    pipe.config = dataclasses.replace(
+        pipe.config,
+        train=dataclasses.replace(
+            pipe.config.train, learning_rate=2e-3
+        ),
+    )
+    hist = pipe.fit_scst(
+        desc, feats, epochs=8, batch_size=8, temperature=0.7, log=None
+    )
+    assert hist[-1]["baseline"] > hist[0]["baseline"] - 1e-6

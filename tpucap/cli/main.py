@@ -412,6 +412,29 @@ def cmd_train(args):
     _maybe_save_ema_bundle(args, pipe)
     print(f"trained {len(history)} epochs; final loss "
           f"{history[-1]['loss']:.4f}; checkpoints in {args.checkpoint_dir}")
+    if getattr(args, "scst_epochs", 0):
+        import dataclasses
+
+        pipe.config = dataclasses.replace(
+            pipe.config,
+            train=dataclasses.replace(
+                pipe.config.train, learning_rate=args.scst_lr
+            ),
+        )
+        scst_hist = pipe.fit_scst(
+            prepared,
+            features,
+            epochs=args.scst_epochs,
+            batch_size=args.batch_size,
+            temperature=args.scst_temperature,
+        )
+        bundle = os.path.join(args.checkpoint_dir, "bundle_scst")
+        pipe.save(bundle)
+        print(
+            f"scst {len(scst_hist)} epochs; final reward "
+            f"{scst_hist[-1]['reward']:.4f} (baseline "
+            f"{scst_hist[-1]['baseline']:.4f}); bundle in {bundle}"
+        )
 
 
 def _maybe_save_ema_bundle(args, pipe):
@@ -657,6 +680,15 @@ def main(argv=None):
     p.add_argument("--keras-h5", default=None,
                    help="pretrained Keras encoder weights to start "
                    "--finetune-encoder from")
+    p.add_argument("--scst-epochs", type=int, default=0,
+                   help="after CE training, run N epochs of self-"
+                   "critical sequence training (REINFORCE on CIDEr-D "
+                   "with a greedy baseline); writes bundle_scst")
+    p.add_argument("--scst-lr", type=float, default=5e-5,
+                   help="learning rate for the SCST phase (practice "
+                   "wants ~20x below the CE lr)")
+    p.add_argument("--scst-temperature", type=float, default=1.0,
+                   help="sampling temperature for SCST rollouts")
     p.add_argument("--embeddings", default=None,
                    help="GloVe-format word-vector file to initialize the "
                    "decoder embedding table from (zero rows for "

@@ -962,6 +962,150 @@ class CaptioningPipeline:
         self._bf16_params = None
         return history
 
+    def fit_scst(
+        self,
+        descriptions: dict[str, list[str]],
+        features: dict[str, np.ndarray],
+        *,
+        epochs: int | None = None,
+        batch_size: int | None = None,
+        temperature: float = 1.0,
+        top_k: int | None = None,
+        log=print,
+    ) -> list[dict]:
+        """Self-critical sequence training (Rennie et al. 2017) —
+        policy-gradient fine-tuning on per-image CIDEr-D with the
+        model's own greedy decode as the baseline (tpucap.train.scst).
+
+        Run AFTER CE training (``fit``): SCST assumes a model that
+        already captions; practice also wants a much lower learning
+        rate than CE (set TrainConfig.learning_rate ~5e-5 before
+        calling). One row per IMAGE (not per caption) — the 5
+        references are the reward targets. Single-device; the decoder
+        params/opt surface match ``fit`` exactly.
+        """
+        from tpucap.train.metrics import CiderDScorer
+        from tpucap.train.scst import make_scst_rollout, make_scst_step
+
+        cfg = self.config.train
+        epochs = epochs or cfg.epochs
+        batch_size = batch_size or cfg.batch_size
+        if self.decoder is None:
+            self.build()
+        start_id, end_id = self._token_ids()
+
+        ids = list(descriptions.keys())
+        feats_all = np.stack(
+            [np.asarray(features[i]) for i in ids]
+        ).astype(np.float32)
+        refs_of = {
+            i: [
+                [
+                    w
+                    for w in c.split()
+                    if w not in (START_TOKEN, END_TOKEN)
+                ]
+                for c in descriptions[i]
+            ]
+            for i in ids
+        }
+        scorer = CiderDScorer([refs_of[i] for i in ids])
+
+        if batch_size > len(ids):
+            if log:
+                log(
+                    f"batch_size {batch_size} > {len(ids)} images; "
+                    f"clamping batch_size to {len(ids)}"
+                )
+            batch_size = len(ids)
+        from tpucap.train import build_optimizer
+
+        steps_per_epoch = max(1, len(ids) // batch_size)
+        optimizer = build_optimizer(
+            cfg, total_steps=epochs * steps_per_epoch
+        )
+        if self._freeze_embeddings:
+            from tpucap.train import freeze_subtree_updates
+
+            optimizer = freeze_subtree_updates(
+                optimizer,
+                lambda path: getattr(path[0], "key", None) == "embedding",
+            )
+        state = TrainState.create(
+            self.params["decoder"], optimizer, jax.random.key(cfg.seed)
+        )
+        rollout = make_scst_rollout(
+            self.decoder,
+            start_id=start_id,
+            end_id=end_id,
+            max_len=self.config.decode.max_len,
+            temperature=temperature,
+            top_k=top_k,
+        )
+        step = make_scst_step(self.decoder, optimizer, start_id=start_id)
+
+        key = jax.random.key(cfg.seed + 1)
+        order_rng = np.random.default_rng(cfg.seed)
+        history: list[dict] = []
+        global_step = 0
+        for epoch in range(epochs):
+            perm = order_rng.permutation(len(ids))
+            ep = {"loss": 0.0, "reward": 0.0, "baseline": 0.0, "n": 0}
+            # Drop the remainder like batch_iterator: fixed program
+            # shapes, and every image comes back around next epoch
+            # under a different permutation.
+            for s in range(0, len(ids) - batch_size + 1, batch_size):
+                take = perm[s : s + batch_size]
+                feats = jnp.asarray(feats_all[take])
+                sampled, baseline = rollout(
+                    state.params,
+                    feats,
+                    jax.random.fold_in(key, global_step),
+                )
+                samp_caps = ids_to_captions(
+                    self.tokenizer,
+                    sampled.tokens,
+                    sampled.lengths,
+                    end_id=end_id,
+                )
+                base_caps = ids_to_captions(
+                    self.tokenizer,
+                    baseline.tokens,
+                    baseline.lengths,
+                    end_id=end_id,
+                )
+                rewards = np.empty(len(take), np.float32)
+                base_r = np.empty(len(take), np.float32)
+                for j, row in enumerate(take):
+                    refs = refs_of[ids[row]]
+                    rewards[j] = scorer.score(refs, samp_caps[j].split())
+                    base_r[j] = scorer.score(refs, base_caps[j].split())
+                adv = rewards - base_r
+                state, metrics = step(
+                    state, feats, sampled.tokens, jnp.asarray(adv)
+                )
+                global_step += 1
+                ep["loss"] += float(metrics["loss"])
+                ep["reward"] += float(rewards.mean())
+                ep["baseline"] += float(base_r.mean())
+                ep["n"] += 1
+            n = max(1, ep.pop("n"))
+            entry = {k: v / n for k, v in ep.items()}
+            entry["advantage"] = entry["reward"] - entry["baseline"]
+            entry["epoch"] = epoch
+            history.append(entry)
+            if log:
+                log(
+                    f"scst epoch {epoch}: reward={entry['reward']:.4f} "
+                    f"baseline={entry['baseline']:.4f} "
+                    f"loss={entry['loss']:.4f}"
+                )
+        self.state = state
+        self.params["decoder"] = state.params
+        self._decode_cache.clear()
+        self._bf16_params = None
+        return history
+
     # -- generation (reference: generate_desc / beam_search_desc) ----------
 
     def _decode_fn(self, method: str, beam_width: int):

@@ -8,6 +8,7 @@ from tpucap.train.loop import (
     make_train_step,
     train_epoch,
 )
+from tpucap.train.scst import make_scst_rollout, make_scst_step, scst_loss
 from tpucap.train.sequences import build_training_batch
 
 __all__ = [
@@ -19,4 +20,7 @@ __all__ = [
     "make_train_step",
     "train_epoch",
     "build_training_batch",
+    "make_scst_rollout",
+    "make_scst_step",
+    "scst_loss",
 ]

@@ -52,38 +52,45 @@ def _counts_to_vec(tokens: list, doc_freq: dict, log_n: float):
     return vecs, norms, len(tokens)
 
 
-def cider_d(
-    references: list[list[list[str]]], hypotheses: list[list[str]]
-) -> float:
-    """references: per-image list of tokenized reference captions;
-    hypotheses: per-image tokenized candidate. -> corpus CIDEr-D.
+class CiderDScorer:
+    """Per-sentence CIDEr-D against a FIXED corpus IDF.
 
-    Matches the coco-caption CiderScorer (sigma 6.0, n 1..4, DF over
-    reference sets, corpus-level IDF base log(N_images))."""
-    if len(references) != len(hypotheses):
-        raise ValueError(
-            f"{len(references)} reference sets vs "
-            f"{len(hypotheses)} hypotheses"
+    Document frequencies (and the IDF base ``log(N_images)``) are
+    computed ONCE from the reference sets handed to the constructor;
+    ``score(refs, hyp)`` then evaluates an individual candidate. This is
+    the SCST reward convention (Rennie et al. 2017: per-image CIDEr-D
+    with training-corpus statistics) and exactly the corpus metric's
+    inner loop — ``cider_d`` delegates here, so the two can never drift.
+    """
+
+    def __init__(self, corpus_references: list[list[list[str]]]):
+        if not corpus_references:
+            raise ValueError("empty corpus")
+        # Document frequency: an n-gram counts once per image whose
+        # reference set contains it anywhere.
+        doc_freq: Counter = Counter()
+        for refs in corpus_references:
+            seen = set()
+            for ref in refs:
+                for n in range(1, _CIDER_N + 1):
+                    seen.update(_ngram_counts(ref, n))
+            doc_freq.update(seen)
+        self.doc_freq = doc_freq
+        self.log_n = math.log(float(len(corpus_references)))
+
+    def score(
+        self, references: list[list[str]], hypothesis: list[str]
+    ) -> float:
+        """One image: tokenized reference captions + tokenized candidate
+        -> CIDEr-D (x10, coco-caption scale)."""
+        vec_h, norm_h, len_h = _counts_to_vec(
+            hypothesis, self.doc_freq, self.log_n
         )
-    if not references:
-        raise ValueError("empty corpus")
-    # Document frequency: an n-gram counts once per image whose
-    # reference set contains it anywhere.
-    doc_freq: Counter = Counter()
-    for refs in references:
-        seen = set()
-        for ref in refs:
-            for n in range(1, _CIDER_N + 1):
-                seen.update(_ngram_counts(ref, n))
-        doc_freq.update(seen)
-    log_n = math.log(float(len(references)))
-
-    scores = []
-    for refs, hyp in zip(references, hypotheses):
-        vec_h, norm_h, len_h = _counts_to_vec(hyp, doc_freq, log_n)
         per_n = [0.0] * _CIDER_N
-        for ref in refs:
-            vec_r, norm_r, len_r = _counts_to_vec(ref, doc_freq, log_n)
+        for ref in references:
+            vec_r, norm_r, len_r = _counts_to_vec(
+                ref, self.doc_freq, self.log_n
+            )
             penalty = math.exp(
                 -((len_h - len_r) ** 2) / (2.0 * _CIDER_SIGMA**2)
             )
@@ -97,8 +104,29 @@ def cider_d(
                 if norm_h[n] != 0.0 and norm_r[n] != 0.0:
                     val /= norm_h[n] * norm_r[n]
                 per_n[n] += val * penalty
-        score = sum(per_n) / _CIDER_N / max(1, len(refs)) * 10.0
-        scores.append(score)
+        return (
+            sum(per_n) / _CIDER_N / max(1, len(references)) * 10.0
+        )
+
+
+def cider_d(
+    references: list[list[list[str]]], hypotheses: list[list[str]]
+) -> float:
+    """references: per-image list of tokenized reference captions;
+    hypotheses: per-image tokenized candidate. -> corpus CIDEr-D.
+
+    Matches the coco-caption CiderScorer (sigma 6.0, n 1..4, DF over
+    reference sets, corpus-level IDF base log(N_images))."""
+    if len(references) != len(hypotheses):
+        raise ValueError(
+            f"{len(references)} reference sets vs "
+            f"{len(hypotheses)} hypotheses"
+        )
+    scorer = CiderDScorer(references)
+    scores = [
+        scorer.score(refs, hyp)
+        for refs, hyp in zip(references, hypotheses)
+    ]
     return float(sum(scores) / len(scores))
 
 

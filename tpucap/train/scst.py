@@ -1,0 +1,156 @@
+"""Self-critical sequence training (SCST — Rennie et al., CVPR 2017).
+
+Beyond the reference surface (it trains teacher-forced CE only,
+SURVEY.md §2.1 #9): after CE pretraining, captioning practice fine-tunes
+directly on the evaluation metric with REINFORCE, using the model's own
+greedy decode as the baseline — the "self-critical" trick that removes
+the learned value network and aligns the sampling objective with
+test-time greedy/beam inference. The reward here is per-image CIDEr-D
+with corpus-fixed IDF statistics (tpucap.train.metrics.CiderDScorer),
+the standard choice.
+
+TPU-first split (the reward is non-differentiable host text math, so the
+step is deliberately three phases, not one program):
+
+1. **rollout** — ONE jitted device program per batch: ancestral sampling
+   AND the greedy baseline decode over the same features (both existing
+   while_loop engines; no per-token host round-trips).
+2. **reward** — host pass over the decoded token rows: strings via the
+   tokenizer, per-image CIDEr-D for sample and baseline,
+   advantage = r(sample) - r(greedy).
+3. **update** — a second jitted program: teacher-forced forward over the
+   SAMPLED rows, policy-gradient loss
+   ``-(1/Ntok) * sum_b adv_b * sum_t logp(w_bt)`` (token-count
+   normalization, the coco SCST convention), optimizer update.
+
+The endseq token is a real action the policy chose — it is inside the
+mask, so the model is rewarded/punished for its length decisions. Pad
+rows (zero-padded batch tails) carry advantage 0 and an all-pad mask, so
+they contribute nothing.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from tpucap.decode.greedy import greedy_decode
+from tpucap.decode.sample import sample_decode
+from tpucap.train.loop import TrainState
+
+
+def make_scst_rollout(
+    decoder,
+    *,
+    start_id: int,
+    end_id: int,
+    pad_id: int = 0,
+    max_len: int,
+    temperature: float = 1.0,
+    top_k: int | None = None,
+) -> Callable:
+    """-> jitted ``rollout(params, features, rng) -> (sample, greedy)``
+    (two DecodeResults from one device program)."""
+
+    @jax.jit
+    def rollout(params, features, rng):
+        state = decoder.init_state(params, features)
+        sampled = sample_decode(
+            decoder.step,
+            params,
+            state,
+            rng=rng,
+            start_id=start_id,
+            end_id=end_id,
+            max_len=max_len,
+            temperature=temperature,
+            top_k=top_k,
+            pad_id=pad_id,
+        )
+        baseline_state = decoder.init_state(params, features)
+        baseline = greedy_decode(
+            decoder.step,
+            params,
+            baseline_state,
+            start_id=start_id,
+            end_id=end_id,
+            max_len=max_len,
+            pad_id=pad_id,
+        )
+        return sampled, baseline
+
+    return rollout
+
+
+def scst_loss(
+    decoder, params, features, sampled, advantages, *, start_id, pad_id=0
+):
+    """Policy-gradient loss on sampled rows. sampled (B, T) int32 token
+    rows (pad after endseq), advantages (B,) float32.
+
+    -> (loss, metrics). The forward is the ordinary teacher-forced
+    ``forward_train`` over inputs ``[start, w1..w_{T-1}]`` — logits at
+    position t score the token the policy actually emitted there."""
+    B = sampled.shape[0]
+    inputs = jnp.concatenate(
+        [jnp.full((B, 1), start_id, jnp.int32), sampled[:, :-1]], axis=1
+    )
+    logits = decoder.forward_train(
+        params, features, inputs, deterministic=True
+    )
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    tok_logp = jnp.take_along_axis(logp, sampled[..., None], axis=-1)[
+        ..., 0
+    ]
+    mask = (sampled != pad_id).astype(jnp.float32)
+    n_tokens = jnp.maximum(jnp.sum(mask), 1.0)
+    adv = advantages.astype(jnp.float32)[:, None]
+    loss = -jnp.sum(adv * tok_logp * mask) / n_tokens
+    return loss, {
+        "loss": loss,
+        "tokens": n_tokens,
+        "sample_logp": jnp.sum(tok_logp * mask) / n_tokens,
+    }
+
+
+def make_scst_step(
+    decoder, optimizer, *, start_id: int, pad_id: int = 0
+) -> Callable:
+    """-> jitted ``step(state, features, sampled, advantages)
+    -> (state, metrics)``. ``state`` is the ordinary TrainState over the
+    decoder params (same optimizer surface as CE training)."""
+
+    def loss_fn(params, features, sampled, advantages):
+        return scst_loss(
+            decoder,
+            params,
+            features,
+            sampled,
+            advantages,
+            start_id=start_id,
+            pad_id=pad_id,
+        )
+
+    @jax.jit
+    def step(state, features, sampled, advantages):
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, features, sampled, advantages
+        )
+        updates, opt_state = optimizer.update(
+            grads, state.opt_state, state.params
+        )
+        params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(
+                step=state.step + 1,
+                params=params,
+                opt_state=opt_state,
+                rng=state.rng,
+            ),
+            metrics,
+        )
+
+    return step
