@@ -181,6 +181,147 @@ def test_scst_rollout_shapes_and_greedy_parity(toy_corpus, rng):
     )
 
 
+@pytest.mark.parametrize("family", ["merge2", "inject", "attention", "transformer"])
+def test_scst_all_decoder_families(family, rng):
+    """The rollout/step pair is decoder-agnostic (uniform
+    init_state/step/forward_train interface) — one SCST update on every
+    family must produce a finite loss and move the params."""
+    from tpucap.models.decoders import (
+        AttentionDecoder,
+        InjectDecoder,
+        TransformerDecoder,
+    )
+
+    V = 13
+    if family == "merge2":
+        dec = MergeDecoder(
+            vocab_size=V, feature_dim=FEAT, embed_dim=EMBED,
+            hidden_dim=HID, num_layers=2, dropout_rate=0.0,
+        )
+        feats = rng.normal(size=(2, FEAT))
+    elif family == "inject":
+        dec = InjectDecoder(
+            vocab_size=V, feature_dim=FEAT, embed_dim=EMBED,
+            hidden_dim=HID, dropout_rate=0.0,
+        )
+        feats = rng.normal(size=(2, FEAT))
+    elif family == "attention":
+        dec = AttentionDecoder(
+            vocab_size=V, feature_dim=FEAT, embed_dim=EMBED,
+            hidden_dim=HID, attention_dim=8, dropout_rate=0.0,
+        )
+        feats = rng.normal(size=(2, 9, FEAT))  # 3x3 spatial grid
+    else:
+        dec = TransformerDecoder(
+            vocab_size=V, feature_dim=FEAT, hidden_dim=HID,
+            num_layers=1, num_heads=2, mlp_dim=32,
+            max_positions=12, dropout_rate=0.0,
+        )
+        feats = rng.normal(size=(2, FEAT))
+    params = dec.init(jax.random.key(0))
+    feats = jnp.asarray(feats, jnp.float32)
+
+    rollout = make_scst_rollout(
+        dec, start_id=1, end_id=2, max_len=8, temperature=1.0
+    )
+    sampled, baseline = rollout(params, feats, jax.random.key(3))
+    assert sampled.tokens.shape == (2, 8)
+
+    opt = optax.adam(1e-3)
+    state = TrainState.create(params, opt, jax.random.key(0))
+    step = make_scst_step(dec, opt, start_id=1)
+    state, metrics = step(
+        state,
+        feats,
+        sampled.tokens,
+        jnp.asarray([0.7, -0.3], jnp.float32),
+    )
+    assert np.isfinite(float(metrics["loss"]))
+    moved = any(
+        np.abs(np.asarray(a) - np.asarray(b)).max() > 0
+        for a, b in zip(
+            jax.tree.leaves(params), jax.tree.leaves(state.params)
+        )
+    )
+    assert moved
+
+
+# -- data parallel -------------------------------------------------------------
+
+
+def test_scst_dp_step_update_exact(rng):
+    """The DP SCST update (raw-sum gradients psum'd, normalized once by
+    the global token count) equals the single-device update on the
+    concatenated batch."""
+    from tpucap.core import make_mesh
+
+    dec, params = tiny_decoder(vocab=17)
+    B = 8
+    feats = jnp.asarray(rng.normal(size=(B, FEAT)), jnp.float32)
+    sampled = jnp.asarray(
+        rng.integers(3, 17, size=(B, 6)), jnp.int32
+    )
+    # Ragged lengths: pad the tails so normalization is exercised.
+    for b in range(B):
+        sampled = sampled.at[b, 3 + b % 3 :].set(0)
+    adv = jnp.asarray(rng.normal(size=(B,)), jnp.float32)
+
+    opt = optax.adam(1e-2)
+    single = make_scst_step(dec, opt, start_id=1)
+    s0 = TrainState.create(params, opt, jax.random.key(0))
+    s1, m1 = single(s0, feats, sampled, adv)
+
+    mesh = make_mesh(8)
+    dp = make_scst_step(dec, opt, start_id=1, mesh=mesh)
+    s0b = TrainState.create(params, opt, jax.random.key(0))
+    s2, m2 = dp(s0b, feats, sampled, adv)
+
+    np.testing.assert_allclose(
+        float(m1["loss"]), float(m2["loss"]), rtol=1e-6
+    )
+    for a, b in zip(
+        jax.tree.leaves(s1.params), jax.tree.leaves(s2.params), strict=True
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-6
+        )
+
+
+def test_scst_dp_rollout_greedy_matches_single_device(rng):
+    """The DP rollout's greedy half must equal the single-device greedy
+    decode (sampling is decorrelated per shard by design, so only the
+    deterministic half is compared)."""
+    from tpucap.core import make_mesh
+
+    dec, params = tiny_decoder(vocab=29)
+    feats = jnp.asarray(rng.normal(size=(8, FEAT)), jnp.float32)
+    single = make_scst_rollout(
+        dec, start_id=1, end_id=2, max_len=7
+    )
+    dp = make_scst_rollout(
+        dec, start_id=1, end_id=2, max_len=7, mesh=make_mesh(8)
+    )
+    _, g1 = single(params, feats, jax.random.key(0))
+    s2, g2 = dp(params, feats, jax.random.key(0))
+    np.testing.assert_array_equal(
+        np.asarray(g1.tokens), np.asarray(g2.tokens)
+    )
+    assert s2.tokens.shape == (8, 7)
+
+
+def test_fit_scst_dp_runs(toy_corpus, rng):
+    pipe = make_pipe(toy_corpus)
+    desc = {f"i{k}": [toy_corpus[k]] for k in range(8)}
+    feats = {i: rng.normal(size=(128,)).astype(np.float32) for i in desc}
+    pipe.fit(desc, feats, epochs=2, log=None)
+    hist = pipe.fit_scst(
+        desc, feats, epochs=1, batch_size=8, parallelism="dp", log=None
+    )
+    assert len(hist) == 1 and np.isfinite(hist[0]["loss"])
+    with pytest.raises(NotImplementedError, match="parallelism"):
+        pipe.fit_scst(desc, feats, epochs=1, parallelism="tp", log=None)
+
+
 # -- pipeline surface -----------------------------------------------------------
 
 
@@ -220,24 +361,51 @@ def test_fit_scst_runs_and_updates(toy_corpus, rng):
     assert len(caps) == 2
 
 
-def test_fit_scst_improves_reward_on_memorizable_fixture(toy_corpus, rng):
-    """On a tiny memorizable corpus with a warm CE start, SCST's greedy
-    baseline reward must improve over its own starting value (the
-    self-critical objective directly maximizes expected CIDEr-D)."""
-    pipe = make_pipe(toy_corpus)
-    desc = {f"i{k}": [toy_corpus[k]] for k in range(8)}
-    feats = {i: rng.normal(size=(128,)).astype(np.float32) for i in desc}
-    pipe.fit(desc, feats, epochs=12, log=None)
-
+def test_fit_scst_improves_reward_on_memorizable_fixture(rng):
+    """On a partially-CE-trained model, SCST's greedy baseline reward —
+    the directly optimized quantity — must strictly improve. The recipe
+    (corpus included) is EXACTLY examples/scst_training.py: CE to a
+    decent-but-imperfect start, then the policy-gradient phase at ~50x
+    lower lr (REINFORCE at too high an lr smears the greedy mode
+    instead — measured, see the example's comment)."""
     import dataclasses
+
+    corpus = [
+        "startseq a black dog runs across the green grass endseq",
+        "startseq two children play soccer in the park endseq",
+        "startseq a man rides a red bicycle down the street endseq",
+        "startseq a woman in a blue shirt climbs a rock wall endseq",
+        "startseq boats rest in a quiet harbor at sunset endseq",
+        "startseq the sun rises over red hills and a river endseq",
+        "startseq people walk through a busy market square endseq",
+        "startseq a climber scales the gray rock face alone endseq",
+    ]
+    cfg = Config(
+        encoder=EncoderConfig(name="tiny_cnn", feature_dim=128),
+        decoder=DecoderConfig(
+            embed_dim=16, hidden_dim=32, dropout_rate=0.0
+        ),
+        decode=DecodeConfig(max_len=12),
+        train=TrainConfig(batch_size=8, learning_rate=5e-3, seed=0),
+        precision="f32",
+    )
+    pipe = CaptioningPipeline(cfg)
+    tok = Tokenizer()
+    tok.fit_on_texts(corpus)
+    pipe.tokenizer = tok
+    pipe.build()
+    desc = {f"img{k}": [c] for k, c in enumerate(corpus)}
+    rng = np.random.default_rng(0)
+    feats = {i: rng.normal(size=(128,)).astype(np.float32) for i in desc}
+    pipe.fit(desc, feats, epochs=50, log=None)
 
     pipe.config = dataclasses.replace(
         pipe.config,
         train=dataclasses.replace(
-            pipe.config.train, learning_rate=2e-3
+            pipe.config.train, learning_rate=1e-4
         ),
     )
     hist = pipe.fit_scst(
-        desc, feats, epochs=8, batch_size=8, temperature=0.7, log=None
+        desc, feats, epochs=10, batch_size=8, temperature=1.0, log=None
     )
-    assert hist[-1]["baseline"] > hist[0]["baseline"] - 1e-6
+    assert hist[-1]["baseline"] > hist[0]["baseline"]

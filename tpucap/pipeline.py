@@ -971,6 +971,7 @@ class CaptioningPipeline:
         batch_size: int | None = None,
         temperature: float = 1.0,
         top_k: int | None = None,
+        parallelism: str | None = None,
         log=print,
     ) -> list[dict]:
         """Self-critical sequence training (Rennie et al. 2017) —
@@ -981,8 +982,15 @@ class CaptioningPipeline:
         already captions; practice also wants a much lower learning
         rate than CE (set TrainConfig.learning_rate ~5e-5 before
         calling). One row per IMAGE (not per caption) — the 5
-        references are the reward targets. Single-device; the decoder
-        params/opt surface match ``fit`` exactly.
+        references are the reward targets. The decoder params/opt
+        surface match ``fit`` exactly.
+
+        parallelism: None/'none' (single device) | 'dp' — rollout AND
+        update shard the image batch over the data mesh (shards sample
+        with decorrelated keys; the update psums raw-sum gradients and
+        normalizes by the global token count, exactly the
+        single-device update on the concatenated batch). The reward
+        pass stays on the host either way.
         """
         from tpucap.train.metrics import CiderDScorer
         from tpucap.train.scst import make_scst_rollout, make_scst_step
@@ -1018,6 +1026,21 @@ class CaptioningPipeline:
                     f"clamping batch_size to {len(ids)}"
                 )
             batch_size = len(ids)
+        if parallelism not in (None, "none", "dp"):
+            raise NotImplementedError(
+                f"fit_scst supports parallelism None|'none'|'dp', "
+                f"got {parallelism!r}"
+            )
+        mesh = None
+        if parallelism == "dp":
+            mesh = make_mesh(self.config.mesh.n_devices)
+            data_n = dict(mesh.shape)["data"]
+            if batch_size % data_n:
+                raise ValueError(
+                    f"batch_size {batch_size} must divide by the "
+                    f"{data_n}-device data mesh"
+                )
+            self._mesh = mesh
         from tpucap.train import build_optimizer
 
         steps_per_epoch = max(1, len(ids) // batch_size)
@@ -1041,8 +1064,11 @@ class CaptioningPipeline:
             max_len=self.config.decode.max_len,
             temperature=temperature,
             top_k=top_k,
+            mesh=mesh,
         )
-        step = make_scst_step(self.decoder, optimizer, start_id=start_id)
+        step = make_scst_step(
+            self.decoder, optimizer, start_id=start_id, mesh=mesh
+        )
 
         key = jax.random.key(cfg.seed + 1)
         order_rng = np.random.default_rng(cfg.seed)

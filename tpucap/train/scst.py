@@ -51,12 +51,20 @@ def make_scst_rollout(
     max_len: int,
     temperature: float = 1.0,
     top_k: int | None = None,
+    mesh=None,
+    axis: str = "data",
 ) -> Callable:
     """-> jitted ``rollout(params, features, rng) -> (sample, greedy)``
-    (two DecodeResults from one device program)."""
+    (two DecodeResults from one device program).
 
-    @jax.jit
-    def rollout(params, features, rng):
+    ``mesh`` shards the feature batch over ``axis`` under shard_map
+    (params replicated); the sampling key is folded with the shard
+    index so shards draw independent rollouts. Results come back as
+    the full global batch."""
+
+    def body(params, features, rng):
+        if mesh is not None:
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
         state = decoder.init_state(params, features)
         sampled = sample_decode(
             decoder.step,
@@ -82,18 +90,31 @@ def make_scst_rollout(
         )
         return sampled, baseline
 
-    return rollout
+    if mesh is None:
+        return jax.jit(body)
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    return jax.jit(
+        shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P(), P(axis), P()),
+            out_specs=P(axis),
+            check_vma=False,
+        )
+    )
 
 
-def scst_loss(
+def scst_loss_sums(
     decoder, params, features, sampled, advantages, *, start_id, pad_id=0
 ):
-    """Policy-gradient loss on sampled rows. sampled (B, T) int32 token
-    rows (pad after endseq), advantages (B,) float32.
-
-    -> (loss, metrics). The forward is the ordinary teacher-forced
-    ``forward_train`` over inputs ``[start, w1..w_{T-1}]`` — logits at
-    position t score the token the policy actually emitted there."""
+    """Sum-form policy-gradient pieces for a (local) batch:
+    -> (pg_nll_sum, n_tokens, logp_sum) where
+    ``pg_nll_sum = -sum_b adv_b * sum_t logp(w_bt)`` over non-pad
+    positions. Sum form (not mean) is what the DP step psums before
+    normalizing by the GLOBAL token count — the same exactness recipe
+    as the CE trainers (tpucap.parallel.dp)."""
     B = sampled.shape[0]
     inputs = jnp.concatenate(
         [jnp.full((B, 1), start_id, jnp.int32), sampled[:, :-1]], axis=1
@@ -106,22 +127,56 @@ def scst_loss(
         ..., 0
     ]
     mask = (sampled != pad_id).astype(jnp.float32)
-    n_tokens = jnp.maximum(jnp.sum(mask), 1.0)
     adv = advantages.astype(jnp.float32)[:, None]
-    loss = -jnp.sum(adv * tok_logp * mask) / n_tokens
+    pg_nll_sum = -jnp.sum(adv * tok_logp * mask)
+    return pg_nll_sum, jnp.sum(mask), jnp.sum(tok_logp * mask)
+
+
+def scst_loss(
+    decoder, params, features, sampled, advantages, *, start_id, pad_id=0
+):
+    """Policy-gradient loss on sampled rows. sampled (B, T) int32 token
+    rows (pad after endseq), advantages (B,) float32.
+
+    -> (loss, metrics). The forward is the ordinary teacher-forced
+    ``forward_train`` over inputs ``[start, w1..w_{T-1}]`` — logits at
+    position t score the token the policy actually emitted there."""
+    pg_nll_sum, n_tokens, logp_sum = scst_loss_sums(
+        decoder,
+        params,
+        features,
+        sampled,
+        advantages,
+        start_id=start_id,
+        pad_id=pad_id,
+    )
+    n_tokens = jnp.maximum(n_tokens, 1.0)
+    loss = pg_nll_sum / n_tokens
     return loss, {
         "loss": loss,
         "tokens": n_tokens,
-        "sample_logp": jnp.sum(tok_logp * mask) / n_tokens,
+        "sample_logp": logp_sum / n_tokens,
     }
 
 
 def make_scst_step(
-    decoder, optimizer, *, start_id: int, pad_id: int = 0
+    decoder,
+    optimizer,
+    *,
+    start_id: int,
+    pad_id: int = 0,
+    mesh=None,
+    axis: str = "data",
 ) -> Callable:
     """-> jitted ``step(state, features, sampled, advantages)
     -> (state, metrics)``. ``state`` is the ordinary TrainState over the
-    decoder params (same optimizer surface as CE training)."""
+    decoder params (same optimizer surface as CE training).
+
+    ``mesh`` shards the batch over ``axis``: each shard differentiates
+    its RAW-SUM policy loss, gradients and token counts are psum'd, and
+    the update normalizes once by the GLOBAL count — exactly the
+    single-device update on the concatenated batch (params/opt_state
+    replicated, every shard applies the identical update)."""
 
     def loss_fn(params, features, sampled, advantages):
         return scst_loss(
@@ -134,11 +189,7 @@ def make_scst_step(
             pad_id=pad_id,
         )
 
-    @jax.jit
-    def step(state, features, sampled, advantages):
-        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, features, sampled, advantages
-        )
+    def _apply(state, grads, metrics):
         updates, opt_state = optimizer.update(
             grads, state.opt_state, state.params
         )
@@ -153,4 +204,55 @@ def make_scst_step(
             metrics,
         )
 
-    return step
+    if mesh is None:
+
+        @jax.jit
+        def step(state, features, sampled, advantages):
+            (_, metrics), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params, features, sampled, advantages)
+            return _apply(state, grads, metrics)
+
+        return step
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def shard_body(state, features, sampled, advantages):
+        def raw(params):
+            pg_nll_sum, n_tokens, logp_sum = scst_loss_sums(
+                decoder,
+                params,
+                features,
+                sampled,
+                advantages,
+                start_id=start_id,
+                pad_id=pad_id,
+            )
+            return pg_nll_sum, (n_tokens, logp_sum)
+
+        (pg_local, (ntok_local, logp_local)), g_local = (
+            jax.value_and_grad(raw, has_aux=True)(state.params)
+        )
+        pg = jax.lax.psum(pg_local, axis)
+        ntok = jnp.maximum(jax.lax.psum(ntok_local, axis), 1.0)
+        logp = jax.lax.psum(logp_local, axis)
+        grads = jax.tree_util.tree_map(
+            lambda g: jax.lax.psum(g, axis) / ntok, g_local
+        )
+        metrics = {
+            "loss": pg / ntok,
+            "tokens": ntok,
+            "sample_logp": logp / ntok,
+        }
+        return _apply(state, grads, metrics)
+
+    return jax.jit(
+        shard_map(
+            shard_body,
+            mesh=mesh,
+            in_specs=(P(), P(axis), P(axis), P(axis)),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+    )
