@@ -15,6 +15,15 @@ import sys
 import numpy as np
 
 
+def _monitor_keying(args):
+    """(best_metric, best_mode) for the CheckpointManager from
+    --val-metric: decode metrics are maximized, loss minimized."""
+    vm = getattr(args, "val_metric", None) or "loss"
+    if vm == "loss":
+        return "val_loss", "min"
+    return f"val_{vm}", "max"
+
+
 def _add_optimizer_flags(p):
     """Optimizer surface flags. Shared by `train` AND every checkpoint-
     restoring command (caption/evaluate/export/serve): the restore
@@ -48,6 +57,13 @@ def _add_optimizer_flags(p):
                    "parallelism none|dp)")
     p.add_argument("--grad-clip-norm", type=float, default=None,
                    help="global-norm gradient clipping (0 = off)")
+    p.add_argument("--val-metric", default=None,
+                   choices=["loss", "bleu4", "cider"],
+                   help="what best-checkpointing/early-stopping monitor "
+                   "when --val-split is given: loss (min, default) or a "
+                   "greedy-decode corpus metric (max). Restore commands "
+                   "need the SAME flag to pick the matching best "
+                   "checkpoint")
 
 
 def _add_common_model_flags(p):
@@ -113,6 +129,11 @@ def _build_config(args):
         if ed:
             cfg = cfg.replace(
                 train=dataclasses.replace(cfg.train, ema_decay=ed)
+            )
+        vm = getattr(args, "val_metric", None)
+        if vm is not None:
+            cfg = cfg.replace(
+                train=dataclasses.replace(cfg.train, val_metric=vm)
             )
         esp = getattr(args, "early_stopping_patience", None)
         if esp is not None:
@@ -188,6 +209,7 @@ def _build_config(args):
             )
             or 0,
             grad_accum_steps=getattr(args, "grad_accum_steps", None) or 1,
+            val_metric=getattr(args, "val_metric", None) or "loss",
             ema_decay=getattr(args, "ema_decay", None) or 0.0,
             optimizer=getattr(args, "optimizer", None) or "adam",
             momentum=getattr(args, "momentum", None) or 0.0,
@@ -387,7 +409,10 @@ def cmd_train(args):
         )
         val_data = (val_prepared, features)
 
-    mgr = CheckpointManager(args.checkpoint_dir)
+    best_metric, best_mode = _monitor_keying(args)
+    mgr = CheckpointManager(
+        args.checkpoint_dir, best_metric=best_metric, best_mode=best_mode
+    )
     tb = getattr(args, "tensorboard_dir", None)
     logger = (
         MetricsLogger(args.metrics_log, tensorboard_dir=tb)
@@ -470,7 +495,10 @@ def _restore_pipeline(args):
         pipe.params["encoder"] = params_from_keras(
             args.keras_h5, cfg.encoder.name
         )
-    mgr = CheckpointManager(args.checkpoint_dir)
+    best_metric, best_mode = _monitor_keying(args)
+    mgr = CheckpointManager(
+        args.checkpoint_dir, best_metric=best_metric, best_mode=best_mode
+    )
     # The restore template's opt_state pytree must match what training
     # saved — build the optimizer from the SAME config resolution the
     # train command used (pass the matching --optimizer/--lr-schedule/...

@@ -88,6 +88,12 @@ class TrainConfig:
     # already retained by the CheckpointManager, mirroring
     # restore_best_weights via restore-from-best.
     early_stopping_patience: int = 0
+    # What the best-checkpoint keying and early stopping monitor when a
+    # dev split is given (Keras ModelCheckpoint/EarlyStopping monitor=/
+    # mode=): 'loss' (val_loss, min — the reference's choice) | 'bleu4'
+    # | 'cider' (greedy-decode the dev split each epoch, corpus metric,
+    # max). Decode-metric monitoring needs parallelism 'none'|'dp'.
+    val_metric: str = "loss"
     # Switch load-balance aux weight for MoE decoders trained with
     # fit(parallelism='ep'|'dp_ep') / parallel/ep.py.
     moe_aux_weight: float = 0.01

@@ -658,9 +658,37 @@ class CaptioningPipeline:
                 label_smoothing=cfg.label_smoothing,
             )
 
+        # Monitor selection (Keras ModelCheckpoint/EarlyStopping
+        # monitor=/mode=): val_loss (min) by default; 'bleu4'/'cider'
+        # greedy-decode the dev split each epoch and maximize.
+        monitor_key, monitor_mode = "val_loss", "min"
+        val_decode = None
+        if val_data is not None and cfg.val_metric != "loss":
+            if cfg.val_metric not in ("bleu4", "cider"):
+                raise ValueError(
+                    f"unknown val_metric {cfg.val_metric!r}; "
+                    "have loss|bleu4|cider"
+                )
+            if parallelism not in ("none", "dp"):
+                raise NotImplementedError(
+                    f"val_metric={cfg.val_metric!r} decodes on the "
+                    f"canonical param layout; parallelism="
+                    f"{parallelism!r} trains on a transformed layout — "
+                    "monitor 'loss' or use 'none'/'dp'"
+                )
+            monitor_key = f"val_{cfg.val_metric}"
+            monitor_mode = "max"
+            val_ids = list(val_desc.keys())
+            val_decode = (
+                val_ids,
+                np.stack(
+                    [np.asarray(val_features[i]) for i in val_ids]
+                ).astype(np.float32),
+            )
+
         rng = np.random.default_rng(cfg.seed)
         history = []
-        best_val = float("inf")
+        best_val = float("inf") if monitor_mode == "min" else -float("inf")
         epochs_since_best = 0
         ema, ema_update = self._make_ema(cfg, self.state.params)
         for epoch in range(epochs):
@@ -704,6 +732,10 @@ class CaptioningPipeline:
                 )
                 epoch_metrics["val_loss"] = float(vm["loss"])
                 epoch_metrics["val_accuracy"] = float(vm["accuracy"])
+            if val_decode is not None:
+                epoch_metrics[monitor_key] = self._val_decode_metric(
+                    val_decode, val_desc, cfg.val_metric, batch_size
+                )
             history.append(epoch_metrics)
             if log:
                 msg = (
@@ -712,29 +744,41 @@ class CaptioningPipeline:
                 )
                 if "val_loss" in epoch_metrics:
                     msg += f" val_loss={epoch_metrics['val_loss']:.4f}"
+                if monitor_key != "val_loss" and monitor_key in epoch_metrics:
+                    msg += (
+                        f" {monitor_key}={epoch_metrics[monitor_key]:.4f}"
+                    )
                 log(msg)
             if checkpoint_manager is not None:
                 # Best-checkpoint keying mirrors the reference's
-                # ModelCheckpoint(save_best_only, monitor='val_loss'):
-                # val loss when a dev split is given, else train loss.
-                checkpoint_manager.save(
-                    self.state,
-                    metrics={
-                        "val_loss": epoch_metrics.get(
-                            "val_loss", epoch_metrics["loss"]
-                        )
-                    },
-                )
-            # Keras EarlyStopping(monitor='val_loss', patience=N):
-            # stop once val_loss hasn't improved for N epochs. The best
-            # checkpoint is already retained by the manager, so
+                # ModelCheckpoint(save_best_only, monitor=...): val_loss
+                # when a dev split is given (else train loss), plus the
+                # decode monitor when one is configured — the manager's
+                # best_fn picks whichever its best_metric names.
+                ckpt_metrics = {
+                    "val_loss": epoch_metrics.get(
+                        "val_loss", epoch_metrics["loss"]
+                    )
+                }
+                if monitor_key != "val_loss" and monitor_key in epoch_metrics:
+                    ckpt_metrics[monitor_key] = epoch_metrics[monitor_key]
+                checkpoint_manager.save(self.state, metrics=ckpt_metrics)
+            # Keras EarlyStopping(monitor=..., mode=..., patience=N):
+            # stop once the monitor hasn't improved for N epochs. The
+            # best checkpoint is already retained by the manager, so
             # restore_best_weights is restore-from-best.
             if (
                 cfg.early_stopping_patience > 0
-                and "val_loss" in epoch_metrics
+                and monitor_key in epoch_metrics
             ):
-                if epoch_metrics["val_loss"] < best_val:
-                    best_val = epoch_metrics["val_loss"]
+                val = epoch_metrics[monitor_key]
+                improved = (
+                    val < best_val
+                    if monitor_mode == "min"
+                    else val > best_val
+                )
+                if improved:
+                    best_val = val
                     epochs_since_best = 0
                 else:
                     epochs_since_best += 1
@@ -742,7 +786,7 @@ class CaptioningPipeline:
                         if log:
                             log(
                                 f"early stopping at epoch {epoch} "
-                                f"(no val_loss improvement for "
+                                f"(no {monitor_key} improvement for "
                                 f"{epochs_since_best} epochs)"
                             )
                         break
@@ -773,6 +817,36 @@ class CaptioningPipeline:
         self._decode_cache.clear()
         self._bf16_params = None
         return history
+
+    def _val_decode_metric(
+        self, val_decode, val_desc, metric: str, batch_size: int
+    ) -> float:
+        """Greedy-decode the dev split on the CURRENT training params and
+        return the corpus metric (the per-epoch monitor for
+        TrainConfig.val_metric='bleu4'|'cider'). Chunks are zero-padded
+        to batch_size so exactly one decode program compiles; greedy is
+        the deliberate choice — the cheap monitoring proxy, with the
+        full beam evaluation left to evaluate()."""
+        ids, VDF = val_decode
+        fn = self._decode_fn("greedy", 1)
+        _, end_id = self._token_ids()
+        generated = {}
+        for s in range(0, len(ids), batch_size):
+            chunk = ids[s : s + batch_size]
+            feats = jnp.asarray(
+                pad_rows(VDF[s : s + batch_size], batch_size)
+            )
+            res = fn(self.state.params, feats)
+            caps = ids_to_captions(
+                self.tokenizer,
+                res.tokens[: len(chunk)],
+                res.lengths[: len(chunk)],
+                end_id=end_id,
+            )
+            generated.update(zip(chunk, caps))
+        key = "bleu" if metric == "bleu4" else "cider"
+        scores = evaluate_captions(val_desc, generated, metrics=(key,))
+        return float(scores[metric])
 
     def _make_ema(self, cfg, params):
         """-> (shadow tree | None, jitted update | None) for
