@@ -1,5 +1,7 @@
-"""Checkpointing: orbax manager + Keras weight import/export."""
+"""Checkpointing: orbax manager, Keras weight import/export, AOT
+(StableHLO) serving artifacts."""
 
+from tpucap.checkpoint.aot import AotCaptioner, export_decode
 from tpucap.checkpoint.keras_export import (
     attention_decoder_to_keras,
     decoder_to_keras,
@@ -16,6 +18,8 @@ from tpucap.checkpoint.keras_import import (
 from tpucap.checkpoint.manager import CheckpointManager
 
 __all__ = [
+    "AotCaptioner",
+    "export_decode",
     "params_from_keras",
     "merge_decoder_params_from_keras",
     "inject_decoder_params_from_keras",

@@ -89,5 +89,57 @@ class CheckpointManager:
             rng=jax.random.wrap_key_data(jnp.asarray(payload["rng"])),
         )
 
+    def all_steps(self) -> list[int]:
+        return sorted(int(s) for s in self._mgr.all_steps())
+
+    def average_params(
+        self,
+        abstract_state: TrainState,
+        *,
+        steps: list[int] | None = None,
+        last_k: int | None = None,
+    ):
+        """Uniform average of several retained checkpoints' PARAMS — the
+        classic checkpoint-averaging serving trick (average the last k
+        epoch checkpoints of a converged run for a lower-variance
+        iterate; same motivation as TrainConfig.ema_decay but applicable
+        AFTER training, to checkpoints that already exist).
+
+        ``steps`` picks explicit checkpoint steps; ``last_k`` takes the
+        newest k retained (the default takes all retained). Float leaves
+        are accumulated in f32 and cast back to their stored dtype;
+        non-float leaves (none occur in practice) come from the newest
+        step. Returns the averaged params tree only — averaging
+        optimizer state across checkpoints is meaningless.
+        """
+        import jax.numpy as jnp
+
+        have = self.all_steps()
+        if not have:
+            raise FileNotFoundError(f"no checkpoints in {self.directory}")
+        if steps is None:
+            steps = have[-last_k:] if last_k else have
+        missing = sorted(set(steps) - set(have))
+        if missing:
+            raise ValueError(
+                f"steps {missing} not among retained checkpoints {have}"
+            )
+        steps = sorted(steps)
+        trees = [
+            self.restore(abstract_state, step=s).params for s in steps
+        ]
+        n = float(len(trees))
+
+        def avg(*leaves):
+            a = np.asarray(leaves[0])
+            if not np.issubdtype(a.dtype, np.floating):
+                return leaves[-1]
+            acc = sum(
+                jnp.asarray(leaf, jnp.float32) for leaf in leaves
+            )
+            return (acc / n).astype(a.dtype)
+
+        return jax.tree_util.tree_map(avg, *trees)
+
     def close(self) -> None:
         self._mgr.close()

@@ -55,6 +55,12 @@ def _add_optimizer_flags(p):
                    help="scan each batch as N microbatches (exact "
                    "full-batch update, 1/N peak activation memory; "
                    "parallelism none|dp)")
+    p.add_argument("--train-precision", default=None,
+                   choices=["f32", "bf16"],
+                   help="training compute dtype: f32 (default, exact "
+                   "Keras-parity numerics) or bf16 mixed precision "
+                   "(bf16 matmuls, f32 master weights/optimizer; "
+                   "parallelism none|dp and --finetune-encoder)")
     p.add_argument("--grad-clip-norm", type=float, default=None,
                    help="global-norm gradient clipping (0 = off)")
     p.add_argument("--val-metric", default=None,
@@ -64,6 +70,14 @@ def _add_optimizer_flags(p):
                    "greedy-decode corpus metric (max). Restore commands "
                    "need the SAME flag to pick the matching best "
                    "checkpoint")
+
+
+def _add_restore_flags(p):
+    p.add_argument("--average-last", type=int, default=None,
+                   help="restore the uniform AVERAGE of the newest N "
+                   "retained checkpoints instead of the best step "
+                   "(checkpoint-averaging serving trick; canonical "
+                   "decoder layout only)")
 
 
 def _add_common_model_flags(p):
@@ -129,6 +143,11 @@ def _build_config(args):
         if ed:
             cfg = cfg.replace(
                 train=dataclasses.replace(cfg.train, ema_decay=ed)
+            )
+        tp_ = getattr(args, "train_precision", None)
+        if tp_ is not None:
+            cfg = cfg.replace(
+                train=dataclasses.replace(cfg.train, precision=tp_)
             )
         vm = getattr(args, "val_metric", None)
         if vm is not None:
@@ -209,6 +228,7 @@ def _build_config(args):
             )
             or 0,
             grad_accum_steps=getattr(args, "grad_accum_steps", None) or 1,
+            precision=getattr(args, "train_precision", None) or "f32",
             val_metric=getattr(args, "val_metric", None) or "loss",
             ema_decay=getattr(args, "ema_decay", None) or 0.0,
             optimizer=getattr(args, "optimizer", None) or "adam",
@@ -511,6 +531,15 @@ def _restore_pipeline(args):
     # Restore the best-val_loss checkpoint when metrics were recorded
     # (mirroring ModelCheckpoint(save_best_only) + restore_best_weights);
     # best_step() is None for metric-less checkpoints -> latest.
+    avg_k = getattr(args, "average_last", None)
+    if avg_k:
+        # Checkpoint averaging (canonical decoder layout): the uniform
+        # mean of the newest k retained checkpoints replaces the
+        # best-step restore.
+        dec_params = mgr.average_params(fresh, last_k=avg_k)
+        pipe.params["decoder"] = dec_params
+        mgr.close()
+        return pipe
     try:
         restored = mgr.restore(fresh, step=mgr.best_step())
         dec_params = restored.params
@@ -595,11 +624,33 @@ def cmd_evaluate(args):
 
 def cmd_export(args):
     """Export the trained decoder back to a reference-loadable Keras .h5
-    (docs/MIGRATION.md 'exit ramp'); also writes a pipeline.save()
-    bundle when --bundle-out is given."""
+    (docs/MIGRATION.md 'exit ramp') or, with --format aot, an AOT
+    StableHLO serving bundle; also writes a pipeline.save() bundle when
+    --bundle-out is given."""
     from tpucap.checkpoint import export_h5
 
     pipe = _restore_pipeline(args)
+    if getattr(args, "format", "h5") == "aot":
+        from tpucap.checkpoint import export_decode
+
+        manifest = export_decode(
+            pipe,
+            args.out,
+            batch_size=args.aot_batch_size,
+            method=getattr(args, "method", None),
+            beam_width=getattr(args, "beam_width", None),
+            include_encoder=args.include_encoder,
+        )
+        print(
+            f"wrote AOT bundle to {args.out} "
+            f"(method={manifest['method']}, "
+            f"batch={manifest['batch_size']}, "
+            f"platforms={manifest['platforms']})"
+        )
+        if args.bundle_out:
+            pipe.save(args.bundle_out)
+            print(f"wrote pipeline bundle to {args.bundle_out}")
+        return
     kw = {}
     if type(pipe.decoder).__name__ == "AttentionDecoder":
         # The stepwise SAT export bakes the spatial grid size into the
@@ -772,6 +823,7 @@ def main(argv=None):
                    help="pretrained Keras .h5 encoder weights — use the "
                    "same file `extract` used, or captions come from a "
                    "random encoder")
+    _add_restore_flags(p)
     p.set_defaults(fn=cmd_caption)
 
     p = sub.add_parser(
@@ -795,20 +847,34 @@ def main(argv=None):
     p.add_argument("--metrics", default="bleu",
                    help="comma list from bleu,cider,rouge_l (default "
                    "bleu = the reference-parity BLEU-1..4)")
+    _add_restore_flags(p)
     p.set_defaults(fn=cmd_evaluate)
 
     p = sub.add_parser(
         "export",
         help="export the trained decoder to a Keras .h5 (migration exit "
-        "ramp) and optionally a pipeline bundle",
+        "ramp) or an AOT StableHLO serving bundle (--format aot)",
     )
     _add_common_model_flags(p)
     _add_optimizer_flags(p)
     p.add_argument("--checkpoint-dir", default="checkpoints")
-    p.add_argument("--out", required=True, help="output .h5 path")
+    p.add_argument("--out", required=True,
+                   help="output path: .h5 file (--format h5) or bundle "
+                   "directory (--format aot)")
+    p.add_argument("--format", default="h5", choices=["h5", "aot"],
+                   help="h5 = Keras exit ramp; aot = jax.export "
+                   "StableHLO decode program + pipeline bundle, loaded "
+                   "by tpucap.checkpoint.AotCaptioner without any model "
+                   "code")
+    p.add_argument("--aot-batch-size", type=int, default=64,
+                   help="static batch shape baked into the AOT program")
+    p.add_argument("--include-encoder", action="store_true",
+                   help="also export the encoder program (AOT "
+                   "caption_images path)")
     p.add_argument("--bundle-out", default=None,
                    help="also write a pipeline.save() bundle here")
     p.add_argument("--keras-h5", default=None, help=argparse.SUPPRESS)
+    _add_restore_flags(p)
     p.set_defaults(fn=cmd_export)
 
     p = sub.add_parser(
@@ -840,6 +906,7 @@ def main(argv=None):
                    "(first requests then pay the compiles)")
     p.add_argument("--method", default="beam", choices=["greedy", "beam"])
     p.add_argument("--beam-width", type=int, default=3)
+    _add_restore_flags(p)
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("bench", help="run the benchmark harness")

@@ -118,6 +118,14 @@ class TrainConfig:
     # eval/serving with pipeline.use_ema_weights(). Training itself is
     # untouched — the trajectory is identical with EMA on or off.
     ema_decay: float = 0.0
+    # Training compute dtype (mixed precision): 'f32' (default — exact
+    # Keras-parity numerics) | 'bf16' (forward/backward matmuls in
+    # bfloat16 with f32 master params/optimizer state and f32 loss
+    # reductions; no loss scaling needed — bf16 keeps f32's exponent
+    # range, which is why it is THE TPU training dtype). Distinct from
+    # Config.precision, the inference-path policy. Supported by
+    # parallelism 'none'|'dp' and fit_finetune.
+    precision: str = "f32"
     # Gradient accumulation: scan each step's batch as A microbatches
     # (per shard under DP), cutting peak activation memory A-fold while
     # producing the EXACT full-batch update (sum-form accumulation,

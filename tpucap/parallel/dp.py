@@ -37,6 +37,7 @@ def make_dp_train_step(
     attention_reg: float = 0.0,
     deterministic: bool = False,
     grad_accum_steps: int = 1,
+    compute_dtype=None,
 ):
     """(state, features, tokens) -> (state, metrics), batch sharded over axis.
 
@@ -61,6 +62,7 @@ def make_dp_train_step(
             pad_id=pad_id,
             label_smoothing=label_smoothing,
             attention_reg=attention_reg,
+            compute_dtype=compute_dtype,
         )
         global_sums = jax.tree_util.tree_map(
             lambda s: jax.lax.psum(s, axis), sums
@@ -83,6 +85,7 @@ def make_dp_train_step(
                 pad_id=pad_id,
                 label_smoothing=label_smoothing,
                 attention_reg=attention_reg,
+                compute_dtype=compute_dtype,
             )
             g_nll, g_reg, sums = accumulated_sum_grads(
                 sums_fn,

@@ -433,6 +433,20 @@ class CaptioningPipeline:
                 f"parallelism={parallelism!r} runs its own loss "
                 "schedule — drop the flag or use 'none'/'dp'"
             )
+        if cfg.precision not in ("f32", "bf16"):
+            raise ValueError(
+                f"TrainConfig.precision={cfg.precision!r}; have f32|bf16"
+            )
+        if cfg.precision == "bf16" and parallelism not in ("none", "dp"):
+            raise NotImplementedError(
+                "precision='bf16' is wired into the single-device and "
+                f"data-parallel steps only; parallelism={parallelism!r} "
+                "runs its own loss program — drop the flag or use "
+                "'none'/'dp'"
+            )
+        compute_dtype = (
+            jnp.bfloat16 if cfg.precision == "bf16" else None
+        )
         if cfg.ema_decay and parallelism not in ("none", "dp"):
             raise NotImplementedError(
                 f"ema_decay={cfg.ema_decay} tracks canonical-layout "
@@ -455,6 +469,7 @@ class CaptioningPipeline:
                 label_smoothing=cfg.label_smoothing,
                 attention_reg=cfg.attention_reg,
                 grad_accum_steps=cfg.grad_accum_steps,
+                compute_dtype=compute_dtype,
             )
         elif parallelism in ("tp", "dp_tp"):
             from tpucap.parallel import make_tp_train_step
@@ -621,6 +636,7 @@ class CaptioningPipeline:
                 label_smoothing=cfg.label_smoothing,
                 attention_reg=cfg.attention_reg,
                 grad_accum_steps=cfg.grad_accum_steps,
+                compute_dtype=compute_dtype,
             )
         else:
             raise ValueError(f"unknown parallelism {parallelism!r}")
@@ -656,6 +672,7 @@ class CaptioningPipeline:
                 pad_id=0,
                 attention_reg=cfg.attention_reg,
                 label_smoothing=cfg.label_smoothing,
+                compute_dtype=compute_dtype,
             )
 
         # Monitor selection (Keras ModelCheckpoint/EarlyStopping
@@ -884,6 +901,37 @@ class CaptioningPipeline:
         self._bf16_params = None
         return replaced
 
+    def use_averaged_weights(
+        self,
+        checkpoint_dir: str,
+        *,
+        last_k: int | None = None,
+        steps: list[int] | None = None,
+    ):
+        """Swap in the uniform average of several retained checkpoints'
+        decoder params (CheckpointManager.average_params — the
+        checkpoint-averaging serving trick). The checkpoints must carry
+        the canonical decoder layout (fit with parallelism 'none'|'dp');
+        returns the replaced decoder params for swap-back."""
+        from tpucap.checkpoint import CheckpointManager
+        from tpucap.train import build_optimizer
+
+        mgr = CheckpointManager(checkpoint_dir, best_metric=None)
+        fresh = TrainState.create(
+            self.params["decoder"],
+            build_optimizer(self.config.train),
+            jax.random.key(0),
+        )
+        averaged = mgr.average_params(fresh, steps=steps, last_k=last_k)
+        mgr.close()
+        replaced = self.params["decoder"]
+        self.params["decoder"] = jax.tree_util.tree_map(
+            jnp.asarray, averaged
+        )
+        self._decode_cache.clear()
+        self._bf16_params = None
+        return replaced
+
     def fit_finetune(
         self,
         descriptions: dict[str, list[str]],
@@ -990,6 +1038,10 @@ class CaptioningPipeline:
         state = TrainState.create(
             params, optimizer, jax.random.key(cfg.seed)
         )
+        if cfg.precision not in ("f32", "bf16"):
+            raise ValueError(
+                f"TrainConfig.precision={cfg.precision!r}; have f32|bf16"
+            )
         step = make_joint_train_step(
             self.encoder,
             self.decoder,
@@ -1000,6 +1052,9 @@ class CaptioningPipeline:
             grad_accum_steps=cfg.grad_accum_steps,
             freeze_encoder=freeze_encoder,
             mesh=mesh,
+            compute_dtype=(
+                jnp.bfloat16 if cfg.precision == "bf16" else None
+            ),
         )
         rng = np.random.default_rng(cfg.seed)
         history = []

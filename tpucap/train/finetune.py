@@ -38,6 +38,7 @@ from tpucap.train.loop import (
 )
 from tpucap.train.loss import (
     caption_loss_sums,
+    cast_floats,
     loss_from_sums,
     warn_if_attention_reg_unused,
 )
@@ -70,6 +71,7 @@ def make_joint_train_step(
     freeze_encoder: bool = False,
     mesh=None,
     axis: str = "data",
+    compute_dtype=None,
 ) -> Callable:
     """Joint jit'd step: (state, images, tokens) -> (state, metrics),
     state.params = {"encoder": ..., "decoder": ...}.
@@ -95,6 +97,11 @@ def make_joint_train_step(
         enc_params = params["encoder"]
         if freeze_encoder:
             enc_params = jax.lax.stop_gradient(enc_params)
+        # Mixed precision casts at the encoder boundary too — the conv
+        # FLOPs dominate this step, so bf16 matters most here. Master
+        # params stay f32 (cast_floats docstring).
+        enc_params = cast_floats(enc_params, compute_dtype)
+        images = cast_floats(images, compute_dtype)
         feats = encode_for_decoder(encoder, enc_params, images)
         return caption_loss_sums(
             decoder,
@@ -106,6 +113,7 @@ def make_joint_train_step(
             pad_id=pad_id,
             label_smoothing=label_smoothing,
             attention_reg=attention_reg,
+            compute_dtype=compute_dtype,
         )
 
     def loss_fn(params, images, tokens, rng):

@@ -141,6 +141,7 @@ def caption_sums_fn(
     pad_id: int = 0,
     label_smoothing: float = 0.0,
     attention_reg: float = 0.0,
+    compute_dtype=None,
 ):
     """-> (sums_fn(params, features, tokens, rng) -> sums dict, use_reg)
     — the standard decoder-on-precomputed-features loss pieces, shaped
@@ -162,6 +163,7 @@ def caption_sums_fn(
             pad_id=pad_id,
             label_smoothing=label_smoothing,
             attention_reg=attention_reg,
+            compute_dtype=compute_dtype,
         )
 
     return sums_fn, use_reg
@@ -275,6 +277,7 @@ def make_train_step(
     attention_reg: float = 0.0,
     deterministic: bool = False,
     grad_accum_steps: int = 1,
+    compute_dtype=None,
 ) -> Callable:
     """Single-device jit'd step: (state, features, tokens) -> (state, metrics).
 
@@ -282,7 +285,14 @@ def make_train_step(
     sequentially, cutting peak activation memory (the (B, T, V) logits)
     by A while producing the EXACT full-batch update (sum-form
     accumulation — see accumulated_sum_grads). Train batches A-times
-    larger than HBM would otherwise allow."""
+    larger than HBM would otherwise allow.
+
+    ``compute_dtype=jnp.bfloat16`` is mixed-precision training: the
+    forward/backward matmuls run in bf16 (params + features cast at the
+    loss boundary — tpucap.train.loss.cast_floats), while the master
+    params, optimizer state, and every loss reduction stay f32. No loss
+    scaling is needed: bf16 keeps f32's exponent range, the reason it is
+    the TPU training dtype (TrainConfig.precision)."""
     from tpucap.train.loss import (
         loss_from_sums,
         warn_if_attention_reg_unused,
@@ -301,6 +311,7 @@ def make_train_step(
             pad_id=pad_id,
             label_smoothing=label_smoothing,
             attention_reg=attention_reg,
+            compute_dtype=compute_dtype,
         )
 
     @jax.jit
@@ -313,6 +324,7 @@ def make_train_step(
                 pad_id=pad_id,
                 label_smoothing=label_smoothing,
                 attention_reg=attention_reg,
+                compute_dtype=compute_dtype,
             )
             g_nll, g_reg, sums = accumulated_sum_grads(
                 sums_fn,
@@ -351,6 +363,7 @@ def make_eval_step(
     pad_id: int = 0,
     attention_reg: float = 0.0,
     label_smoothing: float = 0.0,
+    compute_dtype=None,
 ) -> Callable:
     """val_loss uses the SAME objective as training (Keras evaluates with
     the compiled loss): label smoothing and the attention regularizer both
@@ -368,6 +381,7 @@ def make_eval_step(
             pad_id=pad_id,
             attention_reg=attention_reg,
             label_smoothing=label_smoothing,
+            compute_dtype=compute_dtype,
         )
         return metrics
 
@@ -380,6 +394,7 @@ def make_eval_sums_step(
     pad_id: int = 0,
     attention_reg: float = 0.0,
     label_smoothing: float = 0.0,
+    compute_dtype=None,
 ) -> Callable:
     """Sum-form eval pieces for one fixed-shape chunk. Accumulate the
     returned dicts across chunks and normalize once with
@@ -400,6 +415,7 @@ def make_eval_sums_step(
             pad_id=pad_id,
             attention_reg=attention_reg,
             label_smoothing=label_smoothing,
+            compute_dtype=compute_dtype,
         )
 
     return step

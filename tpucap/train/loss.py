@@ -15,6 +15,28 @@ import jax
 import jax.numpy as jnp
 
 
+def cast_floats(tree, dtype):
+    """Cast every floating-point leaf of ``tree`` to ``dtype`` (integer
+    leaves — token ids, step counters — pass through untouched).
+
+    This is the mixed-precision boundary: casting params + batch inputs
+    here puts the whole forward (embedding table, LSTM/attention
+    matmuls, vocab projection) in the compute dtype, while the master
+    params the optimizer updates stay f32 — jax differentiates through
+    the cast, so the cotangent is cast back to f32 exactly at this
+    boundary (the standard master-weight recipe)."""
+    if dtype is None:
+        return tree
+    return jax.tree_util.tree_map(
+        lambda a: (
+            a.astype(dtype)
+            if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating)
+            else a
+        ),
+        tree,
+    )
+
+
 def masked_cross_entropy_sums(
     logits, targets, *, pad_id: int = 0, label_smoothing: float = 0.0
 ):
@@ -91,6 +113,7 @@ def caption_loss_sums(
     pad_id: int = 0,
     label_smoothing: float = 0.0,
     attention_reg: float = 0.0,
+    compute_dtype=None,
 ):
     """Sum-form teacher-forced loss pieces for a (local) batch.
 
@@ -98,7 +121,16 @@ def caption_loss_sums(
     (dividing by token count / batch size — locally, or by the psum'd global
     counts in the DP step) happens in the caller, so single-device and
     data-parallel training compute identical gradients.
+
+    ``compute_dtype=jnp.bfloat16`` runs the forward (and therefore the
+    backward matmuls) in bf16 — params and features are cast at this
+    boundary, so the caller's master params stay f32 — while every loss
+    REDUCTION stays f32: the CE already upcasts logits before
+    log_softmax, and the attention-coverage regularizer below sums in
+    f32. TrainConfig.precision='bf16' reaches here.
     """
+    params = cast_floats(params, compute_dtype)
+    features = cast_floats(features, compute_dtype)
     inputs = tokens[:, :-1]
     targets = tokens[:, 1:]
     use_attention_reg = attention_reg > 0.0 and hasattr(
@@ -113,11 +145,14 @@ def caption_loss_sums(
         logits, alphas = decoder.forward_train_with_alphas(
             params, features, inputs, rng=rng, deterministic=deterministic
         )
-        # Doubly-stochastic coverage over live timesteps only.
-        live = (inputs != pad_id).astype(alphas.dtype)[:, :, None]
-        coverage = jnp.sum(alphas * live, axis=1)  # (B, L)
+        # Doubly-stochastic coverage over live timesteps only. Summed in
+        # f32 regardless of compute_dtype — per-timestep alphas are fine
+        # in bf16, but the coverage sum over T steps is a reduction.
+        alphas32 = alphas.astype(jnp.float32)
+        live = (inputs != pad_id).astype(jnp.float32)[:, :, None]
+        coverage = jnp.sum(alphas32 * live, axis=1)  # (B, L)
         reg_rows = jnp.sum((1.0 - coverage) ** 2, axis=-1)  # (B,)
-        reg_sum = jnp.sum(reg_rows * row_live.astype(reg_rows.dtype))
+        reg_sum = jnp.sum(reg_rows * row_live)
     else:
         logits = decoder.forward_train(
             params, features, inputs, rng=rng, deterministic=deterministic
@@ -164,6 +199,7 @@ def caption_loss(
     pad_id: int = 0,
     label_smoothing: float = 0.0,
     attention_reg: float = 0.0,
+    compute_dtype=None,
 ):
     """Teacher-forced loss. tokens (B, T) post-padded full captions
     (startseq ... endseq); inputs = tokens[:, :-1], targets = tokens[:, 1:].
@@ -181,5 +217,6 @@ def caption_loss(
         pad_id=pad_id,
         label_smoothing=label_smoothing,
         attention_reg=attention_reg,
+        compute_dtype=compute_dtype,
     )
     return loss_from_sums(sums, attention_reg=attention_reg)
