@@ -144,6 +144,14 @@ def main():
         "block multiple + segment-id masking; docs/PERF.md)",
     )
     ap.add_argument(
+        "--train-mixed",
+        action="store_true",
+        help="--mode train only: MIXED-precision step (f32 master "
+        "params/opt-state, bf16 compute via TrainConfig.precision's "
+        "compute_dtype path) instead of the default wholesale param "
+        "cast per --dtype. Use with --dtype f32.",
+    )
+    ap.add_argument(
         "--mode",
         default="caption",
         choices=[
@@ -695,7 +703,11 @@ def main():
 
         optimizer = optax.adam(1e-3)
         state = TrainState.create(dec_params, optimizer, jax.random.key(2))
-        step = make_train_step(decoder, optimizer)
+        step = make_train_step(
+            decoder,
+            optimizer,
+            compute_dtype=jnp.bfloat16 if args.train_mixed else None,
+        )
         feat_shape = (
             (args.batch, 196, encoder.feature_dim)
             if spatial
@@ -721,7 +733,8 @@ def main():
         sps = args.batch / med
         result = {
             "metric": f"training samples/sec (batch {args.batch}, "
-            f"T {args.max_len}, {args.dtype})",
+            f"T {args.max_len}, "
+            f"{'mixed-bf16' if args.train_mixed else args.dtype})",
             "value": round(sps, 2),
             "unit": "samples/sec/chip",
             "vs_baseline": 0.0,
