@@ -286,6 +286,80 @@ class TestSampling:
             np.asarray(s1.tokens), np.asarray(g.tokens)
         )
 
+    def test_top_p_tiny_nucleus_equals_greedy(self):
+        """top_p -> 0 keeps only the argmax (the top-1 token always
+        survives the exclusive-cumulative rule), so sampling becomes
+        greedy for any key."""
+        from tpucap.decode.sample import sample_decode
+
+        dec, params = make("lstm1")
+        feats = features_for("lstm1", jax.random.key(12))
+        s = sample_decode(
+            dec.step, params, dec.init_state(params, feats),
+            rng=jax.random.key(4), start_id=START, end_id=END,
+            max_len=MAXLEN, top_p=1e-9,
+        )
+        g = greedy_decode(
+            dec.step, params, dec.init_state(params, feats),
+            start_id=START, end_id=END, max_len=MAXLEN,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(s.tokens), np.asarray(g.tokens)
+        )
+
+    def test_top_p_one_is_identity(self):
+        """top_p=1.0 must not change sampling at all (the truncation
+        branch is skipped; the program and the draws are identical)."""
+        from tpucap.decode.sample import sample_decode
+
+        dec, params = make("lstm1")
+        feats = features_for("lstm1", jax.random.key(13))
+        kw = dict(start_id=START, end_id=END, max_len=MAXLEN)
+        a = sample_decode(
+            dec.step, params, dec.init_state(params, feats),
+            rng=jax.random.key(2), **kw,
+        )
+        b = sample_decode(
+            dec.step, params, dec.init_state(params, feats),
+            rng=jax.random.key(2), top_p=1.0, **kw,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(a.tokens), np.asarray(b.tokens)
+        )
+
+    def test_top_p_validation(self):
+        from tpucap.decode.sample import sample_decode
+
+        dec, params = make("lstm1")
+        feats = features_for("lstm1", jax.random.key(14))
+        import pytest
+
+        for bad in (0.0, -0.1, 1.5):
+            with pytest.raises(ValueError, match="top_p"):
+                sample_decode(
+                    dec.step, params, dec.init_state(params, feats),
+                    rng=jax.random.key(0), start_id=START, end_id=END,
+                    max_len=MAXLEN, top_p=bad,
+                )
+
+    def test_top_p_mask_hand_oracle(self):
+        """The nucleus mask on a hand-built distribution: probs
+        (0.5, 0.3, 0.15, 0.05), top_p=0.6 -> exclusive cumsum
+        (0, .5, .8, .95) keeps exactly the first two tokens."""
+        import jax
+
+        logits = jnp.log(jnp.asarray([[0.5, 0.3, 0.15, 0.05]]))
+        sorted_desc = -jnp.sort(-logits, axis=-1)
+        probs = jax.nn.softmax(sorted_desc, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        kcount = jnp.sum((cum - probs) < 0.6, axis=-1)
+        assert int(kcount[0]) == 2
+        thresh = jnp.take_along_axis(
+            sorted_desc, (kcount - 1)[:, None], axis=-1
+        )
+        kept = np.asarray(logits >= thresh)[0]
+        np.testing.assert_array_equal(kept, [True, True, False, False])
+
 
 def test_beam_approx_topk_small_vocab_matches_exact():
     """approx_topk swaps stage-1 top-k for approx_max_k; at tiny vocab the

@@ -359,6 +359,8 @@ def _cmd_train_finetune(args, pipe, prepared):
         batch_size=args.batch_size,
         encoder_lr_scale=args.encoder_lr_scale,
         parallelism=parallelism,
+        augment=getattr(args, "augment", False),
+        augment_shift=getattr(args, "augment_shift", 0) or 0,
     )
     if getattr(args, "metrics_log", None) or getattr(
         args, "tensorboard_dir", None
@@ -750,6 +752,13 @@ def main(argv=None):
                    "pipeline bundle for serve --model-dir)")
     p.add_argument("--images", default=None,
                    help="image dir (<id>.jpg) for --finetune-encoder")
+    p.add_argument("--augment", action="store_true",
+                   help="--finetune-encoder only: on-device per-step "
+                   "augmentation (random horizontal flip) inside the "
+                   "jitted step")
+    p.add_argument("--augment-shift", type=int, default=0,
+                   help="--finetune-encoder only: also random-translate "
+                   "each image by up to N px (reflect padding)")
     p.add_argument("--encoder-lr-scale", type=float, default=0.1,
                    help="scale on the encoder's updates during "
                    "--finetune-encoder (0.1 = standard backbone lr)")

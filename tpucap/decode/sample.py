@@ -1,4 +1,4 @@
-"""Stochastic sampling decode (temperature / top-k), fully on-device.
+"""Stochastic sampling decode (temperature / top-k / top-p), fully on-device.
 
 Not part of the reference surface (it only ships greedy + beam,
 SURVEY.md §2.1 #10-11) — provided as a framework extra on the same
@@ -27,9 +27,15 @@ def sample_decode(
     max_len: int,
     temperature: float = 1.0,
     top_k: int | None = None,
+    top_p: float | None = None,
     pad_id: int = 0,
 ) -> DecodeResult:
-    """Ancestral sampling with optional temperature and top-k truncation.
+    """Ancestral sampling with optional temperature, top-k truncation,
+    and top-p (nucleus) truncation — applied in that order, the
+    conventional composition: temperature reshapes the distribution,
+    top-k hard-caps the candidate count, top-p then keeps the smallest
+    prefix of the (remaining) probability-sorted vocabulary whose mass
+    reaches p (the top-1 token always survives).
 
     rng: jax PRNG key; the same key reproduces the same captions.
     """
@@ -40,6 +46,8 @@ def sample_decode(
         )
     if top_k is not None and top_k < 1:
         raise ValueError(f"top_k must be >= 1, got {top_k}")
+    if top_p is not None and not (0.0 < top_p <= 1.0):
+        raise ValueError(f"top_p must be in (0, 1], got {top_p}")
     B = jax.tree_util.tree_leaves(state)[0].shape[0]
     tokens0 = jnp.full((B, max_len), pad_id, jnp.int32)
 
@@ -57,6 +65,20 @@ def sample_decode(
         if top_k is not None:
             kth = jax.lax.top_k(logits, top_k)[0][:, -1:]
             logits = jnp.where(logits < kth, NEG_INF, logits)
+        if top_p is not None and top_p < 1.0:
+            # Nucleus truncation, shape-static: sort once per step,
+            # keep tokens whose EXCLUSIVE cumulative probability is
+            # below p (so the top token is always kept), and threshold
+            # the unsorted logits at the smallest kept value. A (B, V)
+            # sort at V~7.5k is trivial next to the step's matmuls.
+            sorted_desc = -jnp.sort(-logits, axis=-1)
+            probs = jax.nn.softmax(sorted_desc, axis=-1)
+            cum = jnp.cumsum(probs, axis=-1)
+            kcount = jnp.sum((cum - probs) < top_p, axis=-1)
+            thresh = jnp.take_along_axis(
+                sorted_desc, (kcount - 1)[:, None], axis=-1
+            )
+            logits = jnp.where(logits < thresh, NEG_INF, logits)
         logp = jax.nn.log_softmax(logits, axis=-1)
 
         key, sub = jax.random.split(key)

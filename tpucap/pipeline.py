@@ -942,6 +942,8 @@ class CaptioningPipeline:
         encoder_lr_scale: float = 0.1,
         freeze_encoder: bool = False,
         parallelism: str | None = None,
+        augment: bool = False,
+        augment_shift: int = 0,
         log=print,
     ) -> list[dict]:
         """End-to-end fine-tuning: train the ENCODER and decoder jointly
@@ -962,7 +964,13 @@ class CaptioningPipeline:
         larger image batches. ``parallelism='dp'`` shards the image
         batch over the data mesh (update-exact vs single device, pure
         sum space — train/finetune.py). Updates self.params in place:
-        generate / evaluate / save immediately use the tuned encoder."""
+        generate / evaluate / save immediately use the tuned encoder.
+
+        ``augment=True`` adds on-device per-step augmentation inside the
+        jitted step (random horizontal flip; ``augment_shift=N`` adds a
+        reflect-padded random translation of up to N px — see
+        data/augment.py for why only preprocessing-commuting ops are
+        offered)."""
         from tpucap.train import build_optimizer
         from tpucap.train.finetune import (
             encoder_learning_rate_optimizer,
@@ -1042,6 +1050,8 @@ class CaptioningPipeline:
             raise ValueError(
                 f"TrainConfig.precision={cfg.precision!r}; have f32|bf16"
             )
+        from tpucap.data.augment import make_augment_fn
+
         step = make_joint_train_step(
             self.encoder,
             self.decoder,
@@ -1054,6 +1064,9 @@ class CaptioningPipeline:
             mesh=mesh,
             compute_dtype=(
                 jnp.bfloat16 if cfg.precision == "bf16" else None
+            ),
+            augment_fn=make_augment_fn(
+                flip=augment, max_shift=augment_shift
             ),
         )
         rng = np.random.default_rng(cfg.seed)
@@ -1485,13 +1498,14 @@ class CaptioningPipeline:
         beam_width: int | None = None,
         temperature: float = 1.0,
         top_k: int | None = None,
+        top_p: float | None = None,
         seed: int = 0,
         parallelism: str | None = None,
     ) -> list[str]:
         """Features (B, ...) -> caption strings (sentinels stripped).
 
-        method: 'greedy' | 'beam' | 'sample' (temperature/top_k/seed apply
-        to sampling only).
+        method: 'greedy' | 'beam' | 'sample' (temperature/top_k/top_p/
+        seed apply to sampling only; top_p is nucleus truncation).
 
         parallelism: None/'none' (single device) | 'dp' (batch sharded over
         the data mesh) | 'tp' (vocab-sharded beam engine) | 'dp_tp' (2-D
@@ -1529,7 +1543,7 @@ class CaptioningPipeline:
         params = self._inference_params()["decoder"]
         feats = jnp.asarray(features, self._infer_dtype())
         start_id, end_id = self._token_ids()
-        key = ("sample", temperature, top_k)
+        key = ("sample", temperature, top_k, top_p)
         fn = self._decode_cache.get(key)
         if fn is None:
 
@@ -1546,6 +1560,7 @@ class CaptioningPipeline:
                     max_len=self.config.decode.max_len,
                     temperature=temperature,
                     top_k=top_k,
+                    top_p=top_p,
                 )
 
             self._decode_cache[key] = fn

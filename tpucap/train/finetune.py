@@ -72,12 +72,18 @@ def make_joint_train_step(
     mesh=None,
     axis: str = "data",
     compute_dtype=None,
+    augment_fn=None,
 ) -> Callable:
     """Joint jit'd step: (state, images, tokens) -> (state, metrics),
     state.params = {"encoder": ..., "decoder": ...}.
 
     The optimizer must be initialized over the SAME two-tree pytree
     (TrainState.create({"encoder": ..., "decoder": ...}, optimizer, rng)).
+
+    ``augment_fn(images, rng) -> images`` (data/augment.py) runs INSIDE
+    the jitted step on a fresh per-step key (per shard under DP, key
+    folded with the axis index) — on-device augmentation with zero
+    extra host->device traffic. None compiles an augmentation-free step.
 
     ``mesh`` switches on data parallelism: images/tokens shard over
     ``axis`` under shard_map, params replicate, and the update is
@@ -174,10 +180,17 @@ def make_joint_train_step(
         from jax.sharding import PartitionSpec as P
 
         def shard_body(state: TrainState, images, tokens):
-            rng, dropout_rng = jax.random.split(state.rng)
+            rng, dropout_rng, aug_rng = jax.random.split(state.rng, 3)
             dropout_rng = jax.random.fold_in(
                 dropout_rng, jax.lax.axis_index(axis)
             )
+            if augment_fn is not None:
+                images = augment_fn(
+                    images,
+                    jax.random.fold_in(
+                        aug_rng, jax.lax.axis_index(axis)
+                    ),
+                )
             psum = lambda t: jax.tree_util.tree_map(  # noqa: E731
                 lambda s: jax.lax.psum(s, axis), t
             )
@@ -202,7 +215,9 @@ def make_joint_train_step(
 
     @jax.jit
     def step(state: TrainState, images, tokens):
-        rng, dropout_rng = jax.random.split(state.rng)
+        rng, dropout_rng, aug_rng = jax.random.split(state.rng, 3)
+        if augment_fn is not None:
+            images = augment_fn(images, aug_rng)
         if grad_accum_steps > 1:
             grads, _, metrics = _sum_space_update(
                 state.params,
