@@ -124,6 +124,82 @@ def test_aot_rejects_sampling(toy_corpus, tmp_path):
         )
 
 
+def test_aot_ladder_and_caption_server_facade(toy_corpus, rng, tmp_path):
+    """ladder=True exports the serving bucket family and the loader
+    duck-types CaptionServer's pipeline surface: micro-batched serving
+    out of the artifact matches pipeline.generate."""
+    from tpucap.serve import CaptionServer
+
+    pipe = make_pipe(toy_corpus)
+    manifest = export_decode(
+        pipe, str(tmp_path / "b"), batch_size=4, ladder=True
+    )
+    assert manifest["batch_sizes"] == [1, 2, 4]
+    cap = AotCaptioner.load(str(tmp_path / "b"))
+    feats = feat_rows(pipe, rng, 5)
+    want = pipe.generate(feats, method="greedy")
+    # Offline chunked API covers 4 + tail-1 on the covering programs.
+    assert cap.caption(feats) == want
+    # Online: the real micro-batcher over the facade.
+    with CaptionServer(cap, max_batch=4, max_delay_ms=2.0) as srv:
+        futs = [srv.submit(feats[i]) for i in range(5)]
+        got = [f.result(timeout=60) for f in futs]
+    assert got == want
+
+
+def test_aot_facade_guards(toy_corpus, rng, tmp_path):
+    pipe = make_pipe(toy_corpus)
+    export_decode(pipe, str(tmp_path / "b"), batch_size=2)
+    cap = AotCaptioner.load(str(tmp_path / "b"))
+    feats = feat_rows(pipe, rng, 2)
+    with pytest.raises(ValueError, match="exported with method"):
+        cap.generate(feats, method="beam")
+    with pytest.raises(ValueError, match="parallelism"):
+        cap.generate(feats, parallelism="dp")
+    with pytest.raises(ValueError, match="largest exported"):
+        cap.generate(feat_rows(pipe, rng, 3))
+
+
+def test_aot_http_serving(toy_corpus, rng, tmp_path):
+    """The full deployment story: export ladder bundle with encoder ->
+    CaptionHTTPServer over AotCaptioner serves /caption_features and
+    the JPEG /caption path with pipeline-parity captions."""
+    import http.client
+    import json as js
+
+    from tpucap.serve_http import CaptionHTTPServer
+
+    pipe = make_pipe(toy_corpus)
+    export_decode(
+        pipe,
+        str(tmp_path / "b"),
+        batch_size=4,
+        ladder=True,
+        include_encoder=True,
+    )
+    cap = AotCaptioner.load(str(tmp_path / "b"))
+    srv = CaptionHTTPServer(
+        cap, port=0, max_batch=4, max_delay_ms=5, method="greedy"
+    )
+    srv.warmup()
+    srv.serve_background()
+    try:
+        host, port = srv.address
+        feats = feat_rows(pipe, rng, 1)[0]
+        body = js.dumps({"features": feats.tolist()}).encode()
+        conn = http.client.HTTPConnection(host, port, timeout=120)
+        conn.request("POST", "/caption_features", body=body)
+        resp = conn.getresponse()
+        payload = js.loads(resp.read())
+        conn.close()
+        assert resp.status == 200
+        assert payload["caption"] == pipe.generate(
+            feats[None], method="greedy"
+        )[0]
+    finally:
+        srv.close()
+
+
 def test_cli_export_format_aot(tmp_path):
     """extract -> train -> export --format aot via the CLI; the bundle
     loads with AotCaptioner and captions the training images' features."""
@@ -148,7 +224,9 @@ def test_cli_export_format_aot(tmp_path):
     bundle = str(tmp_path / "aot_bundle")
     main(["export", *common, "--checkpoint-dir", ckpt, "--out", bundle,
           "--format", "aot", "--aot-batch-size", "4"])
-    assert os.path.exists(os.path.join(bundle, "aot", "decode.stablehlo"))
+    assert os.path.exists(
+        os.path.join(bundle, "aot", "decode_b4.stablehlo")
+    )
     cap = AotCaptioner.load(bundle)
     with np.load(feats_path) as z:
         rows = np.stack([z[k] for k in list(z.files)[:3]])

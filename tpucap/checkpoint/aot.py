@@ -10,31 +10,37 @@ artifact pins the exact decode numerics shipped, is hermetic against
 model-code drift, and can target several platforms at once (the default
 exports one program runnable on both ``cpu`` and ``tpu``).
 
+Because XLA programs have static shapes, the artifact carries a BATCH
+LADDER — one program per requested batch size (by default the serving
+micro-batcher's power-of-two bucket ladder), exactly the shape family
+`tpucap.serve.CaptionServer` dispatches. :class:`AotCaptioner` therefore
+duck-types the pipeline surface the server needs (``generate`` /
+``generate_submit`` / ``encode_images`` / ``config`` / ``encoder``), so
+``CaptionServer(AotCaptioner.load(dir))`` and
+``tpucap serve --aot-bundle dir`` serve production traffic with zero
+model code and zero tracing at startup.
+
 Artifact layout (inside a ``pipeline.save()`` bundle directory)::
 
     <bundle>/
       config.json tokenizer.json params/   # the ordinary bundle
       aot/
         manifest.json                      # shapes, method, platforms
-        decode.stablehlo                   # (params, features) -> (tokens, lengths)
-        encoder.stablehlo                  # optional: (params, images) -> features
-
-:class:`AotCaptioner` is the loader: tokenizer + params + programs only —
-``tpucap.models`` / ``tpucap.decode`` never load, which is the point.
+        decode_b{N}.stablehlo              # (params, features) -> (tokens, lengths)
+        encoder_b{N}.stablehlo             # optional: (params, images) -> features
 """
 
 from __future__ import annotations
 
 import json
 import os
+import types
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 _MANIFEST = "manifest.json"
-_DECODE = "decode.stablehlo"
-_ENCODER = "encoder.stablehlo"
 
 
 def _aot_dir(directory: str) -> str:
@@ -48,26 +54,37 @@ def _feature_shape(pipeline) -> tuple:
     return (cfgE.feature_dim,)
 
 
+def _bucket_ladder(max_batch: int) -> list[int]:
+    """1, 2, 4, ... capped at max_batch (the serve.py bucket family)."""
+    out, b = [], 1
+    while b < max_batch:
+        out.append(b)
+        b *= 2
+    out.append(max_batch)
+    return out
+
+
 def export_decode(
     pipeline,
     directory: str,
     *,
-    batch_size: int,
+    batch_size,
     method: str | None = None,
     beam_width: int | None = None,
     platforms: tuple = ("cpu", "tpu"),
     save_bundle: bool = True,
     include_encoder: bool = False,
+    ladder: bool = False,
 ) -> dict:
-    """Serialize the pipeline's decode program (and optionally the
-    encoder) into ``<directory>/aot/``. Returns the manifest dict.
+    """Serialize the pipeline's decode program(s) (and optionally the
+    encoder's) into ``<directory>/aot/``. Returns the manifest dict.
 
-    The exported program has STATIC shapes — ``(batch_size, *feature
-    shape)`` in, ``(batch_size, max_len)`` tokens out — matching how the
-    engines already run in production (every serving path here pads to
-    fixed shapes; a dynamic batch dim would forfeit XLA's tiling).
-    ``save_bundle`` also writes ``pipeline.save(directory)`` so the
-    artifact is self-contained (config + tokenizer + params).
+    ``batch_size`` is an int or a list of ints — one STATIC-shape
+    program is exported per size. ``ladder=True`` expands an int into
+    the serving bucket ladder (1, 2, 4, ..., batch_size), the shape
+    family CaptionServer dispatches, making the bundle directly
+    servable. ``save_bundle`` also writes ``pipeline.save(directory)``
+    so the artifact is self-contained (config + tokenizer + params).
     """
     from jax import export as jax_export
 
@@ -75,13 +92,18 @@ def export_decode(
     beam_width = beam_width or pipeline.config.decode.beam_width
     if method not in ("greedy", "beam"):
         raise ValueError(f"export_decode supports greedy|beam, got {method!r}")
+    if isinstance(batch_size, int):
+        sizes = _bucket_ladder(batch_size) if ladder else [batch_size]
+    else:
+        sizes = sorted(set(int(b) for b in batch_size))
+    if not sizes or sizes[0] < 1:
+        raise ValueError(f"bad batch sizes {sizes}")
     if save_bundle:
         pipeline.save(directory)
     os.makedirs(_aot_dir(directory), exist_ok=True)
 
     dec_params = pipeline._inference_params()["decoder"]
     dtype = pipeline._infer_dtype()
-    feats = jnp.zeros((batch_size,) + _feature_shape(pipeline), dtype)
     inner = pipeline._decode_fn(method, beam_width)
 
     # Return a plain tuple: DecodeResult is a registered dataclass pytree,
@@ -92,42 +114,49 @@ def export_decode(
         res = inner(params, features)
         return res.tokens, res.lengths
 
-    exported = jax_export.export(decode_fn, platforms=tuple(platforms))(
-        dec_params, feats
-    )
-    with open(os.path.join(_aot_dir(directory), _DECODE), "wb") as f:
-        f.write(bytes(exported.serialize()))
+    feat_shape = _feature_shape(pipeline)
+    for b in sizes:
+        feats = jnp.zeros((b,) + feat_shape, dtype)
+        exported = jax_export.export(decode_fn, platforms=tuple(platforms))(
+            dec_params, feats
+        )
+        path = os.path.join(_aot_dir(directory), f"decode_b{b}.stablehlo")
+        with open(path, "wb") as f:
+            f.write(bytes(exported.serialize()))
 
     manifest = {
         "kind": "tpucap-aot",
         "method": method,
         "beam_width": beam_width,
-        "batch_size": batch_size,
-        "feature_shape": list(_feature_shape(pipeline)),
+        "batch_sizes": sizes,
+        "batch_size": sizes[-1],
+        "feature_shape": list(feat_shape),
         "max_len": pipeline.config.decode.max_len,
         "platforms": list(platforms),
-        "dtype": np.dtype(dtype).name
-        if dtype != jnp.bfloat16
-        else "bfloat16",
+        "dtype": np.dtype(dtype).name,
         "precision": pipeline.config.precision,
-        "end_id": pipeline._token_ids()[1],
+        "end_id": int(pipeline._token_ids()[1]),
         "jax_version": jax.__version__,
         "has_encoder": bool(include_encoder),
     }
     if include_encoder:
         enc_params = pipeline._inference_params()["encoder"]
         size = pipeline.encoder.input_size
-        images = jnp.zeros((batch_size, size, size, 3), dtype)
 
         @jax.jit
         def encode_fn(params, images):
             return pipeline._apply_encoder(params, images)
 
-        enc_exported = jax_export.export(
-            encode_fn, platforms=tuple(platforms)
-        )(enc_params, images)
-        with open(os.path.join(_aot_dir(directory), _ENCODER), "wb") as f:
-            f.write(bytes(enc_exported.serialize()))
+        for b in sizes:
+            images = jnp.zeros((b, size, size, 3), dtype)
+            enc_exported = jax_export.export(
+                encode_fn, platforms=tuple(platforms)
+            )(enc_params, images)
+            path = os.path.join(
+                _aot_dir(directory), f"encoder_b{b}.stablehlo"
+            )
+            with open(path, "wb") as f:
+                f.write(bytes(enc_exported.serialize()))
         manifest["image_size"] = size
         manifest["preprocess_mode"] = pipeline.encoder.preprocess_mode
     with open(os.path.join(_aot_dir(directory), _MANIFEST), "w") as f:
@@ -138,25 +167,44 @@ def export_decode(
 class AotCaptioner:
     """Serving loader for an AOT bundle: tokenizer + params + serialized
     programs. Deliberately imports NO model or decode-engine code — the
-    StableHLO program IS the model.
+    StableHLO programs ARE the model.
+
+    Duck-types the pipeline surface `tpucap.serve.CaptionServer` needs
+    (generate / generate_submit / encode_images / config / encoder), so
+    the whole online-serving layer — micro-batcher, bucket ladder, HTTP
+    front-end — runs unchanged on the artifact:
 
     >>> cap = AotCaptioner.load("bundle/")
-    >>> cap.caption(features)          # (N, D) or (N, L, D) -> captions
-    >>> cap.caption_images(images)     # exported with include_encoder
+    >>> cap.caption(features)                 # offline batched API
+    >>> CaptionServer(cap).caption(feat_row)  # online micro-batched
     """
 
-    def __init__(self, *, manifest, tokenizer, dec_params, decode_call,
-                 enc_params=None, encode_call=None):
+    def __init__(self, *, directory, manifest, config, tokenizer,
+                 dec_params, decode_calls, enc_params=None,
+                 encode_calls=None):
+        self.directory = directory
         self.manifest = manifest
+        self.config = config
         self.tokenizer = tokenizer
         self._dec_params = dec_params
-        self._decode = decode_call
+        self._decode = decode_calls  # {batch_size: call}
         self._enc_params = enc_params
-        self._encode = encode_call
+        self._encode = encode_calls
+        self._sizes = sorted(decode_calls)
         self._dtype = (
             jnp.bfloat16
             if manifest["dtype"] == "bfloat16"
             else np.dtype(manifest["dtype"])
+        )
+        # The pipeline-facade attribute CaptionServer/serve_http read.
+        self.encoder = types.SimpleNamespace(
+            input_size=manifest.get("image_size"),
+            preprocess_mode=manifest.get("preprocess_mode"),
+            spatial_positions=(
+                manifest["feature_shape"][0]
+                if len(manifest["feature_shape"]) == 2
+                else None
+            ),
         )
 
     @classmethod
@@ -165,11 +213,14 @@ class AotCaptioner:
 
         import orbax.checkpoint as ocp
 
+        from tpucap.config import config_from_dict
         from tpucap.text import Tokenizer
 
         directory = os.path.abspath(directory)
         with open(os.path.join(_aot_dir(directory), _MANIFEST)) as f:
             manifest = json.load(f)
+        with open(os.path.join(directory, "config.json")) as f:
+            config = config_from_dict(json.load(f))
         tokenizer = Tokenizer.load(
             os.path.join(directory, "tokenizer.json")
         )
@@ -179,7 +230,7 @@ class AotCaptioner:
             ckptr.restore(os.path.join(directory, "params")),
         )
         if manifest["precision"] == "bf16":
-            # The program was exported over bf16-cast inference params;
+            # The programs were exported over bf16-cast inference params;
             # re-apply the same cast the pipeline serves with.
             from tpucap.models.encoders.quantize import (
                 cast_bf16_preserving_quant,
@@ -187,25 +238,114 @@ class AotCaptioner:
 
             params = cast_bf16_preserving_quant(params)
 
-        with open(os.path.join(_aot_dir(directory), _DECODE), "rb") as f:
-            decode_call = jax_export.deserialize(f.read()).call
-        enc_params = encode_call = None
+        def load_programs(stem):
+            calls = {}
+            for b in manifest["batch_sizes"]:
+                path = os.path.join(
+                    _aot_dir(directory), f"{stem}_b{b}.stablehlo"
+                )
+                with open(path, "rb") as f:
+                    calls[b] = jax_export.deserialize(f.read()).call
+            return calls
+
+        decode_calls = load_programs("decode")
+        enc_params = encode_calls = None
         if manifest.get("has_encoder"):
-            with open(
-                os.path.join(_aot_dir(directory), _ENCODER), "rb"
-            ) as f:
-                encode_call = jax_export.deserialize(f.read()).call
+            encode_calls = load_programs("encoder")
             enc_params = params["encoder"]
         return cls(
+            directory=directory,
             manifest=manifest,
+            config=config,
             tokenizer=tokenizer,
             dec_params=params["decoder"],
-            decode_call=decode_call,
+            decode_calls=decode_calls,
             enc_params=enc_params,
-            encode_call=encode_call,
+            encode_calls=encode_calls,
         )
 
-    # -- serving ---------------------------------------------------------
+    # -- program dispatch --------------------------------------------------
+
+    def _covering_size(self, n: int) -> int:
+        for b in self._sizes:
+            if b >= n:
+                return b
+        raise ValueError(
+            f"batch of {n} exceeds the largest exported program "
+            f"({self._sizes[-1]}); re-export with a bigger batch_size "
+            "or chunk via caption()"
+        )
+
+    def _pad_rows(self, x, to: int):
+        """Zero-pad the batch dim on device (jnp) — no host sync, so
+        generate_submit stays async even when ``x`` is the still-in-
+        flight output of the encoder program."""
+        n = x.shape[0]
+        if n == to:
+            return x
+        return jnp.concatenate(
+            [x, jnp.zeros((to - n,) + tuple(x.shape[1:]), x.dtype)]
+        )
+
+    # -- pipeline facade (what CaptionServer drives) ------------------------
+
+    def _check_method(self, method, beam_width):
+        method = method or self.manifest["method"]
+        if method != self.manifest["method"]:
+            raise ValueError(
+                f"bundle was exported with method="
+                f"{self.manifest['method']!r}; got {method!r} — AOT "
+                "programs are fixed at export time"
+            )
+        if (
+            method == "beam"
+            and beam_width
+            and beam_width != self.manifest["beam_width"]
+        ):
+            raise ValueError(
+                f"bundle was exported with beam_width="
+                f"{self.manifest['beam_width']}; got {beam_width}"
+            )
+
+    def generate_submit(self, features, *, method=None, beam_width=None):
+        """Async dispatch + finalizer, the CaptionServer contract: the
+        program starts on device now; the returned zero-arg callable
+        blocks and yields the captions."""
+        self._check_method(method, beam_width)
+        feats = jnp.asarray(features, self._dtype)
+        n = feats.shape[0]
+        b = self._covering_size(n)
+        tokens, lengths = self._decode[b](
+            self._dec_params, self._pad_rows(feats, b)
+        )
+        return lambda: self._detok(tokens[:n], lengths[:n])
+
+    def generate(self, features, *, method=None, beam_width=None,
+                 parallelism=None, **_):
+        if parallelism not in (None, "none"):
+            raise ValueError(
+                "AOT bundles serve single-device programs; "
+                f"parallelism={parallelism!r} is not available"
+            )
+        return self.generate_submit(
+            features, method=method, beam_width=beam_width
+        )()
+
+    def encode_images(self, images):
+        """(N, H, W, 3) preprocessed images -> feature rows, via the
+        exported encoder program (bundle must carry include_encoder)."""
+        if self._encode is None:
+            raise ValueError(
+                "bundle was exported without the encoder program "
+                "(export_decode(include_encoder=True))"
+            )
+        imgs = jnp.asarray(images, self._dtype)
+        n = imgs.shape[0]
+        b = self._covering_size(n)
+        feats = self._encode[b](self._enc_params, self._pad_rows(imgs, b))
+        return feats[:n]
+
+    # -- offline convenience -------------------------------------------------
 
     def _detok(self, tokens, lengths) -> list[str]:
         """Token matrix -> caption strings — EXACTLY the contract of
@@ -225,57 +365,34 @@ class AotCaptioner:
         return out
 
     def caption(self, features) -> list[str]:
-        """(N, ...) feature rows -> N captions. N is chunked/padded to
-        the exported batch size (one static program shape)."""
-        B = self.manifest["batch_size"]
-        feats = np.asarray(features)
+        """(N, ...) feature rows -> N captions; N chunks at the largest
+        exported size, the tail runs on the smallest covering program."""
+        feats = np.asarray(features, np.float32)
         expect = tuple(self.manifest["feature_shape"])
         if feats.shape[1:] != expect:
             raise ValueError(
                 f"feature rows {feats.shape[1:]} do not match the "
                 f"exported shape {expect}"
             )
+        B = self._sizes[-1]
         out: list[str] = []
         for s in range(0, feats.shape[0], B):
-            chunk = feats[s : s + B]
-            n = chunk.shape[0]
-            if n < B:
-                chunk = np.concatenate(
-                    [chunk, np.zeros((B - n,) + expect, chunk.dtype)]
-                )
-            tokens, lengths = self._decode(
-                self._dec_params, jnp.asarray(chunk, self._dtype)
-            )
-            out.extend(self._detok(tokens, lengths)[:n])
+            out.extend(self.generate_submit(feats[s : s + B])())
         return out
 
     def caption_images(self, images) -> list[str]:
         """(N, H, W, 3) PREPROCESSED images -> captions (bundle must be
         exported with include_encoder=True)."""
-        if self._encode is None:
-            raise ValueError(
-                "bundle was exported without the encoder program "
-                "(export_decode(include_encoder=True))"
-            )
-        B = self.manifest["batch_size"]
-        size = self.manifest["image_size"]
+        size = self.manifest.get("image_size")
         imgs = np.asarray(images)
-        if imgs.shape[1:] != (size, size, 3):
+        if size and imgs.shape[1:] != (size, size, 3):
             raise ValueError(
                 f"images {imgs.shape[1:]} do not match the exported "
                 f"({size}, {size}, 3)"
             )
+        B = self._sizes[-1]
         out: list[str] = []
         for s in range(0, imgs.shape[0], B):
-            chunk = imgs[s : s + B]
-            n = chunk.shape[0]
-            if n < B:
-                chunk = np.concatenate(
-                    [chunk, np.zeros((B - n, size, size, 3), chunk.dtype)]
-                )
-            feats = self._encode(
-                self._enc_params, jnp.asarray(chunk, self._dtype)
-            )
-            tokens, lengths = self._decode(self._dec_params, feats)
-            out.extend(self._detok(tokens, lengths)[:n])
+            feats = self.encode_images(imgs[s : s + B])
+            out.extend(self.generate_submit(feats)())
         return out

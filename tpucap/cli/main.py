@@ -642,6 +642,7 @@ def cmd_export(args):
             method=getattr(args, "method", None),
             beam_width=getattr(args, "beam_width", None),
             include_encoder=args.include_encoder,
+            ladder=getattr(args, "aot_ladder", False),
         )
         print(
             f"wrote AOT bundle to {args.out} "
@@ -674,7 +675,33 @@ def cmd_export(args):
 def cmd_serve(args):
     from tpucap.serve_http import CaptionHTTPServer
 
-    if args.model_dir:
+    if getattr(args, "aot_bundle", None):
+        # Serve the AOT StableHLO artifact: no model code, no tracing —
+        # the micro-batcher drives the exported program ladder directly.
+        from tpucap.checkpoint import AotCaptioner
+
+        pipe = AotCaptioner.load(args.aot_bundle)
+        if args.engine != "batch":
+            raise SystemExit(
+                "--aot-bundle serves through the batch micro-batcher "
+                "(the continuous engines re-trace per-lane programs); "
+                "drop --engine continuous"
+            )
+        covered = pipe.manifest["batch_sizes"]
+        if args.max_batch > covered[-1]:
+            raise SystemExit(
+                f"--max-batch {args.max_batch} exceeds the bundle's "
+                f"largest exported program ({covered[-1]}); re-export "
+                "with a bigger --aot-batch-size or lower --max-batch"
+            )
+        if not pipe.manifest.get("has_encoder"):
+            print(
+                "note: bundle has no encoder program — only "
+                "/caption_features will work (re-export with "
+                "--include-encoder for the JPEG /caption path)",
+                file=sys.stderr,
+            )
+    elif args.model_dir:
         from tpucap.pipeline import CaptioningPipeline
 
         pipe = CaptioningPipeline.load(args.model_dir)
@@ -877,6 +904,10 @@ def main(argv=None):
                    "code")
     p.add_argument("--aot-batch-size", type=int, default=64,
                    help="static batch shape baked into the AOT program")
+    p.add_argument("--aot-ladder", action="store_true",
+                   help="export the full serving bucket ladder "
+                   "(1,2,4,...,--aot-batch-size) so `serve --aot-bundle` "
+                   "can micro-batch")
     p.add_argument("--include-encoder", action="store_true",
                    help="also export the encoder program (AOT "
                    "caption_images path)")
@@ -894,6 +925,11 @@ def main(argv=None):
     p.add_argument("--model-dir", default=None,
                    help="a pipeline.save() bundle; overrides "
                    "--checkpoint-dir restore")
+    p.add_argument("--aot-bundle", default=None,
+                   help="an `export --format aot --aot-ladder` bundle: "
+                   "serve the serialized StableHLO programs directly "
+                   "(no model code, no tracing at startup); overrides "
+                   "--model-dir/--checkpoint-dir")
     p.add_argument("--checkpoint-dir", default="checkpoints")
     p.add_argument("--keras-h5", default=None,
                    help="pretrained Keras .h5 encoder weights for the "

@@ -162,6 +162,21 @@ class Config:
         return dataclasses.replace(self, **kw)
 
 
+def config_from_dict(d: dict) -> Config:
+    """Rebuild a Config from its ``dataclasses.asdict`` form (the
+    ``config.json`` written by pipeline.save) — shared by
+    CaptioningPipeline.load and the AOT bundle loader."""
+    return Config(
+        encoder=EncoderConfig(**d["encoder"]),
+        decoder=DecoderConfig(**d["decoder"]),
+        decode=DecodeConfig(**d["decode"]),
+        train=TrainConfig(**d["train"]),
+        mesh=MeshConfig(**d["mesh"]),
+        vocab_size=d["vocab_size"],
+        precision=d["precision"],
+    )
+
+
 #: Channel count of each encoder's feature output per feature kind —
 #: pooled: VGG16 fc2 4096-d, InceptionV3/ResNet-50 global-avg 2048-d;
 #: spatial: VGG16 block5_conv3 512-ch, InceptionV3 mixed7 768-ch,

@@ -1854,27 +1854,12 @@ class CaptioningPipeline:
 
         import orbax.checkpoint as ocp
 
-        from tpucap.config import (
-            Config,
-            DecodeConfig,
-            DecoderConfig,
-            EncoderConfig,
-            MeshConfig,
-            TrainConfig,
-        )
+        from tpucap.config import config_from_dict
 
         directory = os.path.abspath(directory)
         with open(os.path.join(directory, "config.json")) as f:
             d = json.load(f)
-        config = Config(
-            encoder=EncoderConfig(**d["encoder"]),
-            decoder=DecoderConfig(**d["decoder"]),
-            decode=DecodeConfig(**d["decode"]),
-            train=TrainConfig(**d["train"]),
-            mesh=MeshConfig(**d["mesh"]),
-            vocab_size=d["vocab_size"],
-            precision=d["precision"],
-        )
+        config = config_from_dict(d)
         tokenizer = Tokenizer.load(os.path.join(directory, "tokenizer.json"))
         pipe = cls(config, tokenizer=tokenizer)
         pipe.build(init_params=False)  # params come from the bundle below

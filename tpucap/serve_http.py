@@ -136,8 +136,10 @@ class CaptionHTTPServer:
     def warmup(self) -> None:
         """Pre-compile both backing servers' program families so the
         first request never pays a compile (seconds to minutes on a
-        remote-compile TPU link)."""
-        self._images.warmup()
+        remote-compile TPU link). The images server is skipped when the
+        backing model has no encoder path (a features-only AOT bundle)."""
+        if getattr(self._pipe.encoder, "input_size", None) is not None:
+            self._images.warmup()
         self._features.warmup()
 
     def serve_background(self) -> tuple[str, int]:
