@@ -124,7 +124,7 @@ def test_evaluate_captions_metrics_plumbing():
         "bleu1", "bleu2", "bleu3", "bleu4",
     }
     with pytest.raises(ValueError, match="unknown metrics"):
-        evaluate_captions(desc, generated, metrics=("bleu", "meteor"))
+        evaluate_captions(desc, generated, metrics=("bleu", "spice"))
 
 
 def test_pipeline_evaluate_metrics(toy_corpus, rng):
@@ -156,3 +156,58 @@ def test_pipeline_evaluate_metrics(toy_corpus, rng):
     assert "cider" in scores and "rouge_l" in scores
     assert 0.0 <= scores["rouge_l"] <= 1.0
     assert scores["cider"] >= 0.0
+
+
+class TestMeteor:
+    def test_identical_near_one(self):
+        from tpucap.train.metrics import meteor
+
+        refs = [[["a", "dog", "runs", "fast"]]]
+        hyps = [["a", "dog", "runs", "fast"]]
+        # m=4, P=R=1, F=1, chunks=1 -> penalty 0.5*(1/4)^3 = 1/128.
+        assert meteor(refs, hyps) == pytest.approx(1 - 1 / 128, abs=1e-9)
+
+    def test_stem_stage_matches_inflections(self):
+        """'running' aligns to 'runs' through the Porter stem stage —
+        the score equals the identical-sentence score."""
+        from tpucap.train.metrics import meteor
+
+        refs = [[["a", "dog", "runs", "fast"]]]
+        exact = meteor(refs, [["a", "dog", "runs", "fast"]])
+        stemmed = meteor(refs, [["a", "dog", "running", "fast"]])
+        assert stemmed == pytest.approx(exact, abs=1e-9)
+
+    def test_orders_hypotheses_sanely(self):
+        from tpucap.train.metrics import meteor
+
+        refs = [[["the", "dog", "runs", "on", "grass"]]]
+        good = meteor(refs, [["the", "dog", "runs", "on", "grass"]])
+        ok = meteor(refs, [["the", "dog", "runs"]])
+        bad = meteor(refs, [["purple", "elephants"]])
+        assert good > ok > bad == 0.0
+
+    def test_max_over_references(self):
+        from tpucap.train.metrics import meteor
+
+        refs = [[["x", "y", "z"], ["the", "dog", "runs"]]]
+        hyp = [["the", "dog", "runs"]]
+        solo = meteor([[["the", "dog", "runs"]]], hyp)
+        assert meteor(refs, hyp) == pytest.approx(solo, abs=1e-9)
+
+    def test_shape_errors(self):
+        from tpucap.train.metrics import meteor
+
+        with pytest.raises(ValueError):
+            meteor([], [])
+        with pytest.raises(ValueError):
+            meteor([[["a"]]], [])
+
+    def test_evaluate_captions_plumbs_meteor(self):
+        desc = {"i1": ["startseq a dog runs endseq"]}
+        gen = {"i1": "a dog runs"}
+        out = evaluate_captions(
+            desc, gen, metrics=("bleu", "meteor")
+        )
+        assert "meteor" in out and 0.0 < out["meteor"] <= 1.0
+        with pytest.raises(ValueError, match="unknown metrics"):
+            evaluate_captions(desc, gen, metrics=("spice",))

@@ -603,11 +603,11 @@ def cmd_evaluate(args):
     metrics = tuple(
         m.strip() for m in args.metrics.split(",") if m.strip()
     )
-    bad = set(metrics) - {"bleu", "cider", "rouge_l"}
+    bad = set(metrics) - {"bleu", "cider", "rouge_l", "meteor"}
     if bad or not metrics:
         raise SystemExit(
             f"--metrics: unknown {sorted(bad) or '(empty)'}; "
-            "choose from bleu,cider,rouge_l"
+            "choose from bleu,cider,rouge_l,meteor"
         )
     pipe = _restore_pipeline(args)
     prepared = _load_dataset(args)
@@ -881,7 +881,8 @@ def main(argv=None):
     p.add_argument("--model-devices", type=int, default=0,
                    help="model-axis width for --parallelism dp_tp")
     p.add_argument("--metrics", default="bleu",
-                   help="comma list from bleu,cider,rouge_l (default "
+                   help="comma list from bleu,cider,rouge_l,meteor "
+                   "(default "
                    "bleu = the reference-parity BLEU-1..4)")
     _add_restore_flags(p)
     p.set_defaults(fn=cmd_evaluate)

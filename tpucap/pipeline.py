@@ -1892,7 +1892,8 @@ class CaptioningPipeline:
         program per (batch, beam) shape — an unpadded tail would retrace,
         and a recompile over the TPU tunnel costs minutes (docs/PERF.md).
         ``parallelism`` as in :meth:`generate`. ``metrics`` adds 'cider'
-        (CIDEr-D) / 'rouge_l' beyond the reference-parity BLEU default
+        (CIDEr-D) / 'rouge_l' / 'meteor' beyond the reference-parity
+        BLEU default
         (tpucap.train.metrics)."""
         ids = list(descriptions.keys())
         generated = {}

@@ -48,8 +48,9 @@ def evaluate_captions(
     stripped from both sides (the reference keeps them in the refs it
     compares against — controlled by strip_sentinels=False for strict
     compat). ``metrics`` selects from 'bleu' (the reference-parity
-    default), 'cider' (CIDEr-D), 'rouge_l' — extras come from
-    tpucap.train.metrics (clean-room coco-caption conventions)."""
+    default), 'cider' (CIDEr-D), 'rouge_l', 'meteor' (exact+stem
+    modules — offline lower bound of METEOR 1.5) — extras come from
+    tpucap.train.metrics."""
     refs, hyps = [], []
     for image_id, hyp in generated.items():
         caps = descriptions[image_id]
@@ -65,11 +66,11 @@ def evaluate_captions(
             ]
         refs.append(ref_tokens)
         hyps.append(hyp_tokens)
-    unknown = set(metrics) - {"bleu", "cider", "rouge_l"}
+    unknown = set(metrics) - {"bleu", "cider", "rouge_l", "meteor"}
     if unknown:
         raise ValueError(
             f"unknown metrics {sorted(unknown)}; "
-            "have bleu|cider|rouge_l"
+            "have bleu|cider|rouge_l|meteor"
         )
     out: dict[str, float] = {}
     if "bleu" in metrics:
@@ -82,4 +83,8 @@ def evaluate_captions(
         from tpucap.train.metrics import rouge_l
 
         out["rouge_l"] = rouge_l(refs, hyps)
+    if "meteor" in metrics:
+        from tpucap.train.metrics import meteor
+
+        out["meteor"] = meteor(refs, hyps)
     return out

@@ -176,3 +176,43 @@ def rouge_l(
             f = 0.0
         scores.append(f)
     return float(sum(scores) / len(scores))
+
+
+class _NoWordnet:
+    """Empty synonym module for NLTK's METEOR alignment: ``synsets``
+    always returns [] so the wordnet stage matches nothing. This makes
+    METEOR runnable offline (the WordNet corpus is a downloaded NLTK
+    resource that does not exist in a no-network environment) at the
+    cost of the synonym stage — scores are a strict LOWER BOUND of full
+    METEOR, exactly the exact+stem configuration."""
+
+    def synsets(self, word):  # noqa: D401 - NLTK duck-type
+        del word
+        return []
+
+
+def meteor(
+    references: list[list[list[str]]], hypotheses: list[list[str]]
+) -> float:
+    """Corpus METEOR, exact+stem modules (Banerjee & Lavie 2005 via
+    nltk.translate.meteor_score's alignment/chunk machinery, Porter
+    stemmer, synonym stage stubbed — see _NoWordnet): per image the max
+    sentence score over references (NLTK's convention), averaged over
+    images. NOT jar-identical to coco-caption's METEOR 1.5 (no synonym/
+    paraphrase tables offline); documented as the exact+stem lower
+    bound."""
+    from nltk.translate.meteor_score import meteor_score
+
+    if len(references) != len(hypotheses):
+        raise ValueError(
+            f"{len(references)} reference sets vs "
+            f"{len(hypotheses)} hypotheses"
+        )
+    if not references:
+        raise ValueError("empty corpus")
+    wn = _NoWordnet()
+    scores = [
+        meteor_score(refs, hyp, wordnet=wn)
+        for refs, hyp in zip(references, hypotheses)
+    ]
+    return float(sum(scores) / len(scores))
