@@ -232,3 +232,27 @@ def test_cli_export_format_aot(tmp_path):
         rows = np.stack([z[k] for k in list(z.files)[:3]])
     caps = cap.caption(rows)
     assert len(caps) == 3 and all(isinstance(c, str) for c in caps)
+
+
+def test_aot_quantized_encoder_bundle(toy_corpus, rng, tmp_path):
+    """An int8-quantized encoder exports and round-trips: the program
+    bakes the quantized dispatch, the bundle stores the int8+scale
+    tree, and captions match the quantized pipeline exactly."""
+    pipe = make_pipe(toy_corpus)
+    pipe.quantize_encoder()
+    size = pipe.encoder.input_size
+    images = rng.normal(size=(3, size, size, 3)).astype(np.float32)
+    export_decode(
+        pipe,
+        str(tmp_path / "b"),
+        batch_size=4,
+        include_encoder=True,
+    )
+    cap = AotCaptioner.load(str(tmp_path / "b"))
+    import jax.numpy as jnp
+
+    feats = pipe._apply_encoder(
+        pipe._inference_params()["encoder"], jnp.asarray(images)
+    )
+    want = pipe.generate(np.asarray(feats), method="greedy")
+    assert cap.caption_images(images) == want

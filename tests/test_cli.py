@@ -284,3 +284,21 @@ def test_cli_restore_with_nondefault_optimizer(tmp_path, capsys):
           "--checkpoint-dir", ckpt, "--method", "greedy"])
     out = capsys.readouterr().out
     assert img0 in out
+
+
+def test_cli_profile_writes_trace(tmp_path):
+    """`tpucap profile` captures a TensorBoard trace for each workload
+    (decode/train/encoder) — compile/warmup outside the trace, N traced
+    steps inside."""
+    import glob
+
+    from tpucap.cli.main import main
+
+    for workload in ("decode", "train", "encoder"):
+        out = str(tmp_path / workload)
+        main(["profile", "--encoder", "tiny_cnn", "--max-len", "6",
+              "--workload", workload, "--batch", "2", "--steps", "1",
+              "--out", out])
+        assert glob.glob(out + "/**/*.pb", recursive=True) or glob.glob(
+            out + "/**/*", recursive=True
+        ), f"no trace files for {workload}"

@@ -734,6 +734,118 @@ def cmd_serve(args):
         srv.close()
 
 
+def cmd_profile(args):
+    """Capture a TensorBoard device trace of the configured workload —
+    the SURVEY §5.1 observability surface as one command. Random params
+    (profiling measures programs, not weights); warmup runs outside the
+    trace so compile time never pollutes it."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpucap.models.decoders import build_decoder
+    from tpucap.models.encoders import build_encoder
+    from tpucap.utils import profile_trace
+
+    cfg = _build_config(args)
+    enc = build_encoder(cfg.encoder.name, cfg.encoder.features)
+    dec = build_decoder(
+        cfg.decoder.name,
+        vocab_size=cfg.vocab_size,
+        feature_dim=cfg.encoder.feature_dim,
+        embed_dim=cfg.decoder.embed_dim,
+        hidden_dim=cfg.decoder.hidden_dim,
+        num_layers=cfg.decoder.num_layers,
+        attention_dim=cfg.decoder.attention_dim,
+        num_heads=cfg.decoder.num_heads,
+        mlp_dim=cfg.decoder.mlp_dim,
+        max_positions=cfg.decoder.max_positions,
+        num_experts=cfg.decoder.num_experts,
+    )
+    params = dec.init(jax.random.key(0))
+    B = args.batch
+    if cfg.encoder.features == "spatial":
+        fshape = (B, enc.spatial_positions, cfg.encoder.feature_dim)
+    else:
+        fshape = (B, cfg.encoder.feature_dim)
+    dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    feats = jax.random.normal(jax.random.key(1), fshape, dtype)
+
+    if args.workload == "decode":
+        from tpucap.decode import beam_decode, greedy_decode
+
+        kw = dict(start_id=1, end_id=2, max_len=cfg.decode.max_len,
+                  decoder=dec)
+        if args.method == "beam":
+            kw["beam_width"] = args.beam_width
+
+        engine = greedy_decode if args.method == "greedy" else beam_decode
+
+        @jax.jit
+        def run(params, feats):
+            return engine(
+                dec.step, params, dec.init_state(params, feats), **kw
+            )
+
+        def once():
+            return np.asarray(run(params, feats).lengths).sum()
+
+    elif args.workload == "train":
+        import optax
+
+        from tpucap.train import TrainState, make_train_step
+
+        opt = optax.adam(1e-3)
+        state = TrainState.create(params, opt, jax.random.key(2))
+        step = make_train_step(
+            dec,
+            opt,
+            compute_dtype=(
+                jnp.bfloat16
+                if getattr(args, "train_precision", None) == "bf16"
+                else None
+            ),
+        )
+        tokens = jax.random.randint(
+            jax.random.key(3), (B, cfg.decode.max_len + 1), 1,
+            cfg.vocab_size,
+        ).astype(jnp.int32)
+        tfeats = feats.astype(jnp.float32)
+
+        def once():
+            nonlocal state
+            state, m = step(state, tfeats, tokens)
+            return float(np.asarray(m["loss"]))
+
+    elif args.workload == "encoder":
+        enc_params = enc.init(jax.random.key(4))
+        images = jax.random.uniform(
+            jax.random.key(5),
+            (B, enc.input_size, enc.input_size, 3),
+            dtype,
+        )
+        run = jax.jit(enc.apply)
+
+        def once():
+            return float(
+                np.asarray(run(enc_params, images)).ravel()[0]
+            )
+
+    else:
+        raise SystemExit(f"unknown workload {args.workload!r}")
+
+    print(f"compiling + warmup ({args.workload})...", file=sys.stderr)
+    once()
+    print(f"tracing {args.steps} steps -> {args.out}", file=sys.stderr)
+    with profile_trace(args.out):
+        for _ in range(args.steps):
+            once()
+    print(
+        f"trace written; view with: tensorboard --logdir {args.out} "
+        "(Profile tab)",
+    )
+
+
 def cmd_bench(args, extra):
     import subprocess
 
@@ -954,6 +1066,25 @@ def main(argv=None):
     p.add_argument("--beam-width", type=int, default=3)
     _add_restore_flags(p)
     p.set_defaults(fn=cmd_serve)
+
+    p = sub.add_parser(
+        "profile",
+        help="capture a TensorBoard device trace of a decode/train/"
+        "encoder workload",
+    )
+    _add_common_model_flags(p)
+    _add_optimizer_flags(p)
+    p.add_argument("--workload", default="decode",
+                   choices=["decode", "train", "encoder"])
+    p.add_argument("--method", default="greedy",
+                   choices=["greedy", "beam"])
+    p.add_argument("--beam-width", type=int, default=3)
+    p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--steps", type=int, default=3,
+                   help="traced iterations (after an untraced warmup)")
+    p.add_argument("--dtype", default="bf16", choices=["f32", "bf16"])
+    p.add_argument("--out", required=True, help="trace log dir")
+    p.set_defaults(fn=cmd_profile)
 
     p = sub.add_parser("bench", help="run the benchmark harness")
     p.set_defaults(fn=None)
