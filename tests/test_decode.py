@@ -505,3 +505,49 @@ class TestUnroll:
         np.testing.assert_array_equal(
             np.asarray(ref.lengths), np.asarray(got.lengths)
         )
+
+
+class TestNBest:
+    def make_pipe(self, toy_corpus):
+        from tpucap.config import (
+            Config,
+            DecodeConfig,
+            DecoderConfig,
+            EncoderConfig,
+        )
+        from tpucap.pipeline import CaptioningPipeline
+        from tpucap.text import Tokenizer
+
+        cfg = Config(
+            encoder=EncoderConfig(name="tiny_cnn", feature_dim=128),
+            decoder=DecoderConfig(
+                embed_dim=8, hidden_dim=16, dropout_rate=0.0
+            ),
+            decode=DecodeConfig(max_len=10, beam_width=3),
+            precision="f32",
+        )
+        pipe = CaptioningPipeline(cfg)
+        tok = Tokenizer()
+        tok.fit_on_texts(toy_corpus)
+        pipe.tokenizer = tok
+        pipe.build()
+        return pipe
+
+    def test_top_entry_matches_beam_generate(self, toy_corpus, rng):
+        pipe = self.make_pipe(toy_corpus)
+        feats = rng.normal(size=(4, 128)).astype(np.float32)
+        nbest = pipe.generate_n_best(feats)
+        best = pipe.generate(feats, method="beam")
+        assert [rows[0][0] for rows in nbest] == best
+        for rows in nbest:
+            assert len(rows) == 3
+            scores = [s for _, s in rows]
+            assert scores == sorted(scores, reverse=True)
+
+    def test_n_truncates_and_validates(self, toy_corpus, rng):
+        pipe = self.make_pipe(toy_corpus)
+        feats = rng.normal(size=(2, 128)).astype(np.float32)
+        nbest = pipe.generate_n_best(feats, n=2)
+        assert all(len(rows) == 2 for rows in nbest)
+        with pytest.raises(ValueError, match="exceeds beam_width"):
+            pipe.generate_n_best(feats, n=5)

@@ -1599,6 +1599,60 @@ class CaptioningPipeline:
             self.tokenizer, res.tokens, res.lengths, end_id=end_id
         )
 
+    def generate_n_best(
+        self,
+        features,
+        *,
+        n: int | None = None,
+        beam_width: int | None = None,
+    ) -> list[list[tuple[str, float]]]:
+        """Beam search returning the n-best list per image: for each of
+        the B feature rows, a list of (caption, normalized_score) pairs
+        sorted best-first — the engine already tracks every beam
+        (BeamResult.beam_tokens); this surfaces them for reranking /
+        ensembling / SCST-style analysis. ``n`` defaults to the full
+        beam width; the best entry is exactly ``generate(method='beam')``.
+        Scores are the engine's ranking quantity (length-normalized when
+        config.decode.length_normalize, raw log-prob sums otherwise)."""
+        beam_width = beam_width or self.config.decode.beam_width
+        n = n or beam_width
+        if n > beam_width:
+            raise ValueError(
+                f"n={n} exceeds beam_width={beam_width} — only "
+                "beam_width hypotheses exist"
+            )
+        params = self._inference_params()["decoder"]
+        feats = jnp.asarray(features, self._infer_dtype())
+        fn = self._decode_fn("beam", beam_width)
+        res = fn(params, feats)
+        _, end_id = self._token_ids()
+        dcfg = self.config.decode
+        lengths = np.asarray(res.beam_lengths)
+        scores = np.asarray(res.beam_scores, np.float64)
+        if dcfg.length_normalize:
+            norm = scores / np.maximum(lengths, 1) ** dcfg.alpha
+        else:
+            norm = scores
+        tokens = np.asarray(res.beam_tokens)  # (B, k, L)
+        out = []
+        for b in range(tokens.shape[0]):
+            # stable argsort desc = the engine's tie rule (lowest slot
+            # wins), so entry 0 matches generate(method='beam') exactly.
+            order = np.argsort(-norm[b], kind="stable")[:n]
+            caps = ids_to_captions(
+                self.tokenizer,
+                tokens[b][order],
+                lengths[b][order],
+                end_id=end_id,
+            )
+            out.append(
+                [
+                    (cap, float(norm[b][i]))
+                    for cap, i in zip(caps, order)
+                ]
+            )
+        return out
+
     def generate_with_attention(
         self,
         features,
