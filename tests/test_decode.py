@@ -551,3 +551,78 @@ class TestNBest:
         assert all(len(rows) == 2 for rows in nbest)
         with pytest.raises(ValueError, match="exceeds beam_width"):
             pipe.generate_n_best(feats, n=5)
+
+
+class TestMinLen:
+    """Length floor: endseq excluded from selection at steps t < min_len
+    across greedy/beam/sample — token-exact vs the oracles and
+    semantically at least min_len non-end tokens."""
+
+    @pytest.mark.parametrize("name", ["lstm1", "attention"])
+    def test_greedy_min_len_matches_oracle(self, name):
+        dec, params = make(name)
+        feats = features_for(name, jax.random.key(21))
+        state = dec.init_state(params, feats)
+        res = greedy_decode(
+            dec.step, params, state, start_id=START, end_id=END,
+            max_len=MAXLEN, min_len=5,
+        )
+        ot, ol, osc = greedy_oracle(
+            dec.step, params, dec.init_state(params, feats),
+            start_id=START, end_id=END, max_len=MAXLEN, min_len=5,
+        )
+        np.testing.assert_array_equal(np.asarray(res.tokens), ot)
+        np.testing.assert_array_equal(np.asarray(res.lengths), ol)
+        lengths = np.asarray(res.lengths)
+        tokens = np.asarray(res.tokens)
+        assert (lengths >= 5).all()
+        # No endseq among the first 5 emitted tokens.
+        assert (tokens[:, :5] != END).all()
+
+    @pytest.mark.parametrize("k", [1, 3])
+    def test_beam_min_len_matches_oracle(self, k):
+        dec, params = make("lstm1")
+        feats = features_for("lstm1", jax.random.key(22))
+        res = beam_decode(
+            dec.step, params, dec.init_state(params, feats),
+            start_id=START, end_id=END, max_len=MAXLEN, beam_width=k,
+            min_len=4,
+        )
+        bt, bl, bs, all_t, all_l, all_s = beam_oracle(
+            dec.step, params, dec.init_state(params, feats),
+            start_id=START, end_id=END, max_len=MAXLEN, beam_width=k,
+            min_len=4,
+        )
+        np.testing.assert_array_equal(np.asarray(res.beam_tokens), all_t)
+        np.testing.assert_array_equal(np.asarray(res.tokens), bt)
+        np.testing.assert_allclose(np.asarray(res.scores), bs, atol=1e-4)
+        assert (np.asarray(res.beam_tokens)[:, :, :4] != END).all()
+
+    def test_sample_min_len(self):
+        from tpucap.decode.sample import sample_decode
+
+        dec, params = make("lstm1")
+        feats = features_for("lstm1", jax.random.key(23))
+        res = sample_decode(
+            dec.step, params, dec.init_state(params, feats),
+            rng=jax.random.key(3), start_id=START, end_id=END,
+            max_len=MAXLEN, min_len=6,
+        )
+        tokens = np.asarray(res.tokens)
+        assert (np.asarray(res.lengths) >= 6).all()
+        assert (tokens[:, :6] != END).all()
+
+    def test_min_len_zero_is_identity(self):
+        dec, params = make("lstm1")
+        feats = features_for("lstm1", jax.random.key(24))
+        a = greedy_decode(
+            dec.step, params, dec.init_state(params, feats),
+            start_id=START, end_id=END, max_len=MAXLEN,
+        )
+        b = greedy_decode(
+            dec.step, params, dec.init_state(params, feats),
+            start_id=START, end_id=END, max_len=MAXLEN, min_len=0,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(a.tokens), np.asarray(b.tokens)
+        )

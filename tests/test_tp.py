@@ -401,3 +401,30 @@ def test_tp_beam_narrow_shards_v_local_lt_k(model_mesh):
     np.testing.assert_array_equal(
         np.asarray(ref.tokens), np.asarray(out.tokens)
     )
+
+
+def test_tp_beam_min_len_matches_single_device(model_mesh):
+    """The length floor shards correctly: endseq lives in exactly one
+    vocab slice, and the TP scorer's (cols == end) & (t < min_len) mask
+    must reproduce the single-device min_len beam token-for-token."""
+    dec = build_decoder(
+        "lstm1", vocab_size=VOCAB, feature_dim=FEAT, embed_dim=EMB,
+        hidden_dim=HID,
+    )
+    params = dec.init(jax.random.key(0))
+    feats = jax.random.normal(jax.random.key(5), (B, FEAT))
+    ref = beam_decode(
+        dec.step, params, dec.init_state(params, feats),
+        start_id=START, end_id=END, max_len=MAXLEN, beam_width=3,
+        min_len=4,
+    )
+    tp_fn = make_tp_beam_fn(
+        dec, model_mesh, start_id=START, end_id=END, max_len=MAXLEN,
+        beam_width=3, min_len=4,
+    )
+    out = tp_fn(params, feats)
+    np.testing.assert_array_equal(
+        np.asarray(ref.tokens), np.asarray(out.tokens)
+    )
+    assert (np.asarray(out.tokens)[:, :4] != END).all()
+    assert (np.asarray(out.lengths) >= 4).all()

@@ -103,6 +103,9 @@ def _add_common_model_flags(p):
                    "(0 = dense MLP); top-2 routed. Pass the SAME value "
                    "used at training time when restoring a checkpoint")
     p.add_argument("--max-len", type=int, default=34)
+    p.add_argument("--min-len", type=int, default=0,
+                   help="length floor: endseq blocked until this many "
+                   "tokens are generated (0 = off)")
     p.add_argument("--preset", default=None,
                    help="config preset name (config1..config5), overrides "
                    "encoder/decoder flags")
@@ -216,6 +219,7 @@ def _build_config(args):
             method=getattr(args, "method", "greedy"),
             beam_width=getattr(args, "beam_width", 3),
             max_len=args.max_len,
+            min_len=getattr(args, "min_len", 0) or 0,
             approx_topk=getattr(args, "approx_topk", False),
         ),
         train=TrainConfig(

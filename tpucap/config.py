@@ -61,6 +61,11 @@ class DecodeConfig:
     method: DecodeMethod = "greedy"
     beam_width: int = 3
     max_len: int = 34  # Flickr8k max caption length (SURVEY.md §2.1 #4)
+    # Length floor: endseq is excluded from the candidate vocabulary at
+    # decode steps t < min_len, guaranteeing at least min_len real
+    # tokens per caption (all engines: greedy/beam/sample/TP). 0 = off
+    # (the reference has no floor).
+    min_len: int = 0
     length_normalize: bool = True
     alpha: float = 1.0  # length-normalization exponent
     # Opt-in TPU approx_max_k for the per-beam vocab top-k (stage 1 only;

@@ -98,6 +98,7 @@ def beam_decode(
     max_len: int,
     beam_width: int,
     pad_id: int = 0,
+    min_len: int = 0,
     length_normalize: bool = True,
     alpha: float = 1.0,
     decoder=None,
@@ -109,12 +110,19 @@ def beam_decode(
     where state leaves carry a leading hypothesis axis. Pass ``decoder`` to
     honor its ``beam_shared_keys`` (per-image state kept untiled).
 
+    ``min_len``: endseq is excluded from the candidate vocabulary at
+    steps t < min_len, so every caption carries at least ``min_len``
+    non-end tokens before (a possible) endseq — the standard production
+    length floor. Scores stay true log-probs under the FULL softmax (the
+    mask shapes selection only, like pad).
+
     ``scorer`` (advanced): replaces the default scoring stage. Called as
-    ``scorer(params, state, last) -> (cand_logp (B, k, C), cand_words
+    ``scorer(params, state, last, t) -> (cand_logp (B, k, C), cand_words
     (B, k, C) int32, new_state)`` where the C candidates per live beam must
     be sorted the way ``lax.top_k`` sorts (score desc, index-ordered ties,
     grouped so that candidate order within a beam follows ascending global
-    word index on ties) and must already exclude ``pad_id``. Used by the
+    word index on ties) and must already exclude ``pad_id`` (and honor
+    ``min_len`` via the step index ``t``). Used by the
     tensor-parallel engine to plug in vocab-sharded scoring while sharing
     this loop's bookkeeping, backpointers, and reconstruction.
 
@@ -128,7 +136,7 @@ def beam_decode(
 
     if scorer is None:
 
-        def scorer(params, state, last):
+        def scorer(params, state, last, t):
             with jax.named_scope("beam_model_step"):
                 logits, new_state = step_fn(params, state, last)  # (B*k, V)
             # Lazy log-softmax: log_softmax is a per-row monotonic shift of
@@ -146,6 +154,15 @@ def beam_decode(
             masked = logits.at[:, pad_id].set(
                 jnp.asarray(NEG_INF, logits.dtype)
             )
+            if min_len:
+                # Length floor: endseq leaves the candidate set while
+                # t < min_len. Masked BEFORE stage-1 top-k so the slot
+                # goes to the next-best real word (selection-exact vs
+                # the oracle); lse stays the full-softmax normalizer.
+                blocked = masked.at[:, end_id].set(
+                    jnp.asarray(NEG_INF, masked.dtype)
+                )
+                masked = jnp.where(t < min_len, blocked, masked)
             # Per-beam top-k over V (stage 1 of the exact two-stage top-k).
             # approx_topk=True swaps in TPU's approx_max_k custom call
             # (tpu_custom_approx_top_k): ~2-4x faster over the vocab axis
@@ -186,7 +203,7 @@ def beam_decode(
 
     def body(carry):
         t, words_acc, parents_acc, state, last, finished, lengths, scores = carry
-        pb_logp, pb_words, new_state = scorer(params, state, last)
+        pb_logp, pb_words, new_state = scorer(params, state, last, t)
         C = pb_logp.shape[-1]  # candidates per live beam (k, or shards*k)
 
         live_cand = scores[:, :, None] + pb_logp  # (B, k, C)

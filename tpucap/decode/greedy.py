@@ -71,6 +71,7 @@ def greedy_decode(
     end_id: int,
     max_len: int,
     pad_id: int = 0,
+    min_len: int = 0,
     decoder=None,  # accepted for interface parity with beam_decode (unused)
     unroll: int = 1,
 ) -> DecodeResult:
@@ -101,6 +102,13 @@ def greedy_decode(
         # correction — avoids materializing the full log-prob array.
         logits = logits.astype(jnp.float32)
         masked = logits.at[:, pad_id].set(-jnp.inf)
+        if min_len:
+            # Length floor (see beam.py): endseq excluded from the
+            # argmax while t < min_len; the score stays the chosen
+            # token's full-softmax log-prob.
+            masked = jnp.where(
+                t < min_len, masked.at[:, end_id].set(-jnp.inf), masked
+            )
         # Full-softmax normalizer (pad mass INCLUDED), the same convention
         # as beam.py and the model's training distribution — so greedy
         # scores, beam scores, and teacher-forced log-probs are mutually

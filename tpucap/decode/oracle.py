@@ -17,7 +17,10 @@ import numpy as np
 NEG_INF = -1e30
 
 
-def greedy_oracle(step_fn, params, state, *, start_id, end_id, max_len, pad_id=0):
+def greedy_oracle(
+    step_fn, params, state, *, start_id, end_id, max_len, pad_id=0,
+    min_len=0,
+):
     """Per-step greedy loop mirroring tpucap.decode.greedy semantics."""
     import jax
     import jax.numpy as jnp
@@ -37,7 +40,11 @@ def greedy_oracle(step_fn, params, state, *, start_id, end_id, max_len, pad_id=0
         # the normalizer, matching beam.py); pad excluded from argmax only.
         logits = jnp.asarray(logits).astype(jnp.float32)
         logp = np.asarray(jax.nn.log_softmax(logits, axis=-1))
-        masked = np.asarray(logits.at[:, pad_id].set(-np.inf))
+        masked = np.array(logits.at[:, pad_id].set(-np.inf))
+        if t < min_len:
+            # Engine min_len semantics: endseq excluded from the argmax,
+            # scores untouched (full-softmax log-probs).
+            masked[:, end_id] = -np.inf
         nxt = masked.argmax(axis=-1).astype(np.int32)
         for b in range(B):
             if done[b]:
@@ -62,6 +69,7 @@ def beam_oracle(
     max_len,
     beam_width,
     pad_id=0,
+    min_len=0,
     length_normalize=True,
     alpha=1.0,
 ):
@@ -91,6 +99,11 @@ def beam_oracle(
         V = logits.shape[-1]
         logp = np.array(jax.nn.log_softmax(logits, axis=-1)).reshape(B, k, V)
         logp[:, :, pad_id] = NEG_INF
+        if t < min_len:
+            # Engine min_len semantics: endseq leaves the candidate set
+            # while t < min_len (never selected, so survivor scores are
+            # unchanged full-softmax log-probs).
+            logp[:, :, end_id] = NEG_INF
 
         new_tokens = np.empty_like(tokens)
         new_scores = np.empty_like(scores)

@@ -29,6 +29,7 @@ def sample_decode(
     top_k: int | None = None,
     top_p: float | None = None,
     pad_id: int = 0,
+    min_len: int = 0,
 ) -> DecodeResult:
     """Ancestral sampling with optional temperature, top-k truncation,
     and top-p (nucleus) truncation — applied in that order, the
@@ -60,6 +61,13 @@ def sample_decode(
         t, tokens, state, last, done, lengths, scores, key = carry
         logits, new_state = step_fn(params, state, last)
         logits = logits.astype(jnp.float32).at[:, pad_id].set(NEG_INF)
+        if min_len:
+            # Length floor: endseq carries no probability mass while
+            # t < min_len (masked before the softmax, so the remaining
+            # vocabulary renormalizes — sampling semantics).
+            logits = jnp.where(
+                t < min_len, logits.at[:, end_id].set(NEG_INF), logits
+            )
         if temperature != 1.0:
             logits = logits / temperature
         if top_k is not None:

@@ -281,6 +281,7 @@ def make_tp_beam_fn(
     max_len: int,
     beam_width: int,
     pad_id: int = 0,
+    min_len: int = 0,
     length_normalize: bool = True,
     alpha: float = 1.0,
     approx_topk: bool = False,
@@ -300,7 +301,7 @@ def make_tp_beam_fn(
         v_local = params["out"]["kernel"].shape[-1]
         col_offset = my * v_local
 
-        def tp_scorer(params, state, last):
+        def tp_scorer(params, state, last, t):
             """Distributed scoring stage plugged into the shared beam
             engine: local vocab-slice logits, global logsumexp over ICI,
             per-shard top-k, all_gather of the k-per-shard candidates
@@ -328,6 +329,13 @@ def make_tp_beam_fn(
                 jnp.int32, local.shape, 1
             )
             local = jnp.where(cols == pad_id, NEG_INF, local)
+            if min_len:
+                # Length floor (beam.py min_len): endseq — also in
+                # exactly one shard's slice — leaves the candidate set
+                # while t < min_len; the global lse above is untouched.
+                local = jnp.where(
+                    (cols == end_id) & (t < min_len), NEG_INF, local
+                )
 
             # Per-shard top-k over the local vocab slice; approx_topk
             # swaps in the TPU approx_max_k custom call (same serving
@@ -363,6 +371,7 @@ def make_tp_beam_fn(
             max_len=max_len,
             beam_width=k,
             pad_id=pad_id,
+            min_len=min_len,
             length_normalize=length_normalize,
             alpha=alpha,
             decoder=decoder,

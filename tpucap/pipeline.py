@@ -1302,6 +1302,7 @@ class CaptioningPipeline:
                         start_id=start_id,
                         end_id=end_id,
                         max_len=dcfg.max_len,
+                        min_len=dcfg.min_len,
                     )
 
         else:
@@ -1318,6 +1319,7 @@ class CaptioningPipeline:
                         end_id=end_id,
                         max_len=dcfg.max_len,
                         beam_width=beam_width,
+                        min_len=dcfg.min_len,
                         length_normalize=dcfg.length_normalize,
                         alpha=dcfg.alpha,
                         approx_topk=dcfg.approx_topk,
@@ -1467,6 +1469,7 @@ class CaptioningPipeline:
                 end_id=end_id,
                 max_len=dcfg.max_len,
                 beam_width=1 if method == "greedy" else beam_width,
+                min_len=dcfg.min_len,
                 length_normalize=dcfg.length_normalize,
                 alpha=dcfg.alpha,
                 approx_topk=dcfg.approx_topk,
@@ -1558,6 +1561,7 @@ class CaptioningPipeline:
                     start_id=start_id,
                     end_id=end_id,
                     max_len=self.config.decode.max_len,
+                    min_len=self.config.decode.min_len,
                     temperature=temperature,
                     top_k=top_k,
                     top_p=top_p,
@@ -1802,6 +1806,7 @@ class CaptioningPipeline:
                         start_id=start_id,
                         end_id=end_id,
                         max_len=dcfg.max_len,
+                        min_len=dcfg.min_len,
                     )
                 return beam_decode(
                     self.decoder.step,
@@ -1811,6 +1816,7 @@ class CaptioningPipeline:
                     end_id=end_id,
                     max_len=dcfg.max_len,
                     beam_width=beam_width,
+                    min_len=dcfg.min_len,
                     length_normalize=dcfg.length_normalize,
                     alpha=dcfg.alpha,
                     approx_topk=dcfg.approx_topk,
