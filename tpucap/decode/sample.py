@@ -28,6 +28,7 @@ def sample_decode(
     temperature: float = 1.0,
     top_k: int | None = None,
     top_p: float | None = None,
+    repetition_penalty: float = 1.0,
     pad_id: int = 0,
     min_len: int = 0,
 ) -> DecodeResult:
@@ -37,6 +38,13 @@ def sample_decode(
     top-k hard-caps the candidate count, top-p then keeps the smallest
     prefix of the (remaining) probability-sorted vocabulary whose mass
     reaches p (the top-1 token always survives).
+
+    ``repetition_penalty`` > 1 discourages re-sampling tokens the
+    sequence already produced (CTRL / HF convention, applied FIRST:
+    a seen token's positive logit is divided by the penalty, a negative
+    one multiplied — both monotonically push it down). The seen-set is
+    per sequence and grows as the loop emits; start/pad ids are never
+    penalized (pad is hard-masked anyway).
 
     rng: jax PRNG key; the same key reproduces the same captions.
     """
@@ -49,6 +57,10 @@ def sample_decode(
         raise ValueError(f"top_k must be >= 1, got {top_k}")
     if top_p is not None and not (0.0 < top_p <= 1.0):
         raise ValueError(f"top_p must be in (0, 1], got {top_p}")
+    if repetition_penalty <= 0.0:
+        raise ValueError(
+            f"repetition_penalty must be > 0, got {repetition_penalty}"
+        )
     B = jax.tree_util.tree_leaves(state)[0].shape[0]
     tokens0 = jnp.full((B, max_len), pad_id, jnp.int32)
 
@@ -58,9 +70,16 @@ def sample_decode(
         return jnp.logical_and(t < max_len, ~jnp.all(done))
 
     def body(carry):
-        t, tokens, state, last, done, lengths, scores, key = carry
+        t, tokens, state, last, done, lengths, scores, seen, key = carry
         logits, new_state = step_fn(params, state, last)
         logits = logits.astype(jnp.float32).at[:, pad_id].set(NEG_INF)
+        if repetition_penalty != 1.0:
+            penalized = jnp.where(
+                logits > 0,
+                logits / repetition_penalty,
+                logits * repetition_penalty,
+            )
+            logits = jnp.where(seen, penalized, logits)
         if min_len:
             # Length floor: endseq carries no probability mass while
             # t < min_len (masked before the softmax, so the remaining
@@ -97,9 +116,26 @@ def sample_decode(
         tokens = jax.lax.dynamic_update_slice(tokens, nxt[:, None], (0, t))
         lengths = lengths + jnp.where(done, 0, 1)
         scores = scores + jnp.where(done, 0.0, tok_logp)
+        # One-hot scatter keeps the (B, V) seen-set write O(V) and
+        # XLA-friendly; pad writes (finished rows) are harmless.
+        seen = jnp.logical_or(
+            seen, jax.nn.one_hot(nxt, seen.shape[-1], dtype=bool)
+        )
         done = jnp.logical_or(done, nxt == end_id)
-        return t + 1, tokens, new_state, nxt, done, lengths, scores, key
+        return (
+            t + 1, tokens, new_state, nxt, done, lengths, scores, seen,
+            key,
+        )
 
+    # The (B, V) seen-set needs the vocab width before the loop starts;
+    # step_fn's logits shape fixes it — probe with a shape-only trace
+    # (no FLOPs, works under an outer jit).
+    V = jax.eval_shape(
+        lambda p, s, l: step_fn(p, s, l)[0],
+        params,
+        state,
+        jnp.full((B,), start_id, jnp.int32),
+    ).shape[-1]
     carry = (
         jnp.array(0, jnp.int32),
         tokens0,
@@ -108,9 +144,10 @@ def sample_decode(
         jnp.zeros((B,), bool),
         jnp.zeros((B,), jnp.int32),
         jnp.zeros((B,), jnp.float32),
+        jnp.zeros((B, V), bool),
         rng,
     )
-    _, tokens, _, _, _, lengths, scores, _ = jax.lax.while_loop(
+    _, tokens, _, _, _, lengths, scores, _, _ = jax.lax.while_loop(
         cond, body, carry
     )
     return DecodeResult(tokens=tokens, lengths=lengths, scores=scores)

@@ -1502,13 +1502,15 @@ class CaptioningPipeline:
         temperature: float = 1.0,
         top_k: int | None = None,
         top_p: float | None = None,
+        repetition_penalty: float = 1.0,
         seed: int = 0,
         parallelism: str | None = None,
     ) -> list[str]:
         """Features (B, ...) -> caption strings (sentinels stripped).
 
         method: 'greedy' | 'beam' | 'sample' (temperature/top_k/top_p/
-        seed apply to sampling only; top_p is nucleus truncation).
+        repetition_penalty/seed apply to sampling only; top_p is nucleus
+        truncation, repetition_penalty > 1 discourages repeats).
 
         parallelism: None/'none' (single device) | 'dp' (batch sharded over
         the data mesh) | 'tp' (vocab-sharded beam engine) | 'dp_tp' (2-D
@@ -1546,7 +1548,7 @@ class CaptioningPipeline:
         params = self._inference_params()["decoder"]
         feats = jnp.asarray(features, self._infer_dtype())
         start_id, end_id = self._token_ids()
-        key = ("sample", temperature, top_k, top_p)
+        key = ("sample", temperature, top_k, top_p, repetition_penalty)
         fn = self._decode_cache.get(key)
         if fn is None:
 
@@ -1565,6 +1567,7 @@ class CaptioningPipeline:
                     temperature=temperature,
                     top_k=top_k,
                     top_p=top_p,
+                    repetition_penalty=repetition_penalty,
                 )
 
             self._decode_cache[key] = fn
