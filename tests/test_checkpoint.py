@@ -90,3 +90,40 @@ def test_best_metric_retention(tmp_path):
         mgr.save(state, metrics={"val_loss": loss})
     assert mgr.best_step() == 2  # the step with val_loss 1.0
     mgr.close()
+
+
+def test_async_save_round_trip(tmp_path):
+    """async_save=True: save returns without blocking on the write;
+    every read path barriers, so the restored state is bit-identical to
+    the synchronous manager's."""
+    dec, optimizer, state, step, feats, tokens = make_setup()
+    state, _ = step(state, feats, tokens)
+
+    mgr = CheckpointManager(
+        str(tmp_path / "ckpt"), best_metric=None, async_save=True
+    )
+    mgr.save(state)
+    mgr.save(
+        TrainState(
+            step=state.step + 1,
+            params=state.params,
+            opt_state=state.opt_state,
+            rng=state.rng,
+        )
+    )
+    # Reads barrier on the in-flight writes.
+    assert mgr.all_steps() == [1, 2]
+    fresh = TrainState.create(state.params, optimizer, jax.random.key(9))
+    restored = mgr.restore(fresh, step=1)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state.params),
+        jax.tree_util.tree_leaves(restored.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    mgr.close()
+
+    # A fresh synchronous manager over the same directory sees the
+    # completed checkpoints (no torn state on disk).
+    mgr2 = CheckpointManager(str(tmp_path / "ckpt"), best_metric=None)
+    assert mgr2.latest_step() == 2
+    mgr2.close()

@@ -26,17 +26,28 @@ class CheckpointManager:
         max_to_keep: int = 3,
         best_metric: str | None = "val_loss",
         best_mode: str = "min",
+        async_save: bool = False,
     ):
+        """``async_save=True`` turns on orbax's async checkpointing:
+        ``save`` snapshots the (host-side) state and returns while the
+        write happens on a background thread — training's next epoch
+        overlaps the disk I/O, which matters once params are hundreds
+        of MB (fine-tuned VGG16 is ~0.5 GB). Reads (restore/best_step/
+        all_steps/average_params) and close() barrier on in-flight
+        writes, so no torn checkpoint is ever observed. Default stays
+        synchronous — the fault-injection contract (kill AFTER save
+        returns -> checkpoint complete) is the stricter guarantee."""
         directory = os.path.abspath(directory)
         os.makedirs(directory, exist_ok=True)
         options = ocp.CheckpointManagerOptions(
             max_to_keep=max_to_keep,
             best_fn=(lambda m: m[best_metric]) if best_metric else None,
             best_mode=best_mode,
-            enable_async_checkpointing=False,
+            enable_async_checkpointing=async_save,
         )
         self._mgr = ocp.CheckpointManager(directory, options=options)
         self.directory = directory
+        self._async = async_save
 
     def save(self, state: TrainState, metrics: dict | None = None) -> None:
         step = int(jax.device_get(state.step))
@@ -54,17 +65,25 @@ class CheckpointManager:
             args=ocp.args.StandardSave(payload),
             metrics=clean_metrics,
         )
+        if not self._async:
+            self._mgr.wait_until_finished()
+
+    def wait(self) -> None:
+        """Barrier on any in-flight async save (no-op when synchronous)."""
         self._mgr.wait_until_finished()
 
     def latest_step(self) -> int | None:
+        self.wait()
         return self._mgr.latest_step()
 
     def best_step(self) -> int | None:
+        self.wait()
         return self._mgr.best_step()
 
     def restore(self, abstract_state: TrainState, step: int | None = None):
         """Restore a TrainState. ``abstract_state`` supplies the pytree
         structure (a freshly created state with the same model/optimizer)."""
+        self.wait()
         if step is None:
             step = self.latest_step()
         if step is None:
@@ -90,6 +109,7 @@ class CheckpointManager:
         )
 
     def all_steps(self) -> list[int]:
+        self.wait()
         return sorted(int(s) for s in self._mgr.all_steps())
 
     def average_params(
@@ -142,4 +162,5 @@ class CheckpointManager:
         return jax.tree_util.tree_map(avg, *trees)
 
     def close(self) -> None:
+        self.wait()
         self._mgr.close()
