@@ -256,3 +256,33 @@ def test_aot_quantized_encoder_bundle(toy_corpus, rng, tmp_path):
     )
     want = pipe.generate(np.asarray(feats), method="greedy")
     assert cap.caption_images(images) == want
+
+
+def test_cli_export_aot_beam_method(tmp_path):
+    """`export --format aot --method beam` bakes beam programs (the CLI
+    previously had no --method flag on export, so only greedy bundles
+    were producible)."""
+    import json
+    import os
+
+    from tpucap.cli.main import main
+    from tpucap.data import generate_fixture_dataset
+
+    img_dir, token_file, train_file, _ = generate_fixture_dataset(
+        tmp_path, n_images=6, image_size=32, seed=9
+    )
+    feats_path = str(tmp_path / "f.npz")
+    ckpt = str(tmp_path / "ckpt")
+    common = ["--encoder", "tiny_cnn", "--max-len", "12"]
+    main(["extract", *common, "--images", str(img_dir), "--out",
+          feats_path, "--batch-size", "4"])
+    main(["train", *common, "--tokens", token_file, "--split", train_file,
+          "--features", feats_path, "--checkpoint-dir", ckpt,
+          "--epochs", "1", "--batch-size", "4"])
+    bundle = str(tmp_path / "b")
+    main(["export", *common, "--checkpoint-dir", ckpt, "--out", bundle,
+          "--format", "aot", "--aot-batch-size", "2",
+          "--method", "beam", "--beam-width", "2"])
+    with open(os.path.join(bundle, "aot", "manifest.json")) as f:
+        m = json.load(f)
+    assert m["method"] == "beam" and m["beam_width"] == 2

@@ -124,3 +124,25 @@ def test_cli_average_last(tmp_path, capsys):
           "--average-last", "2", "--batch-size", "4"])
     out = capsys.readouterr().out
     assert '"bleu1"' in out or "bleu" in out
+
+
+def test_average_params_bf16_leaves_are_averaged(tmp_path):
+    """bfloat16 is a float for averaging purposes (numpy's issubdtype
+    calls it non-float — the check must use jnp's)."""
+    import jax.numpy as jnp
+
+    mgr = CheckpointManager(str(tmp_path / "c"), best_metric=None)
+    a = {"w": jnp.asarray([1.0, 3.0], jnp.bfloat16)}
+    b = {"w": jnp.asarray([3.0, 5.0], jnp.bfloat16)}
+    sa, sb = _state(a), _state(b)
+    sb = TrainState(
+        step=sa.step + 1, params=b, opt_state=sb.opt_state, rng=sb.rng
+    )
+    mgr.save(sa)
+    mgr.save(sb)
+    avg = mgr.average_params(_state(a))
+    assert jnp.asarray(avg["w"]).dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(avg["w"], np.float32), [2.0, 4.0]
+    )
+    mgr.close()

@@ -302,3 +302,11 @@ def test_cli_profile_writes_trace(tmp_path):
         assert glob.glob(out + "/**/*.pb", recursive=True) or glob.glob(
             out + "/**/*", recursive=True
         ), f"no trace files for {workload}"
+
+
+def test_cli_augment_requires_finetune():
+    from tpucap.cli.main import main
+
+    with pytest.raises(SystemExit, match="finetune-encoder"):
+        main(["train", "--tokens", "x", "--features", "y",
+              "--augment"])

@@ -132,13 +132,17 @@ def test_http_503_on_overload(pipe, rng, monkeypatch):
 
     from tpucap.serve import CaptionServer
 
-    real = CaptionServer._run_batch
+    # Patch the dispatch point the batcher actually uses: the async
+    # greedy path goes through _submit_batch (of which _run_batch is
+    # just the blocking wrapper) — slowing only _run_batch leaves the
+    # burst un-throttled and the 503 down to scheduling luck.
+    real = CaptionServer._submit_batch
 
-    def slow_run(self, batch):
+    def slow_submit(self, batch):
         _time.sleep(0.4)
         return real(self, batch)
 
-    monkeypatch.setattr(CaptionServer, "_run_batch", slow_run)
+    monkeypatch.setattr(CaptionServer, "_submit_batch", slow_submit)
     with CaptionHTTPServer(
         pipe, port=0, max_batch=1, max_delay_ms=1, method="greedy",
         max_queue=1,

@@ -55,13 +55,12 @@ def _feature_shape(pipeline) -> tuple:
 
 
 def _bucket_ladder(max_batch: int) -> list[int]:
-    """1, 2, 4, ... capped at max_batch (the serve.py bucket family)."""
-    out, b = [], 1
-    while b < max_batch:
-        out.append(b)
-        b *= 2
-    out.append(max_batch)
-    return out
+    """THE serving bucket family — delegated to tpucap.serve._buckets so
+    the exported program ladder can never drift from what CaptionServer
+    dispatches. (Export-side only; the loader never imports serve.)"""
+    from tpucap.serve import _buckets
+
+    return list(_buckets(max_batch))
 
 
 def export_decode(

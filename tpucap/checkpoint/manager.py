@@ -127,10 +127,12 @@ class CheckpointManager:
 
         ``steps`` picks explicit checkpoint steps; ``last_k`` takes the
         newest k retained (the default takes all retained). Float leaves
-        are accumulated in f32 and cast back to their stored dtype;
-        non-float leaves (none occur in practice) come from the newest
-        step. Returns the averaged params tree only — averaging
-        optimizer state across checkpoints is meaningless.
+        (bf16 included — jnp.issubdtype, not numpy's, which calls
+        bfloat16 non-float) are accumulated in f32 into a RUNNING sum —
+        one restored tree in memory at a time, not k — and cast back to
+        their stored dtype; non-float leaves (none occur in practice)
+        come from the newest step. Returns the averaged params tree only
+        — averaging optimizer state across checkpoints is meaningless.
         """
         import jax.numpy as jnp
 
@@ -145,21 +147,40 @@ class CheckpointManager:
                 f"steps {missing} not among retained checkpoints {have}"
             )
         steps = sorted(steps)
-        trees = [
-            self.restore(abstract_state, step=s).params for s in steps
-        ]
-        n = float(len(trees))
+        n = float(len(steps))
 
-        def avg(*leaves):
-            a = np.asarray(leaves[0])
-            if not np.issubdtype(a.dtype, np.floating):
-                return leaves[-1]
-            acc = sum(
-                jnp.asarray(leaf, jnp.float32) for leaf in leaves
-            )
-            return (acc / n).astype(a.dtype)
+        def is_float(leaf):
+            return jnp.issubdtype(jnp.asarray(leaf).dtype, jnp.floating)
 
-        return jax.tree_util.tree_map(avg, *trees)
+        acc = last = None
+        for s in steps:
+            tree = self.restore(abstract_state, step=s).params
+            if acc is None:
+                acc = jax.tree_util.tree_map(
+                    lambda a: (
+                        jnp.asarray(a, jnp.float32) if is_float(a) else a
+                    ),
+                    tree,
+                )
+            else:
+                acc = jax.tree_util.tree_map(
+                    lambda t, a: (
+                        a + jnp.asarray(t, jnp.float32)
+                        if is_float(t)
+                        else a
+                    ),
+                    tree,
+                    acc,
+                )
+            last = tree
+
+        return jax.tree_util.tree_map(
+            lambda a, l: (
+                (a / n).astype(jnp.asarray(l).dtype) if is_float(l) else l
+            ),
+            acc,
+            last,
+        )
 
     def close(self) -> None:
         self.wait()

@@ -216,7 +216,7 @@ def _build_config(args):
             num_experts=getattr(args, "num_experts", 0),
         ),
         decode=DecodeConfig(
-            method=getattr(args, "method", "greedy"),
+            method=getattr(args, "method", None) or "greedy",
             beam_width=getattr(args, "beam_width", 3),
             max_len=args.max_len,
             min_len=getattr(args, "min_len", 0) or 0,
@@ -400,6 +400,15 @@ def cmd_train(args):
         args, "embeddings", None
     ):
         raise SystemExit("--freeze-embeddings needs --embeddings FILE")
+    if not getattr(args, "finetune_encoder", False) and (
+        getattr(args, "augment", False)
+        or getattr(args, "augment_shift", 0)
+    ):
+        raise SystemExit(
+            "--augment/--augment-shift run inside the joint "
+            "encoder+decoder step — add --finetune-encoder (feature-"
+            "based training has no images to augment)"
+        )
     if getattr(args, "finetune_encoder", False):
         _validate_finetune_flags(args)
     elif not args.features:
@@ -411,6 +420,15 @@ def cmd_train(args):
     pipe = CaptioningPipeline(cfg)
     prepared = _load_dataset(args)
 
+    if not getattr(args, "finetune_encoder", False) and (
+        getattr(args, "augment", False)
+        or getattr(args, "augment_shift", 0)
+    ):
+        raise SystemExit(
+            "--augment/--augment-shift run inside the joint "
+            "encoder+decoder step — add --finetune-encoder (feature-"
+            "based training has no images to augment)"
+        )
     if getattr(args, "finetune_encoder", False):
         _cmd_train_finetune(args, pipe, prepared)
         return
@@ -691,6 +709,25 @@ def cmd_serve(args):
                 "(the continuous engines re-trace per-lane programs); "
                 "drop --engine continuous"
             )
+        # AOT programs are fixed at export time — the server must run
+        # the bundle's method/beam_width. Honor the manifest and warn
+        # when the CLI flags disagree (serve's --method defaults to
+        # beam, which would otherwise crash a greedy bundle at warmup).
+        m_method = pipe.manifest["method"]
+        print(
+            f"serving the bundle's exported programs: method="
+            f"{m_method}"
+            + (
+                f" beam_width={pipe.manifest['beam_width']}"
+                if m_method == "beam"
+                else ""
+            )
+            + " (--method/--beam-width flags do not apply to AOT "
+            "bundles)",
+            file=sys.stderr,
+        )
+        args.method = m_method
+        args.beam_width = pipe.manifest["beam_width"]
         covered = pipe.manifest["batch_sizes"]
         if args.max_batch > covered[-1]:
             raise SystemExit(
@@ -1014,6 +1051,12 @@ def main(argv=None):
     p.add_argument("--out", required=True,
                    help="output path: .h5 file (--format h5) or bundle "
                    "directory (--format aot)")
+    p.add_argument("--method", default=None,
+                   choices=["greedy", "beam"],
+                   help="decode method baked into an AOT bundle "
+                   "(default: the config's — greedy)")
+    p.add_argument("--beam-width", type=int, default=None,
+                   help="beam width baked into an AOT bundle")
     p.add_argument("--format", default="h5", choices=["h5", "aot"],
                    help="h5 = Keras exit ramp; aot = jax.export "
                    "StableHLO decode program + pipeline bundle, loaded "

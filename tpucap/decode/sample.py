@@ -73,7 +73,7 @@ def sample_decode(
         t, tokens, state, last, done, lengths, scores, seen, key = carry
         logits, new_state = step_fn(params, state, last)
         logits = logits.astype(jnp.float32).at[:, pad_id].set(NEG_INF)
-        if repetition_penalty != 1.0:
+        if use_pen:
             penalized = jnp.where(
                 logits > 0,
                 logits / repetition_penalty,
@@ -116,26 +116,34 @@ def sample_decode(
         tokens = jax.lax.dynamic_update_slice(tokens, nxt[:, None], (0, t))
         lengths = lengths + jnp.where(done, 0, 1)
         scores = scores + jnp.where(done, 0.0, tok_logp)
-        # One-hot scatter keeps the (B, V) seen-set write O(V) and
-        # XLA-friendly; pad writes (finished rows) are harmless.
-        seen = jnp.logical_or(
-            seen, jax.nn.one_hot(nxt, seen.shape[-1], dtype=bool)
-        )
+        if use_pen:
+            # One-hot scatter keeps the (B, V) seen-set write O(V) and
+            # XLA-friendly; pad writes (finished rows) are harmless.
+            seen = jnp.logical_or(
+                seen, jax.nn.one_hot(nxt, seen.shape[-1], dtype=bool)
+            )
         done = jnp.logical_or(done, nxt == end_id)
         return (
             t + 1, tokens, new_state, nxt, done, lengths, scores, seen,
             key,
         )
 
-    # The (B, V) seen-set needs the vocab width before the loop starts;
-    # step_fn's logits shape fixes it — probe with a shape-only trace
-    # (no FLOPs, works under an outer jit).
-    V = jax.eval_shape(
-        lambda p, s, l: step_fn(p, s, l)[0],
-        params,
-        state,
-        jnp.full((B,), start_id, jnp.int32),
-    ).shape[-1]
+    # The (B, V) seen-set exists only when the penalty is live — default
+    # callers (SCST rollouts, plain sampling) must not pay the per-step
+    # O(B*V) scatter or the extra carry. Vocab width comes from a
+    # shape-only trace of one step (no FLOPs, works under an outer jit);
+    # when off, a (B, 1) placeholder keeps the carry structure static.
+    use_pen = repetition_penalty != 1.0
+    V = (
+        jax.eval_shape(
+            lambda p, s, l: step_fn(p, s, l)[0],
+            params,
+            state,
+            jnp.full((B,), start_id, jnp.int32),
+        ).shape[-1]
+        if use_pen
+        else 1
+    )
     carry = (
         jnp.array(0, jnp.int32),
         tokens0,

@@ -1635,9 +1635,14 @@ class CaptioningPipeline:
         _, end_id = self._token_ids()
         dcfg = self.config.decode
         lengths = np.asarray(res.beam_lengths)
-        scores = np.asarray(res.beam_scores, np.float64)
+        # f32 like the engine's own ranking math — an f64 recompute
+        # could flip near-ties and break the entry-0 == generate(beam)
+        # contract.
+        scores = np.asarray(res.beam_scores, np.float32)
         if dcfg.length_normalize:
-            norm = scores / np.maximum(lengths, 1) ** dcfg.alpha
+            norm = scores / np.maximum(lengths, 1).astype(
+                np.float32
+            ) ** np.float32(dcfg.alpha)
         else:
             norm = scores
         tokens = np.asarray(res.beam_tokens)  # (B, k, L)
