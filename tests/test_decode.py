@@ -693,3 +693,71 @@ class TestRepetitionPenalty:
                 rng=jax.random.key(0), start_id=START, end_id=END,
                 max_len=MAXLEN, repetition_penalty=0.0,
             )
+
+
+class TestLengthPenalty:
+    def test_gnmt_matches_oracle(self):
+        dec, params = make("lstm1")
+        feats = features_for("lstm1", jax.random.key(41))
+        res = beam_decode(
+            dec.step, params, dec.init_state(params, feats),
+            start_id=START, end_id=END, max_len=MAXLEN, beam_width=3,
+            length_penalty="gnmt", alpha=0.7,
+        )
+        bt, bl, bs, *_ = beam_oracle(
+            dec.step, params, dec.init_state(params, feats),
+            start_id=START, end_id=END, max_len=MAXLEN, beam_width=3,
+            length_penalty="gnmt", alpha=0.7,
+        )
+        np.testing.assert_array_equal(np.asarray(res.tokens), bt)
+        np.testing.assert_array_equal(np.asarray(res.lengths), bl)
+
+    def test_formula_hand_values(self):
+        from tpucap.decode.beam import normalized_scores
+
+        s = jnp.asarray([[-6.0]], jnp.float32)
+        ln = jnp.asarray([[7]], jnp.int32)
+        simple = normalized_scores(s, ln, alpha=1.0)
+        np.testing.assert_allclose(np.asarray(simple), [[-6.0 / 7.0]])
+        gnmt = normalized_scores(s, ln, alpha=1.0, length_penalty="gnmt")
+        np.testing.assert_allclose(
+            np.asarray(gnmt), [[-6.0 / 2.0]], rtol=1e-6
+        )
+        off = normalized_scores(s, ln, length_normalize=False)
+        np.testing.assert_allclose(np.asarray(off), [[-6.0]])
+        with pytest.raises(ValueError, match="length_penalty"):
+            normalized_scores(s, ln, length_penalty="quadratic")
+
+    def test_n_best_entry0_matches_generate_under_gnmt(self, toy_corpus, rng):
+        import dataclasses
+
+        from tpucap.config import (
+            Config,
+            DecodeConfig,
+            DecoderConfig,
+            EncoderConfig,
+        )
+        from tpucap.pipeline import CaptioningPipeline
+        from tpucap.text import Tokenizer
+
+        cfg = Config(
+            encoder=EncoderConfig(name="tiny_cnn", feature_dim=128),
+            decoder=DecoderConfig(
+                embed_dim=8, hidden_dim=16, dropout_rate=0.0
+            ),
+            decode=DecodeConfig(
+                max_len=10, beam_width=3, length_penalty="gnmt",
+                alpha=0.7,
+            ),
+            precision="f32",
+        )
+        pipe = CaptioningPipeline(cfg)
+        tok = Tokenizer()
+        tok.fit_on_texts(toy_corpus)
+        pipe.tokenizer = tok
+        pipe.build()
+        feats = rng.normal(size=(3, 128)).astype(np.float32)
+        nbest = pipe.generate_n_best(feats)
+        assert [r[0][0] for r in nbest] == pipe.generate(
+            feats, method="beam"
+        )

@@ -103,6 +103,10 @@ def _add_common_model_flags(p):
                    "(0 = dense MLP); top-2 routed. Pass the SAME value "
                    "used at training time when restoring a checkpoint")
     p.add_argument("--max-len", type=int, default=34)
+    p.add_argument("--length-penalty", default=None,
+                   choices=["simple", "gnmt"],
+                   help="beam ranking denominator: simple = len^alpha "
+                   "(default) | gnmt = ((5+len)/6)^alpha (Wu et al.)")
     p.add_argument("--min-len", type=int, default=0,
                    help="length floor: endseq blocked until this many "
                    "tokens are generated (0 = off)")
@@ -220,6 +224,8 @@ def _build_config(args):
             beam_width=getattr(args, "beam_width", 3),
             max_len=args.max_len,
             min_len=getattr(args, "min_len", 0) or 0,
+            length_penalty=getattr(args, "length_penalty", None)
+            or "simple",
             approx_topk=getattr(args, "approx_topk", False),
         ),
         train=TrainConfig(

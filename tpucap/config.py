@@ -68,6 +68,10 @@ class DecodeConfig:
     min_len: int = 0
     length_normalize: bool = True
     alpha: float = 1.0  # length-normalization exponent
+    # Ranking denominator: 'simple' = len^alpha (the reference genre's
+    # convention) | 'gnmt' = ((5+len)/6)^alpha (Wu et al. 2016 — the
+    # production MT convention, gentler on short captions).
+    length_penalty: str = "simple"
     # Opt-in TPU approx_max_k for the per-beam vocab top-k (stage 1 only;
     # the merge stage stays exact). Faster at large vocab, ~0.95 recall
     # per step — captions may rarely differ from the exact engine.

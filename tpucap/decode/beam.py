@@ -44,6 +44,31 @@ class BeamResult:
     beam_scores: Any
 
 
+def normalized_scores(
+    scores, lengths, *, length_normalize: bool = True,
+    alpha: float = 1.0, length_penalty: str = "simple",
+):
+    """The beam RANKING quantity, shared by the engine's final argmax,
+    generate_n_best, and the oracle so the three can never drift:
+    'simple' (the reference genre's convention) divides by len^alpha;
+    'gnmt' (Wu et al. 2016 eq. 14) divides by ((5+len)/6)^alpha —
+    gentler on short captions, the production MT convention. f32
+    throughout (the engine ranks in f32)."""
+    if not length_normalize:
+        return scores
+    lengths = jnp.maximum(lengths, 1).astype(jnp.float32)
+    if length_penalty == "gnmt":
+        denom = ((5.0 + lengths) / 6.0) ** alpha
+    elif length_penalty == "simple":
+        denom = lengths**alpha
+    else:
+        raise ValueError(
+            f"unknown length_penalty {length_penalty!r}; "
+            "have simple|gnmt"
+        )
+    return scores / denom
+
+
 def _shared_keys(decoder_or_none, state) -> frozenset:
     """Top-level state keys that are per-image constants (identical across
     a beam's hypotheses) — e.g. the attention decoder's feature grids. They
@@ -101,6 +126,7 @@ def beam_decode(
     min_len: int = 0,
     length_normalize: bool = True,
     alpha: float = 1.0,
+    length_penalty: str = "simple",
     decoder=None,
     scorer=None,
     approx_topk: bool = False,
@@ -291,10 +317,13 @@ def beam_decode(
     )
     tokens = jnp.moveaxis(toks_rev[::-1], 0, -1)  # (B, k, max_len)
 
-    if length_normalize:
-        norm = scores / jnp.maximum(lengths, 1).astype(scores.dtype) ** alpha
-    else:
-        norm = scores
+    norm = normalized_scores(
+        scores,
+        lengths,
+        length_normalize=length_normalize,
+        alpha=alpha,
+        length_penalty=length_penalty,
+    )
     best = jnp.argmax(norm, axis=1)  # ties -> lowest beam slot (top_k order)
 
     pick = lambda arr: jnp.take_along_axis(

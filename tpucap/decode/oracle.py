@@ -72,6 +72,7 @@ def beam_oracle(
     min_len=0,
     length_normalize=True,
     alpha=1.0,
+    length_penalty="simple",
 ):
     """Frozen-slot beam oracle matching tpucap.decode.beam semantics.
 
@@ -152,12 +153,17 @@ def beam_oracle(
         state = jax.tree_util.tree_map(gather, new_state)
         last = words.reshape(B * k)
 
-    if length_normalize:
-        norm = scores / np.maximum(lengths, 1).astype(np.float32) ** np.float32(
-            alpha
+    from tpucap.decode.beam import normalized_scores
+
+    norm = np.asarray(
+        normalized_scores(
+            scores,
+            lengths,
+            length_normalize=length_normalize,
+            alpha=alpha,
+            length_penalty=length_penalty,
         )
-    else:
-        norm = scores
+    )
     best = norm.argmax(axis=1)
     bi = np.arange(B)
     return (

@@ -284,6 +284,7 @@ def make_tp_beam_fn(
     min_len: int = 0,
     length_normalize: bool = True,
     alpha: float = 1.0,
+    length_penalty: str = "simple",
     approx_topk: bool = False,
 ):
     """Build a jittable (params, features) -> BeamResult with the output
@@ -374,6 +375,7 @@ def make_tp_beam_fn(
             min_len=min_len,
             length_normalize=length_normalize,
             alpha=alpha,
+            length_penalty=length_penalty,
             decoder=decoder,
             scorer=tp_scorer,
         )

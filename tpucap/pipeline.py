@@ -1322,6 +1322,7 @@ class CaptioningPipeline:
                         min_len=dcfg.min_len,
                         length_normalize=dcfg.length_normalize,
                         alpha=dcfg.alpha,
+                        length_penalty=dcfg.length_penalty,
                         approx_topk=dcfg.approx_topk,
                         decoder=self.decoder,
                     )
@@ -1472,6 +1473,7 @@ class CaptioningPipeline:
                 min_len=dcfg.min_len,
                 length_normalize=dcfg.length_normalize,
                 alpha=dcfg.alpha,
+                length_penalty=dcfg.length_penalty,
                 approx_topk=dcfg.approx_topk,
             )
             data_size = dict(mesh.shape).get("data", 1)
@@ -1634,17 +1636,21 @@ class CaptioningPipeline:
         res = fn(params, feats)
         _, end_id = self._token_ids()
         dcfg = self.config.decode
+        from tpucap.decode.beam import normalized_scores
+
         lengths = np.asarray(res.beam_lengths)
-        # f32 like the engine's own ranking math — an f64 recompute
-        # could flip near-ties and break the entry-0 == generate(beam)
-        # contract.
-        scores = np.asarray(res.beam_scores, np.float32)
-        if dcfg.length_normalize:
-            norm = scores / np.maximum(lengths, 1).astype(
-                np.float32
-            ) ** np.float32(dcfg.alpha)
-        else:
-            norm = scores
+        # The engine's OWN ranking function (f32) — an independent
+        # recompute could flip near-ties and break the entry-0 ==
+        # generate(beam) contract.
+        norm = np.asarray(
+            normalized_scores(
+                np.asarray(res.beam_scores, np.float32),
+                lengths,
+                length_normalize=dcfg.length_normalize,
+                alpha=dcfg.alpha,
+                length_penalty=dcfg.length_penalty,
+            )
+        )
         tokens = np.asarray(res.beam_tokens)  # (B, k, L)
         out = []
         for b in range(tokens.shape[0]):
@@ -1827,6 +1833,7 @@ class CaptioningPipeline:
                     min_len=dcfg.min_len,
                     length_normalize=dcfg.length_normalize,
                     alpha=dcfg.alpha,
+                    length_penalty=dcfg.length_penalty,
                     approx_topk=dcfg.approx_topk,
                     decoder=self.decoder,
                 )
