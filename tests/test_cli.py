@@ -310,3 +310,28 @@ def test_cli_augment_requires_finetune():
     with pytest.raises(SystemExit, match="finetune-encoder"):
         main(["train", "--tokens", "x", "--features", "y",
               "--augment"])
+
+
+def test_cli_evaluate_dump_captions(tmp_path):
+    """evaluate --dump-captions writes per-image JSONL with caption,
+    references, and a sentence BLEU-4."""
+    img_dir, token_file, train_file, test_file = generate_fixture_dataset(
+        tmp_path, n_images=6, image_size=32, seed=11
+    )
+    feats = str(tmp_path / "f.npz")
+    ckpt = str(tmp_path / "ckpt")
+    common = ["--encoder", "tiny_cnn", "--max-len", "12"]
+    main(["extract", *common, "--images", str(img_dir), "--out", feats,
+          "--batch-size", "4"])
+    main(["train", *common, "--tokens", token_file, "--split", train_file,
+          "--features", feats, "--checkpoint-dir", ckpt,
+          "--epochs", "1", "--batch-size", "4"])
+    dump = str(tmp_path / "caps.jsonl")
+    main(["evaluate", *common, "--tokens", token_file, "--split",
+          test_file, "--features", feats, "--checkpoint-dir", ckpt,
+          "--batch-size", "4", "--dump-captions", dump])
+    rows = [json.loads(line) for line in open(dump)]
+    assert rows and all(
+        {"image_id", "caption", "references", "bleu4"} <= set(r)
+        for r in rows
+    )

@@ -142,3 +142,17 @@ def test_cli_val_metric_reaches_config():
     args2.max_len = 12
     assert _build_config(args2).train.val_metric == "loss"
     assert _monitor_keying(args2) == ("val_loss", "min")
+
+
+@pytest.mark.parametrize("metric", ["rouge_l", "meteor"])
+def test_val_metric_rouge_and_meteor(toy_corpus, rng, metric):
+    """The monitor accepts every corpus metric evaluate_captions knows;
+    the recorded value is a sane [0, 1] score keyed val_<metric>."""
+    pipe = make_pipe(toy_corpus, val_metric=metric)
+    desc, feats = data(toy_corpus, rng)
+    hist = pipe.fit(
+        desc, feats, epochs=2, val_data=(desc, feats), log=None
+    )
+    key = f"val_{metric}"
+    assert key in hist[-1]
+    assert 0.0 <= hist[-1][key] <= 1.0

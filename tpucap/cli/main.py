@@ -64,7 +64,8 @@ def _add_optimizer_flags(p):
     p.add_argument("--grad-clip-norm", type=float, default=None,
                    help="global-norm gradient clipping (0 = off)")
     p.add_argument("--val-metric", default=None,
-                   choices=["loss", "bleu4", "cider"],
+                   choices=["loss", "bleu4", "cider", "rouge_l",
+                            "meteor"],
                    help="what best-checkpointing/early-stopping monitor "
                    "when --val-split is given: loss (min, default) or a "
                    "greedy-decode corpus metric (max). Restore commands "
@@ -640,7 +641,8 @@ def cmd_evaluate(args):
     pipe = _restore_pipeline(args)
     prepared = _load_dataset(args)
     features = dict(np.load(args.features))
-    scores = pipe.evaluate(
+    dump = getattr(args, "dump_captions", None)
+    out = pipe.evaluate(
         prepared,
         features,
         method=args.method,
@@ -648,7 +650,35 @@ def cmd_evaluate(args):
         batch_size=args.batch_size,
         parallelism=args.parallelism,
         metrics=metrics,
+        return_captions=bool(dump),
     )
+    if dump:
+        from tpucap.train.evaluate import evaluate_captions
+
+        scores, generated = out
+        # Per-image JSONL with an individual BLEU-4 so the worst
+        # captions sort out with one `jq`/`sort` — the error-analysis
+        # artifact the reference never had.
+        with open(dump, "w") as f:
+            for image_id, cap in generated.items():
+                per = evaluate_captions(
+                    {image_id: prepared[image_id]},
+                    {image_id: cap},
+                )
+                f.write(
+                    json.dumps(
+                        {
+                            "image_id": image_id,
+                            "caption": cap,
+                            "references": prepared[image_id],
+                            "bleu4": round(per["bleu4"], 4),
+                        }
+                    )
+                    + "\n"
+                )
+        print(f"wrote per-image captions to {dump}", file=sys.stderr)
+    else:
+        scores = out
     print(json.dumps(scores))
 
 
@@ -1039,6 +1069,9 @@ def main(argv=None):
                    "dp_tp (2-D batch x vocab)")
     p.add_argument("--model-devices", type=int, default=0,
                    help="model-axis width for --parallelism dp_tp")
+    p.add_argument("--dump-captions", default=None,
+                   help="also write per-image JSONL (image_id, caption, "
+                   "references, sentence BLEU-4) for error analysis")
     p.add_argument("--metrics", default="bleu",
                    help="comma list from bleu,cider,rouge_l,meteor "
                    "(default "

@@ -100,8 +100,9 @@ class TrainConfig:
     # What the best-checkpoint keying and early stopping monitor when a
     # dev split is given (Keras ModelCheckpoint/EarlyStopping monitor=/
     # mode=): 'loss' (val_loss, min — the reference's choice) | 'bleu4'
-    # | 'cider' (greedy-decode the dev split each epoch, corpus metric,
-    # max). Decode-metric monitoring needs parallelism 'none'|'dp'.
+    # | 'cider' | 'rouge_l' | 'meteor' (greedy-decode the dev split each
+    # epoch, corpus metric, max). Decode-metric monitoring needs
+    # parallelism 'none'|'dp'.
     val_metric: str = "loss"
     # Switch load-balance aux weight for MoE decoders trained with
     # fit(parallelism='ep'|'dp_ep') / parallel/ep.py.

@@ -681,10 +681,12 @@ class CaptioningPipeline:
         monitor_key, monitor_mode = "val_loss", "min"
         val_decode = None
         if val_data is not None and cfg.val_metric != "loss":
-            if cfg.val_metric not in ("bleu4", "cider"):
+            if cfg.val_metric not in (
+                "bleu4", "cider", "rouge_l", "meteor"
+            ):
                 raise ValueError(
                     f"unknown val_metric {cfg.val_metric!r}; "
-                    "have loss|bleu4|cider"
+                    "have loss|bleu4|cider|rouge_l|meteor"
                 )
             if parallelism not in ("none", "dp"):
                 raise NotImplementedError(
@@ -840,7 +842,7 @@ class CaptioningPipeline:
     ) -> float:
         """Greedy-decode the dev split on the CURRENT training params and
         return the corpus metric (the per-epoch monitor for
-        TrainConfig.val_metric='bleu4'|'cider'). Chunks are zero-padded
+        TrainConfig.val_metric='bleu4'|'cider'|'rouge_l'|'meteor'). Chunks are zero-padded
         to batch_size so exactly one decode program compiles; greedy is
         the deliberate choice — the cheap monitoring proxy, with the
         full beam evaluation left to evaluate()."""
@@ -861,7 +863,7 @@ class CaptioningPipeline:
                 end_id=end_id,
             )
             generated.update(zip(chunk, caps))
-        key = "bleu" if metric == "bleu4" else "cider"
+        key = "bleu" if metric == "bleu4" else metric
         scores = evaluate_captions(val_desc, generated, metrics=(key,))
         return float(scores[metric])
 
@@ -1961,15 +1963,17 @@ class CaptioningPipeline:
         beam_width: int | None = None,
         parallelism: str | None = None,
         metrics: tuple = ("bleu",),
-    ) -> dict[str, float]:
+        return_captions: bool = False,
+    ):
         """Batched decode + NLTK corpus BLEU-1..4. The tail chunk is
         zero-padded to ``batch_size`` so evaluation compiles exactly ONE
         program per (batch, beam) shape — an unpadded tail would retrace,
         and a recompile over the TPU tunnel costs minutes (docs/PERF.md).
         ``parallelism`` as in :meth:`generate`. ``metrics`` adds 'cider'
         (CIDEr-D) / 'rouge_l' / 'meteor' beyond the reference-parity
-        BLEU default
-        (tpucap.train.metrics)."""
+        BLEU default (tpucap.train.metrics). ``return_captions=True``
+        returns (scores, {image_id: caption}) — the error-analysis
+        surface (CLI ``evaluate --dump-captions``)."""
         ids = list(descriptions.keys())
         generated = {}
         for s in range(0, len(ids), batch_size):
@@ -1984,4 +1988,9 @@ class CaptioningPipeline:
                 parallelism=parallelism,
             )[:n]
             generated.update(dict(zip(chunk, caps)))
-        return evaluate_captions(descriptions, generated, metrics=metrics)
+        scores = evaluate_captions(
+            descriptions, generated, metrics=metrics
+        )
+        if return_captions:
+            return scores, generated
+        return scores
