@@ -811,6 +811,61 @@ def cmd_serve(args):
         srv.close()
 
 
+def cmd_doctor(args):
+    """Environment diagnostics: platform/devices, library versions, the
+    native JPEG extension, compile-cache status, and a one-matmul device
+    smoke — the first thing to run on a new box or a broken deploy."""
+    import time
+
+    report = {}
+    import jax
+
+    t0 = time.perf_counter()
+    devices = jax.devices()
+    report["platform"] = devices[0].platform
+    report["devices"] = [str(d) for d in devices]
+    report["device_query_s"] = round(time.perf_counter() - t0, 3)
+    report["jax"] = jax.__version__
+    for mod in ("flax", "optax", "orbax.checkpoint", "grain", "nltk"):
+        try:
+            m = __import__(mod)
+            for part in mod.split(".")[1:]:
+                m = getattr(m, part)
+            report[mod] = getattr(m, "__version__", "present")
+        except Exception as e:  # pragma: no cover - env-specific
+            report[mod] = f"MISSING ({type(e).__name__})"
+    try:
+        import tpucap
+
+        report["tpucap"] = tpucap.__version__
+    except Exception:
+        report["tpucap"] = "unknown"
+    cache = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        jax.config.jax_compilation_cache_dir or "(unset)",
+    )
+    report["compile_cache"] = cache
+    try:
+        from tpucap.ops import jpeg
+
+        # Touch the extension so the on-demand g++ build (first import)
+        # happens here, not mid-serving.
+        report["jpeg_extension"] = (
+            "ok" if hasattr(jpeg, "decode_jpeg_batch") else "missing"
+        )
+    except Exception as e:
+        report["jpeg_extension"] = f"BUILD FAILED ({type(e).__name__}: {e})"
+    if not args.no_device_smoke:
+        import jax.numpy as jnp
+
+        t0 = time.perf_counter()
+        x = jnp.ones((512, 512), jnp.bfloat16)
+        y = (x @ x).block_until_ready()
+        report["matmul_smoke_s"] = round(time.perf_counter() - t0, 3)
+        report["matmul_ok"] = bool(jnp.isfinite(y).all())
+    print(json.dumps(report, indent=2))
+
+
 def cmd_profile(args):
     """Capture a TensorBoard device trace of the configured workload —
     the SURVEY §5.1 observability surface as one command. Random params
@@ -1152,6 +1207,15 @@ def main(argv=None):
     p.add_argument("--beam-width", type=int, default=3)
     _add_restore_flags(p)
     p.set_defaults(fn=cmd_serve)
+
+    p = sub.add_parser(
+        "doctor",
+        help="environment diagnostics (platform, devices, versions, "
+        "JPEG extension, device smoke)",
+    )
+    p.add_argument("--no-device-smoke", action="store_true",
+                   help="skip the compile+matmul probe (instant report)")
+    p.set_defaults(fn=cmd_doctor)
 
     p = sub.add_parser(
         "profile",
