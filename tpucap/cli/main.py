@@ -610,6 +610,13 @@ def _restore_pipeline(args):
 
 
 def cmd_caption(args):
+    if args.method == "speculative" and not args.draft_bundle:
+        # Validate BEFORE restore/extract — a missing draft must not cost
+        # a checkpoint restore and an encoder compile first.
+        raise SystemExit(
+            "--method speculative needs --draft-bundle "
+            "(a pipeline.save() bundle for the draft model)"
+        )
     if not args.keras_h5:
         print(
             "note: no --keras-h5 given — the encoder runs with its "
@@ -618,9 +625,24 @@ def cmd_caption(args):
             file=sys.stderr,
         )
     pipe = _restore_pipeline(args)
-    caps = pipe.caption_images(
-        args.image, method=args.method, beam_width=args.beam_width
-    )
+    if args.method == "speculative":
+        from tpucap.pipeline import CaptioningPipeline
+
+        draft = CaptioningPipeline.load(args.draft_bundle)
+        feats = pipe.extract_features(list(args.image))
+        caps, stats = pipe.generate_speculative(
+            feats, draft=draft, gamma=args.gamma
+        )
+        print(
+            "speculative: "
+            f"{stats['emitted']} tokens in {stats['rounds']} rounds, "
+            f"acceptance {stats['acceptance_rate']:.2%}",
+            file=sys.stderr,
+        )
+    else:
+        caps = pipe.caption_images(
+            args.image, method=args.method, beam_width=args.beam_width
+        )
     for path, cap in zip(args.image, caps):
         print(f"{path}\t{cap}")
 
@@ -1094,8 +1116,15 @@ def main(argv=None):
     _add_optimizer_flags(p)
     p.add_argument("--image", nargs="+", required=True)
     p.add_argument("--checkpoint-dir", default="checkpoints")
-    p.add_argument("--method", default="beam", choices=["greedy", "beam"])
+    p.add_argument("--method", default="beam",
+                   choices=["greedy", "beam", "speculative"])
     p.add_argument("--beam-width", type=int, default=3)
+    p.add_argument("--draft-bundle", default=None,
+                   help="pipeline.save() bundle of a cheap draft model "
+                   "(same tokenizer/features) for --method speculative — "
+                   "output is token-identical to greedy on the target")
+    p.add_argument("--gamma", type=int, default=4,
+                   help="speculative draft length per round")
     p.add_argument("--approx-topk", action="store_true",
                    help="TPU approx_max_k for the vocab top-k (faster, "
                    "~0.95 recall per step; merge stage stays exact)")

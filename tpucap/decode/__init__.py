@@ -11,13 +11,16 @@ has finished.
 from tpucap.decode.greedy import greedy_decode, DecodeResult
 from tpucap.decode.beam import beam_decode, BeamResult
 from tpucap.decode.sample import sample_decode
+from tpucap.decode.speculative import speculative_greedy_decode, SpecStats
 from tpucap.decode.text import ids_to_captions
 
 __all__ = [
     "greedy_decode",
     "beam_decode",
     "sample_decode",
+    "speculative_greedy_decode",
     "DecodeResult",
     "BeamResult",
+    "SpecStats",
     "ids_to_captions",
 ]

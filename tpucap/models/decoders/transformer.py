@@ -416,6 +416,86 @@ class TransformerDecoder:
         hidden, new_state = self.step_hidden(params, state, token)
         return dense(params["out"], hidden), new_state
 
+    def step_chunk(self, params, state, tokens):
+        """Process a chunk of C tokens per lane in ONE forward against the
+        incremental KV cache: tokens (B, C) -> (logits (B, C, V), state')
+        with each lane's ``pos`` advanced by C.
+
+        This is the speculative-decoding verify step (decode/speculative.py)
+        — the target model scores all gamma draft tokens plus its own bonus
+        position in a single MXU-shaped forward instead of C sequential
+        ``step`` calls — and doubles as a prefill primitive. Numerics are
+        identical to C successive ``step_hidden`` calls: chunk K/V entries
+        are written into the cache BEFORE attention, and visibility is
+        position-based (key position <= own query position), so intra-chunk
+        causality falls out of the same mask as cache history.
+
+        Capacity contract: every lane must satisfy ``pos + C <=
+        max_positions``. Positions are clipped as a safety net, but a
+        clipped chunk would write two slots to one position (their K/V sum),
+        so callers (the speculative engine via pipeline.generate_speculative)
+        validate ``max_len + gamma <= max_positions`` up front.
+        """
+        pos = state["pos"]  # (B,) per-lane base positions
+        C = tokens.shape[1]
+        offs = jnp.arange(C)
+        qpos = pos[:, None] + offs[None, :]  # (B, C)
+        qpos_c = jnp.clip(qpos, 0, self.max_positions - 1)
+        x = embed(params["embedding"], tokens) + params[
+            "pos_embedding"
+        ].astype(state["mem_k"].dtype)[qpos_c]  # (B, C, H)
+
+        cache_k, cache_v = state["cache_k"], state["cache_v"]
+        scale = 1.0 / float(self.head_dim) ** 0.5
+        positions = jnp.arange(self.max_positions)
+        # Query at chunk offset c sees key positions <= pos + c (its own
+        # write position) — history and the chunk's causal prefix alike.
+        vis = positions[None, None, :] <= qpos[:, :, None]  # (B, C, T)
+        # Chunk writes as a one-hot placement (same rationale as
+        # step_hidden: batch-dependent dynamic_update_slice lowers to a
+        # serialized scatter on TPU). Slots land at distinct positions
+        # under the capacity contract, so the einsum sum is a placement.
+        write_onehot = positions[None, :, None] == qpos_c[:, None, :]
+        any_write = write_onehot.any(axis=-1)[:, :, None, None]
+
+        def write(cache_l, kv_new):
+            placed = jnp.einsum(
+                "btc,bchd->bthd",
+                write_onehot.astype(kv_new.dtype),
+                kv_new,
+            )
+            return jnp.where(any_write, placed, cache_l)
+
+        H = self.hidden_dim
+        for l, layer in enumerate(params["layers"]):
+            h1 = layer_norm(layer["ln1"], x)
+            qkv = dense(layer["qkv"], h1)  # (B, C, 3H)
+            q = _split_heads(qkv[..., :H], self.num_heads)
+            k_new = _split_heads(qkv[..., H : 2 * H], self.num_heads)
+            v_new = _split_heads(qkv[..., 2 * H :], self.num_heads)
+            ck = write(cache_k[:, l], k_new)
+            cv = write(cache_v[:, l], v_new)
+            cache_k = cache_k.at[:, l].set(ck)
+            cache_v = cache_v.at[:, l].set(cv)
+            ctx, _ = _sdpa(q, ck, cv, vis, scale)  # (B, C, h, d)
+            x = x + dense(layer["o"], _merge_heads(ctx))
+            x, _ = self._cross_attend(
+                layer, x, state["mem_k"][:, l], state["mem_v"][:, l]
+            )
+            h3 = layer_norm(layer["ln3"], x)
+            mlp, _ = self._mlp_block(layer, h3)
+            x = x + mlp
+
+        hidden = layer_norm(params["ln_f"], x)  # (B, C, H)
+        new_state = {
+            "mem_k": state["mem_k"],
+            "mem_v": state["mem_v"],
+            "cache_k": cache_k,
+            "cache_v": cache_v,
+            "pos": pos + C,
+        }
+        return dense(params["out"], hidden), new_state
+
     # -- training ------------------------------------------------------------
 
     def forward_hidden(

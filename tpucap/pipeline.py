@@ -1673,6 +1673,105 @@ class CaptioningPipeline:
             )
         return out
 
+    def generate_speculative(
+        self,
+        features,
+        *,
+        draft: "CaptioningPipeline | tuple",
+        gamma: int = 4,
+    ) -> tuple[list[str], dict]:
+        """Speculative greedy decode: a cheap draft model proposes
+        ``gamma`` tokens per round, this pipeline's (target) decoder
+        verifies them in ONE chunked forward, and the longest matching
+        prefix is accepted — token-identical to ``generate(method=
+        'greedy')`` by construction (decode/speculative.py), faster when
+        the draft agrees often.
+
+        ``draft``: another :class:`CaptioningPipeline` trained with the
+        SAME tokenizer (token ids must align — asserted) on the same
+        feature space, or a raw ``(decoder, params)`` pair. Any decoder
+        family can draft (a 1-layer merge LSTM drafting for a deep
+        transformer is the intended shape); the TARGET must be a KV-cache
+        family (``step_chunk``), i.e. the transformer decoder.
+
+        Returns ``(captions, stats)`` with stats =
+        ``{rounds, drafted, accepted, emitted, acceptance_rate}``.
+        """
+        if not hasattr(self.decoder, "step_chunk"):
+            raise ValueError(
+                "speculative decode needs a chunk-verify (KV-cache) "
+                "target decoder family — decoder "
+                f"{type(self.decoder).__name__} has no step_chunk "
+                "(use decoder='transformer')"
+            )
+        dcfg = self.config.decode
+        cap = getattr(self.decoder, "max_positions", None)
+        if cap is not None and dcfg.max_len + gamma > cap:
+            raise ValueError(
+                f"max_len {dcfg.max_len} + gamma {gamma} exceeds the "
+                f"decoder's KV capacity max_positions={cap} — the verify "
+                "chunk would wrap (see TransformerDecoder.step_chunk)"
+            )
+        if isinstance(draft, CaptioningPipeline):
+            if draft.tokenizer.word_index != self.tokenizer.word_index:
+                raise ValueError(
+                    "draft pipeline's tokenizer does not match the "
+                    "target's — speculative acceptance compares token "
+                    "ids, which must mean the same words"
+                )
+            draft_decoder = draft.decoder
+            draft_params = draft._inference_params()["decoder"]
+        else:
+            draft_decoder, draft_params = draft
+        params = self._inference_params()["decoder"]
+        feats = jnp.asarray(features, self._infer_dtype())
+        start_id, end_id = self._token_ids()
+        matmul_precision = (
+            "highest" if self.config.precision == "f32" else "default"
+        )
+        key = ("speculative", gamma, draft_decoder)
+        fn = self._decode_cache.get(key)
+        if fn is None:
+            from tpucap.decode import speculative_greedy_decode
+
+            @jax.jit
+            def fn(t_params, d_params, features):
+                with jax.default_matmul_precision(matmul_precision):
+                    t_state = self.decoder.init_state(t_params, features)
+                    d_state = draft_decoder.init_state(d_params, features)
+                    return speculative_greedy_decode(
+                        self.decoder.step_chunk,
+                        t_params,
+                        t_state,
+                        draft_decoder.step,
+                        d_params,
+                        d_state,
+                        start_id=start_id,
+                        end_id=end_id,
+                        max_len=dcfg.max_len,
+                        min_len=dcfg.min_len,
+                        gamma=gamma,
+                    )
+
+            self._decode_cache[key] = fn
+        res, stats = fn(params, draft_params, feats)
+        drafted = int(stats.drafted)
+        stats_out = {
+            "rounds": int(stats.rounds),
+            "drafted": drafted,
+            "accepted": int(stats.accepted),
+            "emitted": int(stats.emitted),
+            "acceptance_rate": (
+                int(stats.accepted) / drafted if drafted else 0.0
+            ),
+        }
+        return (
+            ids_to_captions(
+                self.tokenizer, res.tokens, res.lengths, end_id=end_id
+            ),
+            stats_out,
+        )
+
     def generate_with_attention(
         self,
         features,
