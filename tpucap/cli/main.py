@@ -609,6 +609,66 @@ def _restore_pipeline(args):
     return pipe
 
 
+def cmd_distill(args):
+    """Distill a trained teacher bundle into a small draft decoder
+    (tpucap.train.distill) and save it as a pipeline bundle usable with
+    `caption --method speculative --draft-bundle` or on its own."""
+    import dataclasses
+
+    from tpucap.pipeline import CaptioningPipeline
+
+    if not 0.0 <= args.alpha <= 1.0:
+        raise SystemExit(f"--alpha must be in [0, 1], got {args.alpha}")
+    if args.temperature <= 0.0:
+        raise SystemExit(
+            f"--temperature must be > 0, got {args.temperature}"
+        )
+    teacher = CaptioningPipeline.load(args.teacher_bundle)
+    prepared = _load_dataset(args)
+    features = dict(np.load(args.features))
+
+    t_cfg = teacher.config
+    s_decoder = dataclasses.replace(
+        t_cfg.decoder,
+        name=args.student_decoder,
+        embed_dim=args.student_embed_dim,
+        hidden_dim=args.student_hidden_dim,
+    )
+    s_train = dataclasses.replace(
+        t_cfg.train,
+        epochs=args.epochs,
+        batch_size=args.batch_size,
+        **({"learning_rate": args.lr} if args.lr else {}),
+    )
+    s_cfg = dataclasses.replace(t_cfg, decoder=s_decoder, train=s_train)
+    student = CaptioningPipeline(s_cfg, tokenizer=teacher.tokenizer)
+    student.build()
+
+    history = teacher.fit_distill(
+        student,
+        prepared,
+        features,
+        epochs=args.epochs,
+        batch_size=args.batch_size,
+        temperature=args.temperature,
+        alpha=args.alpha,
+        mode=args.mode,
+        parallelism=args.parallelism,
+    )
+    student.save(args.out)
+    last = history[-1]
+    if args.mode == "word":
+        print(
+            f"distilled {len(history)} epochs; final kd={last['kd']:.4f} "
+            f"agreement={last['agreement']:.4f}; draft bundle in {args.out}"
+        )
+    else:
+        print(
+            f"sequence-distilled {len(history)} epochs; final loss "
+            f"{last['loss']:.4f}; draft bundle in {args.out}"
+        )
+
+
 def cmd_caption(args):
     if args.method == "speculative" and not args.draft_bundle:
         # Validate BEFORE restore/extract — a missing draft must not cost
@@ -1110,6 +1170,45 @@ def main(argv=None):
                    help="also mirror per-epoch metrics as TensorBoard "
                    "scalars (same logdir family as the profiler traces)")
     p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser(
+        "distill",
+        help="distill a teacher bundle into a small draft decoder "
+        "(for --method speculative, or standalone serving)",
+    )
+    p.add_argument("--teacher-bundle", required=True,
+                   help="pipeline.save() bundle of the trained teacher")
+    p.add_argument("--tokens", required=True)
+    p.add_argument("--split", default=None)
+    p.add_argument("--features", required=True,
+                   help="precomputed-features .npz (the teacher's "
+                   "encoder family)")
+    p.add_argument("--out", required=True,
+                   help="output bundle dir for the distilled draft")
+    p.add_argument("--student-decoder", default="lstm1",
+                   choices=["lstm1", "lstm2", "inject", "transformer"],
+                   help="draft decoder family (attention needs spatial "
+                   "features and is rarely a sensible draft)")
+    p.add_argument("--student-embed-dim", type=int, default=128)
+    p.add_argument("--student-hidden-dim", type=int, default=128)
+    p.add_argument("--epochs", type=int, default=10)
+    p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--temperature", type=float, default=2.0,
+                   help="soft-target temperature (word mode)")
+    p.add_argument("--alpha", type=float, default=0.5,
+                   help="KD/CE mix: 1 = pure soft targets, 0 = plain CE "
+                   "(word mode)")
+    p.add_argument("--mode", default="word",
+                   choices=["word", "sequence"],
+                   help="word: soft-target KL vs the teacher's "
+                   "distribution; sequence: CE on the teacher's own "
+                   "greedy captions (Kim & Rush 2016)")
+    p.add_argument("--parallelism", default=None,
+                   choices=["none", "dp"],
+                   help="dp: batch-sharded distillation (update exact "
+                   "vs single device)")
+    p.set_defaults(fn=cmd_distill)
 
     p = sub.add_parser("caption", help="caption image files")
     _add_common_model_flags(p)

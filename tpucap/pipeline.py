@@ -1276,6 +1276,171 @@ class CaptioningPipeline:
         self._bf16_params = None
         return history
 
+    def fit_distill(
+        self,
+        student: "CaptioningPipeline",
+        descriptions: dict[str, list[str]],
+        features: dict[str, np.ndarray],
+        *,
+        epochs: int | None = None,
+        batch_size: int | None = None,
+        temperature: float = 2.0,
+        alpha: float = 0.5,
+        mode: str = "word",
+        parallelism: str | None = None,
+        log=print,
+    ) -> list[dict]:
+        """Distill THIS (teacher) pipeline's decoder into ``student`` —
+        the training half of the speculative-decoding story
+        (:meth:`generate_speculative` needs a draft that AGREES with the
+        target's argmax stream; a draft trained only on ground-truth
+        captions agrees far less often than a distilled one).
+
+        ``student`` is another CaptioningPipeline whose encoder config
+        produces the SAME feature tensor (same ``features=`` kind and
+        feature_dim — the draft shares the teacher's features at serve
+        time); its decoder may be any family/size. A student without a
+        tokenizer adopts the teacher's; a mismatched vocabulary is an
+        error (speculative verification compares token ids).
+
+        mode='word' (Hinton et al. 2015): soft-target KL at temperature
+        ``temperature``, mixed with hard-label CE via ``alpha``
+        (tpucap.train.distill). Reported ``agreement`` is the fraction of
+        non-pad positions where student argmax == teacher argmax — the
+        direct proxy for speculative acceptance.
+
+        mode='sequence' (Kim & Rush 2016): the teacher greedy-decodes the
+        training images and the student trains with ordinary CE on those
+        pseudo-captions (``temperature``/``alpha`` unused). Maximal
+        argmax agreement on exactly the stream speculative decode
+        verifies; one line of plumbing over :meth:`fit`.
+
+        parallelism: None/'none' | 'dp' (word mode: batch sharded,
+        psum'd sum-form pieces — update exact vs single device; sequence
+        mode: forwarded to student.fit). Teacher/student optimizer
+        settings come from the STUDENT's TrainConfig.
+        """
+        if self.decoder is None or not self.params:
+            raise ValueError("teacher pipeline has no trained decoder")
+        if mode not in ("word", "sequence"):
+            raise ValueError(
+                f"unknown distill mode {mode!r}; have word|sequence"
+            )
+        if student.tokenizer is None:
+            student.tokenizer = self.tokenizer
+        elif student.tokenizer.word_index != self.tokenizer.word_index:
+            raise ValueError(
+                "student tokenizer does not match the teacher's "
+                "(token ids must agree for speculative verification)"
+            )
+        if student.decoder is None:
+            student.build()
+
+        ids = list(descriptions.keys())
+        if mode == "sequence":
+            feats_all = np.stack(
+                [np.asarray(features[i]) for i in ids]
+            ).astype(np.float32)
+            # Greedy-decode the training set in ONE padded program shape
+            # (the tail chunk zero-pads; pad captions are discarded).
+            chunk = min(256, len(ids))
+            caps: list[str] = []
+            for s in range(0, len(ids), chunk):
+                part = feats_all[s : s + chunk]
+                n_real = part.shape[0]
+                part = pad_rows(part, chunk)
+                caps.extend(self.generate(part, method="greedy")[:n_real])
+            pseudo = {
+                i: [f"{START_TOKEN} {c} {END_TOKEN}"]
+                for i, c in zip(ids, caps)
+            }
+            return student.fit(
+                pseudo,
+                features,
+                epochs=epochs,
+                batch_size=batch_size,
+                parallelism=parallelism,
+                log=log,
+            )
+
+        from tpucap.train.distill import make_distill_step
+
+        cfg = student.config.train
+        epochs = epochs or cfg.epochs
+        batch_size = batch_size or cfg.batch_size
+        F, T = build_training_batch(
+            self.tokenizer, descriptions, features, self.config.decode.max_len
+        )
+        if F.shape[0] < batch_size:
+            if log:
+                log(
+                    f"batch_size {batch_size} > {F.shape[0]} training rows; "
+                    f"clamping batch_size to {F.shape[0]}"
+                )
+            batch_size = F.shape[0]
+        if parallelism not in (None, "none", "dp"):
+            raise NotImplementedError(
+                f"fit_distill supports parallelism None|'none'|'dp', "
+                f"got {parallelism!r}"
+            )
+        mesh = None
+        if parallelism == "dp":
+            mesh = make_mesh(student.config.mesh.n_devices)
+            data_n = dict(mesh.shape)["data"]
+            if batch_size % data_n:
+                raise ValueError(
+                    f"batch_size {batch_size} must divide by the "
+                    f"{data_n}-device data mesh"
+                )
+            student._mesh = mesh
+        from tpucap.train import build_optimizer
+
+        optimizer = build_optimizer(
+            cfg, total_steps=epochs * max(1, F.shape[0] // batch_size)
+        )
+        state = TrainState.create(
+            student.params["decoder"], optimizer, jax.random.key(cfg.seed)
+        )
+        step = make_distill_step(
+            self.decoder,
+            student.decoder,
+            optimizer,
+            temperature=temperature,
+            alpha=alpha,
+            pad_id=0,
+            mesh=mesh,
+        )
+        t_params = self.params["decoder"]
+        rng = np.random.default_rng(cfg.seed)
+        history: list[dict] = []
+        for epoch in range(epochs):
+            metrics_sum: dict = {}
+            n = 0
+            for bf, bt in batch_iterator((F, T), batch_size, rng=rng):
+                if mesh is not None:
+                    bf, bt = shard_batch(mesh, (bf, bt))
+                state, metrics = step(state, t_params, bf, bt)
+                n += 1
+                for k, v in metrics.items():
+                    metrics_sum[k] = metrics_sum.get(k, 0.0) + v
+            metrics_sum = jax.device_get(metrics_sum)
+            entry = {
+                k: float(v) / max(n, 1) for k, v in metrics_sum.items()
+            }
+            entry["epoch"] = epoch
+            history.append(entry)
+            if log:
+                log(
+                    f"distill epoch {epoch}: loss={entry['loss']:.4f} "
+                    f"kd={entry['kd']:.4f} "
+                    f"agreement={entry['agreement']:.4f}"
+                )
+        student.state = state
+        student.params["decoder"] = state.params
+        student._decode_cache.clear()
+        student._bf16_params = None
+        return history
+
     # -- generation (reference: generate_desc / beam_search_desc) ----------
 
     def _decode_fn(self, method: str, beam_width: int):

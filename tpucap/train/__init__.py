@@ -8,6 +8,11 @@ from tpucap.train.loop import (
     make_train_step,
     train_epoch,
 )
+from tpucap.train.distill import (
+    distill_loss_from_sums,
+    distill_loss_sums,
+    make_distill_step,
+)
 from tpucap.train.scst import make_scst_rollout, make_scst_step, scst_loss
 from tpucap.train.sequences import build_training_batch
 
@@ -23,4 +28,7 @@ __all__ = [
     "make_scst_rollout",
     "make_scst_step",
     "scst_loss",
+    "distill_loss_sums",
+    "distill_loss_from_sums",
+    "make_distill_step",
 ]
