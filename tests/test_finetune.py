@@ -179,6 +179,98 @@ def test_joint_grad_accum_matches_full_batch():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-6)
 
 
+def test_remat_encoder_update_is_exact():
+    """remat_encoder=True is a recompute SCHEDULE, not an approximation:
+    loss and updated params must match the plain step exactly (same
+    primal values, same gradient — jax.checkpoint's contract), with and
+    without grad accumulation composed."""
+    enc, dec, params, images, tokens = setup()
+    optimizer = optax.sgd(0.5)
+    for accum in (1, 4):
+        plain = make_joint_train_step(
+            enc, dec, optimizer, deterministic=True,
+            grad_accum_steps=accum,
+        )
+        remat = make_joint_train_step(
+            enc, dec, optimizer, deterministic=True,
+            grad_accum_steps=accum, remat_encoder=True,
+        )
+        s1 = TrainState.create(params, optimizer, jax.random.key(2))
+        s1, m1 = plain(s1, jnp.asarray(images), jnp.asarray(tokens))
+        s2 = TrainState.create(params, optimizer, jax.random.key(2))
+        s2, m2 = remat(s2, jnp.asarray(images), jnp.asarray(tokens))
+        np.testing.assert_allclose(
+            float(m1["loss"]), float(m2["loss"]), rtol=1e-6
+        )
+        for a, b in zip(
+            jax.tree.leaves(jax.device_get(s1.params)),
+            jax.tree.leaves(jax.device_get(s2.params)),
+            strict=True,
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=5e-6
+            )
+
+
+def test_remat_encoder_rewrites_the_backward():
+    """Structural proof the recompute schedule is actually in the traced
+    program: the gradient jaxpr of the remat step carries a remat/
+    checkpoint call; the plain step's does not. (The memory effect
+    itself is a compiler outcome, measured on hardware — see
+    docs/PERF.md.)"""
+    from tpucap.train.loss import caption_loss_sums
+    from tpucap.train.finetune import encode_for_decoder
+
+    enc, dec, params, images, tokens = setup()
+
+    def loss(p, use_remat):
+        f = lambda ep, im: encode_for_decoder(enc, ep, im)  # noqa: E731
+        if use_remat:
+            f = jax.checkpoint(f)
+        feats = f(p["encoder"], jnp.asarray(images))
+        sums = caption_loss_sums(
+            dec, p["decoder"], feats, jnp.asarray(tokens),
+            deterministic=True,
+        )
+        return sums["nll_sum"]
+
+    plain_jaxpr = str(jax.make_jaxpr(
+        jax.grad(lambda p: loss(p, False))
+    )(params))
+    remat_jaxpr = str(jax.make_jaxpr(
+        jax.grad(lambda p: loss(p, True))
+    )(params))
+    assert "remat" in remat_jaxpr or "checkpoint" in remat_jaxpr
+    assert "remat" not in plain_jaxpr and "checkpoint" not in plain_jaxpr
+
+
+def test_remat_composes_with_dp():
+    from jax.sharding import Mesh
+
+    enc, dec, params, images, tokens = setup()
+    optimizer = optax.sgd(0.5)
+    single = make_joint_train_step(enc, dec, optimizer, deterministic=True)
+    s1 = TrainState.create(params, optimizer, jax.random.key(2))
+    s1, m1 = single(s1, jnp.asarray(images), jnp.asarray(tokens))
+
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("data",))
+    dp = make_joint_train_step(
+        enc, dec, optimizer, deterministic=True, mesh=mesh,
+        remat_encoder=True,
+    )
+    s2 = TrainState.create(params, optimizer, jax.random.key(2))
+    s2, m2 = dp(s2, jnp.asarray(images), jnp.asarray(tokens))
+    np.testing.assert_allclose(
+        float(m1["loss"]), float(m2["loss"]), rtol=1e-6
+    )
+    for a, b in zip(
+        jax.tree.leaves(jax.device_get(s1.params)),
+        jax.tree.leaves(jax.device_get(s2.params)),
+        strict=True,
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-6)
+
+
 def test_joint_spatial_attention_decoder():
     """Spatial grid flows into the SAT decoder with the attention
     regularizer's second head active."""

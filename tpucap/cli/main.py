@@ -369,6 +369,7 @@ def _cmd_train_finetune(args, pipe, prepared):
         epochs=args.epochs,
         batch_size=args.batch_size,
         encoder_lr_scale=args.encoder_lr_scale,
+        remat_encoder=getattr(args, "remat_encoder", False),
         parallelism=parallelism,
         augment=getattr(args, "augment", False),
         augment_shift=getattr(args, "augment_shift", 0) or 0,
@@ -416,6 +417,14 @@ def cmd_train(args):
             "encoder+decoder step — add --finetune-encoder (feature-"
             "based training has no images to augment)"
         )
+    if not getattr(args, "finetune_encoder", False) and getattr(
+        args, "remat_encoder", False
+    ):
+        raise SystemExit(
+            "--remat-encoder applies to the joint encoder+decoder step "
+            "— add --finetune-encoder (feature-based training has no "
+            "encoder activations to rematerialize)"
+        )
     if getattr(args, "finetune_encoder", False):
         _validate_finetune_flags(args)
     elif not args.features:
@@ -427,15 +436,6 @@ def cmd_train(args):
     pipe = CaptioningPipeline(cfg)
     prepared = _load_dataset(args)
 
-    if not getattr(args, "finetune_encoder", False) and (
-        getattr(args, "augment", False)
-        or getattr(args, "augment_shift", 0)
-    ):
-        raise SystemExit(
-            "--augment/--augment-shift run inside the joint "
-            "encoder+decoder step — add --finetune-encoder (feature-"
-            "based training has no images to augment)"
-        )
     if getattr(args, "finetune_encoder", False):
         _cmd_train_finetune(args, pipe, prepared)
         return
@@ -1115,6 +1115,11 @@ def main(argv=None):
     p.add_argument("--encoder-lr-scale", type=float, default=0.1,
                    help="scale on the encoder's updates during "
                    "--finetune-encoder (0.1 = standard backbone lr)")
+    p.add_argument("--remat-encoder", action="store_true",
+                   help="--finetune-encoder only: recompute encoder "
+                   "activations in the backward pass (jax.checkpoint) — "
+                   "exact same update, lower peak HBM; combine with "
+                   "--grad-accum-steps for the biggest image batches")
     p.add_argument("--bundle-out", default=None,
                    help="pipeline bundle dir for --finetune-encoder "
                    "(default <checkpoint-dir>/bundle)")

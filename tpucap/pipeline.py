@@ -943,6 +943,7 @@ class CaptioningPipeline:
         batch_size: int | None = None,
         encoder_lr_scale: float = 0.1,
         freeze_encoder: bool = False,
+        remat_encoder: bool = False,
         parallelism: str | None = None,
         augment: bool = False,
         augment_shift: int = 0,
@@ -972,7 +973,13 @@ class CaptioningPipeline:
         jitted step (random horizontal flip; ``augment_shift=N`` adds a
         reflect-padded random translation of up to N px — see
         data/augment.py for why only preprocessing-commuting ops are
-        offered)."""
+        offered).
+
+        ``remat_encoder=True`` recomputes the encoder's activations in
+        the backward pass instead of keeping them live (jax.checkpoint
+        — exact same update, lower peak HBM): the memory dial when the
+        image batch, not the logits, is what doesn't fit. Composes with
+        grad_accum_steps (remat per microbatch) and 'dp'."""
         from tpucap.train import build_optimizer
         from tpucap.train.finetune import (
             encoder_learning_rate_optimizer,
@@ -1063,6 +1070,7 @@ class CaptioningPipeline:
             attention_reg=cfg.attention_reg,
             grad_accum_steps=cfg.grad_accum_steps,
             freeze_encoder=freeze_encoder,
+            remat_encoder=remat_encoder,
             mesh=mesh,
             compute_dtype=(
                 jnp.bfloat16 if cfg.precision == "bf16" else None

@@ -69,6 +69,7 @@ def make_joint_train_step(
     deterministic: bool = False,
     grad_accum_steps: int = 1,
     freeze_encoder: bool = False,
+    remat_encoder: bool = False,
     mesh=None,
     axis: str = "data",
     compute_dtype=None,
@@ -85,6 +86,17 @@ def make_joint_train_step(
     folded with the axis index) — on-device augmentation with zero
     extra host->device traffic. None compiles an augmentation-free step.
 
+    ``remat_encoder=True`` wraps the encoder forward in
+    ``jax.checkpoint``: the backward pass recomputes the conv
+    activations instead of keeping them live across the decoder's
+    forward+backward — the standard FLOPs-for-HBM trade, and the
+    encoder is where this step's activation memory lives (a ResNet-50
+    stack at 224x224 dwarfs the decoder's (B, T, V) logits). The
+    update is numerically IDENTICAL (remat is a recompute schedule,
+    not an approximation — pinned exactly in tests/test_finetune.py);
+    only peak memory and step time move. Composes with
+    grad_accum_steps (remat inside each microbatch) and DP.
+
     ``mesh`` switches on data parallelism: images/tokens shard over
     ``axis`` under shard_map, params replicate, and the update is
     computed in pure sum space — per-shard raw-sum gradients and loss
@@ -99,6 +111,14 @@ def make_joint_train_step(
         decoder, "forward_train_with_alphas"
     )
 
+    encode = lambda ep, im: encode_for_decoder(encoder, ep, im)  # noqa: E731
+    if remat_encoder:
+        # Save only the encoder's OUTPUT features for the backward;
+        # every internal conv activation is recomputed when its
+        # cotangent is needed. jax.checkpoint is exact — same primal,
+        # same gradient — so no contract above this line changes.
+        encode = jax.checkpoint(encode)
+
     def sums_fn(params, images, tokens, rng):
         enc_params = params["encoder"]
         if freeze_encoder:
@@ -108,7 +128,7 @@ def make_joint_train_step(
         # params stay f32 (cast_floats docstring).
         enc_params = cast_floats(enc_params, compute_dtype)
         images = cast_floats(images, compute_dtype)
-        feats = encode_for_decoder(encoder, enc_params, images)
+        feats = encode(enc_params, images)
         return caption_loss_sums(
             decoder,
             params["decoder"],
