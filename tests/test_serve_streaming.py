@@ -1,7 +1,9 @@
 """Streaming decode: ContinuousCaptionServer.submit_stream delivers
 newly-decoded words at ticks_per_sync granularity (concatenating to
-exactly the final caption), beam servers refuse streaming, and the
-HTTP /caption_stream_features endpoint streams ndjson spans."""
+exactly the final caption), beam servers stream the group's STABLE
+PREFIX (the LCP of the k beams — never retracted, tail flushed at
+retirement), and the HTTP /caption_stream_features endpoint streams
+ndjson spans for both."""
 
 import http.client
 import json
@@ -73,12 +75,72 @@ def test_streaming_coexists_with_plain_requests(pipe, rng):
     assert " ".join(w for s in spans for w in s) == ref[0]
 
 
-def test_stream_rejects_beam_server(pipe):
-    with ContinuousCaptionServer(pipe, slots=3, beam_width=3) as srv:
-        with pytest.raises(ValueError, match="beam"):
-            srv.submit_stream(
-                np.zeros((128,), np.float32), on_words=lambda ws: None
-            )
+def test_beam_stream_exact(pipe, rng):
+    """Beam streaming: spans concatenate to exactly the beam caption —
+    the stable-prefix emissions plus the retirement flush cover the
+    winning beam's whole word sequence, in order, no retractions."""
+    feats = rng.normal(size=(6, 128)).astype(np.float32)
+    refs = pipe.generate(feats, method="beam", beam_width=3)
+    with ContinuousCaptionServer(
+        pipe, slots=3, beam_width=3, ticks_per_sync=2
+    ) as srv:
+        all_spans = [[] for _ in feats]
+        futs = [
+            srv.submit_stream(f, on_words=all_spans[i].append)
+            for i, f in enumerate(feats)
+        ]
+        got = [f.result(timeout=180) for f in futs]
+    assert got == refs
+    for spans, ref in zip(all_spans, refs):
+        assert " ".join(w for s in spans for w in s) == ref
+        assert all(s for s in spans)  # no empty spans
+
+
+def test_beam_stable_prefix_monotone_and_safe(pipe, rng):
+    """Engine-level invariant: at every sync, progress()'s stable
+    prefix (a) never shrinks and (b) is a prefix of the caption
+    collect() finally returns — driven tick by tick, no server."""
+    import jax.numpy as jnp
+
+    from tpucap.decode.continuous_beam import ContinuousBeamEngine
+
+    start_id, end_id = pipe._token_ids()
+    eng = ContinuousBeamEngine(
+        pipe.decoder,
+        pipe._inference_params()["decoder"],
+        slots=2,
+        beam_width=3,
+        start_id=start_id,
+        end_id=end_id,
+        max_len=10,
+        feature_shape=(128,),
+    )
+    feats = rng.normal(size=(2, 128)).astype(np.float32)
+    state = eng.init_state()
+    state = eng.admit(
+        state, jnp.asarray(np.arange(2, dtype=np.int32)), jnp.asarray(feats)
+    )
+    seen = [np.zeros(0, np.int32)] * 2
+    for _ in range(10):
+        state = eng.tick(state, 1)
+        toks, stable = map(np.asarray, eng.progress(state))
+        for g in range(2):
+            n = int(stable[g])
+            prefix = toks[g, :n]
+            # never shrinks, and extends what was already emitted
+            assert n >= len(seen[g])
+            assert np.array_equal(prefix[: len(seen[g])], seen[g])
+            seen[g] = prefix.copy()
+        fin, act, _ = map(np.asarray, eng.flags(state))
+        if fin.all():
+            break
+    (tokens, lengths, _), _ = eng.collect(
+        state, jnp.asarray(np.arange(2, dtype=np.int32))
+    )
+    tokens, lengths = np.asarray(tokens), np.asarray(lengths)
+    for g in range(2):
+        final = tokens[g, : int(lengths[g])]
+        assert np.array_equal(seen[g], final[: len(seen[g])])
 
 
 def test_broken_callback_does_not_kill_the_loop(pipe, rng):
@@ -147,8 +209,11 @@ def test_http_stream_on_batch_engine_is_400(pipe, rng):
     assert "continuous" in json.loads(raw)["error"]
 
 
-def test_http_stream_beam_is_400(pipe, rng):
+def test_http_stream_beam(pipe, rng):
+    """Beam streaming over HTTP: ndjson spans + final caption line,
+    concatenating to exactly the beam caption."""
     feats = rng.normal(size=(128,)).astype(np.float32)
+    ref = pipe.generate(feats[None], method="beam", beam_width=3)[0]
     with CaptionHTTPServer(
         pipe,
         port=0,
@@ -156,6 +221,7 @@ def test_http_stream_beam_is_400(pipe, rng):
         method="beam",
         beam_width=3,
         engine="continuous",
+        ticks_per_sync=2,
     ) as srv:
         srv.serve_background()
         status, raw = _post_stream(
@@ -163,5 +229,9 @@ def test_http_stream_beam_is_400(pipe, rng):
             "/caption_stream_features",
             json.dumps({"features": feats.tolist()}),
         )
-    assert status == 400
-    assert "beam" in json.loads(raw)["error"]
+    assert status == 200
+    lines = [json.loads(ln) for ln in raw.splitlines()]
+    assert lines[-1]["done"] is True
+    assert lines[-1]["caption"] == ref
+    words = [w for ln in lines[:-1] for w in ln["words"]]
+    assert " ".join(words) == ref

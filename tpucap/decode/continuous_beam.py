@@ -333,6 +333,57 @@ class ContinuousBeamEngine(AdmissionMixin):
         return state.finished, state.active, state.t
 
     @partial(jax.jit, static_argnums=0)
+    def progress(self, state: BeamSlotState):
+        """Streaming fetch: each group's STABLE PREFIX so far —
+        ``(tokens (R, max_len), stable_len (R,))``, the same contract as
+        the greedy engine's ``progress``.
+
+        Why a beam request has a streamable prefix at all: every beam
+        slot at step t+1 either is a frozen copy of, or extends, one of
+        the k slots at step t (the merged top-k selects parents among
+        the current slots), so the final collected caption — whichever
+        slot ranks best at retirement — carries the longest common
+        prefix of the CURRENT k slots as its own prefix, forever. That
+        LCP is therefore safe to emit: it can only grow (children copy
+        a parent's whole prefix), and it never has to be retracted.
+        Frozen (finished) slots participate in the LCP at their full
+        final length, which is conservative — a finished beam that will
+        lose the ranking can still cap the stable prefix — but
+        correctness needs no score bound, and the retirement flush
+        (ContinuousCaptionServer._retire) delivers the rest.
+
+        One backpointer reconstruction over all R groups (the same
+        backward scan as ``collect``), fetched once per sync group only
+        while a streaming request is live."""
+        R, k, L = self.slots, self.k, self.max_len
+
+        def back(ptr, wp):
+            w_t, p_t = wp  # (R, k)
+            tok = jnp.take_along_axis(w_t, ptr, axis=1)
+            ptr = jnp.take_along_axis(p_t, ptr, axis=1)
+            return ptr, tok
+
+        init_ptr = jnp.broadcast_to(
+            jnp.arange(k, dtype=jnp.int32)[None, :], (R, k)
+        )
+        w_rev = jnp.swapaxes(state.words, 0, 1)[::-1]  # (L, R, k)
+        p_rev = jnp.swapaxes(state.parents, 0, 1)[::-1]
+        _, toks_rev = jax.lax.scan(back, init_ptr, (w_rev, p_rev))
+        tokens = jnp.moveaxis(toks_rev[::-1], 0, -1)  # (R, k, L)
+
+        # A position belongs to the stable prefix iff every slot has a
+        # real token there (within its length) and all k agree on it.
+        pos = jnp.arange(L)
+        valid = pos[None, None, :] < state.lengths[:, :, None]  # (R,k,L)
+        agree = (tokens == tokens[:, :1, :]).all(axis=1) & valid.all(
+            axis=1
+        )  # (R, L)
+        stable_len = jnp.cumprod(agree.astype(jnp.int32), axis=1).sum(
+            axis=1
+        )
+        return tokens[:, 0, :], stable_len
+
+    @partial(jax.jit, static_argnums=0)
     def collect(self, state: BeamSlotState, group_idx):
         """Gather finished groups, reconstruct their sequences from the
         backpointers (beam.py's backward scan), rank by the engine's

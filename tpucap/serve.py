@@ -553,21 +553,23 @@ class ContinuousCaptionServer:
         with each NEW span of decoded words as the request progresses
         (granularity = ``ticks_per_sync`` tokens — the engine syncs with
         the host once per tick group); the returned Future still
-        resolves with the full caption after the final span. Greedy
-        engine only: a beam request has no stable prefix until its lane
-        group retires (the leading beam can change every step), so
-        ``beam_width > 1`` servers reject streaming.
+        resolves with the full caption, and the emitted spans
+        concatenate to exactly that caption.
+
+        Greedy streams every decoded token as it lands. Beam streams
+        the group's STABLE PREFIX — the longest common prefix of its k
+        beams, which every future leader provably extends
+        (ContinuousBeamEngine.progress), so no emitted word is ever
+        retracted; whatever the winning beam adds past the last stable
+        span is flushed in one final ``on_words`` call at retirement,
+        just before the future resolves. Beams that agree early stream
+        early; a contested beam front holds words back until it
+        converges — the honest latency/stability trade.
 
         ``on_words`` runs on the engine thread — it must be fast and
         never block (hand off to a queue for slow consumers, as the
         HTTP front-end does); exceptions it raises are swallowed so a
         broken client callback cannot kill the shared engine loop."""
-        if self._beam_width > 1:
-            raise ValueError(
-                "submit_stream needs the greedy continuous engine; "
-                f"this server runs beam_width={self._beam_width} — "
-                "beam prefixes are not stable until retirement"
-            )
         if not callable(on_words):
             raise TypeError("on_words must be callable")
         return self._submit(features, on_words)
@@ -625,6 +627,10 @@ class ContinuousCaptionServer:
             state = eng.admit(state, idx, feats)
             state = eng.tick(state, self._ticks_per_sync)
             jax.device_get(eng.flags(state))
+            # Streaming fetch too: submit_stream's first live sync must
+            # not pay a compile (progress is shape-fixed — once covers
+            # every bucket).
+            jax.device_get(eng.progress(state))
             _, state = eng.collect(state, jnp.asarray(eng.pad_ids(ids)))
         with self._stats.lock:
             self._stats.latencies_ms.clear()
@@ -745,50 +751,68 @@ class ContinuousCaptionServer:
         )
         now = time.perf_counter()
         self._stats.requests += len(ids)
-        for slot, cap in zip(ids, captions):
-            fut, t0, _, _ = self._futures.pop(slot)
+        for row, (slot, cap) in enumerate(zip(ids, captions)):
+            entry = self._futures.pop(slot)
+            if entry[2] is not None:
+                # Final streaming flush: everything the winning sequence
+                # carries past the last emitted span (for beam, the part
+                # beyond the stable prefix; for greedy, usually empty —
+                # _stream_progress already caught up). Runs BEFORE the
+                # future resolves, so spans concatenate to exactly the
+                # caption a .result() caller sees.
+                self._emit_span(entry, tokens[row], int(lengths[row]))
+            fut, t0, _, _ = entry
             self._stats.add_latency((now - t0) * 1e3)
             _resolve(fut, cap)
             self._free.append(slot)
 
-    def _stream_progress(self, lengths: np.ndarray) -> None:
+    def _stream_progress(self) -> None:
         """Emit newly-decoded words to streaming requests' callbacks.
 
         One extra (slots, max_len) device fetch per sync group, paid
         ONLY while at least one streaming request is live; non-streaming
-        traffic never fetches token progress early. Runs before
-        ``_retire`` so the final span (everything up to the end token)
-        is delivered before the future resolves."""
+        traffic never fetches token progress early. The engine's
+        ``progress`` supplies both tokens and the streamable length:
+        the decoded length for greedy lanes, the stable-prefix length
+        for beam groups (whatever the winning beam adds past it is
+        flushed by ``_retire``)."""
         live = [e for e in self._futures.values() if e[2] is not None]
         if not live:
             return
         import jax
 
-        tokens, _ = jax.device_get(self._engine.progress(self._state))
+        tokens, lengths = jax.device_get(
+            self._engine.progress(self._state)
+        )
         tokens = np.asarray(tokens)
-        tok = self._pipe.tokenizer
+        lengths = np.asarray(lengths)
         for slot, entry in self._futures.items():
-            _, _, cb, emitted = entry
-            if cb is None:
+            if entry[2] is None:
                 continue
-            n = int(lengths[slot])
-            if n <= emitted:
-                continue
-            words = [
-                w
-                for t in tokens[slot, emitted:n]
-                if int(t) != self._end_id
-                and (w := tok.word_for_id(int(t))) is not None
-            ]
-            entry[3] = n
-            if words:
-                try:
-                    cb(words)
-                except Exception:
-                    # A broken client callback must not kill the shared
-                    # engine loop; the future still resolves with the
-                    # full caption at retirement.
-                    pass
+            self._emit_span(entry, tokens[slot], int(lengths[slot]))
+
+    def _emit_span(self, entry, token_row, n: int) -> None:
+        """Deliver tokens [emitted, n) of ``token_row`` to a streaming
+        entry's callback and advance its high-water mark."""
+        _, _, cb, emitted = entry
+        if n <= emitted:
+            return
+        tok = self._pipe.tokenizer
+        words = [
+            w
+            for t in token_row[emitted:n]
+            if int(t) != self._end_id
+            and (w := tok.word_for_id(int(t))) is not None
+        ]
+        entry[3] = n
+        if words:
+            try:
+                cb(words)
+            except Exception:
+                # A broken client callback must not kill the shared
+                # engine loop; the future still resolves with the
+                # full caption at retirement.
+                pass
 
     def _loop(self) -> None:
         """Top-level worker guard: the engine loop is the ONLY device
@@ -825,7 +849,7 @@ class ContinuousCaptionServer:
                     int(act.sum()) + len(np.where(fin)[0])
                 ) * self._ticks_per_sync
                 self._stats.batches += 1  # one sync group
-                self._stream_progress(lens)
+                self._stream_progress()
                 self._retire(fin)
             if not keep and not self._futures:
                 return

@@ -14,7 +14,9 @@ Endpoints:
 - ``POST /caption_stream``     JPEG bytes -> ndjson STREAM of
                                {"words": [...]} spans as the caption
                                decodes, then {"caption": ..., "done":
-                               true} (continuous greedy engine only)
+                               true} (continuous engine; greedy streams
+                               every token, beam streams the group's
+                               stable prefix + a retirement flush)
 - ``POST /caption_stream_features``  same, JSON features body
 - ``GET  /healthz``            liveness + backend
 - ``GET  /stats``              batcher stats (batch sizes, p50/p99 ms)
