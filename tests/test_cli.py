@@ -232,7 +232,9 @@ def test_cli_parallelism_flag_choices(capsys):
     err = capsys.readouterr().err
     assert "invalid choice" in err
     # every training strategy is a named choice
-    for name in ("dp_tp", "pp", "dp_pp", "ep", "dp_ep", "sp", "dp_sp"):
+    for name in (
+        "fsdp", "dp_tp", "pp", "dp_pp", "ep", "dp_ep", "sp", "dp_sp"
+    ):
         assert name in err, name
 
 

@@ -1150,9 +1150,12 @@ def main(argv=None):
                    "--preset when given)")
     p.add_argument("--data-parallel", action="store_true")
     p.add_argument("--parallelism", default=None,
-                   choices=["none", "dp", "tp", "dp_tp", "pp", "dp_pp",
-                            "ep", "dp_ep", "sp", "dp_sp"],
-                   help="dp: batch-sharded shard_map+psum; tp: vocab-"
+                   choices=["none", "dp", "fsdp", "tp", "dp_tp", "pp",
+                            "dp_pp", "ep", "dp_ep", "sp", "dp_sp"],
+                   help="dp: batch-sharded shard_map+psum; fsdp: "
+                   "ZeRO-style fully-sharded DP (params/grads/optimizer "
+                   "state 1/N per device, gathered just-in-time — the "
+                   "memory-scaling dp, update-exact); tp: vocab-"
                    "sharded CE (vocab auto-padded to the mesh); dp_tp: "
                    "2-D batch x vocab mesh; pp: GPipe pipeline over a "
                    "stage axis (transformer decoder only); dp_pp: 2-D "

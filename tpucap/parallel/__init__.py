@@ -19,6 +19,12 @@ from tpucap.parallel.multihost import (
     shard_for_host,
 )
 from tpucap.parallel.ep import make_ep_train_step
+from tpucap.parallel.fsdp import (
+    fsdp_gather_tree,
+    fsdp_specs,
+    make_fsdp_train_step,
+    shard_fsdp_tree,
+)
 from tpucap.parallel.pp import (
     make_pp_train_step,
     stack_pp_layers,
@@ -41,6 +47,10 @@ __all__ = [
     "make_dp_train_step",
     "make_dp_decode_fn",
     "make_ep_train_step",
+    "make_fsdp_train_step",
+    "shard_fsdp_tree",
+    "fsdp_gather_tree",
+    "fsdp_specs",
     "make_pp_train_step",
     "make_sp_train_step",
     "stack_pp_layers",

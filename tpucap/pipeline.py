@@ -369,7 +369,11 @@ class CaptioningPipeline:
         'dp_ep' (2-D batch x expert mesh) | 'sp' (ring-attention
         sequence parallel — transformer; the teacher-forced length is
         auto-padded to a ring multiple, needing decoder max_positions
-        headroom) | 'dp_sp' (2-D batch x sequence mesh).
+        headroom) | 'dp_sp' (2-D batch x sequence mesh) | 'fsdp'
+        (ZeRO-style fully-sharded data parallel: params/grads/optimizer
+        state live 1/N per device over the data axis, gathered
+        just-in-time per step — the memory-scaling variant of 'dp',
+        update-exact; any decoder family).
         ``data_parallel=True`` is the back-compat spelling of
         parallelism='dp'."""
         cfg = self.config.train
@@ -377,7 +381,8 @@ class CaptioningPipeline:
         batch_size = batch_size or cfg.batch_size
         if parallelism is None:
             parallelism = "dp" if data_parallel else "none"
-        data_parallel = parallelism == "dp"
+        # fsdp shards the batch over the same data axis as dp.
+        data_parallel = parallelism in ("dp", "fsdp")
         if self.decoder is None:
             self.build()
 
@@ -401,7 +406,7 @@ class CaptioningPipeline:
             cfg, total_steps=epochs * max(1, F.shape[0] // batch_size)
         )
         if self._freeze_embeddings:
-            if parallelism not in ("none", "dp"):
+            if parallelism not in ("none", "dp", "fsdp"):
                 raise NotImplementedError(
                     "freeze_embeddings masks the canonical-layout "
                     f"'embedding' subtree; parallelism={parallelism!r} "
@@ -426,7 +431,9 @@ class CaptioningPipeline:
         unpad_to = None  # set if tp/dp_tp pads the vocab to shard evenly
         pp_layout = False  # set if pp/dp_pp trains on stacked layer params
 
-        if cfg.grad_accum_steps > 1 and parallelism not in ("none", "dp"):
+        if cfg.grad_accum_steps > 1 and parallelism not in (
+            "none", "dp", "fsdp"
+        ):
             raise NotImplementedError(
                 f"grad_accum_steps={cfg.grad_accum_steps} is wired into "
                 f"the single-device and data-parallel steps only; "
@@ -437,7 +444,9 @@ class CaptioningPipeline:
             raise ValueError(
                 f"TrainConfig.precision={cfg.precision!r}; have f32|bf16"
             )
-        if cfg.precision == "bf16" and parallelism not in ("none", "dp"):
+        if cfg.precision == "bf16" and parallelism not in (
+            "none", "dp", "fsdp"
+        ):
             raise NotImplementedError(
                 "precision='bf16' is wired into the single-device and "
                 f"data-parallel steps only; parallelism={parallelism!r} "
@@ -470,6 +479,60 @@ class CaptioningPipeline:
                 attention_reg=cfg.attention_reg,
                 grad_accum_steps=cfg.grad_accum_steps,
                 compute_dtype=compute_dtype,
+            )
+        elif parallelism == "fsdp":
+            from tpucap.parallel import (
+                make_fsdp_train_step,
+                shard_fsdp_tree,
+            )
+
+            self._mesh = make_mesh(self.config.mesh.n_devices)
+            if batch_size % dict(self._mesh.shape)["data"]:
+                raise ValueError(
+                    f"batch_size {batch_size} must divide by the "
+                    f"{dict(self._mesh.shape)['data']}-device data mesh"
+                )
+            clip = float(cfg.grad_clip_norm or 0.0)
+            if clip:
+                # Global-norm clipping must see the psum'd GLOBAL norm;
+                # the optax chain wrapper would clip each shard on its
+                # local norm. Rebuild the optimizer bare and hand the
+                # threshold to the fsdp step, which clips exactly
+                # (tests/test_fsdp.py global-norm test).
+                import dataclasses as _dc
+
+                optimizer = build_optimizer(
+                    _dc.replace(cfg, grad_clip_norm=0.0),
+                    total_steps=epochs
+                    * max(1, F.shape[0] // batch_size),
+                )
+                if self._freeze_embeddings:
+                    from tpucap.train import freeze_subtree_updates
+
+                    optimizer = freeze_subtree_updates(
+                        optimizer,
+                        lambda path: getattr(path[0], "key", None)
+                        == "embedding",
+                    )
+                self.state = TrainState.create(
+                    self.params["decoder"],
+                    optimizer,
+                    jax.random.key(cfg.seed),
+                )
+            # Re-place params + optimizer state in the 1/N-per-device
+            # ZeRO layout; the step gathers just-in-time.
+            self.state = shard_fsdp_tree(self.state, self._mesh)
+            step = make_fsdp_train_step(
+                self.decoder,
+                optimizer,
+                self._mesh,
+                self.state,
+                pad_id=0,
+                label_smoothing=cfg.label_smoothing,
+                attention_reg=cfg.attention_reg,
+                grad_accum_steps=cfg.grad_accum_steps,
+                compute_dtype=compute_dtype,
+                grad_clip_norm=clip,
             )
         elif parallelism in ("tp", "dp_tp"):
             from tpucap.parallel import make_tp_train_step
@@ -735,6 +798,14 @@ class CaptioningPipeline:
 
                 vsums: dict = {}
                 eval_params = self.state.params
+                if parallelism == "fsdp":
+                    # eval_step is the canonical single-device program;
+                    # one all_gather of the param shards per epoch.
+                    from tpucap.parallel import fsdp_gather_tree
+
+                    eval_params = fsdp_gather_tree(
+                        eval_params, self._mesh
+                    )
                 if pp_layout:
                     # eval_step runs the canonical single-device forward;
                     # slicing the stacked stage-sharded layers back into
@@ -781,7 +852,16 @@ class CaptioningPipeline:
                 }
                 if monitor_key != "val_loss" and monitor_key in epoch_metrics:
                     ckpt_metrics[monitor_key] = epoch_metrics[monitor_key]
-                checkpoint_manager.save(self.state, metrics=ckpt_metrics)
+                save_state = self.state
+                if parallelism == "fsdp":
+                    # Checkpoints carry the canonical (replicated)
+                    # layout so restore templates, averaging, and h5
+                    # export stay layout-agnostic; fit re-shards on the
+                    # next run.
+                    from tpucap.parallel import fsdp_gather_tree
+
+                    save_state = fsdp_gather_tree(self.state, self._mesh)
+                checkpoint_manager.save(save_state, metrics=ckpt_metrics)
             # Keras EarlyStopping(monitor=..., mode=..., patience=N):
             # stop once the monitor hasn't improved for N epochs. The
             # best checkpoint is already retained by the manager, so
@@ -810,6 +890,15 @@ class CaptioningPipeline:
                             )
                         break
         dec_params = self.state.params
+        if parallelism == "fsdp":
+            # The pipeline object always exposes the canonical layout;
+            # self.state keeps the sharded form so fsdp training can
+            # continue from it.
+            from tpucap.parallel import fsdp_gather_tree
+
+            dec_params = jax.device_get(
+                fsdp_gather_tree(dec_params, self._mesh)
+            )
         if pp_layout:
             # The pipeline object always exposes the canonical layout
             # (decode engines, checkpoints, h5 export); self.state keeps
