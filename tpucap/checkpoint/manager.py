@@ -68,6 +68,76 @@ class CheckpointManager:
         if not self._async:
             self._mgr.wait_until_finished()
 
+    def save_sharded(
+        self, state: TrainState, metrics: dict | None = None
+    ) -> None:
+        """Save a device-layout (e.g. FSDP-sharded) TrainState WITHOUT
+        gathering to host: leaves are handed to orbax as the live
+        ``jax.Array``s, so each process writes only its addressable
+        shards — the ZeRO checkpointing path for when the gathered
+        state would not fit one host/device. The on-disk format is the
+        same StandardSave tree as :meth:`save` (shardings are a restore
+        -time property, not a disk property), so a sharded checkpoint
+        also restores through the canonical :meth:`restore`."""
+        step = int(jax.device_get(state.step))
+        payload = {
+            "step": np.asarray(step),
+            "params": state.params,
+            "opt_state": state.opt_state,
+            "rng": jax.random.key_data(state.rng),
+        }
+        clean_metrics = (
+            {k: float(v) for k, v in metrics.items()} if metrics else None
+        )
+        self._mgr.save(
+            step,
+            args=ocp.args.StandardSave(payload),
+            metrics=clean_metrics,
+        )
+        if not self._async:
+            self._mgr.wait_until_finished()
+
+    def restore_sharded(
+        self, state_like: TrainState, step: int | None = None
+    ) -> TrainState:
+        """Restore directly INTO a device layout: ``state_like`` is a
+        live (e.g. ``shard_fsdp_tree``-placed) TrainState whose leaf
+        shardings direct orbax to materialize each leaf as a sharded
+        ``jax.Array`` — no host-side full copy, no post-restore
+        re-placement. Works on checkpoints written by either
+        :meth:`save` or :meth:`save_sharded` (same disk format)."""
+        self.wait()
+        if step is None:
+            step = self.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints in {self.directory}")
+
+        def abstract(x):
+            x = jax.numpy.asarray(x) if not isinstance(x, jax.Array) else x
+            return jax.ShapeDtypeStruct(
+                x.shape, x.dtype, sharding=getattr(x, "sharding", None)
+            )
+
+        template = {
+            "step": jax.ShapeDtypeStruct((), np.int64),
+            "params": jax.tree_util.tree_map(abstract, state_like.params),
+            "opt_state": jax.tree_util.tree_map(
+                abstract, state_like.opt_state
+            ),
+            "rng": abstract(jax.random.key_data(state_like.rng)),
+        }
+        payload = self._mgr.restore(
+            step, args=ocp.args.StandardRestore(template)
+        )
+        import jax.numpy as jnp
+
+        return TrainState(
+            step=jnp.asarray(payload["step"], jnp.int32),
+            params=payload["params"],
+            opt_state=payload["opt_state"],
+            rng=jax.random.wrap_key_data(jnp.asarray(payload["rng"])),
+        )
+
     def wait(self) -> None:
         """Barrier on any in-flight async save (no-op when synchronous)."""
         self._mgr.wait_until_finished()
