@@ -439,7 +439,16 @@ def cmd_train(args):
     if getattr(args, "finetune_encoder", False):
         _cmd_train_finetune(args, pipe, prepared)
         return
-    features = dict(np.load(args.features))
+    stream = bool(getattr(args, "stream_features", False))
+    # --stream-features keeps the NpzFile handle LAZY: feature rows are
+    # read from disk per batch inside fit(stream=True) instead of
+    # materializing the full (N, F) stack here (the at-scale path for
+    # spatial-feature training). npz members are stored uncompressed by
+    # `extract` (np.savez), so a row read is one file seek, not a
+    # decompress pass.
+    features = (
+        np.load(args.features) if stream else dict(np.load(args.features))
+    )
 
     pipe.fit_tokenizer(prepared)
     pipe.build()
@@ -479,6 +488,7 @@ def cmd_train(args):
         parallelism=args.parallelism,
         checkpoint_manager=mgr,
         val_data=val_data,
+        stream=stream,
     )
     if logger:
         for h in history:
@@ -1149,6 +1159,12 @@ def main(argv=None):
                    help="learning rate (default 1e-3; also overrides "
                    "--preset when given)")
     p.add_argument("--data-parallel", action="store_true")
+    p.add_argument("--stream-features", action="store_true",
+                   help="stream feature rows from the .npz per batch "
+                   "(lazy reads + background prefetch) instead of "
+                   "materializing the full (N, F) stack — the at-scale "
+                   "path for spatial features; identical training "
+                   "trajectory to the in-memory path")
     p.add_argument("--parallelism", default=None,
                    choices=["none", "dp", "fsdp", "tp", "dp_tp", "pp",
                             "dp_pp", "ep", "dp_ep", "sp", "dp_sp"],

@@ -101,6 +101,84 @@ def image_batch_loader(
         yield list(paths[s : s + batch_size]), batch
 
 
+def caption_batch_stream(
+    row_ids,
+    tokens: np.ndarray,
+    features,
+    batch_size: int,
+    *,
+    rng=None,
+    drop_remainder: bool = True,
+) -> Iterator[tuple[np.ndarray, np.ndarray]]:
+    """Streaming (features, tokens) minibatches: feature rows are
+    assembled PER BATCH by indexing ``features[row_ids[i]]`` — pass a
+    lazy mapping (an uncompressed ``np.load('.npz')`` handle, a memory
+    map, a shard reader) and peak host memory is one batch of feature
+    rows instead of the full (N, F) array the reference-parity
+    :func:`tpucap.train.sequences.build_training_batch` materializes.
+    The at-scale path: COCO-scale spatial features (~196x768 f32 per
+    image) never fit host RAM stacked.
+
+    ``rng`` (a numpy Generator) shuffles row order exactly like
+    ``train.sequences.batch_iterator`` — one ``rng.shuffle(arange(n))``
+    per call — so a streamed epoch visits batches in the IDENTICAL
+    order as the in-memory path under the same seed (pinned in
+    tests/test_stream_fit.py)."""
+    n = len(row_ids)
+    if tokens.shape[0] != n:
+        raise ValueError(
+            f"{n} row ids vs {tokens.shape[0]} token rows"
+        )
+    idx = np.arange(n)
+    if rng is not None:
+        rng.shuffle(idx)
+    end = (n // batch_size) * batch_size if drop_remainder else n
+    for s in range(0, end, batch_size):
+        sel = idx[s : s + batch_size]
+        feats = np.stack(
+            [np.asarray(features[row_ids[i]]) for i in sel]
+        ).astype(np.float32, copy=False)
+        yield feats, tokens[sel]
+
+
+def prefetch_iterator(it: Iterator, *, depth: int = 2, transform=None):
+    """Run ``it`` on a background thread, keeping up to ``depth``
+    finished items queued — host-side batch assembly (disk reads,
+    stacking) and device placement overlap the consumer's device step.
+    ``transform`` runs on the WORKER thread (pass the device-placement
+    closure — ``jax.device_put``/``shard_batch`` are thread-safe and
+    dispatch async — so H2D transfer is also off the critical path).
+    Worker exceptions re-raise at the consumer's next pull; the worker
+    is a daemon, so an abandoned iterator never blocks interpreter
+    exit (it parks at the bounded queue and dies with the process)."""
+    import queue
+    import threading
+
+    q: queue.Queue = queue.Queue(maxsize=max(1, depth))
+    sentinel = object()
+    failure: list[BaseException] = []
+
+    def worker():
+        try:
+            for item in it:
+                q.put(transform(item) if transform is not None else item)
+        except BaseException as e:  # noqa: BLE001 — re-raised at the consumer
+            failure.append(e)
+        finally:
+            q.put(sentinel)
+
+    threading.Thread(
+        target=worker, daemon=True, name="tpucap-prefetch"
+    ).start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            if failure:
+                raise failure[0]
+            return
+        yield item
+
+
 def caption_batches(
     features: np.ndarray,
     tokens: np.ndarray,

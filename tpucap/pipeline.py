@@ -357,6 +357,8 @@ class CaptioningPipeline:
         parallelism: str | None = None,
         checkpoint_manager=None,
         val_data=None,
+        stream: bool = False,
+        prefetch: int = 2,
         log=print,
     ):
         """parallelism: 'none' | 'dp' (batch sharded, psum grads) | 'tp'
@@ -375,7 +377,18 @@ class CaptioningPipeline:
         just-in-time per step — the memory-scaling variant of 'dp',
         update-exact; any decoder family).
         ``data_parallel=True`` is the back-compat spelling of
-        parallelism='dp'."""
+        parallelism='dp'.
+
+        ``stream=True`` is the at-scale input path: tokens materialize
+        (tiny), but feature rows are assembled PER BATCH by indexing
+        ``features[image_id]`` — pass a lazy mapping (an uncompressed
+        ``np.load('feats.npz')`` handle, a memmap-backed store) and peak
+        host memory is one batch instead of the full (N, F) stack. A
+        background thread prefetches ``prefetch`` assembled (and, under
+        dp/fsdp, device-placed) batches so disk reads + H2D overlap the
+        device step. Batch visit order is IDENTICAL to stream=False
+        under the same seed, so the two paths produce the same training
+        trajectory (tests/test_stream_fit.py)."""
         cfg = self.config.train
         epochs = epochs or cfg.epochs
         batch_size = batch_size or cfg.batch_size
@@ -386,24 +399,35 @@ class CaptioningPipeline:
         if self.decoder is None:
             self.build()
 
-        F, T = build_training_batch(
-            self.tokenizer, descriptions, features, self.config.decode.max_len
-        )
-        if F.shape[0] < batch_size:
+        if stream:
+            from tpucap.train.sequences import build_training_tokens
+
+            stream_ids, T = build_training_tokens(
+                self.tokenizer, descriptions, self.config.decode.max_len
+            )
+            F = None
+        else:
+            F, T = build_training_batch(
+                self.tokenizer,
+                descriptions,
+                features,
+                self.config.decode.max_len,
+            )
+        if T.shape[0] < batch_size:
             # batch_iterator drops the remainder (fixed program shapes), so
             # a dataset smaller than one batch would run ZERO steps per
             # epoch. Clamp so tiny (fixture-scale) datasets still train;
             # any mesh-divisibility check below applies to the clamped size.
             if log:
                 log(
-                    f"batch_size {batch_size} > {F.shape[0]} training rows; "
-                    f"clamping batch_size to {F.shape[0]}"
+                    f"batch_size {batch_size} > {T.shape[0]} training rows; "
+                    f"clamping batch_size to {T.shape[0]}"
                 )
-            batch_size = F.shape[0]
+            batch_size = T.shape[0]
         from tpucap.train import build_optimizer
 
         optimizer = build_optimizer(
-            cfg, total_steps=epochs * max(1, F.shape[0] // batch_size)
+            cfg, total_steps=epochs * max(1, T.shape[0] // batch_size)
         )
         if self._freeze_embeddings:
             if parallelism not in ("none", "dp", "fsdp"):
@@ -504,7 +528,7 @@ class CaptioningPipeline:
                 optimizer = build_optimizer(
                     _dc.replace(cfg, grad_clip_norm=0.0),
                     total_steps=epochs
-                    * max(1, F.shape[0] // batch_size),
+                    * max(1, T.shape[0] // batch_size),
                 )
                 if self._freeze_embeddings:
                     from tpucap.train import freeze_subtree_updates
@@ -776,8 +800,32 @@ class CaptioningPipeline:
         for epoch in range(epochs):
             metrics_sum: dict = {}
             n = 0
-            for bf, bt in batch_iterator((F, T), batch_size, rng=rng):
-                if data_parallel:
+            if stream:
+                from tpucap.data.pipeline import (
+                    caption_batch_stream,
+                    prefetch_iterator,
+                )
+
+                # Assembly (disk reads + stacking) and, under dp/fsdp,
+                # device placement run on the prefetch thread — both
+                # overlap the device step. caption_batch_stream consumes
+                # rng exactly like batch_iterator (one shuffle/epoch),
+                # so the two paths see identical batch orders.
+                batch_src = prefetch_iterator(
+                    caption_batch_stream(
+                        stream_ids, T, features, batch_size, rng=rng
+                    ),
+                    depth=prefetch,
+                    transform=(
+                        (lambda b: shard_batch(self._mesh, b))
+                        if data_parallel
+                        else None
+                    ),
+                )
+            else:
+                batch_src = batch_iterator((F, T), batch_size, rng=rng)
+            for bf, bt in batch_src:
+                if data_parallel and not stream:
                     bf, bt = shard_batch(self._mesh, (bf, bt))
                 self.state, metrics = step(self.state, bf, bt)
                 if ema_update is not None:

@@ -19,20 +19,20 @@ import numpy as np
 from tpucap.text.padding import pad_sequences
 
 
-def build_training_batch(
+def build_training_tokens(
     tokenizer,
     descriptions: dict[str, list[str]],
-    features: dict[str, np.ndarray],
     max_len: int,
 ):
-    """-> (features (N, ...), tokens (N, max_len+1) post-padded full captions).
-
-    One row per (image, caption) pair; tokens include start/end sentinels.
-    """
+    """-> (row_ids list[N], tokens (N, max_len+1)) — the token half of
+    :func:`build_training_batch`. ``row_ids[i]`` is the image id whose
+    feature row pairs with ``tokens[i]``; streaming fits assemble the
+    feature rows per batch from this pairing instead of materializing
+    the full (N, F) array."""
     from tpucap.text.clean import END_TOKEN
 
     end_id = tokenizer.word_index.get(END_TOKEN)
-    feats, seqs = [], []
+    row_ids, seqs = [], []
     for image_id, captions in descriptions.items():
         seq_list = tokenizer.texts_to_sequences(captions)
         for seq in seq_list:
@@ -50,12 +50,29 @@ def build_training_batch(
                 # this path only fires when config max_len is shorter
                 # than the corpus maximum.)
                 seq = seq[:max_len] + [end_id]
-            feats.append(features[image_id])
+            row_ids.append(image_id)
             seqs.append(seq)
     tokens = pad_sequences(
         seqs, maxlen=max_len + 1, padding="post", truncating="post"
     )
-    return np.stack(feats), tokens
+    return row_ids, tokens
+
+
+def build_training_batch(
+    tokenizer,
+    descriptions: dict[str, list[str]],
+    features: dict[str, np.ndarray],
+    max_len: int,
+):
+    """-> (features (N, ...), tokens (N, max_len+1) post-padded full captions).
+
+    One row per (image, caption) pair; tokens include start/end sentinels.
+    """
+    row_ids, tokens = build_training_tokens(tokenizer, descriptions, max_len)
+    return (
+        np.stack([np.asarray(features[i]) for i in row_ids]),
+        tokens,
+    )
 
 
 def build_prefix_samples(
