@@ -320,6 +320,152 @@ def test_dp_joint_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-6)
 
 
+def test_fsdp_joint_matches_single_device():
+    """fsdp_state_template= : the joint {'encoder','decoder'} params +
+    adam state live 1/N per device, gathered just-in-time — update
+    EXACTLY equal to the single-device step (incl. the sharded-mu/nu
+    optimizer update and the psum'd global-norm clip)."""
+    from jax.sharding import Mesh
+
+    from tpucap.parallel import fsdp_gather_tree, shard_fsdp_tree
+
+    enc, dec, params, images, tokens = setup()
+    clip = 0.05  # low enough to trigger
+
+    single = make_joint_train_step(
+        enc,
+        dec,
+        optax.chain(optax.clip_by_global_norm(clip), optax.adam(1e-2)),
+        deterministic=True,
+    )
+    s1 = TrainState.create(
+        params,
+        optax.chain(optax.clip_by_global_norm(clip), optax.adam(1e-2)),
+        jax.random.key(2),
+    )
+    s1, m1 = single(s1, jnp.asarray(images), jnp.asarray(tokens))
+
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("data",))
+    opt = optax.adam(1e-2)  # bare: the fsdp step owns the clip
+    s2 = shard_fsdp_tree(
+        TrainState.create(params, opt, jax.random.key(2)),
+        mesh,
+        min_size=8,
+    )
+    fsdp = make_joint_train_step(
+        enc,
+        dec,
+        opt,
+        deterministic=True,
+        mesh=mesh,
+        grad_accum_steps=2,  # composes: per-shard batch 2 -> microbatch 1
+        fsdp_state_template=s2,
+        grad_clip_norm=clip,
+        fsdp_min_size=8,
+    )
+    s2, m2 = fsdp(s2, jnp.asarray(images), jnp.asarray(tokens))
+    np.testing.assert_allclose(
+        float(m1["loss"]), float(m2["loss"]), rtol=1e-6
+    )
+    # Params AND optimizer state actually sharded (the memory claim).
+    from tpucap.parallel.fsdp import fsdp_dims
+
+    dims = fsdp_dims(s2.params, 4, min_size=8)
+    sharded = sum(
+        1 for d in jax.tree_util.tree_leaves(dims) if d >= 0
+    )
+    assert sharded >= 4
+    for a, b in zip(
+        jax.tree.leaves(jax.device_get(s1.params)),
+        jax.tree.leaves(jax.device_get(fsdp_gather_tree(s2.params, mesh))),
+        strict=True,
+    ):
+        # atol 5e-5 not 5e-6: the psum'd global norm sums shard squares
+        # in a different order than the single-device full-tree sum, and
+        # the last-ulp norm difference amplifies through Adam's rescale.
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+
+
+def test_fsdp_joint_freeze_encoder_matches_dp():
+    """freeze_encoder under the ZeRO layout: encoder shards bit-frozen."""
+    from jax.sharding import Mesh
+
+    from tpucap.parallel import fsdp_gather_tree, shard_fsdp_tree
+
+    enc, dec, params, images, tokens = setup()
+    opt = optax.sgd(0.5)
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("data",))
+    s = shard_fsdp_tree(
+        TrainState.create(params, opt, jax.random.key(2)), mesh, min_size=8
+    )
+    step = make_joint_train_step(
+        enc,
+        dec,
+        opt,
+        deterministic=True,
+        mesh=mesh,
+        freeze_encoder=True,
+        fsdp_state_template=s,
+        fsdp_min_size=8,
+    )
+    s, _ = step(s, jnp.asarray(images), jnp.asarray(tokens))
+    got = jax.device_get(fsdp_gather_tree(s.params, mesh))
+    assert leaves_equal(got["encoder"], params["encoder"])
+    assert not leaves_equal(got["decoder"], params["decoder"])
+
+
+def test_pipeline_fit_finetune_fsdp_matches_dp(toy_corpus, rng):
+    from tpucap.config import (
+        Config,
+        DecodeConfig,
+        DecoderConfig,
+        EncoderConfig,
+        TrainConfig,
+    )
+    from tpucap.pipeline import CaptioningPipeline
+    from tpucap.text import Tokenizer
+
+    def run(parallelism):
+        cfg = Config(
+            encoder=EncoderConfig(name="tiny_cnn", feature_dim=128),
+            decoder=DecoderConfig(
+                embed_dim=8, hidden_dim=16, dropout_rate=0.0
+            ),
+            decode=DecodeConfig(max_len=10),
+            train=TrainConfig(batch_size=8, learning_rate=1e-2),
+            precision="f32",
+        )
+        pipe = CaptioningPipeline(cfg)
+        tok = Tokenizer()
+        tok.fit_on_texts(toy_corpus)
+        pipe.tokenizer = tok
+        pipe.build()
+        desc = {
+            f"i{k}": [toy_corpus[k % len(toy_corpus)]] for k in range(8)
+        }
+        r = np.random.default_rng(0)
+        images = {
+            i: r.normal(size=(32, 32, 3)).astype(np.float32) for i in desc
+        }
+        hist = pipe.fit_finetune(
+            desc, images, epochs=4, parallelism=parallelism, log=None
+        )
+        return pipe, hist
+
+    p_dp, h_dp = run("dp")
+    p_fs, h_fs = run("fsdp")
+    np.testing.assert_allclose(
+        h_dp[-1]["loss"], h_fs[-1]["loss"], rtol=1e-5
+    )
+    # Post-fit params gathered back to the canonical layout.
+    for a, b in zip(
+        jax.tree.leaves(p_dp.params["encoder"]),
+        jax.tree.leaves(p_fs.params["encoder"]),
+        strict=True,
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-6)
+
+
 def test_pipeline_fit_finetune_dp(toy_corpus, rng):
     from tpucap.config import (
         Config,

@@ -309,7 +309,7 @@ def _validate_finetune_flags(args):
             ),
             (
                 f"--parallelism {par}",
-                par not in (None, "none", "dp"),
+                par not in (None, "none", "dp", "fsdp"),
             ),
         )
         if val

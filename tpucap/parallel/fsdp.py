@@ -155,6 +155,71 @@ def fsdp_gather_tree(tree, mesh):
     return jax.jit(lambda t: t, out_shardings=out_shardings)(tree)
 
 
+def gather_full_fn(dims_params, *, axis: str, compute_dtype=None):
+    """-> gather(shard_params) for use INSIDE shard_map: all_gather each
+    sharded leaf back to its full shape — in compute dtype when
+    mixed-precision training, so the collective moves half the bytes
+    (cast commutes with gather exactly). Shared by the feature-based
+    and joint (encoder+decoder) FSDP steps."""
+
+    def g(p, d):
+        if compute_dtype is not None and jnp.issubdtype(
+            p.dtype, jnp.floating
+        ):
+            p = p.astype(compute_dtype)
+        if d < 0:
+            return p
+        return jax.lax.all_gather(p, axis, axis=d, tiled=True)
+
+    return lambda shard_params: jax.tree_util.tree_map(
+        g, shard_params, dims_params
+    )
+
+
+def psum_replicated_fn(dims_params, *, axis: str):
+    """-> fix(grad_tree) for the raw-sum (accumulation) path: sharded
+    leaves arrive ALREADY globally summed (the gather's AD transpose is
+    a psum_scatter); only replicated leaves — which never cross a
+    collective — still need the explicit psum."""
+
+    def fix(tree):
+        return jax.tree_util.tree_map(
+            lambda g, d: g if d >= 0 else jax.lax.psum(g, axis),
+            tree,
+            dims_params,
+        )
+
+    return fix
+
+
+def clip_global_fn(dims_params, *, axis: str, grad_clip_norm: float):
+    """-> clip(grads) with optax.clip_by_global_norm semantics on the
+    TRUE global norm: sharded leaves' squares psum to the total (each
+    device holds a distinct slice); replicated leaves are counted once,
+    NOT psum'd (every device holds the same full copy)."""
+
+    def clip(grads):
+        if not grad_clip_norm:
+            return grads
+        shard_sq = 0.0
+        rep_sq = 0.0
+        for g, d in zip(
+            jax.tree_util.tree_leaves(grads),
+            jax.tree_util.tree_leaves(dims_params),
+            strict=True,
+        ):
+            sq = jnp.sum(jnp.square(g.astype(jnp.float32)))
+            if d >= 0:
+                shard_sq = shard_sq + sq
+            else:
+                rep_sq = rep_sq + sq
+        gnorm = jnp.sqrt(jax.lax.psum(shard_sq, axis) + rep_sq)
+        scale = grad_clip_norm / jnp.maximum(gnorm, grad_clip_norm)
+        return jax.tree_util.tree_map(lambda g: g * scale, grads)
+
+    return clip
+
+
 def make_fsdp_train_step(
     decoder,
     optimizer,
@@ -192,49 +257,16 @@ def make_fsdp_train_step(
     dims_params = fsdp_dims(state_template.params, n, min_size=min_size)
     state_specs = fsdp_specs(state_template, n, axis=axis,
                              min_size=min_size)
-
-    def gather_full(shard_params):
-        """all_gather each sharded leaf back to its full shape — in
-        compute dtype when mixed-precision training, so the collective
-        moves half the bytes (cast commutes with gather exactly)."""
-
-        def g(p, d):
-            if compute_dtype is not None and jnp.issubdtype(
-                p.dtype, jnp.floating
-            ):
-                p = p.astype(compute_dtype)
-            if d < 0:
-                return p
-            return jax.lax.all_gather(p, axis, axis=d, tiled=True)
-
-        return jax.tree_util.tree_map(g, shard_params, dims_params)
+    gather_full = gather_full_fn(
+        dims_params, axis=axis, compute_dtype=compute_dtype
+    )
+    clip_global = clip_global_fn(
+        dims_params, axis=axis, grad_clip_norm=grad_clip_norm
+    )
 
     psum_tree = lambda t: jax.tree_util.tree_map(  # noqa: E731
         lambda s: jax.lax.psum(s, axis), t
     )
-
-    def clip_global(grads):
-        """optax.clip_by_global_norm semantics on the TRUE global norm:
-        sharded leaves' squares psum to the total (each device holds a
-        distinct slice); replicated leaves are counted once, NOT psum'd
-        (every device holds the same full copy)."""
-        if not grad_clip_norm:
-            return grads
-        shard_sq = 0.0
-        rep_sq = 0.0
-        for g, d in zip(
-            jax.tree_util.tree_leaves(grads),
-            jax.tree_util.tree_leaves(dims_params),
-            strict=True,
-        ):
-            sq = jnp.sum(jnp.square(g.astype(jnp.float32)))
-            if d >= 0:
-                shard_sq = shard_sq + sq
-            else:
-                rep_sq = rep_sq + sq
-        gnorm = jnp.sqrt(jax.lax.psum(shard_sq, axis) + rep_sq)
-        scale = grad_clip_norm / jnp.maximum(gnorm, grad_clip_norm)
-        return jax.tree_util.tree_map(lambda g: g * scale, grads)
 
     def local_loss(shard_params, features, tokens, rng):
         sums = caption_loss_sums(
@@ -284,11 +316,7 @@ def make_fsdp_train_step(
                 steps=grad_accum_steps,
                 use_reg=use_reg,
             )
-            fix = lambda t: jax.tree_util.tree_map(  # noqa: E731
-                lambda g, d: g if d >= 0 else jax.lax.psum(g, axis),
-                t,
-                dims_params,
-            )
+            fix = psum_replicated_fn(dims_params, axis=axis)
             g_nll = fix(g_nll)
             if g_reg is not None:
                 g_reg = fix(g_reg)

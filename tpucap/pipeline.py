@@ -1103,7 +1103,11 @@ class CaptioningPipeline:
         encoder activations dominate memory here, so it buys A-times
         larger image batches. ``parallelism='dp'`` shards the image
         batch over the data mesh (update-exact vs single device, pure
-        sum space — train/finetune.py). Updates self.params in place:
+        sum space — train/finetune.py); ``'fsdp'`` additionally shards
+        the joint params + optimizer state 1/N per device (ZeRO — the
+        right dial here, where the backbone's adam state is 3x its
+        params), gathered just-in-time per microbatch, equally
+        update-exact. Updates self.params in place:
         generate / evaluate / save immediately use the tuned encoder.
 
         ``augment=True`` adds on-device per-step augmentation inside the
@@ -1151,8 +1155,25 @@ class CaptioningPipeline:
                     f"rows; clamping batch_size to {F_idx.shape[0]}"
                 )
             batch_size = F_idx.shape[0]
+        if parallelism not in (None, "none", "dp", "fsdp"):
+            raise NotImplementedError(
+                f"fit_finetune supports parallelism None|'none'|'dp'|"
+                f"'fsdp', got {parallelism!r}"
+            )
+        clip = 0.0
+        opt_cfg = cfg
+        if parallelism == "fsdp" and cfg.grad_clip_norm:
+            # Global-norm clipping must see the psum'd GLOBAL norm; the
+            # optax chain wrapper would clip each shard on its local
+            # norm. Build the optimizer bare and hand the threshold to
+            # the fsdp joint step (train/finetune.py).
+            import dataclasses as _dc
+
+            clip = float(cfg.grad_clip_norm)
+            opt_cfg = _dc.replace(cfg, grad_clip_norm=0.0)
         optimizer = build_optimizer(
-            cfg, total_steps=epochs * max(1, F_idx.shape[0] // batch_size)
+            opt_cfg,
+            total_steps=epochs * max(1, F_idx.shape[0] // batch_size),
         )
         if encoder_lr_scale != 1.0 and not freeze_encoder:
             optimizer = encoder_learning_rate_optimizer(
@@ -1170,13 +1191,8 @@ class CaptioningPipeline:
                 and getattr(path[0], "key", None) == "decoder"
                 and getattr(path[1], "key", None) == "embedding",
             )
-        if parallelism not in (None, "none", "dp"):
-            raise NotImplementedError(
-                f"fit_finetune supports parallelism None|'none'|'dp', "
-                f"got {parallelism!r}"
-            )
         mesh = None
-        if parallelism == "dp":
+        if parallelism in ("dp", "fsdp"):
             mesh = make_mesh(self.config.mesh.n_devices)
             data_n = dict(mesh.shape)["data"]
             if batch_size % data_n:
@@ -1192,6 +1208,21 @@ class CaptioningPipeline:
         state = TrainState.create(
             params, optimizer, jax.random.key(cfg.seed)
         )
+        fsdp_template = None
+        if parallelism == "fsdp":
+            if cfg.ema_decay:
+                raise NotImplementedError(
+                    "ema_decay tracks canonical-layout params; "
+                    "parallelism='fsdp' trains on sharded params — "
+                    "drop the flag or use 'dp'"
+                )
+            from tpucap.parallel import shard_fsdp_tree
+
+            # Joint params + adam state drop to 1/N per device — the
+            # fine-tuning step is where this matters (a backbone's
+            # optimizer state is 3x its params).
+            state = shard_fsdp_tree(state, mesh)
+            fsdp_template = state
         if cfg.precision not in ("f32", "bf16"):
             raise ValueError(
                 f"TrainConfig.precision={cfg.precision!r}; have f32|bf16"
@@ -1215,6 +1246,8 @@ class CaptioningPipeline:
             augment_fn=make_augment_fn(
                 flip=augment, max_shift=augment_shift
             ),
+            fsdp_state_template=fsdp_template,
+            grad_clip_norm=clip,
         )
         rng = np.random.default_rng(cfg.seed)
         history = []
@@ -1243,8 +1276,16 @@ class CaptioningPipeline:
                     f"epoch {epoch}: loss={epoch_metrics.get('loss', 0):.4f} "
                     f"acc={epoch_metrics.get('accuracy', 0):.4f}"
                 )
-        self.params["encoder"] = state.params["encoder"]
-        self.params["decoder"] = state.params["decoder"]
+        final_params = state.params
+        if parallelism == "fsdp":
+            # The pipeline object always exposes the canonical layout.
+            from tpucap.parallel import fsdp_gather_tree
+
+            final_params = jax.device_get(
+                fsdp_gather_tree(state.params, mesh)
+            )
+        self.params["encoder"] = final_params["encoder"]
+        self.params["decoder"] = final_params["decoder"]
         if ema is not None:
             self.ema_params = dict(ema)  # {"encoder", "decoder"}
         self._decode_cache.clear()

@@ -74,6 +74,9 @@ def make_joint_train_step(
     axis: str = "data",
     compute_dtype=None,
     augment_fn=None,
+    fsdp_state_template=None,
+    grad_clip_norm: float = 0.0,
+    fsdp_min_size: int | None = None,
 ) -> Callable:
     """Joint jit'd step: (state, images, tokens) -> (state, metrics),
     state.params = {"encoder": ..., "decoder": ...}.
@@ -105,6 +108,17 @@ def make_joint_train_step(
     concatenated batch (same identity the dp.py accumulation path
     uses). grad_accum_steps composes per shard: per-chip image
     activations shrink N*A-fold.
+
+    ``fsdp_state_template`` (a ``shard_fsdp_tree``-placed TrainState;
+    requires ``mesh``) switches the DP branch to the ZeRO layout: the
+    joint {"encoder", "decoder"} params AND their optimizer state live
+    1/N per device, gathered just-in-time per microbatch — the step
+    where this matters most, since a fine-tuned backbone's adam state
+    is 3x its params. Per-microbatch gradients reduce-scatter through
+    the gather's AD transpose (parallel/fsdp.py); ``grad_clip_norm``
+    must be handled HERE (psum'd global norm), so pass the optimizer
+    without its clip wrapper. Update-exact vs the replicated DP step
+    (tests/test_finetune.py).
     """
     warn_if_attention_reg_unused(decoder, attention_reg)
     use_reg = attention_reg > 0.0 and hasattr(
@@ -193,6 +207,92 @@ def make_joint_train_step(
                 rng=rng,
             ),
             metrics,
+        )
+
+    if fsdp_state_template is not None:
+        if mesh is None:
+            raise ValueError("fsdp_state_template requires a mesh")
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from tpucap.parallel.fsdp import (
+            DEFAULT_MIN_SIZE,
+            clip_global_fn,
+            fsdp_dims,
+            fsdp_specs,
+            gather_full_fn,
+            psum_replicated_fn,
+        )
+
+        min_size = (
+            DEFAULT_MIN_SIZE if fsdp_min_size is None else fsdp_min_size
+        )
+        n = dict(mesh.shape)[axis]
+        dims = fsdp_dims(
+            fsdp_state_template.params, n, min_size=min_size
+        )
+        specs = fsdp_specs(
+            fsdp_state_template, n, axis=axis, min_size=min_size
+        )
+        # The gather casts to compute dtype BEFORE the collective (half
+        # the bytes under bf16); sums_fn's own cast_floats is then a
+        # no-op, and freeze_encoder's stop_gradient zeroes the gathered
+        # tree's cotangents so the scattered encoder grads are zero too.
+        gather_full = gather_full_fn(
+            dims, axis=axis, compute_dtype=compute_dtype
+        )
+        fix = psum_replicated_fn(dims, axis=axis)
+        clip = clip_global_fn(
+            dims, axis=axis, grad_clip_norm=grad_clip_norm
+        )
+
+        def sums_sharded(p, im, tk, r):
+            return sums_fn(gather_full(p), im, tk, r)
+
+        def fsdp_body(state: TrainState, images, tokens):
+            rng, dropout_rng, aug_rng = jax.random.split(state.rng, 3)
+            dropout_rng = jax.random.fold_in(
+                dropout_rng, jax.lax.axis_index(axis)
+            )
+            if augment_fn is not None:
+                images = augment_fn(
+                    images,
+                    jax.random.fold_in(
+                        aug_rng, jax.lax.axis_index(axis)
+                    ),
+                )
+            g_nll, g_reg, sums = accumulated_sum_grads(
+                sums_sharded,
+                state.params,
+                images,
+                tokens,
+                None if deterministic else dropout_rng,
+                steps=grad_accum_steps,
+                use_reg=use_reg,
+            )
+            g_nll = fix(g_nll)
+            if g_reg is not None:
+                g_reg = fix(g_reg)
+            sums = jax.tree_util.tree_map(
+                lambda s: jax.lax.psum(s, axis), sums
+            )
+            grads = normalized_accum_grads(
+                g_nll, g_reg, sums, attention_reg=attention_reg
+            )
+            grads = clip(grads)
+            _, metrics = loss_from_sums(
+                sums, attention_reg=attention_reg
+            )
+            return _apply(state, grads, metrics, rng)
+
+        return jax.jit(
+            shard_map(
+                fsdp_body,
+                mesh=mesh,
+                in_specs=(specs, P(axis), P(axis)),
+                out_specs=(specs, P()),
+                check_vma=False,
+            )
         )
 
     if mesh is not None:
