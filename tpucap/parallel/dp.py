@@ -38,8 +38,12 @@ def make_dp_train_step(
     deterministic: bool = False,
     grad_accum_steps: int = 1,
     compute_dtype=None,
+    donate: bool = False,
 ):
     """(state, features, tokens) -> (state, metrics), batch sharded over axis.
+
+    ``donate=True``: donate the input state's buffers (in-place param/
+    opt-state update; caller must rebind — see make_train_step).
 
     ``grad_accum_steps=A`` scans each shard's slice as A microbatches
     (sum-form accumulation — tpucap.train.loop.accumulated_sum_grads),
@@ -137,7 +141,7 @@ def make_dp_train_step(
         out_specs=(P(), P()),
         check_vma=False,
     )
-    return jax.jit(sharded)
+    return jax.jit(sharded, donate_argnums=(0,) if donate else ())
 
 
 def make_dp_decode_fn(

@@ -87,6 +87,7 @@ def make_ep_train_step(
     label_smoothing: float = 0.0,
     moe_aux_weight: float = 0.01,
     deterministic: bool = False,
+    donate: bool = False,
 ):
     """Build the expert-parallel train step.
 
@@ -189,4 +190,4 @@ def make_ep_train_step(
             metrics,
         )
 
-    return jax.jit(step)
+    return jax.jit(step, donate_argnums=(0,) if donate else ())

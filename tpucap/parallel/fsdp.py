@@ -235,6 +235,7 @@ def make_fsdp_train_step(
     compute_dtype=None,
     grad_clip_norm: float = 0.0,
     min_size: int = DEFAULT_MIN_SIZE,
+    donate: bool = False,
 ):
     """(state, features, tokens) -> (state, metrics), with the state in
     the FSDP layout (place it with :func:`shard_fsdp_tree`, same
@@ -363,4 +364,4 @@ def make_fsdp_train_step(
         out_specs=(state_specs, P()),
         check_vma=False,
     )
-    return jax.jit(sharded)
+    return jax.jit(sharded, donate_argnums=(0,) if donate else ())

@@ -124,6 +124,7 @@ def make_pp_train_step(
     pad_id: int = 0,
     label_smoothing: float = 0.0,
     deterministic: bool = False,
+    donate: bool = False,
 ):
     """Build the pipeline-parallel train step.
 
@@ -337,4 +338,4 @@ def make_pp_train_step(
             metrics,
         )
 
-    return jax.jit(step)
+    return jax.jit(step, donate_argnums=(0,) if donate else ())

@@ -128,6 +128,7 @@ def make_sp_train_step(
     pad_id: int = 0,
     label_smoothing: float = 0.0,
     deterministic: bool = False,
+    donate: bool = False,
 ):
     """Build the sequence-parallel train step.
 
@@ -291,4 +292,4 @@ def make_sp_train_step(
             metrics,
         )
 
-    return jax.jit(step)
+    return jax.jit(step, donate_argnums=(0,) if donate else ())

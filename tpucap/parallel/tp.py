@@ -95,6 +95,7 @@ def make_tp_train_step(
     deterministic: bool = False,
     label_smoothing: float = 0.0,
     true_vocab: int | None = None,
+    donate: bool = False,
 ):
     """Vocab-parallel training step: each shard computes only its (B, T,
     V/p) logits slice from its columns of the (replicated) output kernel —
@@ -251,7 +252,7 @@ def make_tp_train_step(
         out_specs=(P(), P()),
         check_vma=False,
     )
-    return jax.jit(sharded)
+    return jax.jit(sharded, donate_argnums=(0,) if donate else ())
 
 
 def _param_specs(params, axis: str):

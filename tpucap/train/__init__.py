@@ -6,6 +6,7 @@ from tpucap.train.loop import (
     build_optimizer,
     freeze_subtree_updates,
     make_train_step,
+    own_state,
     train_epoch,
 )
 from tpucap.train.distill import (
@@ -23,6 +24,7 @@ __all__ = [
     "build_optimizer",
     "freeze_subtree_updates",
     "make_train_step",
+    "own_state",
     "train_epoch",
     "build_training_batch",
     "make_scst_rollout",

@@ -150,6 +150,7 @@ def make_distill_step(
     compute_dtype=None,
     mesh=None,
     axis: str = "data",
+    donate: bool = False,
 ) -> Callable:
     """-> jitted (state, teacher_params, features, tokens) -> (state, metrics).
 
@@ -214,4 +215,4 @@ def make_distill_step(
         out_specs=(P(), P()),
         check_vma=False,
     )
-    return jax.jit(sharded)
+    return jax.jit(sharded, donate_argnums=(0,) if donate else ())

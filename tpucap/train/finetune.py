@@ -77,6 +77,7 @@ def make_joint_train_step(
     fsdp_state_template=None,
     grad_clip_norm: float = 0.0,
     fsdp_min_size: int | None = None,
+    donate: bool = False,
 ) -> Callable:
     """Joint jit'd step: (state, images, tokens) -> (state, metrics),
     state.params = {"encoder": ..., "decoder": ...}.
@@ -292,7 +293,8 @@ def make_joint_train_step(
                 in_specs=(specs, P(axis), P(axis)),
                 out_specs=(specs, P()),
                 check_vma=False,
-            )
+            ),
+            donate_argnums=(0,) if donate else (),
         )
 
     if mesh is not None:
@@ -330,10 +332,10 @@ def make_joint_train_step(
                 in_specs=(P(), P(axis), P(axis)),
                 out_specs=(P(), P()),
                 check_vma=False,
-            )
+            ),
+            donate_argnums=(0,) if donate else (),
         )
 
-    @jax.jit
     def step(state: TrainState, images, tokens):
         rng, dropout_rng, aug_rng = jax.random.split(state.rng, 3)
         if augment_fn is not None:
@@ -352,7 +354,7 @@ def make_joint_train_step(
             )(state.params, images, tokens, dropout_rng)
         return _apply(state, grads, metrics, rng)
 
-    return step
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
 def encoder_learning_rate_optimizer(

@@ -37,6 +37,18 @@ class TrainState:
         )
 
 
+def own_state(state):
+    """Device-copy every leaf of a state tree (sharding preserved).
+
+    Donated train steps (``make_*_train_step(donate=True)``) DELETE
+    their input buffers. A freshly-created TrainState usually aliases
+    the caller's param tree (``TrainState.create(self.params[...])``),
+    so the first donated step would invalidate arrays the caller still
+    exposes. One copy before the loop makes the loop the sole owner;
+    the cost is a single device-to-device copy of params + zeros."""
+    return jax.tree_util.tree_map(jnp.copy, state)
+
+
 def freeze_subtree_updates(optimizer, is_frozen):
     """Zero the updates whose key path satisfies ``is_frozen(path)``
     AFTER the base optimizer runs — so grad-independent terms (adamw's
@@ -278,8 +290,17 @@ def make_train_step(
     deterministic: bool = False,
     grad_accum_steps: int = 1,
     compute_dtype=None,
+    donate: bool = False,
 ) -> Callable:
     """Single-device jit'd step: (state, features, tokens) -> (state, metrics).
+
+    ``donate=True`` donates the input TrainState's buffers to XLA
+    (donate_argnums=0): params and optimizer state update in place
+    instead of double-allocating old+new trees during the step. Only
+    for callers that OWN the state and rebind it every call
+    (``state, m = step(state, ...)`` — the pipeline loops); the old
+    state is deleted by the call. Off by default: the library contract
+    for bare make_*_step users keeps inputs alive.
 
     ``grad_accum_steps=A`` splits the batch into A microbatches scanned
     sequentially, cutting peak activation memory (the (B, T, V) logits)
@@ -314,7 +335,6 @@ def make_train_step(
             compute_dtype=compute_dtype,
         )
 
-    @jax.jit
     def step(state: TrainState, features, tokens):
         rng, dropout_rng = jax.random.split(state.rng)
         if grad_accum_steps > 1:
@@ -354,7 +374,7 @@ def make_train_step(
         )
         return new_state, metrics
 
-    return step
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
 def make_eval_step(

@@ -167,6 +167,7 @@ def make_scst_step(
     pad_id: int = 0,
     mesh=None,
     axis: str = "data",
+    donate: bool = False,
 ) -> Callable:
     """-> jitted ``step(state, features, sampled, advantages)
     -> (state, metrics)``. ``state`` is the ordinary TrainState over the
@@ -206,14 +207,13 @@ def make_scst_step(
 
     if mesh is None:
 
-        @jax.jit
         def step(state, features, sampled, advantages):
             (_, metrics), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
             )(state.params, features, sampled, advantages)
             return _apply(state, grads, metrics)
 
-        return step
+        return jax.jit(step, donate_argnums=(0,) if donate else ())
 
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
@@ -254,5 +254,6 @@ def make_scst_step(
             in_specs=(P(), P(axis), P(axis), P(axis)),
             out_specs=(P(), P()),
             check_vma=False,
-        )
+        ),
+        donate_argnums=(0,) if donate else (),
     )
