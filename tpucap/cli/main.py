@@ -373,7 +373,12 @@ def _cmd_train_finetune(args, pipe, prepared):
         parallelism=parallelism,
         augment=getattr(args, "augment", False),
         augment_shift=getattr(args, "augment_shift", 0) or 0,
+        lora_rank=getattr(args, "lora_rank", 0),
+        lora_alpha=getattr(args, "lora_alpha", None),
     )
+    if getattr(args, "lora_out", None):
+        pipe.save_lora(args.lora_out)
+        print(f"LoRA adapters in {args.lora_out}")
     if getattr(args, "metrics_log", None) or getattr(
         args, "tensorboard_dir", None
     ):
@@ -425,6 +430,35 @@ def cmd_train(args):
             "— add --finetune-encoder (feature-based training has no "
             "encoder activations to rematerialize)"
         )
+    if getattr(args, "lora_out", None) and not getattr(
+        args, "lora_rank", 0
+    ):
+        raise SystemExit("--lora-out needs --lora-rank")
+    if getattr(args, "lora_rank", 0):
+        bad = [
+            flag
+            for flag, val in (
+                ("--remat-encoder", getattr(args, "remat_encoder", False)),
+                ("--ema-decay", getattr(args, "ema_decay", None)),
+                ("--stream-features", getattr(args, "stream_features", False)),
+                ("--val-split", getattr(args, "val_split", None)),
+                (
+                    "--parallelism fsdp",
+                    getattr(args, "parallelism", None) == "fsdp",
+                ),
+                (
+                    "--grad-accum-steps",
+                    (getattr(args, "grad_accum_steps", None) or 1) > 1,
+                ),
+            )
+            if val
+        ]
+        if bad:
+            raise SystemExit(
+                f"--lora-rank does not compose with {', '.join(bad)} "
+                "(the adapters ARE the memory/monitoring fix; train "
+                "full weights for those dials)"
+            )
     if getattr(args, "finetune_encoder", False):
         _validate_finetune_flags(args)
     elif not args.features:
@@ -479,6 +513,35 @@ def cmd_train(args):
         if (args.metrics_log or tb)
         else None
     )
+    if getattr(args, "lora_rank", 0):
+        # LoRA on the features path: adapters over the decoder; the
+        # merged result is written as a pipeline bundle (the adapters
+        # artifact too, with --lora-out). Step checkpoints don't apply
+        # — the artifact IS the checkpoint.
+        history = pipe.fit_lora(
+            prepared,
+            features,
+            rank=args.lora_rank,
+            alpha=getattr(args, "lora_alpha", None),
+            epochs=args.epochs,
+            batch_size=args.batch_size,
+            parallelism=args.parallelism,
+        )
+        bundle = os.path.join(args.checkpoint_dir, "bundle")
+        pipe.save(bundle)
+        if getattr(args, "lora_out", None):
+            pipe.save_lora(args.lora_out)
+            print(f"LoRA adapters in {args.lora_out}")
+        print(
+            f"lora-trained {len(history)} epochs; final loss "
+            f"{history[-1]['loss']:.4f}; bundle in {bundle}"
+        )
+        mgr.close()
+        if logger:
+            for h in history:
+                logger.log(h)
+            logger.close()
+        return
     history = pipe.fit(
         prepared,
         features,
@@ -1136,6 +1199,17 @@ def main(argv=None):
     p.add_argument("--keras-h5", default=None,
                    help="pretrained Keras encoder weights to start "
                    "--finetune-encoder from")
+    p.add_argument("--lora-rank", type=int, default=0,
+                   help="LoRA fine-tuning: freeze every base weight and "
+                   "train a rank-N overlay on the 2-D matmul kernels "
+                   "(~1-2%% trainable params; with --finetune-encoder "
+                   "the overlay spans encoder+decoder)")
+    p.add_argument("--lora-alpha", type=float, default=None,
+                   help="LoRA scale numerator (effective scale "
+                   "alpha/rank); default alpha=rank (scale 1)")
+    p.add_argument("--lora-out", default=None,
+                   help="also write the trained LoRA adapters as a "
+                   "small .npz artifact (tpucap.train.lora.load_lora)")
     p.add_argument("--scst-epochs", type=int, default=0,
                    help="after CE training, run N epochs of self-"
                    "critical sequence training (REINFORCE on CIDEr-D "

@@ -503,6 +503,7 @@ class CaptioningPipeline:
                 attention_reg=cfg.attention_reg,
                 grad_accum_steps=cfg.grad_accum_steps,
                 compute_dtype=compute_dtype,
+                donate=True,
             )
         elif parallelism == "fsdp":
             from tpucap.parallel import (
@@ -557,6 +558,7 @@ class CaptioningPipeline:
                 grad_accum_steps=cfg.grad_accum_steps,
                 compute_dtype=compute_dtype,
                 grad_clip_norm=clip,
+                donate=True,
             )
         elif parallelism in ("tp", "dp_tp"):
             from tpucap.parallel import make_tp_train_step
@@ -607,6 +609,7 @@ class CaptioningPipeline:
                 # ls/V and the smoothing logit-sum use the TRUE vocab
                 # when the padding branch above widened it.
                 true_vocab=unpad_to,
+                donate=True,
             )
         elif parallelism in ("pp", "dp_pp"):
             from tpucap.parallel import make_pp_train_step, stack_pp_layers
@@ -643,6 +646,7 @@ class CaptioningPipeline:
                 data_axis="data" if parallelism == "dp_pp" else None,
                 pad_id=0,
                 label_smoothing=cfg.label_smoothing,
+                donate=True,
             )
         elif parallelism in ("sp", "dp_sp"):
             from tpucap.parallel import make_sp_train_step
@@ -669,6 +673,7 @@ class CaptioningPipeline:
                 data_axis="data" if parallelism == "dp_sp" else None,
                 pad_id=0,
                 label_smoothing=cfg.label_smoothing,
+                donate=True,
             )
             # Round the teacher-forced length up to a ring multiple with
             # pad columns — pads are masked out of the CE, so the update
@@ -714,6 +719,7 @@ class CaptioningPipeline:
                 pad_id=0,
                 label_smoothing=cfg.label_smoothing,
                 moe_aux_weight=cfg.moe_aux_weight,
+                donate=True,
             )
         elif parallelism == "none":
             step = make_train_step(
@@ -724,6 +730,7 @@ class CaptioningPipeline:
                 attention_reg=cfg.attention_reg,
                 grad_accum_steps=cfg.grad_accum_steps,
                 compute_dtype=compute_dtype,
+                donate=True,
             )
         else:
             raise ValueError(f"unknown parallelism {parallelism!r}")
@@ -796,6 +803,12 @@ class CaptioningPipeline:
         history = []
         best_val = float("inf") if monitor_mode == "min" else -float("inf")
         epochs_since_best = 0
+        # The loop donates the state each step (in-place param/opt-state
+        # update in XLA); copy once so self.params — which the fresh
+        # state aliases — survives the first donated step (own_state).
+        from tpucap.train import own_state
+
+        self.state = own_state(self.state)
         ema, ema_update = self._make_ema(cfg, self.state.params)
         for epoch in range(epochs):
             metrics_sum: dict = {}
@@ -1019,7 +1032,9 @@ class CaptioningPipeline:
                 lambda a, b: d * a + (1.0 - d) * b, e, p
             )
         )
-        return params, update
+        # Copy: the shadow must not alias the (donated) initial state's
+        # params — the first donated step deletes those buffers.
+        return jax.tree_util.tree_map(jnp.copy, params), update
 
     def use_ema_weights(self):
         """Swap the EMA-averaged weights (tracked when
@@ -1084,6 +1099,8 @@ class CaptioningPipeline:
         parallelism: str | None = None,
         augment: bool = False,
         augment_shift: int = 0,
+        lora_rank: int = 0,
+        lora_alpha: float | None = None,
         log=print,
     ) -> list[dict]:
         """End-to-end fine-tuning: train the ENCODER and decoder jointly
@@ -1120,7 +1137,15 @@ class CaptioningPipeline:
         the backward pass instead of keeping them live (jax.checkpoint
         — exact same update, lower peak HBM): the memory dial when the
         image batch, not the logits, is what doesn't fit. Composes with
-        grad_accum_steps (remat per microbatch) and 'dp'."""
+        grad_accum_steps (remat per microbatch) and 'dp'.
+
+        ``lora_rank=r`` switches to LoRA fine-tuning (train/lora.py):
+        the joint base stays frozen and a rank-r overlay trains on the
+        2-D matmul kernels of both subtrees (``freeze_encoder=True``
+        restricts adapters to the decoder) — ~1-2% trainable params,
+        Adam state shrunk accordingly, few-MB adapter artifact
+        (:meth:`save_lora`). encoder_lr_scale is ignored under LoRA
+        (one lr for the adapters)."""
         from tpucap.train import build_optimizer
         from tpucap.train.finetune import (
             encoder_learning_rate_optimizer,
@@ -1159,6 +1184,22 @@ class CaptioningPipeline:
             raise NotImplementedError(
                 f"fit_finetune supports parallelism None|'none'|'dp'|"
                 f"'fsdp', got {parallelism!r}"
+            )
+        if lora_rank:
+            return self._fit_finetune_lora(
+                store,
+                F_idx,
+                T,
+                rank=lora_rank,
+                alpha=lora_alpha,
+                epochs=epochs,
+                batch_size=batch_size,
+                freeze_encoder=freeze_encoder,
+                remat_encoder=remat_encoder,
+                parallelism=parallelism,
+                augment=augment,
+                augment_shift=augment_shift,
+                log=log,
             )
         clip = 0.0
         opt_cfg = cfg
@@ -1248,9 +1289,15 @@ class CaptioningPipeline:
             ),
             fsdp_state_template=fsdp_template,
             grad_clip_norm=clip,
+            donate=True,
         )
         rng = np.random.default_rng(cfg.seed)
         history = []
+        # Donated loop: copy so self.params (aliased by the fresh
+        # state) survives the first step — see train.own_state.
+        from tpucap.train import own_state
+
+        state = own_state(state)
         ema, ema_update = self._make_ema(cfg, state.params)
         for epoch in range(epochs):
             metrics_sum: dict = {}
@@ -1291,6 +1338,333 @@ class CaptioningPipeline:
         self._decode_cache.clear()
         self._bf16_params = None
         return history
+
+    def _fit_finetune_lora(
+        self,
+        store,
+        F_idx,
+        T,
+        *,
+        rank: int,
+        alpha: float | None,
+        epochs: int,
+        batch_size: int,
+        freeze_encoder: bool,
+        remat_encoder: bool,
+        parallelism: str | None,
+        augment: bool,
+        augment_shift: int,
+        log,
+    ) -> list[dict]:
+        """fit_finetune(lora_rank=r): the joint {'encoder','decoder'}
+        base stays frozen; a rank-r overlay trains on every 2-D matmul
+        kernel of both subtrees (conv kernels stay frozen by design —
+        train/lora.py docstring). ``freeze_encoder=True`` restricts the
+        adapters to the decoder subtree. The optimizer state is the
+        adapter tree — the Adam 2x-params HBM tax and the checkpoint
+        artifact shrink to a few MB, which is the whole point of LoRA
+        on a backbone."""
+        from tpucap.data.augment import make_augment_fn
+        from tpucap.train import build_optimizer, own_state
+        from tpucap.train.lora import (
+            init_lora,
+            lora_param_counts,
+            make_lora_train_step,
+            merge_lora,
+        )
+
+        cfg = self.config.train
+        if parallelism == "fsdp":
+            raise NotImplementedError(
+                "lora_rank with parallelism='fsdp': the trainable "
+                "state is already tiny — use 'dp' (or full fine-"
+                "tuning for ZeRO sharding)"
+            )
+        if remat_encoder:
+            raise NotImplementedError(
+                "remat_encoder with lora_rank is not wired; drop one"
+            )
+        if cfg.grad_accum_steps > 1:
+            raise NotImplementedError(
+                "grad_accum_steps with lora_rank is not wired"
+            )
+        if cfg.ema_decay:
+            raise NotImplementedError(
+                "ema_decay tracks full params; lora trains adapters — "
+                "drop the flag"
+            )
+        mesh = None
+        if parallelism == "dp":
+            mesh = make_mesh(self.config.mesh.n_devices)
+            data_n = dict(mesh.shape)["data"]
+            if batch_size % data_n:
+                raise ValueError(
+                    f"batch_size {batch_size} must divide by the "
+                    f"{data_n}-device data mesh"
+                )
+            self._mesh = mesh
+        alpha = float(rank if alpha is None else alpha)
+        scale = alpha / rank
+        base = {
+            "encoder": self.params["encoder"],
+            "decoder": self.params["decoder"],
+        }
+        target_tree = (
+            {"decoder": base["decoder"]} if freeze_encoder else base
+        )
+        adapters = init_lora(
+            target_tree, rank, rng=jax.random.key(cfg.seed + 7)
+        )
+        if log:
+            n_ad, n_base = lora_param_counts(base, adapters)
+            log(
+                f"LoRA rank {rank} (joint): {n_ad:,} trainable / "
+                f"{n_base:,} frozen params "
+                f"({100.0 * n_ad / n_base:.2f}%)"
+            )
+        optimizer = build_optimizer(
+            cfg,
+            total_steps=epochs * max(1, F_idx.shape[0] // batch_size),
+        )
+        step = make_lora_train_step(
+            self.decoder,
+            base,
+            optimizer,
+            scale=scale,
+            encoder=self.encoder,
+            pad_id=0,
+            label_smoothing=cfg.label_smoothing,
+            attention_reg=cfg.attention_reg,
+            compute_dtype=(
+                jnp.bfloat16 if cfg.precision == "bf16" else None
+            ),
+            mesh=mesh,
+            augment_fn=make_augment_fn(
+                flip=augment, max_shift=augment_shift
+            ),
+            donate=True,
+        )
+        state = own_state(
+            TrainState.create(
+                adapters, optimizer, jax.random.key(cfg.seed)
+            )
+        )
+        rng = np.random.default_rng(cfg.seed)
+        history = []
+        for epoch in range(epochs):
+            metrics_sum: dict = {}
+            n = 0
+            for bi, bt in batch_iterator((F_idx, T), batch_size, rng=rng):
+                bf = store[np.asarray(bi)]
+                if mesh is not None:
+                    bf, bt = shard_batch(mesh, (bf, bt))
+                state, metrics = step(state, bf, bt)
+                n += 1
+                for k, v in metrics.items():
+                    metrics_sum[k] = metrics_sum.get(k, 0.0) + v
+            metrics_sum = jax.device_get(metrics_sum)
+            epoch_metrics = {
+                k: float(v) / max(n, 1) for k, v in metrics_sum.items()
+            }
+            epoch_metrics["epoch"] = epoch
+            history.append(epoch_metrics)
+            if log:
+                log(
+                    f"lora epoch {epoch}: "
+                    f"loss={epoch_metrics.get('loss', 0):.4f} "
+                    f"acc={epoch_metrics.get('accuracy', 0):.4f}"
+                )
+        self.lora_adapters = jax.device_get(state.params)
+        self.lora_meta = {"rank": rank, "alpha": alpha}
+        merged = jax.device_get(
+            merge_lora(base, state.params, scale=scale)
+        )
+        self.params["encoder"] = merged["encoder"]
+        self.params["decoder"] = merged["decoder"]
+        self._decode_cache.clear()
+        self._bf16_params = None
+        return history
+
+    def fit_lora(
+        self,
+        descriptions: dict[str, list[str]],
+        features: dict[str, np.ndarray],
+        *,
+        rank: int = 8,
+        alpha: float | None = None,
+        target_keys=None,
+        epochs: int | None = None,
+        batch_size: int | None = None,
+        parallelism: str | None = None,
+        merge: bool = True,
+        log=print,
+    ) -> list[dict]:
+        """LoRA fine-tuning of the decoder on precomputed features
+        (train/lora.py): every base weight frozen, a rank-``rank``
+        overlay trained on the 2-D matmul kernels — ~1-2% of the
+        decoder's parameters (and of its Adam state), and a few-MB
+        adapter artifact instead of a checkpoint. Step 0 is exactly the
+        base model (B = 0 init).
+
+        ``alpha`` defaults to ``rank`` (scale alpha/rank = 1, the
+        common default). ``merge=True`` folds the trained adapters into
+        self.params at the end — decode/save immediately see the tuned
+        weights; the raw adapters stay in ``self.lora_adapters`` for
+        :meth:`save_lora`. parallelism: None/'none' | 'dp' (update-
+        exact vs single device, tests/test_lora.py)."""
+        from tpucap.train import build_optimizer, own_state
+        from tpucap.train.lora import (
+            DEFAULT_TARGET_KEYS,
+            init_lora,
+            lora_param_counts,
+            make_lora_train_step,
+            merge_lora,
+        )
+
+        cfg = self.config.train
+        epochs = epochs or cfg.epochs
+        batch_size = batch_size or cfg.batch_size
+        if self.decoder is None:
+            self.build()
+        if cfg.grad_accum_steps > 1:
+            raise NotImplementedError(
+                "grad_accum_steps with LoRA: the adapters are the "
+                "memory fix — drop the accumulation"
+            )
+        if parallelism not in (None, "none", "dp"):
+            raise NotImplementedError(
+                f"fit_lora supports parallelism None|'none'|'dp', "
+                f"got {parallelism!r}"
+            )
+        F, T = build_training_batch(
+            self.tokenizer,
+            descriptions,
+            features,
+            self.config.decode.max_len,
+        )
+        if F.shape[0] < batch_size:
+            batch_size = F.shape[0]
+        mesh = None
+        if parallelism == "dp":
+            mesh = make_mesh(self.config.mesh.n_devices)
+            data_n = dict(mesh.shape)["data"]
+            if batch_size % data_n:
+                raise ValueError(
+                    f"batch_size {batch_size} must divide by the "
+                    f"{data_n}-device data mesh"
+                )
+            self._mesh = mesh
+        alpha = float(rank if alpha is None else alpha)
+        scale = alpha / rank
+        base = self.params["decoder"]
+        adapters = init_lora(
+            base,
+            rank,
+            rng=jax.random.key(cfg.seed + 7),
+            target_keys=target_keys or DEFAULT_TARGET_KEYS,
+        )
+        if log:
+            n_ad, n_base = lora_param_counts(base, adapters)
+            log(
+                f"LoRA rank {rank}: {n_ad:,} trainable / {n_base:,} "
+                f"frozen params ({100.0 * n_ad / n_base:.2f}%)"
+            )
+        optimizer = build_optimizer(
+            cfg, total_steps=epochs * max(1, F.shape[0] // batch_size)
+        )
+        step = make_lora_train_step(
+            self.decoder,
+            base,
+            optimizer,
+            scale=scale,
+            pad_id=0,
+            label_smoothing=cfg.label_smoothing,
+            attention_reg=cfg.attention_reg,
+            compute_dtype=(
+                jnp.bfloat16 if cfg.precision == "bf16" else None
+            ),
+            mesh=mesh,
+            donate=True,
+        )
+        state = own_state(
+            TrainState.create(
+                adapters, optimizer, jax.random.key(cfg.seed)
+            )
+        )
+        rng = np.random.default_rng(cfg.seed)
+        history = []
+        for epoch in range(epochs):
+            metrics_sum: dict = {}
+            n = 0
+            for bf, bt in batch_iterator((F, T), batch_size, rng=rng):
+                if mesh is not None:
+                    bf, bt = shard_batch(mesh, (bf, bt))
+                state, metrics = step(state, bf, bt)
+                n += 1
+                for k, v in metrics.items():
+                    metrics_sum[k] = metrics_sum.get(k, 0.0) + v
+            metrics_sum = jax.device_get(metrics_sum)
+            epoch_metrics = {
+                k: float(v) / max(n, 1) for k, v in metrics_sum.items()
+            }
+            epoch_metrics["epoch"] = epoch
+            history.append(epoch_metrics)
+            if log:
+                log(
+                    f"lora epoch {epoch}: "
+                    f"loss={epoch_metrics.get('loss', 0):.4f} "
+                    f"acc={epoch_metrics.get('accuracy', 0):.4f}"
+                )
+        self.lora_adapters = jax.device_get(state.params)
+        self.lora_meta = {"rank": rank, "alpha": alpha}
+        if merge:
+            self.params["decoder"] = jax.device_get(
+                merge_lora(base, state.params, scale=scale)
+            )
+            self._decode_cache.clear()
+            self._bf16_params = None
+        return history
+
+    def save_lora(self, path: str):
+        """Write the last fit_lora/fit_finetune(lora_rank=) adapters as
+        a small .npz artifact (train/lora.py::save_lora)."""
+        from tpucap.train.lora import save_lora as _save
+
+        if getattr(self, "lora_adapters", None) is None:
+            raise ValueError("no trained LoRA adapters on this pipeline")
+        _save(
+            path,
+            self.lora_adapters,
+            rank=self.lora_meta["rank"],
+            alpha=self.lora_meta["alpha"],
+        )
+
+    def apply_lora_file(self, path: str, *, subtree: str = "decoder"):
+        """Merge a saved adapter artifact into this pipeline's params
+        (``subtree``: 'decoder' | 'joint' for fit_finetune adapters
+        spanning {'encoder','decoder'})."""
+        from tpucap.train.lora import load_lora, merge_lora
+
+        adapters, rank, alpha = load_lora(path)
+        scale = alpha / rank
+        if subtree == "joint":
+            base = {
+                "encoder": self.params["encoder"],
+                "decoder": self.params["decoder"],
+            }
+            merged = jax.device_get(
+                merge_lora(base, adapters, scale=scale)
+            )
+            self.params["encoder"] = merged["encoder"]
+            self.params["decoder"] = merged["decoder"]
+        else:
+            self.params["decoder"] = jax.device_get(
+                merge_lora(
+                    self.params["decoder"], adapters, scale=scale
+                )
+            )
+        self._decode_cache.clear()
+        self._bf16_params = None
 
     def fit_scst(
         self,
@@ -1397,8 +1771,15 @@ class CaptioningPipeline:
             mesh=mesh,
         )
         step = make_scst_step(
-            self.decoder, optimizer, start_id=start_id, mesh=mesh
+            self.decoder,
+            optimizer,
+            start_id=start_id,
+            mesh=mesh,
+            donate=True,
         )
+        from tpucap.train import own_state
+
+        state = own_state(state)
 
         key = jax.random.key(cfg.seed + 1)
         order_rng = np.random.default_rng(cfg.seed)
@@ -1595,7 +1976,11 @@ class CaptioningPipeline:
             alpha=alpha,
             pad_id=0,
             mesh=mesh,
+            donate=True,
         )
+        from tpucap.train import own_state
+
+        state = own_state(state)
         t_params = self.params["decoder"]
         rng = np.random.default_rng(cfg.seed)
         history: list[dict] = []
