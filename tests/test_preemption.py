@@ -1,0 +1,296 @@
+"""Graceful preemption + exact resume (train/preemption.py, fit(resume=)).
+
+The trajectory contract: interrupted-then-resumed training produces
+BIT-IDENTICAL params to an uninterrupted run — the resume position is
+derived from the checkpoint's step counter and the shuffle rng is
+fast-forwarded by replaying consumed permutations.
+"""
+
+import os
+import signal
+import subprocess
+import sys
+import time
+
+import jax
+import numpy as np
+import pytest
+
+from tpucap.checkpoint import CheckpointManager
+from tpucap.config import (
+    Config,
+    DecodeConfig,
+    DecoderConfig,
+    EncoderConfig,
+    TrainConfig,
+)
+from tpucap.pipeline import CaptioningPipeline
+
+
+def _pipe():
+    cfg = Config(
+        encoder=EncoderConfig(name="tiny_cnn", feature_dim=32),
+        decoder=DecoderConfig(
+            embed_dim=16, hidden_dim=16, dropout_rate=0.0
+        ),
+        train=TrainConfig(
+            epochs=1, batch_size=4, seed=0, learning_rate=1e-2
+        ),
+        decode=DecodeConfig(max_len=8),
+    )
+    pipe = CaptioningPipeline(cfg)
+    words = "a b c d e f g h".split()
+    desc = {
+        f"im{i}": [f"startseq {words[i]} {words[(i+3) % 8]} endseq"] * 2
+        for i in range(8)
+    }
+    pipe.fit_tokenizer(desc)
+    pipe.build()
+    rng = np.random.default_rng(1)
+    feats = {
+        k: rng.normal(size=(32,)).astype(np.float32) for k in desc
+    }
+    return pipe, desc, feats
+
+
+def _params(pipe):
+    return jax.device_get(pipe.params["decoder"])
+
+
+def _assert_trees_equal(a, b):
+    for x, y in zip(
+        jax.tree.leaves(a), jax.tree.leaves(b), strict=True
+    ):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_epoch_boundary_resume_is_exact(tmp_path):
+    # Uninterrupted: 4 epochs.
+    pipe_a, desc, feats = _pipe()
+    mgr_a = CheckpointManager(str(tmp_path / "a"), best_metric=None)
+    hist_a = pipe_a.fit(
+        desc, feats, epochs=4, batch_size=4,
+        checkpoint_manager=mgr_a, log=None,
+    )
+    mgr_a.close()
+
+    # Interrupted at the epoch-2 boundary, resumed for the rest.
+    pipe_b, desc, feats = _pipe()
+    mgr_b = CheckpointManager(str(tmp_path / "b"), best_metric=None)
+    pipe_b.fit(
+        desc, feats, epochs=2, batch_size=4,
+        checkpoint_manager=mgr_b, log=None,
+    )
+    pipe_c, desc, feats = _pipe()
+    hist_c = pipe_c.fit(
+        desc, feats, epochs=4, batch_size=4,
+        checkpoint_manager=mgr_b, resume=True, log=None,
+    )
+    mgr_b.close()
+    _assert_trees_equal(_params(pipe_a), _params(pipe_c))
+    # Resumed history covers exactly the remaining epochs, same losses.
+    assert [h["epoch"] for h in hist_c] == [2, 3]
+    np.testing.assert_allclose(
+        [h["loss"] for h in hist_a[2:]],
+        [h["loss"] for h in hist_c],
+        rtol=1e-6,
+    )
+
+
+class _FakeGuard:
+    """Duck-typed guard that fires after N queries of .fired —
+    deterministic mid-epoch preemption without signals."""
+
+    def __init__(self, after: int):
+        self.after = after
+        self.calls = 0
+
+    @property
+    def fired(self) -> bool:
+        self.calls += 1
+        return self.calls >= self.after
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        return None
+
+
+def test_mid_epoch_preemption_resume_is_exact(tmp_path):
+    # 8 rows / batch 4 = 2 steps per epoch; fire after 3 steps ->
+    # mid-epoch-1 rescue checkpoint at step 3.
+    pipe_a, desc, feats = _pipe()
+    hist_a = pipe_a.fit(desc, feats, epochs=3, batch_size=4, log=None)
+
+    pipe_b, desc, feats = _pipe()
+    mgr = CheckpointManager(str(tmp_path / "c"), best_metric=None)
+    hist_b = pipe_b.fit(
+        desc, feats, epochs=3, batch_size=4,
+        checkpoint_manager=mgr,
+        preemption_guard=_FakeGuard(3),
+        log=None,
+    )
+    assert hist_b[-1]["preempted"] is True
+    assert mgr.latest_step() == 3  # mid-epoch rescue save
+
+    pipe_c, desc, feats = _pipe()
+    hist_c = pipe_c.fit(
+        desc, feats, epochs=3, batch_size=4,
+        checkpoint_manager=mgr, resume=True, log=None,
+    )
+    mgr.close()
+    _assert_trees_equal(_params(pipe_a), _params(pipe_c))
+    # The resumed partial epoch averages only its remaining step; the
+    # final epoch's loss matches the uninterrupted run exactly.
+    np.testing.assert_allclose(
+        hist_c[-1]["loss"], hist_a[-1]["loss"], rtol=1e-6
+    )
+
+
+def test_resume_validations(tmp_path):
+    pipe, desc, feats = _pipe()
+    with pytest.raises(ValueError, match="checkpoint_manager"):
+        pipe.fit(desc, feats, epochs=1, resume=True, log=None)
+    mgr = CheckpointManager(str(tmp_path / "v"), best_metric=None)
+    with pytest.raises(NotImplementedError, match="canonical"):
+        pipe.fit(
+            desc, feats, epochs=1, resume=True, parallelism="tp",
+            checkpoint_manager=mgr, log=None,
+        )
+    mgr.close()
+
+
+def test_resume_with_empty_dir_starts_fresh(tmp_path):
+    pipe, desc, feats = _pipe()
+    mgr = CheckpointManager(str(tmp_path / "e"), best_metric=None)
+    hist = pipe.fit(
+        desc, feats, epochs=2, batch_size=4,
+        checkpoint_manager=mgr, resume=True, log=None,
+    )
+    mgr.close()
+    assert [h["epoch"] for h in hist] == [0, 1]
+
+
+def test_guard_sigterm_sets_flag():
+    from tpucap.train import PreemptionGuard
+
+    with PreemptionGuard() as g:
+        assert not g.fired
+        os.kill(os.getpid(), signal.SIGTERM)
+        # Give the interpreter a tick to run the handler.
+        for _ in range(100):
+            if g.fired:
+                break
+            time.sleep(0.01)
+        assert g.fired
+    # Handler restored: a second guard starts clean.
+    with PreemptionGuard() as g2:
+        assert not g2.fired
+
+
+TRAINER = r"""
+import os, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+sys.path.insert(0, os.environ["TPUCAP_REPO"])
+from tpucap.checkpoint import CheckpointManager
+from tpucap.config import (Config, DecodeConfig, DecoderConfig,
+                           EncoderConfig, TrainConfig)
+from tpucap.pipeline import CaptioningPipeline
+
+cfg = Config(
+    encoder=EncoderConfig(name="tiny_cnn", feature_dim=32),
+    decoder=DecoderConfig(embed_dim=16, hidden_dim=16, dropout_rate=0.0),
+    train=TrainConfig(epochs=1, batch_size=4, seed=0, learning_rate=1e-2),
+    decode=DecodeConfig(max_len=8),
+)
+pipe = CaptioningPipeline(cfg)
+words = "a b c d e f g h".split()
+desc = {f"im{i}": [f"startseq {words[i]} {words[(i+3) % 8]} endseq"] * 2
+        for i in range(8)}
+pipe.fit_tokenizer(desc)
+pipe.build()
+rng = np.random.default_rng(1)
+feats = {k: rng.normal(size=(32,)).astype(np.float32) for k in desc}
+
+mgr = CheckpointManager(os.environ["TPUCAP_CKPT"], best_metric=None)
+
+def slow_log(msg):
+    # Stretch each epoch so the parent can land a SIGTERM mid-run.
+    print(msg, flush=True)
+    import time
+    time.sleep(0.4)
+
+resume = bool(os.environ.get("TPUCAP_RESUME"))
+hist = pipe.fit(
+    desc, feats, epochs=40, batch_size=4,
+    checkpoint_manager=mgr,
+    handle_preemption=True,
+    resume=resume,
+    log=slow_log,
+)
+mgr.close()
+if hist and hist[-1].get("preempted"):
+    print("PREEMPTED_CLEANLY", flush=True)
+else:
+    print("FINISHED", flush=True)
+"""
+
+
+@pytest.mark.slow
+def test_sigterm_end_to_end(tmp_path):
+    """Real OS semantics: SIGTERM a training process; it must exit 0
+    after writing a rescue checkpoint; the rerun resumes past it."""
+    env = dict(
+        os.environ,
+        TPUCAP_REPO=os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))
+        ),
+        TPUCAP_CKPT=str(tmp_path / "ckpt"),
+    )
+    env.pop("JAX_PLATFORMS", None)
+    proc = subprocess.Popen(
+        [sys.executable, "-c", TRAINER],
+        env=env,
+        stdout=subprocess.PIPE,
+        text=True,
+    )
+    # Wait until training is underway (first epoch line), then SIGTERM.
+    line = proc.stdout.readline()
+    assert "epoch" in line or "clamping" in line, line
+    while "epoch" not in line:
+        line = proc.stdout.readline()
+    proc.send_signal(signal.SIGTERM)
+    out, _ = proc.communicate(timeout=120)
+    assert proc.returncode == 0
+    assert "PREEMPTED_CLEANLY" in out
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), best_metric=None)
+    rescued = mgr.latest_step()
+    mgr.close()
+    assert rescued and rescued > 0
+
+    env["TPUCAP_RESUME"] = "1"
+    proc2 = subprocess.Popen(
+        [sys.executable, "-c", TRAINER],
+        env=env,
+        stdout=subprocess.PIPE,
+        text=True,
+    )
+    # Resume announcement, then terminate again — we only need to see
+    # that it picked up past the rescue step.
+    deadline = time.time() + 120
+    resumed = False
+    while time.time() < deadline:
+        line = proc2.stdout.readline()
+        if not line:
+            break
+        if "resumed from step" in line:
+            resumed = True
+            proc2.send_signal(signal.SIGTERM)
+            break
+    out2, _ = proc2.communicate(timeout=120)
+    assert resumed, out2
+    assert proc2.returncode == 0

@@ -48,6 +48,11 @@ class CheckpointManager:
         self._mgr = ocp.CheckpointManager(directory, options=options)
         self.directory = directory
         self._async = async_save
+        # Exposed so callers forced to synthesize metrics (the
+        # preemption rescue save) can name the tracked key and a
+        # never-best value for the right mode.
+        self.best_metric = best_metric
+        self.best_mode = best_mode
 
     def save(self, state: TrainState, metrics: dict | None = None) -> None:
         step = int(jax.device_get(state.step))

@@ -459,6 +459,26 @@ def cmd_train(args):
                 "(the adapters ARE the memory/monitoring fix; train "
                 "full weights for those dials)"
             )
+    if getattr(args, "resume", False) or getattr(
+        args, "handle_preemption", False
+    ):
+        bad = [
+            flag
+            for flag, val in (
+                (
+                    "--finetune-encoder",
+                    getattr(args, "finetune_encoder", False),
+                ),
+                ("--lora-rank", getattr(args, "lora_rank", 0)),
+                ("--ema-decay", getattr(args, "ema_decay", None)),
+            )
+            if val
+        ]
+        if bad:
+            raise SystemExit(
+                f"--resume/--handle-preemption need the step-"
+                f"checkpointed fit path; drop {', '.join(bad)}"
+            )
     if getattr(args, "finetune_encoder", False):
         _validate_finetune_flags(args)
     elif not args.features:
@@ -552,6 +572,8 @@ def cmd_train(args):
         checkpoint_manager=mgr,
         val_data=val_data,
         stream=stream,
+        resume=getattr(args, "resume", False),
+        handle_preemption=getattr(args, "handle_preemption", False),
     )
     if logger:
         for h in history:
@@ -559,6 +581,13 @@ def cmd_train(args):
         logger.close()
     mgr.close()
     _maybe_save_ema_bundle(args, pipe)
+    if history and history[-1].get("preempted"):
+        print(
+            f"preempted after {len(history)} epoch entries; rerun the "
+            "same command with --resume to continue "
+            f"(checkpoints in {args.checkpoint_dir})"
+        )
+        return
     print(f"trained {len(history)} epochs; final loss "
           f"{history[-1]['loss']:.4f}; checkpoints in {args.checkpoint_dir}")
     if getattr(args, "scst_epochs", 0):
@@ -1210,6 +1239,14 @@ def main(argv=None):
     p.add_argument("--lora-out", default=None,
                    help="also write the trained LoRA adapters as a "
                    "small .npz artifact (tpucap.train.lora.load_lora)")
+    p.add_argument("--resume", action="store_true",
+                   help="continue from the latest checkpoint in "
+                   "--checkpoint-dir at its exact epoch/batch position "
+                   "(bit-identical to an uninterrupted run)")
+    p.add_argument("--handle-preemption", action="store_true",
+                   help="on SIGTERM: finish the in-flight step, write a "
+                   "mid-epoch rescue checkpoint, exit cleanly — rerun "
+                   "with --resume to continue (TPU preemption recipe)")
     p.add_argument("--scst-epochs", type=int, default=0,
                    help="after CE training, run N epochs of self-"
                    "critical sequence training (REINFORCE on CIDEr-D "

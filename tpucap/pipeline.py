@@ -359,6 +359,9 @@ class CaptioningPipeline:
         val_data=None,
         stream: bool = False,
         prefetch: int = 2,
+        resume: bool = False,
+        handle_preemption: bool = False,
+        preemption_guard=None,
         log=print,
     ):
         """parallelism: 'none' | 'dp' (batch sharded, psum grads) | 'tp'
@@ -388,7 +391,19 @@ class CaptioningPipeline:
         dp/fsdp, device-placed) batches so disk reads + H2D overlap the
         device step. Batch visit order is IDENTICAL to stream=False
         under the same seed, so the two paths produce the same training
-        trajectory (tests/test_stream_fit.py)."""
+        trajectory (tests/test_stream_fit.py).
+
+        ``handle_preemption=True`` installs a SIGTERM guard
+        (train/preemption.py): on the first signal the loop finishes
+        the in-flight step, writes a MID-EPOCH rescue checkpoint, and
+        returns with a ``{"preempted": True}`` final history entry.
+        ``resume=True`` (needs ``checkpoint_manager``) restores the
+        latest checkpoint and continues from its exact epoch/batch
+        position — the position is derived from the checkpoint's step
+        counter and the shuffle rng is fast-forwarded by replaying the
+        consumed permutations, so the resumed trajectory is
+        bit-identical to an uninterrupted run (tests/test_preemption.py;
+        parallelism none|dp, no ema)."""
         cfg = self.config.train
         epochs = epochs or cfg.epochs
         batch_size = batch_size or cfg.batch_size
@@ -808,148 +823,242 @@ class CaptioningPipeline:
         # state aliases — survives the first donated step (own_state).
         from tpucap.train import own_state
 
+        steps_per_epoch = max(1, T.shape[0] // batch_size)
+        start_epoch = 0
+        resume_batch = 0
+        if resume:
+            if checkpoint_manager is None:
+                raise ValueError("resume=True needs a checkpoint_manager")
+            if parallelism not in ("none", "dp"):
+                raise NotImplementedError(
+                    "resume restores the canonical param layout; "
+                    f"parallelism={parallelism!r} trains on a "
+                    "transformed layout — use 'none'/'dp'"
+                )
+            if cfg.ema_decay:
+                raise NotImplementedError(
+                    "resume does not restore the EMA shadow; drop "
+                    "ema_decay or restart"
+                )
+        guard = preemption_guard
+        if handle_preemption and guard is None:
+            from tpucap.train import PreemptionGuard
+
+            guard = PreemptionGuard()
+        import contextlib
+
+        _guard_ctx = (
+            guard
+            if guard is not None and hasattr(guard, "__enter__")
+            else contextlib.nullcontext()
+        )
+        preempted = False
         self.state = own_state(self.state)
         ema, ema_update = self._make_ema(cfg, self.state.params)
-        for epoch in range(epochs):
-            metrics_sum: dict = {}
-            n = 0
-            if stream:
-                from tpucap.data.pipeline import (
-                    caption_batch_stream,
-                    prefetch_iterator,
+        with _guard_ctx:
+            # The restore runs INSIDE the guard: a signal landing during
+            # the (possibly long) checkpoint read or the resume
+            # announcement is latched and acted on after the next step,
+            # not delivered with default (fatal) semantics.
+            if resume and checkpoint_manager.latest_step() is not None:
+                self.state = own_state(
+                    checkpoint_manager.restore(self.state)
                 )
-
-                # Assembly (disk reads + stacking) and, under dp/fsdp,
-                # device placement run on the prefetch thread — both
-                # overlap the device step. caption_batch_stream consumes
-                # rng exactly like batch_iterator (one shuffle/epoch),
-                # so the two paths see identical batch orders.
-                batch_src = prefetch_iterator(
-                    caption_batch_stream(
-                        stream_ids, T, features, batch_size, rng=rng
-                    ),
-                    depth=prefetch,
-                    transform=(
-                        (lambda b: shard_batch(self._mesh, b))
-                        if data_parallel
-                        else None
-                    ),
-                )
-            else:
-                batch_src = batch_iterator((F, T), batch_size, rng=rng)
-            for bf, bt in batch_src:
-                if data_parallel and not stream:
-                    bf, bt = shard_batch(self._mesh, (bf, bt))
-                self.state, metrics = step(self.state, bf, bt)
-                if ema_update is not None:
-                    ema = ema_update(ema, self.state.params)
-                n += 1
-                # Device-side accumulation: a per-step device_get blocks
-                # async dispatch (one host round-trip per step); sync
-                # once per epoch instead.
-                for k, v in metrics.items():
-                    metrics_sum[k] = metrics_sum.get(k, 0.0) + v
-            metrics_sum = jax.device_get(metrics_sum)
-            epoch_metrics = {
-                k: float(v) / max(n, 1) for k, v in metrics_sum.items()
-            }
-            epoch_metrics["epoch"] = epoch
-            if eval_step is not None:
-                from tpucap.train.loss import loss_from_sums
-
-                vsums: dict = {}
-                eval_params = self.state.params
-                if parallelism == "fsdp":
-                    # eval_step is the canonical single-device program;
-                    # one all_gather of the param shards per epoch.
-                    from tpucap.parallel import fsdp_gather_tree
-
-                    eval_params = fsdp_gather_tree(
-                        eval_params, self._mesh
+                done = int(jax.device_get(self.state.step))
+                start_epoch = done // steps_per_epoch
+                resume_batch = done % steps_per_epoch
+                # Replay the consumed per-epoch permutations so the
+                # resumed shuffle order matches the original run's.
+                for _ in range(start_epoch):
+                    rng.shuffle(np.arange(T.shape[0]))
+                if log:
+                    log(
+                        f"resumed from step {done} (epoch "
+                        f"{start_epoch}, batch {resume_batch})"
                     )
-                if pp_layout:
-                    # eval_step runs the canonical single-device forward;
-                    # slicing the stacked stage-sharded layers back into
-                    # the list layout is a cheap device-side gather.
-                    from tpucap.parallel import unstack_pp_layers
-
-                    eval_params = unstack_pp_layers(eval_params)
-                for vf, vt in val_chunks:
-                    piece = eval_step(eval_params, vf, vt)
-                    for k, v in piece.items():
-                        vsums[k] = vsums.get(k, 0.0) + v
-                _, vm = loss_from_sums(
-                    jax.device_get(vsums), attention_reg=cfg.attention_reg
-                )
-                epoch_metrics["val_loss"] = float(vm["loss"])
-                epoch_metrics["val_accuracy"] = float(vm["accuracy"])
-            if val_decode is not None:
-                epoch_metrics[monitor_key] = self._val_decode_metric(
-                    val_decode, val_desc, cfg.val_metric, batch_size
-                )
-            history.append(epoch_metrics)
-            if log:
-                msg = (
-                    f"epoch {epoch}: loss={epoch_metrics.get('loss', 0):.4f} "
-                    f"acc={epoch_metrics.get('accuracy', 0):.4f}"
-                )
-                if "val_loss" in epoch_metrics:
-                    msg += f" val_loss={epoch_metrics['val_loss']:.4f}"
-                if monitor_key != "val_loss" and monitor_key in epoch_metrics:
-                    msg += (
-                        f" {monitor_key}={epoch_metrics[monitor_key]:.4f}"
+            for epoch in range(start_epoch, epochs):
+                metrics_sum: dict = {}
+                n = 0
+                if stream:
+                    from tpucap.data.pipeline import (
+                        caption_batch_stream,
+                        prefetch_iterator,
                     )
-                log(msg)
-            if checkpoint_manager is not None:
-                # Best-checkpoint keying mirrors the reference's
-                # ModelCheckpoint(save_best_only, monitor=...): val_loss
-                # when a dev split is given (else train loss), plus the
-                # decode monitor when one is configured — the manager's
-                # best_fn picks whichever its best_metric names.
-                ckpt_metrics = {
-                    "val_loss": epoch_metrics.get(
-                        "val_loss", epoch_metrics["loss"]
-                    )
-                }
-                if monitor_key != "val_loss" and monitor_key in epoch_metrics:
-                    ckpt_metrics[monitor_key] = epoch_metrics[monitor_key]
-                save_state = self.state
-                if parallelism == "fsdp":
-                    # Checkpoints carry the canonical (replicated)
-                    # layout so restore templates, averaging, and h5
-                    # export stay layout-agnostic; fit re-shards on the
-                    # next run.
-                    from tpucap.parallel import fsdp_gather_tree
 
-                    save_state = fsdp_gather_tree(self.state, self._mesh)
-                checkpoint_manager.save(save_state, metrics=ckpt_metrics)
-            # Keras EarlyStopping(monitor=..., mode=..., patience=N):
-            # stop once the monitor hasn't improved for N epochs. The
-            # best checkpoint is already retained by the manager, so
-            # restore_best_weights is restore-from-best.
-            if (
-                cfg.early_stopping_patience > 0
-                and monitor_key in epoch_metrics
-            ):
-                val = epoch_metrics[monitor_key]
-                improved = (
-                    val < best_val
-                    if monitor_mode == "min"
-                    else val > best_val
-                )
-                if improved:
-                    best_val = val
-                    epochs_since_best = 0
+                    # Assembly (disk reads + stacking) and, under dp/fsdp,
+                    # device placement run on the prefetch thread — both
+                    # overlap the device step. caption_batch_stream consumes
+                    # rng exactly like batch_iterator (one shuffle/epoch),
+                    # so the two paths see identical batch orders.
+                    batch_src = prefetch_iterator(
+                        caption_batch_stream(
+                            stream_ids, T, features, batch_size, rng=rng
+                        ),
+                        depth=prefetch,
+                        transform=(
+                            (lambda b: shard_batch(self._mesh, b))
+                            if data_parallel
+                            else None
+                        ),
+                    )
                 else:
-                    epochs_since_best += 1
-                    if epochs_since_best >= cfg.early_stopping_patience:
-                        if log:
-                            log(
-                                f"early stopping at epoch {epoch} "
-                                f"(no {monitor_key} improvement for "
-                                f"{epochs_since_best} epochs)"
-                            )
+                    batch_src = batch_iterator((F, T), batch_size, rng=rng)
+                skip = resume_batch if epoch == start_epoch else 0
+                for b_i, (bf, bt) in enumerate(batch_src):
+                    if b_i < skip:
+                        # Resumed mid-epoch: the permutation was already
+                        # consumed; these batches already trained.
+                        continue
+                    if data_parallel and not stream:
+                        bf, bt = shard_batch(self._mesh, (bf, bt))
+                    self.state, metrics = step(self.state, bf, bt)
+                    if ema_update is not None:
+                        ema = ema_update(ema, self.state.params)
+                    n += 1
+                    # Device-side accumulation: a per-step device_get blocks
+                    # async dispatch (one host round-trip per step); sync
+                    # once per epoch instead.
+                    for k, v in metrics.items():
+                        metrics_sum[k] = metrics_sum.get(k, 0.0) + v
+                    if guard is not None and guard.fired:
+                        preempted = True
                         break
+                metrics_sum = jax.device_get(metrics_sum)
+                epoch_metrics = {
+                    k: float(v) / max(n, 1) for k, v in metrics_sum.items()
+                }
+                epoch_metrics["epoch"] = epoch
+                if preempted:
+                    # Grace window: skip eval/val work, write the rescue
+                    # checkpoint (an ordinary checkpoint at a mid-epoch
+                    # step; the tracked metric gets a never-best sentinel
+                    # so best-checkpoint selection is unaffected), stop.
+                    epoch_metrics["preempted"] = True
+                    history.append(epoch_metrics)
+                    if checkpoint_manager is not None:
+                        cur = int(jax.device_get(self.state.step))
+                        if checkpoint_manager.latest_step() != cur:
+                            m = None
+                            key = getattr(
+                                checkpoint_manager, "best_metric", None
+                            )
+                            if key:
+                                worst = (
+                                    float("inf")
+                                    if getattr(
+                                        checkpoint_manager,
+                                        "best_mode",
+                                        "min",
+                                    )
+                                    == "min"
+                                    else float("-inf")
+                                )
+                                m = {key: worst}
+                            checkpoint_manager.save(self.state, metrics=m)
+                    if log:
+                        log(
+                            f"preempted at epoch {epoch} step "
+                            f"{int(jax.device_get(self.state.step))}; "
+                            "rescue checkpoint written — rerun with "
+                            "resume=True to continue"
+                        )
+                    break
+                if eval_step is not None:
+                    from tpucap.train.loss import loss_from_sums
+
+                    vsums: dict = {}
+                    eval_params = self.state.params
+                    if parallelism == "fsdp":
+                        # eval_step is the canonical single-device program;
+                        # one all_gather of the param shards per epoch.
+                        from tpucap.parallel import fsdp_gather_tree
+
+                        eval_params = fsdp_gather_tree(
+                            eval_params, self._mesh
+                        )
+                    if pp_layout:
+                        # eval_step runs the canonical single-device forward;
+                        # slicing the stacked stage-sharded layers back into
+                        # the list layout is a cheap device-side gather.
+                        from tpucap.parallel import unstack_pp_layers
+
+                        eval_params = unstack_pp_layers(eval_params)
+                    for vf, vt in val_chunks:
+                        piece = eval_step(eval_params, vf, vt)
+                        for k, v in piece.items():
+                            vsums[k] = vsums.get(k, 0.0) + v
+                    _, vm = loss_from_sums(
+                        jax.device_get(vsums), attention_reg=cfg.attention_reg
+                    )
+                    epoch_metrics["val_loss"] = float(vm["loss"])
+                    epoch_metrics["val_accuracy"] = float(vm["accuracy"])
+                if val_decode is not None:
+                    epoch_metrics[monitor_key] = self._val_decode_metric(
+                        val_decode, val_desc, cfg.val_metric, batch_size
+                    )
+                history.append(epoch_metrics)
+                if log:
+                    msg = (
+                        f"epoch {epoch}: loss={epoch_metrics.get('loss', 0):.4f} "
+                        f"acc={epoch_metrics.get('accuracy', 0):.4f}"
+                    )
+                    if "val_loss" in epoch_metrics:
+                        msg += f" val_loss={epoch_metrics['val_loss']:.4f}"
+                    if monitor_key != "val_loss" and monitor_key in epoch_metrics:
+                        msg += (
+                            f" {monitor_key}={epoch_metrics[monitor_key]:.4f}"
+                        )
+                    log(msg)
+                if checkpoint_manager is not None:
+                    # Best-checkpoint keying mirrors the reference's
+                    # ModelCheckpoint(save_best_only, monitor=...): val_loss
+                    # when a dev split is given (else train loss), plus the
+                    # decode monitor when one is configured — the manager's
+                    # best_fn picks whichever its best_metric names.
+                    ckpt_metrics = {
+                        "val_loss": epoch_metrics.get(
+                            "val_loss", epoch_metrics["loss"]
+                        )
+                    }
+                    if monitor_key != "val_loss" and monitor_key in epoch_metrics:
+                        ckpt_metrics[monitor_key] = epoch_metrics[monitor_key]
+                    save_state = self.state
+                    if parallelism == "fsdp":
+                        # Checkpoints carry the canonical (replicated)
+                        # layout so restore templates, averaging, and h5
+                        # export stay layout-agnostic; fit re-shards on the
+                        # next run.
+                        from tpucap.parallel import fsdp_gather_tree
+
+                        save_state = fsdp_gather_tree(self.state, self._mesh)
+                    checkpoint_manager.save(save_state, metrics=ckpt_metrics)
+                # Keras EarlyStopping(monitor=..., mode=..., patience=N):
+                # stop once the monitor hasn't improved for N epochs. The
+                # best checkpoint is already retained by the manager, so
+                # restore_best_weights is restore-from-best.
+                if (
+                    cfg.early_stopping_patience > 0
+                    and monitor_key in epoch_metrics
+                ):
+                    val = epoch_metrics[monitor_key]
+                    improved = (
+                        val < best_val
+                        if monitor_mode == "min"
+                        else val > best_val
+                    )
+                    if improved:
+                        best_val = val
+                        epochs_since_best = 0
+                    else:
+                        epochs_since_best += 1
+                        if epochs_since_best >= cfg.early_stopping_patience:
+                            if log:
+                                log(
+                                    f"early stopping at epoch {epoch} "
+                                    f"(no {monitor_key} improvement for "
+                                    f"{epochs_since_best} epochs)"
+                                )
+                            break
         dec_params = self.state.params
         if parallelism == "fsdp":
             # The pipeline object always exposes the canonical layout;

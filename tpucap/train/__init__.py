@@ -14,6 +14,7 @@ from tpucap.train.distill import (
     distill_loss_sums,
     make_distill_step,
 )
+from tpucap.train.preemption import PreemptionGuard
 from tpucap.train.scst import make_scst_rollout, make_scst_step, scst_loss
 from tpucap.train.sequences import build_training_batch
 
@@ -27,6 +28,7 @@ __all__ = [
     "own_state",
     "train_epoch",
     "build_training_batch",
+    "PreemptionGuard",
     "make_scst_rollout",
     "make_scst_step",
     "scst_loss",
