@@ -27,14 +27,15 @@ from tpucap.config import (
 from tpucap.pipeline import CaptioningPipeline
 
 
-def _pipe():
+def _pipe(**train_overrides):
     cfg = Config(
         encoder=EncoderConfig(name="tiny_cnn", feature_dim=32),
         decoder=DecoderConfig(
             embed_dim=16, hidden_dim=16, dropout_rate=0.0
         ),
         train=TrainConfig(
-            epochs=1, batch_size=4, seed=0, learning_rate=1e-2
+            epochs=1, batch_size=4, seed=0, learning_rate=1e-2,
+            **train_overrides,
         ),
         decode=DecodeConfig(max_len=8),
     )
@@ -189,6 +190,66 @@ def test_guard_sigterm_sets_flag():
         assert not g2.fired
 
 
+def test_step_interval_checkpoint_schedule(tmp_path):
+    # 16 training rows (8 images x 2 captions) / batch 4 = 4
+    # steps/epoch, 2 epochs, every 3 steps: interval saves land
+    # mid-epoch at steps 3 and 6; epoch-boundary saves at 4 and 8 (the
+    # epoch's LAST step is never double-saved by the interval path).
+    pipe, desc, feats = _pipe(checkpoint_every_steps=3)
+    mgr = CheckpointManager(
+        str(tmp_path / "s"), best_metric=None, max_to_keep=20
+    )
+    pipe.fit(
+        desc, feats, epochs=2, batch_size=4,
+        checkpoint_manager=mgr, log=None,
+    )
+    assert mgr.all_steps() == [3, 4, 6, 8]
+    mgr.close()
+
+
+def test_step_checkpoint_rescue_dedup_and_resume(tmp_path):
+    """A preemption landing exactly on an interval-save step must not
+    double-save, and resume from the interval checkpoint is exact."""
+    pipe_a, desc, feats = _pipe()
+    pipe_a.fit(desc, feats, epochs=2, batch_size=2, log=None)
+
+    pipe_b, desc, feats = _pipe(checkpoint_every_steps=3)
+    mgr = CheckpointManager(
+        str(tmp_path / "d"), best_metric=None, max_to_keep=20
+    )
+    hist_b = pipe_b.fit(
+        desc, feats, epochs=2, batch_size=2,
+        checkpoint_manager=mgr,
+        preemption_guard=_FakeGuard(3),
+        log=None,
+    )
+    assert hist_b[-1]["preempted"] is True
+    # Step 3 was just written by the interval path; the rescue save
+    # must no-op instead of attempting a duplicate step.
+    assert mgr.all_steps() == [3]
+
+    pipe_c, desc, feats = _pipe()
+    pipe_c.fit(
+        desc, feats, epochs=2, batch_size=2,
+        checkpoint_manager=mgr, resume=True, log=None,
+    )
+    mgr.close()
+    _assert_trees_equal(_params(pipe_a), _params(pipe_c))
+
+
+def test_step_checkpoint_validations(tmp_path):
+    pipe, desc, feats = _pipe(checkpoint_every_steps=2)
+    mgr = CheckpointManager(str(tmp_path / "vv"), best_metric=None)
+    with pytest.raises(
+        NotImplementedError, match="checkpoint_every_steps"
+    ):
+        pipe.fit(
+            desc, feats, epochs=1, parallelism="tp",
+            checkpoint_manager=mgr, log=None,
+        )
+    mgr.close()
+
+
 TRAINER = r"""
 import os, sys
 import jax
@@ -294,3 +355,107 @@ def test_sigterm_end_to_end(tmp_path):
     out2, _ = proc2.communicate(timeout=120)
     assert resumed, out2
     assert proc2.returncode == 0
+
+
+TRAINER_KILL = r"""
+import os, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+sys.path.insert(0, os.environ["TPUCAP_REPO"])
+from tpucap.checkpoint import CheckpointManager
+from tpucap.config import (Config, DecodeConfig, DecoderConfig,
+                           EncoderConfig, TrainConfig)
+from tpucap.pipeline import CaptioningPipeline
+
+cfg = Config(
+    encoder=EncoderConfig(name="tiny_cnn", feature_dim=32),
+    decoder=DecoderConfig(embed_dim=16, hidden_dim=16, dropout_rate=0.0),
+    train=TrainConfig(epochs=1, batch_size=2, seed=0, learning_rate=1e-2,
+                      checkpoint_every_steps=1),
+    decode=DecodeConfig(max_len=8),
+)
+pipe = CaptioningPipeline(cfg)
+words = "a b c d e f g h".split()
+desc = {f"im{i}": [f"startseq {words[i]} {words[(i+3) % 8]} endseq"] * 2
+        for i in range(8)}
+pipe.fit_tokenizer(desc)
+pipe.build()
+rng = np.random.default_rng(1)
+feats = {k: rng.normal(size=(32,)).astype(np.float32) for k in desc}
+
+mgr = CheckpointManager(os.environ["TPUCAP_CKPT"], best_metric=None,
+                        max_to_keep=50)
+
+def slow_log(msg):
+    # Stretch epochs so the parent's SIGKILL lands mid-run.
+    print(msg, flush=True)
+    import time
+    time.sleep(0.2)
+
+hist = pipe.fit(
+    desc, feats, epochs=12, batch_size=2,
+    checkpoint_manager=mgr,
+    resume=bool(os.environ.get("TPUCAP_RESUME")),
+    log=slow_log,
+)
+mgr.close()
+print("FINAL %.10f" % hist[-1]["loss"], flush=True)
+"""
+
+
+@pytest.mark.slow
+def test_sigkill_step_checkpoint_resume(tmp_path):
+    """The feature's whole point: a HARD kill (SIGKILL — no grace, no
+    rescue save) loses < checkpoint_every_steps steps; the resumed run
+    lands on the exact same final loss as an uninterrupted one."""
+    base_env = dict(
+        os.environ,
+        TPUCAP_REPO=os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))
+        ),
+    )
+    base_env.pop("JAX_PLATFORMS", None)
+
+    env_a = dict(base_env, TPUCAP_CKPT=str(tmp_path / "ref"))
+    ra = subprocess.run(
+        [sys.executable, "-c", TRAINER_KILL], env=env_a,
+        capture_output=True, text=True, timeout=300,
+    )
+    assert ra.returncode == 0, ra.stderr[-2000:]
+    final_a = [
+        ln for ln in ra.stdout.splitlines() if ln.startswith("FINAL")
+    ][-1]
+
+    env_b = dict(base_env, TPUCAP_CKPT=str(tmp_path / "k"))
+    p = subprocess.Popen(
+        [sys.executable, "-c", TRAINER_KILL], env=env_b,
+        stdout=subprocess.PIPE, text=True,
+    )
+    while True:
+        line = p.stdout.readline()
+        assert line, "trainer exited before epoch 3"
+        if line.startswith("epoch 3:"):
+            p.send_signal(signal.SIGKILL)
+            break
+    p.wait(timeout=60)
+    assert p.returncode != 0  # hard kill, no clean exit
+
+    mgr = CheckpointManager(str(tmp_path / "k"), best_metric=None)
+    rescued = mgr.latest_step()
+    mgr.close()
+    # 4 steps/epoch, killed during/after epoch 3's log line: the
+    # per-step checkpoints mean at most 1 step of work is lost.
+    assert rescued is not None and rescued >= 12
+
+    env_b["TPUCAP_RESUME"] = "1"
+    rb = subprocess.run(
+        [sys.executable, "-c", TRAINER_KILL], env=env_b,
+        capture_output=True, text=True, timeout=300,
+    )
+    assert rb.returncode == 0, rb.stderr[-2000:]
+    assert "resumed from step" in rb.stdout
+    final_b = [
+        ln for ln in rb.stdout.splitlines() if ln.startswith("FINAL")
+    ][-1]
+    assert final_b == final_a

@@ -55,6 +55,11 @@ def _add_optimizer_flags(p):
                    help="scan each batch as N microbatches (exact "
                    "full-batch update, 1/N peak activation memory; "
                    "parallelism none|dp)")
+    p.add_argument("--checkpoint-every-steps", type=int, default=None,
+                   help="also checkpoint every N optimizer steps "
+                   "(mid-epoch; --resume restores the exact position) "
+                   "— bounds a hard kill's lost work to < N steps on "
+                   "long epochs (parallelism none|dp)")
     p.add_argument("--train-precision", default=None,
                    choices=["f32", "bf16"],
                    help="training compute dtype: f32 (default, exact "
@@ -146,6 +151,13 @@ def _build_config(args):
         if ga:
             cfg = cfg.replace(
                 train=dataclasses.replace(cfg.train, grad_accum_steps=ga)
+            )
+        ces = getattr(args, "checkpoint_every_steps", None)
+        if ces:
+            cfg = cfg.replace(
+                train=dataclasses.replace(
+                    cfg.train, checkpoint_every_steps=ces
+                )
             )
         ed = getattr(args, "ema_decay", None)
         if ed:

@@ -142,6 +142,14 @@ class TrainConfig:
     # tpucap.train.loop.accumulated_sum_grads). batch_size (per shard)
     # must divide by it. Supported by parallelism 'none' and 'dp'.
     grad_accum_steps: int = 1
+    # Step-interval checkpointing: additionally checkpoint every N
+    # optimizer steps (0 = epoch boundaries only). Mid-epoch step
+    # checkpoints carry a never-best sentinel for the tracked metric,
+    # so best-checkpoint selection stays epoch-driven; fit(resume=True)
+    # restores them at the exact epoch/batch position (the preemption
+    # machinery), bounding a hard kill's lost work to < N steps
+    # instead of an epoch. Long-epoch (COCO-scale) insurance.
+    checkpoint_every_steps: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -41,6 +41,27 @@ from tpucap.train.evaluate import evaluate_captions
 from tpucap.train.sequences import batch_iterator
 
 
+def _sentinel_save(mgr, state) -> None:
+    """Save a MID-EPOCH checkpoint (preemption rescue / step-interval):
+    an ordinary checkpoint whose tracked metric carries a never-best
+    sentinel, so best-checkpoint selection stays epoch-driven. No-op
+    when the manager already holds this exact step (e.g. a step-
+    interval save raced an epoch-boundary save)."""
+    cur = int(jax.device_get(state.step))
+    if mgr.latest_step() == cur:
+        return
+    m = None
+    key = getattr(mgr, "best_metric", None)
+    if key:
+        worst = (
+            float("inf")
+            if getattr(mgr, "best_mode", "min") == "min"
+            else float("-inf")
+        )
+        m = {key: worst}
+    mgr.save(state, metrics=m)
+
+
 class CaptioningPipeline:
     def __init__(self, config: Config, tokenizer: Tokenizer | None = None):
         self.config = config
@@ -403,7 +424,13 @@ class CaptioningPipeline:
         counter and the shuffle rng is fast-forwarded by replaying the
         consumed permutations, so the resumed trajectory is
         bit-identical to an uninterrupted run (tests/test_preemption.py;
-        parallelism none|dp, no ema)."""
+        parallelism none|dp, no ema).
+
+        ``TrainConfig.checkpoint_every_steps=N`` additionally writes a
+        mid-epoch checkpoint every N optimizer steps (never-best
+        sentinel metric; restored by ``resume=True`` at the exact
+        position) — bounds a HARD kill's lost work to < N steps on
+        long epochs, complementing the SIGTERM grace path."""
         cfg = self.config.train
         epochs = epochs or cfg.epochs
         batch_size = batch_size or cfg.batch_size
@@ -840,6 +867,16 @@ class CaptioningPipeline:
                     "resume does not restore the EMA shadow; drop "
                     "ema_decay or restart"
                 )
+        if cfg.checkpoint_every_steps > 0 and parallelism not in (
+            "none",
+            "dp",
+        ):
+            raise NotImplementedError(
+                "checkpoint_every_steps saves the canonical param "
+                f"layout mid-epoch; parallelism={parallelism!r} trains "
+                "on a transformed layout — use 'none'/'dp' (other "
+                "layouts checkpoint at epoch boundaries)"
+            )
         guard = preemption_guard
         if handle_preemption and guard is None:
             from tpucap.train import PreemptionGuard
@@ -920,6 +957,19 @@ class CaptioningPipeline:
                     # once per epoch instead.
                     for k, v in metrics.items():
                         metrics_sum[k] = metrics_sum.get(k, 0.0) + v
+                    if (
+                        checkpoint_manager is not None
+                        and cfg.checkpoint_every_steps > 0
+                        and b_i + 1 < steps_per_epoch
+                        and (epoch * steps_per_epoch + b_i + 1)
+                        % cfg.checkpoint_every_steps
+                        == 0
+                    ):
+                        # Step-interval insurance checkpoint (the
+                        # epoch's last step is covered by the epoch-
+                        # boundary save). The save's device_get syncs
+                        # dispatch — paid once per N steps by request.
+                        _sentinel_save(checkpoint_manager, self.state)
                     if guard is not None and guard.fired:
                         preempted = True
                         break
@@ -936,25 +986,7 @@ class CaptioningPipeline:
                     epoch_metrics["preempted"] = True
                     history.append(epoch_metrics)
                     if checkpoint_manager is not None:
-                        cur = int(jax.device_get(self.state.step))
-                        if checkpoint_manager.latest_step() != cur:
-                            m = None
-                            key = getattr(
-                                checkpoint_manager, "best_metric", None
-                            )
-                            if key:
-                                worst = (
-                                    float("inf")
-                                    if getattr(
-                                        checkpoint_manager,
-                                        "best_mode",
-                                        "min",
-                                    )
-                                    == "min"
-                                    else float("-inf")
-                                )
-                                m = {key: worst}
-                            checkpoint_manager.save(self.state, metrics=m)
+                        _sentinel_save(checkpoint_manager, self.state)
                     if log:
                         log(
                             f"preempted at epoch {epoch} step "
