@@ -602,6 +602,9 @@ def cmd_train(args):
         return
     print(f"trained {len(history)} epochs; final loss "
           f"{history[-1]['loss']:.4f}; checkpoints in {args.checkpoint_dir}")
+    if getattr(args, "bundle_out", None):
+        pipe.save(args.bundle_out)
+        print(f"wrote pipeline bundle to {args.bundle_out}")
     if getattr(args, "scst_epochs", 0):
         import dataclasses
 
@@ -791,6 +794,23 @@ def cmd_caption(args):
             "--method speculative needs --draft-bundle "
             "(a pipeline.save() bundle for the draft model)"
         )
+    ens_bundles = getattr(args, "ensemble_with", None) or []
+    ens_weights = None
+    if getattr(args, "ensemble_weights", None):
+        if not ens_bundles:
+            raise SystemExit("--ensemble-weights needs --ensemble-with")
+        ens_weights = [
+            float(w) for w in args.ensemble_weights.split(",")
+        ]
+        if len(ens_weights) != 1 + len(ens_bundles):
+            raise SystemExit(
+                f"{len(ens_weights)} weights for "
+                f"{1 + len(ens_bundles)} ensemble members"
+            )
+    if ens_bundles and args.method not in ("greedy", "beam"):
+        raise SystemExit(
+            "--ensemble-with supports --method greedy|beam"
+        )
     if not args.keras_h5:
         print(
             "note: no --keras-h5 given — the encoder runs with its "
@@ -812,6 +832,23 @@ def cmd_caption(args):
             f"{stats['emitted']} tokens in {stats['rounds']} rounds, "
             f"acceptance {stats['acceptance_rate']:.2%}",
             file=sys.stderr,
+        )
+    elif ens_bundles:
+        from tpucap.pipeline import CaptioningPipeline
+
+        others = [CaptioningPipeline.load(b) for b in ens_bundles]
+        # Each member encodes with ITS OWN encoder — members may use
+        # different encoder families (pooled vs spatial features).
+        feats = [
+            p.extract_features(list(args.image))
+            for p in (pipe, *others)
+        ]
+        caps = pipe.generate_ensemble(
+            feats,
+            others,
+            method=args.method,
+            beam_width=args.beam_width,
+            weights=ens_weights,
         )
     else:
         caps = pipe.caption_images(
@@ -1235,8 +1272,9 @@ def main(argv=None):
                    "exact same update, lower peak HBM; combine with "
                    "--grad-accum-steps for the biggest image batches")
     p.add_argument("--bundle-out", default=None,
-                   help="pipeline bundle dir for --finetune-encoder "
-                   "(default <checkpoint-dir>/bundle)")
+                   help="also write a pipeline.save() bundle (serve/"
+                   "ensemble/speculative input; --finetune-encoder "
+                   "defaults it to <checkpoint-dir>/bundle)")
     p.add_argument("--keras-h5", default=None,
                    help="pretrained Keras encoder weights to start "
                    "--finetune-encoder from")
@@ -1371,6 +1409,18 @@ def main(argv=None):
                    "output is token-identical to greedy on the target")
     p.add_argument("--gamma", type=int, default=4,
                    help="speculative draft length per round")
+    p.add_argument("--ensemble-with", action="append", default=None,
+                   metavar="BUNDLE",
+                   help="pipeline.save() bundle of another trained "
+                   "model (repeatable); decode combines all models' "
+                   "per-step distributions as a product of experts "
+                   "(greedy|beam). Members may use different decoder "
+                   "families/encoders but must share the tokenizer; "
+                   "each member's features come from its own encoder")
+    p.add_argument("--ensemble-weights", default=None,
+                   help="comma-separated per-model weights (first = "
+                   "the --checkpoint-dir model), normalized to sum 1; "
+                   "default uniform")
     p.add_argument("--approx-topk", action="store_true",
                    help="TPU approx_max_k for the vocab top-k (faster, "
                    "~0.95 recall per step; merge stage stays exact)")

@@ -10,6 +10,7 @@ has finished.
 
 from tpucap.decode.greedy import greedy_decode, DecodeResult
 from tpucap.decode.beam import beam_decode, BeamResult
+from tpucap.decode.ensemble import EnsembleDecoder
 from tpucap.decode.sample import sample_decode
 from tpucap.decode.speculative import speculative_greedy_decode, SpecStats
 from tpucap.decode.text import ids_to_captions
@@ -21,6 +22,7 @@ __all__ = [
     "speculative_greedy_decode",
     "DecodeResult",
     "BeamResult",
+    "EnsembleDecoder",
     "SpecStats",
     "ids_to_captions",
 ]

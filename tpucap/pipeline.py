@@ -2550,6 +2550,128 @@ class CaptioningPipeline:
             )
         return out
 
+    def generate_ensemble(
+        self,
+        features,
+        others: "Iterable[CaptioningPipeline]",
+        *,
+        method: str | None = None,
+        beam_width: int | None = None,
+        weights=None,
+    ) -> list[str]:
+        """Product-of-experts ensemble decode over this pipeline plus
+        ``others`` (the genre's standard +1-2 BLEU inference trick —
+        the NIC paper's headline numbers are 5-model ensembles): at
+        every step each model's softmax is combined as a weighted
+        geometric mean (mean of log-probs) and selection runs on the
+        combined distribution. The whole ensemble decode compiles to
+        ONE device program (decode/ensemble.py).
+
+        Models may be heterogeneous (different decoder families and/or
+        encoders) but must share the tokenizer. ``features``: one
+        shared array when all members consume the same features, or a
+        list/tuple of per-model feature arrays (e.g. pooled for a
+        merge model + spatial grid for an attention model). ``weights``
+        (optional, len M = 1 + len(others)) are normalized to sum 1;
+        default uniform. Single-member ensembles reduce exactly to
+        :meth:`generate` (tests/test_ensemble.py)."""
+        pipes = [self, *list(others)]
+        method = method or self.config.decode.method
+        if method not in ("greedy", "beam"):
+            raise ValueError(
+                f"generate_ensemble supports greedy|beam, got {method!r}"
+            )
+        beam_width = beam_width or self.config.decode.beam_width
+        for i, p in enumerate(pipes[1:], 1):
+            if p.tokenizer is None or (
+                p.tokenizer.word_index != self.tokenizer.word_index
+            ):
+                raise ValueError(
+                    f"ensemble member {i} has a different tokenizer — "
+                    "members must share the vocabulary (same word "
+                    "indices), or their per-step distributions are "
+                    "not over the same events"
+                )
+        if isinstance(features, (list, tuple)):
+            if len(features) != len(pipes):
+                raise ValueError(
+                    f"{len(features)} feature arrays for {len(pipes)} "
+                    "models (pass one ndarray to share features)"
+                )
+            feats = tuple(
+                jnp.asarray(f, p._infer_dtype())
+                for f, p in zip(features, pipes)
+            )
+        else:
+            feats = tuple(
+                jnp.asarray(features, p._infer_dtype()) for p in pipes
+            )
+        params = tuple(p._inference_params()["decoder"] for p in pipes)
+        cache_key = (
+            "ensemble",
+            method,
+            beam_width,
+            tuple(weights) if weights is not None else None,
+            tuple(id(p) for p in pipes),
+        )
+        fn = self._decode_cache.get(cache_key)
+        if fn is None:
+            from tpucap.decode import EnsembleDecoder
+
+            ens = EnsembleDecoder(
+                [p.decoder for p in pipes], weights=weights
+            )
+            start_id, end_id = self._token_ids()
+            dcfg = self.config.decode
+            matmul_precision = (
+                "highest" if self.config.precision == "f32" else "default"
+            )
+
+            if method == "greedy":
+
+                @jax.jit
+                def fn(params, features):
+                    with jax.default_matmul_precision(matmul_precision):
+                        state = ens.init_state(params, features)
+                        return greedy_decode(
+                            ens.step,
+                            params,
+                            state,
+                            start_id=start_id,
+                            end_id=end_id,
+                            max_len=dcfg.max_len,
+                            min_len=dcfg.min_len,
+                        )
+
+            else:
+
+                @jax.jit
+                def fn(params, features):
+                    with jax.default_matmul_precision(matmul_precision):
+                        state = ens.init_state(params, features)
+                        return beam_decode(
+                            ens.step,
+                            params,
+                            state,
+                            start_id=start_id,
+                            end_id=end_id,
+                            max_len=dcfg.max_len,
+                            beam_width=beam_width,
+                            min_len=dcfg.min_len,
+                            length_normalize=dcfg.length_normalize,
+                            alpha=dcfg.alpha,
+                            length_penalty=dcfg.length_penalty,
+                            approx_topk=dcfg.approx_topk,
+                            decoder=ens,
+                        )
+
+            self._decode_cache[cache_key] = fn
+        res = fn(params, feats)
+        _, end_id = self._token_ids()
+        return ids_to_captions(
+            self.tokenizer, res.tokens, res.lengths, end_id=end_id
+        )
+
     def generate_speculative(
         self,
         features,
