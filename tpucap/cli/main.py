@@ -833,6 +833,18 @@ def cmd_caption(args):
             f"acceptance {stats['acceptance_rate']:.2%}",
             file=sys.stderr,
         )
+    elif args.method == "diverse":
+        feats = pipe.extract_features(list(args.image))
+        diverse = pipe.generate_diverse(
+            feats,
+            num_groups=args.diverse_groups,
+            group_width=args.beam_width,
+            diversity=args.diversity,
+        )
+        for path, groups in zip(args.image, diverse):
+            for g, (cap, score) in enumerate(groups):
+                print(f"{path}\t[group {g} {score:.3f}] {cap}")
+        return
     elif ens_bundles:
         from tpucap.pipeline import CaptioningPipeline
 
@@ -1401,8 +1413,16 @@ def main(argv=None):
     p.add_argument("--image", nargs="+", required=True)
     p.add_argument("--checkpoint-dir", default="checkpoints")
     p.add_argument("--method", default="beam",
-                   choices=["greedy", "beam", "speculative"])
+                   choices=["greedy", "beam", "speculative", "diverse"])
     p.add_argument("--beam-width", type=int, default=3)
+    p.add_argument("--diverse-groups", type=int, default=2,
+                   help="--method diverse: number of beam groups; each "
+                   "group is --beam-width wide and prints its own "
+                   "caption line")
+    p.add_argument("--diversity", type=float, default=0.5,
+                   help="--method diverse: Hamming penalty strength "
+                   "pushing later groups off earlier groups' words "
+                   "(0 = independent exact beams)")
     p.add_argument("--draft-bundle", default=None,
                    help="pipeline.save() bundle of a cheap draft model "
                    "(same tokenizer/features) for --method speculative — "

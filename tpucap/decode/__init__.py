@@ -10,6 +10,7 @@ has finished.
 
 from tpucap.decode.greedy import greedy_decode, DecodeResult
 from tpucap.decode.beam import beam_decode, BeamResult
+from tpucap.decode.diverse import diverse_beam_decode, DiverseBeamResult
 from tpucap.decode.ensemble import EnsembleDecoder
 from tpucap.decode.sample import sample_decode
 from tpucap.decode.speculative import speculative_greedy_decode, SpecStats
@@ -18,6 +19,8 @@ from tpucap.decode.text import ids_to_captions
 __all__ = [
     "greedy_decode",
     "beam_decode",
+    "diverse_beam_decode",
+    "DiverseBeamResult",
     "sample_decode",
     "speculative_greedy_decode",
     "DecodeResult",

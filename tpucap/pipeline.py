@@ -2550,6 +2550,85 @@ class CaptioningPipeline:
             )
         return out
 
+    def generate_diverse(
+        self,
+        features,
+        *,
+        num_groups: int = 2,
+        group_width: int | None = None,
+        diversity: float = 0.5,
+    ) -> list[list[tuple[str, float]]]:
+        """Diverse beam search (decode/diverse.py): ``num_groups``
+        groups of ``group_width`` beams with a Hamming penalty of
+        strength ``diversity`` pushing later groups off earlier groups'
+        token choices — the genre-standard way to get a genuinely
+        varied candidate set (standard beam's n-best usually differ by
+        a word). Returns, per image, the best caption OF EACH GROUP in
+        group order as (caption, normalized_score) pairs; scores are
+        true log-probs under the engine's ranking function, so entries
+        are comparable with generate_n_best. ``group_width`` defaults
+        to config.decode.beam_width; diversity=0 makes every group an
+        independent exact beam search."""
+        group_width = group_width or self.config.decode.beam_width
+        params = self._inference_params()["decoder"]
+        feats = jnp.asarray(features, self._infer_dtype())
+        start_id, end_id = self._token_ids()
+        dcfg = self.config.decode
+        cache_key = ("diverse", num_groups, group_width, diversity)
+        fn = self._decode_cache.get(cache_key)
+        if fn is None:
+            from tpucap.decode import diverse_beam_decode
+
+            matmul_precision = (
+                "highest" if self.config.precision == "f32" else "default"
+            )
+
+            @jax.jit
+            def fn(params, features):
+                with jax.default_matmul_precision(matmul_precision):
+                    state = self.decoder.init_state(params, features)
+                    return diverse_beam_decode(
+                        self.decoder.step,
+                        params,
+                        state,
+                        start_id=start_id,
+                        end_id=end_id,
+                        max_len=dcfg.max_len,
+                        num_groups=num_groups,
+                        group_width=group_width,
+                        diversity=diversity,
+                        min_len=dcfg.min_len,
+                        length_normalize=dcfg.length_normalize,
+                        alpha=dcfg.alpha,
+                        length_penalty=dcfg.length_penalty,
+                        decoder=self.decoder,
+                    )
+
+            self._decode_cache[cache_key] = fn
+        res = fn(params, feats)
+        from tpucap.decode.beam import normalized_scores
+
+        tokens = np.asarray(res.tokens)  # (B, G, L)
+        lengths = np.asarray(res.lengths)
+        norm = np.asarray(
+            normalized_scores(
+                np.asarray(res.scores, np.float32),
+                lengths,
+                length_normalize=dcfg.length_normalize,
+                alpha=dcfg.alpha,
+                length_penalty=dcfg.length_penalty,
+            )
+        )
+        out = []
+        for b in range(tokens.shape[0]):
+            caps = ids_to_captions(
+                self.tokenizer, tokens[b], lengths[b], end_id=end_id
+            )
+            out.append(
+                [(cap, float(norm[b][g])) for g, cap in enumerate(caps)]
+            )
+        return out
+
     def generate_ensemble(
         self,
         features,
