@@ -833,6 +833,16 @@ def cmd_caption(args):
             f"acceptance {stats['acceptance_rate']:.2%}",
             file=sys.stderr,
         )
+    elif args.method == "mbr":
+        feats = pipe.extract_features(list(args.image))
+        caps = pipe.generate_mbr(
+            feats,
+            n_candidates=args.mbr_candidates,
+            candidates=args.mbr_from,
+            metric=args.mbr_metric,
+            beam_width=args.beam_width,
+            diversity=args.diversity,
+        )
     elif args.method == "diverse":
         feats = pipe.extract_features(list(args.image))
         diverse = pipe.generate_diverse(
@@ -1413,8 +1423,17 @@ def main(argv=None):
     p.add_argument("--image", nargs="+", required=True)
     p.add_argument("--checkpoint-dir", default="checkpoints")
     p.add_argument("--method", default="beam",
-                   choices=["greedy", "beam", "speculative", "diverse"])
+                   choices=["greedy", "beam", "speculative", "diverse",
+                            "mbr"])
     p.add_argument("--beam-width", type=int, default=3)
+    p.add_argument("--mbr-candidates", type=int, default=5,
+                   help="--method mbr: candidate pool size per image")
+    p.add_argument("--mbr-from", default="sample",
+                   choices=["sample", "beam", "diverse"],
+                   help="--method mbr: candidate pool source")
+    p.add_argument("--mbr-metric", default="cider",
+                   choices=["cider", "bleu4"],
+                   help="--method mbr: consensus utility")
     p.add_argument("--diverse-groups", type=int, default=2,
                    help="--method diverse: number of beam groups; each "
                    "group is --beam-width wide and prints its own "

@@ -12,6 +12,7 @@ from tpucap.decode.greedy import greedy_decode, DecodeResult
 from tpucap.decode.beam import beam_decode, BeamResult
 from tpucap.decode.diverse import diverse_beam_decode, DiverseBeamResult
 from tpucap.decode.ensemble import EnsembleDecoder
+from tpucap.decode.mbr import mbr_select
 from tpucap.decode.sample import sample_decode
 from tpucap.decode.speculative import speculative_greedy_decode, SpecStats
 from tpucap.decode.text import ids_to_captions
@@ -26,6 +27,7 @@ __all__ = [
     "DecodeResult",
     "BeamResult",
     "EnsembleDecoder",
+    "mbr_select",
     "SpecStats",
     "ids_to_captions",
 ]

@@ -2629,6 +2629,85 @@ class CaptioningPipeline:
             )
         return out
 
+    def generate_mbr(
+        self,
+        features,
+        *,
+        n_candidates: int = 5,
+        candidates: str = "sample",
+        metric: str = "cider",
+        beam_width: int | None = None,
+        diversity: float = 0.5,
+        temperature: float = 1.0,
+        top_k: int | None = None,
+        top_p: float | None = None,
+        seed: int = 0,
+        return_candidates: bool = False,
+    ):
+        """Minimum-Bayes-risk (consensus) decoding: generate
+        ``n_candidates`` captions per image, return the one that agrees
+        most with the rest of its pool (decode/mbr.py — the Devlin et
+        al. CIDEr-consensus construction). ``candidates`` picks the
+        pool source:
+
+        - 'sample' (default): independent sampled decodes with seeds
+          ``seed..seed+n-1`` (temperature/top_k/top_p apply) — the MBR
+          literature's pool; deterministic given ``seed``;
+        - 'beam': the n-best list of a beam of width
+          max(n_candidates, beam_width);
+        - 'diverse': diverse beam groups
+          (num_groups=n_candidates, group_width=beam_width, the given
+          ``diversity``).
+
+        Returns caption strings; ``return_candidates=True`` returns
+        ``(captions, pools)`` for inspection/error analysis."""
+        if candidates not in ("sample", "beam", "diverse"):
+            raise ValueError(
+                f"unknown candidate source {candidates!r}; "
+                "sample|beam|diverse"
+            )
+        if n_candidates < 1:
+            raise ValueError("n_candidates must be >= 1")
+        beam_width = beam_width or self.config.decode.beam_width
+        if candidates == "sample":
+            runs = [
+                self.generate(
+                    features,
+                    method="sample",
+                    temperature=temperature,
+                    top_k=top_k,
+                    top_p=top_p,
+                    seed=seed + i,
+                )
+                for i in range(n_candidates)
+            ]
+            pools = [list(caps) for caps in zip(*runs)]
+        elif candidates == "beam":
+            width = max(n_candidates, beam_width)
+            pools = [
+                [cap for cap, _ in row]
+                for row in self.generate_n_best(
+                    features, n=n_candidates, beam_width=width
+                )
+            ]
+        else:
+            pools = [
+                [cap for cap, _ in row]
+                for row in self.generate_diverse(
+                    features,
+                    num_groups=n_candidates,
+                    group_width=beam_width,
+                    diversity=diversity,
+                )
+            ]
+        from tpucap.decode import mbr_select
+
+        picks, _ = mbr_select(pools, metric=metric)
+        caps = [pool[i] for pool, i in zip(pools, picks)]
+        if return_candidates:
+            return caps, pools
+        return caps
+
     def generate_ensemble(
         self,
         features,
