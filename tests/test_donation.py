@@ -77,6 +77,37 @@ def test_donation_consumes_input_and_own_state_protects():
         np.asarray(leaf)
 
 
+def test_distill_single_device_donates():
+    """Review-found gap: make_distill_step honored donate= only on the
+    mesh branch; the single-device jit dropped it (double-allocating
+    params+opt-state every step while fit_distill paid the own_state
+    copy for nothing). The donated input must really be consumed."""
+    from tpucap.train.distill import make_distill_step
+
+    dec, params, feats, toks = _setup()
+    teacher = build_decoder(
+        "lstm1", vocab_size=50, feature_dim=32, embed_dim=16,
+        hidden_dim=16,
+    )
+    t_params = teacher.init(jax.random.key(9))
+    opt = optax.adam(1e-2)
+    step = make_distill_step(
+        teacher, dec, opt, deterministic=True, donate=True
+    )
+    plain = make_distill_step(teacher, dec, opt, deterministic=True)
+
+    s_a = TrainState.create(params, opt, jax.random.key(2))
+    s_b = own_state(TrainState.create(params, opt, jax.random.key(2)))
+    s_a, m_a = plain(s_a, t_params, feats, toks)
+    leaf = jax.tree.leaves(s_b.params)[0]
+    s_b, m_b = step(s_b, t_params, feats, toks)
+    np.testing.assert_allclose(
+        float(m_a["loss"]), float(m_b["loss"]), rtol=1e-7
+    )
+    with pytest.raises(RuntimeError):
+        np.asarray(leaf)  # input consumed -> donation is real
+
+
 def test_dp_donated_matches_single_device():
     from jax.sharding import Mesh
 

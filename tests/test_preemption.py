@@ -149,6 +149,108 @@ def test_mid_epoch_preemption_resume_is_exact(tmp_path):
     )
 
 
+def test_rescue_survives_best_metric_retention(tmp_path):
+    """Review-found bug: with best-metric retention active
+    (best_metric='val_loss', max_to_keep=N — the CLI defaults), a
+    rescue checkpoint saved with a never-best sentinel METRIC was
+    classified worst-of-N by orbax's best-fn policy and deleted inside
+    its own save call once N better checkpoints existed — preemption
+    and step-interval checkpointing silently stopped working after N
+    epochs. Rescues are now METRIC-LESS (exempt from best-N eviction)."""
+    pipe_a, desc, feats = _pipe()
+    pipe_a.fit(desc, feats, epochs=5, batch_size=4, log=None)
+
+    # 16 rows / batch 4 = 4 steps/epoch; fire after step 19 ->
+    # mid-epoch-4 rescue, with 4 finite-metric epoch saves (4,8,12,16)
+    # already competing under max_to_keep=2.
+    pipe_b, desc, feats = _pipe()
+    mgr = CheckpointManager(
+        str(tmp_path / "r"), best_metric="val_loss", max_to_keep=2
+    )
+    hist_b = pipe_b.fit(
+        desc, feats, epochs=5, batch_size=4,
+        checkpoint_manager=mgr,
+        preemption_guard=_FakeGuard(19),
+        log=None,
+    )
+    assert hist_b[-1]["preempted"] is True
+    assert mgr.latest_step() == 19  # the rescue was NOT evicted
+
+    pipe_c, desc, feats = _pipe()
+    pipe_c.fit(
+        desc, feats, epochs=5, batch_size=4,
+        checkpoint_manager=mgr, resume=True, log=None,
+    )
+    mgr.close()
+    _assert_trees_equal(_params(pipe_a), _params(pipe_c))
+
+
+def test_fsdp_rescue_saves_canonical_layout(tmp_path):
+    """Review-found gap: the preemption rescue saved the RAW
+    fsdp-sharded state (the epoch-boundary path gathers first). The
+    rescue must carry the canonical layout so it restores through the
+    standard template like any other checkpoint."""
+    pipe, desc, feats = _pipe()
+    mgr = CheckpointManager(str(tmp_path / "f"), best_metric=None)
+    hist = pipe.fit(
+        desc, feats, epochs=2, batch_size=8,
+        parallelism="fsdp",
+        checkpoint_manager=mgr,
+        preemption_guard=_FakeGuard(1),
+        log=None,
+    )
+    assert hist[-1]["preempted"] is True
+    step = mgr.latest_step()
+    assert step is not None
+    # Restores into the canonical (un-sharded) template and matches the
+    # pipeline's post-fit canonical params exactly.
+    from tpucap.train import TrainState, build_optimizer
+
+    opt = build_optimizer(pipe.config.train)
+    template = TrainState.create(
+        pipe.params["decoder"], opt, jax.random.key(0)
+    )
+    restored = mgr.restore(template, step=step)
+    mgr.close()
+    _assert_trees_equal(
+        jax.device_get(restored.params), _params(pipe)
+    )
+
+
+def test_rescue_cleanup_keeps_one(tmp_path):
+    """Metric-less rescues are exempt from best-N eviction, so
+    save_rescue bounds them itself: a new rescue deletes older
+    metric-less steps; metric-carrying (epoch-boundary) steps are never
+    touched by the sweep."""
+    import jax.numpy as jnp
+
+    from tpucap.train import TrainState
+
+    def st(s):
+        return TrainState(
+            step=jnp.asarray(s, jnp.int32),
+            params={"w": jnp.ones(2)},
+            opt_state={"m": jnp.zeros(2)},
+            rng=jax.random.key(0),
+        )
+
+    mgr = CheckpointManager(
+        str(tmp_path / "k"), best_metric="val_loss", max_to_keep=2
+    )
+    mgr.save(st(2), metrics={"val_loss": 0.5})
+    mgr.save(st(4), metrics={"val_loss": 0.4})
+    mgr.save_rescue(st(5))
+    assert mgr.all_steps() == [2, 4, 5]
+    mgr.save_rescue(st(7))  # older rescue (5) swept, boundaries kept
+    assert mgr.all_steps() == [2, 4, 7]
+    mgr.save(st(8), metrics={"val_loss": 0.3})  # best-N evicts step 2
+    assert mgr.all_steps() == [4, 7, 8]
+    # Same-step dedup: rescue at an existing latest step is a no-op.
+    mgr.save_rescue(st(8))
+    assert mgr.all_steps() == [4, 7, 8]
+    mgr.close()
+
+
 def test_resume_validations(tmp_path):
     pipe, desc, feats = _pipe()
     with pytest.raises(ValueError, match="checkpoint_manager"):

@@ -283,6 +283,72 @@ class TestContinuousBeam:
             np.asarray(scores), np.asarray(ref.scores), atol=1e-5
         )
 
+    def test_length_penalty_ranks_collect(self, pipe):
+        """Review-found bug: the engine hardcoded the 'simple' len^alpha
+        ranking in collect(), silently ignoring
+        DecodeConfig.length_penalty='gnmt' on the continuous serving
+        path. Pin the ranking deterministically: a hand-built beam state
+        where the two penalties provably pick DIFFERENT winners (lens
+        2 vs 6, scores -1.0 vs -2.4, alpha=1: simple -0.50 vs -0.40
+        picks the long beam; gnmt -0.857 vs -1.309 picks the short
+        one), collected under each penalty."""
+        import dataclasses
+
+        from tpucap.decode.continuous_beam import ContinuousBeamEngine
+
+        def make(penalty):
+            return ContinuousBeamEngine(
+                pipe.decoder, pipe.params["decoder"],
+                slots=1, beam_width=2, start_id=1, end_id=2, max_len=6,
+                feature_shape=(128,), alpha=1.0, length_penalty=penalty,
+            )
+
+        eng = make("simple")
+        st = eng.init_state()
+        # Identity backpointers: lane j's caption is words[:, j] verbatim.
+        words = jnp.stack(
+            [jnp.full((6,), 7, jnp.int32), jnp.full((6,), 9, jnp.int32)],
+            axis=1,
+        )[None]  # (1, L=6, k=2)
+        parents = jnp.broadcast_to(
+            jnp.arange(2, dtype=jnp.int32)[None, None, :], (1, 6, 2)
+        )
+        st = dataclasses.replace(
+            st,
+            words=words,
+            parents=parents,
+            lengths=jnp.asarray([[2, 6]], jnp.int32),
+            scores=jnp.asarray([[-1.0, -2.4]], jnp.float32),
+        )
+        g = jnp.asarray([0])
+        (tok_simple, len_simple, _), _ = make("simple").collect(st, g)
+        (tok_gnmt, len_gnmt, _), _ = make("gnmt").collect(st, g)
+        assert int(len_simple[0]) == 6 and int(tok_simple[0, 0]) == 9
+        assert int(len_gnmt[0]) == 2 and int(tok_gnmt[0, 0]) == 7
+
+    def test_server_plumbs_length_penalty(self, toy_corpus):
+        """ContinuousCaptionServer must hand DecodeConfig.length_penalty
+        to the beam engine (the config knob was silently dropped)."""
+        import dataclasses
+
+        cfg = Config(
+            encoder=EncoderConfig(name="tiny_cnn", feature_dim=128),
+            decoder=DecoderConfig(
+                embed_dim=8, hidden_dim=8, dropout_rate=0.0
+            ),
+            decode=DecodeConfig(max_len=8, length_penalty="gnmt"),
+        )
+        p = CaptioningPipeline(cfg)
+        tok = Tokenizer()
+        tok.fit_on_texts(toy_corpus)
+        p.tokenizer = tok
+        p.build()
+        srv = ContinuousCaptionServer(p, slots=2, beam_width=2)
+        try:
+            assert srv._engine.length_penalty == "gnmt"
+        finally:
+            srv.close()
+
     def test_staggered_admission_is_equivalent(self, pipe, rng):
         """A request admitted at tick 5 into a recycled group produces
         the SAME beams as one admitted at tick 0 — per-group state is

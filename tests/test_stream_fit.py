@@ -103,6 +103,33 @@ class TestStreamHelpers:
         )
         assert out == [x * 2 for x in range(10)]
 
+    def test_start_batch_skips_assembly(self, rng):
+        """Mid-epoch resume contract: start_batch consumes the full
+        permutation (tail batches bit-identical to the un-skipped run)
+        but assembles ZERO feature rows for the skipped prefix."""
+        n, bs = 20, 4
+        ids = [f"i{k}" for k in range(n)]
+        raw = {i: rng.normal(size=(4,)).astype(np.float32) for i in ids}
+        T = np.arange(n * 3, dtype=np.int32).reshape(n, 3)
+
+        full = list(
+            caption_batch_stream(
+                ids, T, raw, bs, rng=np.random.default_rng(7)
+            )
+        )
+        store = CountingStore(raw)
+        tail = list(
+            caption_batch_stream(
+                ids, T, store, bs,
+                rng=np.random.default_rng(7), start_batch=3,
+            )
+        )
+        assert len(tail) == len(full) - 3
+        for (gf, gt), (wf, wt) in zip(tail, full[3:]):
+            np.testing.assert_array_equal(gf, wf)
+            np.testing.assert_array_equal(gt, wt)
+        assert store.reads == (len(full) - 3) * bs
+
     def test_prefetch_propagates_worker_exception(self):
         def boom():
             yield 1
@@ -147,6 +174,65 @@ class TestStreamFit:
         assert p_mem.generate(f4) == p_str.generate(f4)
         # Rows were read per batch (3 epochs x 24 rows), never bulk.
         assert store.reads == 3 * 24
+
+    def test_stream_resume_skips_assembled_batches(
+        self, toy_corpus, rng, tmp_path
+    ):
+        """Resuming a streamed fit mid-epoch must not re-assemble the
+        already-trained prefix (the skip happens INSIDE the stream via
+        start_batch, not downstream of it) and lands on the exact
+        uninterrupted trajectory."""
+        import jax
+
+        from tpucap.checkpoint import CheckpointManager
+
+        desc, features = make_data(toy_corpus, rng)  # 24 rows
+
+        class FakeGuard:
+            def __init__(self, after):
+                self.after = after
+                self.calls = 0
+
+            @property
+            def fired(self):
+                self.calls += 1
+                return self.calls >= self.after
+
+            def __enter__(self):
+                return self
+
+            def __exit__(self, *exc):
+                return None
+
+        p_a = make_pipe(toy_corpus)
+        p_a.fit(desc, features, epochs=2, batch_size=8, log=None)
+
+        # 3 steps/epoch; fire after step 4 -> rescue mid-epoch 1.
+        mgr = CheckpointManager(str(tmp_path / "m"), best_metric=None)
+        p_b = make_pipe(toy_corpus)
+        hist_b = p_b.fit(
+            desc, features, epochs=2, batch_size=8, stream=True,
+            checkpoint_manager=mgr, preemption_guard=FakeGuard(4),
+            log=None,
+        )
+        assert hist_b[-1]["preempted"] is True
+        assert mgr.latest_step() == 4
+
+        store = CountingStore(features)
+        p_c = make_pipe(toy_corpus)
+        p_c.fit(
+            desc, store, epochs=2, batch_size=8, stream=True,
+            checkpoint_manager=mgr, resume=True, log=None,
+        )
+        mgr.close()
+        # Only the 2 remaining batches of epoch 1 were assembled.
+        assert store.reads == 2 * 8
+        for x, y in zip(
+            jax.tree.leaves(p_a.params["decoder"]),
+            jax.tree.leaves(p_c.params["decoder"]),
+            strict=True,
+        ):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
     def test_stream_with_lazy_npz(self, toy_corpus, rng, tmp_path):
         # The documented at-scale source: an uncompressed np.load handle.

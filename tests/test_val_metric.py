@@ -60,9 +60,14 @@ def test_val_metric_recorded_and_best_keyed(toy_corpus, rng, tmp_path):
     vals = [h["val_cider"] for h in hist]
     assert all(np.isfinite(v) and v >= 0.0 for v in vals)
     assert all("val_loss" in h for h in hist)
-    best_epoch = int(np.argmax(vals))
-    # Steps are 1-indexed after each epoch's single batch.
-    assert mgr.best_step() == best_epoch + 1
+    # Steps are 1-indexed after each epoch's single batch. Ties are
+    # possible on this tiny fixture (early epochs can emit identical
+    # degenerate captions -> equal CIDEr), and orbax's tie-break among
+    # equal-best steps is its own; assert the keyed step IS a best one
+    # rather than pinning argmax's first-of-ties.
+    best = mgr.best_step()
+    assert best is not None
+    np.testing.assert_allclose(vals[best - 1], max(vals), rtol=1e-12)
     mgr.close()
 
 

@@ -73,6 +73,31 @@ class CheckpointManager:
         if not self._async:
             self._mgr.wait_until_finished()
 
+    def save_rescue(self, state: TrainState) -> None:
+        """Mid-epoch rescue / step-interval checkpoint. Saved WITHOUT
+        metrics: orbax's best-metric retention can then neither select
+        it as best nor delete it (``keep_checkpoints_without_metrics``,
+        the default, exempts metric-less steps from best-N eviction —
+        a never-best sentinel metric does NOT survive, it is classified
+        worst-of-N and deleted inside the very save call once
+        ``max_to_keep`` better checkpoints exist). Metric-less steps are
+        exempt from eviction, so they would accumulate; this method
+        bounds them to ONE by deleting older metric-less steps after the
+        new save lands (epoch-boundary saves always carry metrics and
+        are never touched). No-op when the manager already holds this
+        exact step (a step-interval save racing an epoch-boundary
+        save)."""
+        step = int(jax.device_get(state.step))
+        if self.latest_step() == step:
+            return
+        self.save(state, metrics=None)
+        if self.best_metric:
+            self.wait()
+            for s in self._mgr.all_steps():
+                s = int(s)
+                if s < step and self._mgr.metrics(s) is None:
+                    self._mgr.delete(s)
+
     def save_sharded(
         self, state: TrainState, metrics: dict | None = None
     ) -> None:

@@ -600,8 +600,17 @@ def cmd_train(args):
             f"(checkpoints in {args.checkpoint_dir})"
         )
         return
-    print(f"trained {len(history)} epochs; final loss "
-          f"{history[-1]['loss']:.4f}; checkpoints in {args.checkpoint_dir}")
+    if not history:
+        # --resume on a run that already finished (or --epochs lowered
+        # below the restored step count): zero epochs remained to train.
+        print(
+            "nothing to train: the restored checkpoint already covers "
+            f"the requested epochs; checkpoints in {args.checkpoint_dir}"
+        )
+    else:
+        print(f"trained {len(history)} epochs; final loss "
+              f"{history[-1]['loss']:.4f}; checkpoints in "
+              f"{args.checkpoint_dir}")
     if getattr(args, "bundle_out", None):
         pipe.save(args.bundle_out)
         print(f"wrote pipeline bundle to {args.bundle_out}")

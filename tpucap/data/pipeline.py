@@ -109,6 +109,7 @@ def caption_batch_stream(
     *,
     rng=None,
     drop_remainder: bool = True,
+    start_batch: int = 0,
 ) -> Iterator[tuple[np.ndarray, np.ndarray]]:
     """Streaming (features, tokens) minibatches: feature rows are
     assembled PER BATCH by indexing ``features[row_ids[i]]`` — pass a
@@ -123,7 +124,14 @@ def caption_batch_stream(
     ``train.sequences.batch_iterator`` — one ``rng.shuffle(arange(n))``
     per call — so a streamed epoch visits batches in the IDENTICAL
     order as the in-memory path under the same seed (pinned in
-    tests/test_stream_fit.py)."""
+    tests/test_stream_fit.py).
+
+    ``start_batch`` skips the first N batches WITHOUT assembling them
+    (the mid-epoch resume path: the permutation is still consumed in
+    full, so batch ``start_batch`` is bit-identical to the batch the
+    un-skipped epoch would have yielded at that index — but the skipped
+    batches cost zero disk reads / stacking / H2D instead of a
+    near-epoch of input-pipeline work on a COCO-scale resume)."""
     n = len(row_ids)
     if tokens.shape[0] != n:
         raise ValueError(
@@ -133,7 +141,7 @@ def caption_batch_stream(
     if rng is not None:
         rng.shuffle(idx)
     end = (n // batch_size) * batch_size if drop_remainder else n
-    for s in range(0, end, batch_size):
+    for s in range(start_batch * batch_size, end, batch_size):
         sel = idx[s : s + batch_size]
         feats = np.stack(
             [np.asarray(features[row_ids[i]]) for i in sel]

@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tpucap.decode.beam import NEG_INF
+from tpucap.decode.beam import NEG_INF, normalized_scores
 from tpucap.decode.continuous import (
     AdmissionMixin,
     _bucket_ladder,
@@ -73,6 +73,7 @@ class ContinuousBeamEngine(AdmissionMixin):
         pad_id: int = 0,
         length_normalize: bool = True,
         alpha: float = 1.0,
+        length_penalty: str = "simple",
         approx_topk: bool = False,
         feature_shape: tuple | None = None,
         feature_dtype=jnp.float32,
@@ -88,6 +89,7 @@ class ContinuousBeamEngine(AdmissionMixin):
         self.pad_id = pad_id
         self.length_normalize = length_normalize
         self.alpha = alpha
+        self.length_penalty = length_penalty
         self.approx_topk = approx_topk
         self.feature_shape = feature_shape or (decoder.feature_dim,)
         self.feature_dtype = feature_dtype
@@ -410,12 +412,15 @@ class ContinuousBeamEngine(AdmissionMixin):
         _, toks_rev = jax.lax.scan(back, init_ptr, (w_rev, p_rev))
         tokens = jnp.moveaxis(toks_rev[::-1], 0, -1)  # (K, k, L)
 
-        if self.length_normalize:
-            norm = scores / jnp.maximum(lengths, 1).astype(
-                scores.dtype
-            ) ** self.alpha
-        else:
-            norm = scores
+        # Rank through the engines' shared helper so the served winner
+        # matches generate/n-best/evaluate under every penalty config.
+        norm = normalized_scores(
+            scores,
+            lengths,
+            length_normalize=self.length_normalize,
+            alpha=self.alpha,
+            length_penalty=self.length_penalty,
+        )
         best = jnp.argmax(norm, axis=1)
         pick = lambda arr: jnp.take_along_axis(
             arr, best.reshape((K,) + (1,) * (arr.ndim - 1)), axis=1

@@ -43,23 +43,22 @@ from tpucap.train.sequences import batch_iterator
 
 def _sentinel_save(mgr, state) -> None:
     """Save a MID-EPOCH checkpoint (preemption rescue / step-interval):
-    an ordinary checkpoint whose tracked metric carries a never-best
-    sentinel, so best-checkpoint selection stays epoch-driven. No-op
-    when the manager already holds this exact step (e.g. a step-
-    interval save raced an epoch-boundary save)."""
+    a METRIC-LESS checkpoint, so best-checkpoint selection stays
+    epoch-driven AND retention cannot evict it (a never-best sentinel
+    metric would be classified worst-of-N by orbax's best-fn retention
+    and deleted inside the save call once max_to_keep better
+    checkpoints exist — the rescue must instead be exempt from the
+    metric policy entirely; CheckpointManager.save_rescue owns that
+    plus the one-rescue-at-a-time cleanup)."""
+    if hasattr(mgr, "save_rescue"):
+        mgr.save_rescue(state)
+        return
+    # Duck-typed managers (tests): plain metric-less save with the same
+    # same-step dedup.
     cur = int(jax.device_get(state.step))
     if mgr.latest_step() == cur:
         return
-    m = None
-    key = getattr(mgr, "best_metric", None)
-    if key:
-        worst = (
-            float("inf")
-            if getattr(mgr, "best_mode", "min") == "min"
-            else float("-inf")
-        )
-        m = {key: worst}
-    mgr.save(state, metrics=m)
+    mgr.save(state, metrics=None)
 
 
 class CaptioningPipeline:
@@ -916,6 +915,7 @@ class CaptioningPipeline:
             for epoch in range(start_epoch, epochs):
                 metrics_sum: dict = {}
                 n = 0
+                skip = resume_batch if epoch == start_epoch else 0
                 if stream:
                     from tpucap.data.pipeline import (
                         caption_batch_stream,
@@ -926,25 +926,41 @@ class CaptioningPipeline:
                     # device placement run on the prefetch thread — both
                     # overlap the device step. caption_batch_stream consumes
                     # rng exactly like batch_iterator (one shuffle/epoch),
-                    # so the two paths see identical batch orders.
-                    batch_src = prefetch_iterator(
-                        caption_batch_stream(
-                            stream_ids, T, features, batch_size, rng=rng
+                    # so the two paths see identical batch orders. A
+                    # mid-epoch resume skips the already-trained batches
+                    # INSIDE the stream (start_batch) so they cost no
+                    # disk reads / stacking / H2D — only the permutation
+                    # is consumed.
+                    batch_src = enumerate(
+                        prefetch_iterator(
+                            caption_batch_stream(
+                                stream_ids,
+                                T,
+                                features,
+                                batch_size,
+                                rng=rng,
+                                start_batch=skip,
+                            ),
+                            depth=prefetch,
+                            transform=(
+                                (lambda b: shard_batch(self._mesh, b))
+                                if data_parallel
+                                else None
+                            ),
                         ),
-                        depth=prefetch,
-                        transform=(
-                            (lambda b: shard_batch(self._mesh, b))
-                            if data_parallel
-                            else None
-                        ),
+                        start=skip,
                     )
                 else:
-                    batch_src = batch_iterator((F, T), batch_size, rng=rng)
-                skip = resume_batch if epoch == start_epoch else 0
-                for b_i, (bf, bt) in enumerate(batch_src):
+                    batch_src = enumerate(
+                        batch_iterator((F, T), batch_size, rng=rng)
+                    )
+                for b_i, (bf, bt) in batch_src:
                     if b_i < skip:
-                        # Resumed mid-epoch: the permutation was already
-                        # consumed; these batches already trained.
+                        # Resumed mid-epoch (in-memory path): the
+                        # permutation was already consumed; these
+                        # batches already trained. In-memory slicing is
+                        # cheap — no assembly is saved by skipping
+                        # earlier.
                         continue
                     if data_parallel and not stream:
                         bf, bt = shard_batch(self._mesh, (bf, bt))
@@ -986,7 +1002,19 @@ class CaptioningPipeline:
                     epoch_metrics["preempted"] = True
                     history.append(epoch_metrics)
                     if checkpoint_manager is not None:
-                        _sentinel_save(checkpoint_manager, self.state)
+                        rescue_state = self.state
+                        if parallelism == "fsdp":
+                            # Same canonical-layout contract as the
+                            # epoch-boundary save below: gather the
+                            # shards first — a raw sharded rescue would
+                            # crash device_get on a multi-process mesh
+                            # inside the SIGTERM grace window.
+                            from tpucap.parallel import fsdp_gather_tree
+
+                            rescue_state = fsdp_gather_tree(
+                                self.state, self._mesh
+                            )
+                        _sentinel_save(checkpoint_manager, rescue_state)
                     if log:
                         log(
                             f"preempted at epoch {epoch} step "

@@ -508,6 +508,7 @@ class ContinuousCaptionServer:
                 beam_width=beam_width,
                 length_normalize=dcfg.length_normalize,
                 alpha=dcfg.alpha,
+                length_penalty=dcfg.length_penalty,
                 approx_topk=dcfg.approx_topk,
                 **engine_kw,
             )

@@ -207,7 +207,7 @@ def make_distill_step(
         return new_state, metrics
 
     if mesh is None:
-        return jax.jit(body)
+        return jax.jit(body, donate_argnums=(0,) if donate else ())
     sharded = shard_map(
         body,
         mesh=mesh,
