@@ -337,3 +337,65 @@ def test_cli_evaluate_dump_captions(tmp_path):
         {"image_id", "caption", "references", "bleu4"} <= set(r)
         for r in rows
     )
+
+
+def test_cli_karpathy_json_workflow(tmp_path, capsys):
+    """--karpathy-json replaces --tokens/--split files: train reads the
+    'train' split (--val-split names the 'val' split), evaluate defaults
+    to the 'test' split."""
+    img_dir, token_file, train_file, test_file = generate_fixture_dataset(
+        tmp_path, n_images=8, image_size=32, seed=5
+    )
+    from tpucap.data import load_descriptions, load_split
+
+    desc = load_descriptions(token_file)
+    train_ids = load_split(train_file)
+    test_ids = load_split(test_file)
+    val_ids = train_ids[-2:]
+    splits = {
+        i: ("val" if i in val_ids else "train") for i in train_ids
+    } | {i: "test" for i in test_ids}
+    kj = tmp_path / "dataset_fixture.json"
+    kj.write_text(json.dumps({
+        "dataset": "fixture",
+        "images": [
+            {
+                "filename": f"{i}.jpg",
+                "split": splits[i],
+                "sentences": [{"raw": c, "tokens": c.split()} for c in caps],
+            }
+            for i, caps in desc.items() if i in splits
+        ],
+    }))
+
+    feats = str(tmp_path / "features.npz")
+    ckpt = str(tmp_path / "ckpt")
+    common = ["--encoder", "tiny_cnn", "--max-len", "12"]
+
+    main(["extract", *common, "--images", str(img_dir), "--out", feats,
+          "--batch-size", "4"])
+    capsys.readouterr()
+
+    main(["train", *common, "--karpathy-json", str(kj),
+          "--val-split", "val", "--features", feats,
+          "--checkpoint-dir", ckpt, "--epochs", "2", "--batch-size", "4"])
+    out = capsys.readouterr().out
+    assert "trained 2 epochs" in out
+
+    main(["evaluate", *common, "--karpathy-json", str(kj),
+          "--features", feats, "--checkpoint-dir", ckpt,
+          "--method", "greedy", "--batch-size", "4"])
+    out = capsys.readouterr().out
+    scores = json.loads(out.strip().splitlines()[-1])
+    assert "bleu4" in scores
+
+    # Unknown split name fails loudly.
+    with pytest.raises(SystemExit, match="not a split"):
+        main(["evaluate", *common, "--karpathy-json", str(kj),
+              "--split", "dev", "--features", feats,
+              "--checkpoint-dir", ckpt, "--batch-size", "4"])
+
+    # Neither --tokens nor --karpathy-json fails loudly.
+    with pytest.raises(SystemExit, match="--tokens"):
+        main(["train", *common, "--features", feats,
+              "--checkpoint-dir", ckpt, "--epochs", "1"])

@@ -92,3 +92,61 @@ def test_coco_annotations_parser(tmp_path):
         "feline resting",
     ]
     assert out["COCO_val2014_000000000007"] == ["a dog"]
+
+
+def test_karpathy_json_parser(tmp_path):
+    import json
+
+    from tpucap.data import load_karpathy_json
+
+    payload = {
+        "dataset": "flickr8k",
+        "images": [
+            {
+                "filename": "100.jpg",
+                "split": "train",
+                "sentences": [
+                    {"raw": "A dog runs.", "tokens": ["a", "dog", "runs"]},
+                    {"raw": "", "tokens": ["the", "dog"]},  # raw fallback
+                ],
+            },
+            {
+                "filename": "200.jpg",
+                "split": "val",
+                "sentences": [{"raw": "Two cats.", "tokens": ["two", "cats"]}],
+            },
+            {
+                "filename": "300.jpg",
+                "split": "test",
+                "sentences": [{"raw": "A bird.", "tokens": ["a", "bird"]}],
+            },
+            {
+                "filename": "400.jpg",
+                "split": "restval",
+                "sentences": [{"raw": "A fish.", "tokens": ["a", "fish"]}],
+            },
+        ],
+    }
+    p = tmp_path / "dataset_flickr8k.json"
+    p.write_text(json.dumps(payload))
+
+    desc, splits = load_karpathy_json(p)
+    assert desc["100"] == ["A dog runs.", "the dog"]  # raw + token fallback
+    assert desc["200"] == ["Two cats."]
+    # restval folds into train by default (the 113k-COCO convention) ...
+    assert splits["train"] == ["100", "400"]
+    assert splits["val"] == ["200"]
+    assert splits["test"] == ["300"]
+    # ... and stays separate when asked.
+    _, raw_splits = load_karpathy_json(p, restval_to_train=False)
+    assert raw_splits["train"] == ["100"]
+    assert raw_splits["restval"] == ["400"]
+
+    # The split ids feed prepare_descriptions like any split file's.
+    from tpucap.data import prepare_descriptions
+
+    prepared = prepare_descriptions(desc, splits["train"])
+    assert set(prepared) == {"100", "400"}
+    for caps in prepared.values():
+        for c in caps:
+            assert c.startswith("startseq ") and c.endswith(" endseq")

@@ -296,9 +296,35 @@ def cmd_extract(args):
     print(f"wrote {len(ids)} features to {args.out}")
 
 
-def _load_dataset(args):
+_KARPATHY_CACHE: dict = {}
+
+
+def _karpathy(path):
+    """Parse (and cache — COCO's dataset json is ~100 MB and the train
+    command reads it for both the train and val splits) a Karpathy
+    dataset JSON."""
+    if path not in _KARPATHY_CACHE:
+        from tpucap.data import load_karpathy_json
+
+        _KARPATHY_CACHE[path] = load_karpathy_json(path)
+    return _KARPATHY_CACHE[path]
+
+
+def _load_dataset(args, default_split: str = "train"):
     from tpucap.data import load_descriptions, load_split, prepare_descriptions
 
+    kj = getattr(args, "karpathy_json", None)
+    if kj:
+        desc, splits = _karpathy(kj)
+        name = args.split or default_split
+        if name not in splits:
+            raise SystemExit(
+                f"--split {name!r} is not a split in {kj} "
+                f"(have {sorted(splits)})"
+            )
+        return prepare_descriptions(desc, splits[name])
+    if not args.tokens:
+        raise SystemExit("need --tokens FILE (or --karpathy-json JSON)")
     desc = load_descriptions(args.tokens)
     split_ids = load_split(args.split) if args.split else None
     return prepare_descriptions(desc, split_ids)
@@ -530,9 +556,23 @@ def cmd_train(args):
     if getattr(args, "val_split", None):
         from tpucap.data import load_descriptions, load_split, prepare_descriptions
 
-        val_prepared = prepare_descriptions(
-            load_descriptions(args.tokens), load_split(args.val_split)
-        )
+        kj = getattr(args, "karpathy_json", None)
+        if kj:
+            # With --karpathy-json, --val-split names a split in the
+            # JSON (normally "val") instead of a split file.
+            desc, splits = _karpathy(kj)
+            if args.val_split not in splits:
+                raise SystemExit(
+                    f"--val-split {args.val_split!r} is not a split in "
+                    f"{kj} (have {sorted(splits)})"
+                )
+            val_prepared = prepare_descriptions(
+                desc, splits[args.val_split]
+            )
+        else:
+            val_prepared = prepare_descriptions(
+                load_descriptions(args.tokens), load_split(args.val_split)
+            )
         val_data = (val_prepared, features)
 
     best_metric, best_mode = _monitor_keying(args)
@@ -903,7 +943,7 @@ def cmd_evaluate(args):
             "choose from bleu,cider,rouge_l,meteor"
         )
     pipe = _restore_pipeline(args)
-    prepared = _load_dataset(args)
+    prepared = _load_dataset(args, default_split="test")
     features = dict(np.load(args.features))
     dump = getattr(args, "dump_captions", None)
     out = pipe.evaluate(
@@ -1269,7 +1309,12 @@ def main(argv=None):
 
     p = sub.add_parser("train", help="train a caption decoder")
     _add_common_model_flags(p)
-    p.add_argument("--tokens", required=True)
+    p.add_argument("--tokens", required=False, default=None,
+                   help="Flickr8k token file (or use --karpathy-json)")
+    p.add_argument("--karpathy-json", default=None,
+                   help="Karpathy dataset_*.json with embedded splits; "
+                   "--split/--val-split then name splits "
+                   "(train|val|test) instead of files")
     p.add_argument("--split", default=None)
     p.add_argument("--val-split", default=None,
                    help="dev-split id file; enables val_loss best-"
@@ -1394,7 +1439,12 @@ def main(argv=None):
     )
     p.add_argument("--teacher-bundle", required=True,
                    help="pipeline.save() bundle of the trained teacher")
-    p.add_argument("--tokens", required=True)
+    p.add_argument("--tokens", required=False, default=None,
+                   help="Flickr8k token file (or use --karpathy-json)")
+    p.add_argument("--karpathy-json", default=None,
+                   help="Karpathy dataset_*.json with embedded splits; "
+                   "--split/--val-split then name splits "
+                   "(train|val|test) instead of files")
     p.add_argument("--split", default=None)
     p.add_argument("--features", required=True,
                    help="precomputed-features .npz (the teacher's "
@@ -1484,7 +1534,12 @@ def main(argv=None):
     )
     _add_common_model_flags(p)
     _add_optimizer_flags(p)
-    p.add_argument("--tokens", required=True)
+    p.add_argument("--tokens", required=False, default=None,
+                   help="Flickr8k token file (or use --karpathy-json)")
+    p.add_argument("--karpathy-json", default=None,
+                   help="Karpathy dataset_*.json with embedded splits; "
+                   "--split/--val-split then name splits "
+                   "(train|val|test) instead of files")
     p.add_argument("--split", default=None)
     p.add_argument("--features", required=True)
     p.add_argument("--checkpoint-dir", default="checkpoints")

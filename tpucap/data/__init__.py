@@ -6,7 +6,10 @@ from tpucap.data.preprocess import (
     preprocess_batch,
 )
 from tpucap.data.flickr8k import (
+    load_coco_annotations,
     load_descriptions,
+    load_descriptions_json,
+    load_karpathy_json,
     load_split,
     prepare_descriptions,
 )
@@ -19,7 +22,10 @@ __all__ = [
     "preprocess_input",
     "load_image",
     "preprocess_batch",
+    "load_coco_annotations",
     "load_descriptions",
+    "load_descriptions_json",
+    "load_karpathy_json",
     "load_split",
     "prepare_descriptions",
     "generate_fixture_dataset",

@@ -57,6 +57,39 @@ def load_coco_annotations(path) -> dict[str, list[str]]:
     return out
 
 
+def load_karpathy_json(
+    path, *, restval_to_train: bool = True
+) -> tuple[dict[str, list[str]], dict[str, list[str]]]:
+    """Parse a Karpathy-format dataset JSON — the standard
+    ``dataset_{flickr8k,flickr30k,coco}.json`` caption-split artifact
+    the captioning literature trains against:
+    ``{"images": [{"filename", "split", "sentences": [{"raw",
+    "tokens"}, ...]}, ...]}``.
+
+    Returns ``(descriptions, splits)``: ``{stem: [raw captions]}`` plus
+    ``{"train"|"val"|"test": [stems]}``. COCO's ``restval`` images fold
+    into train (the convention most papers use for the 113k-train
+    setting) unless ``restval_to_train=False``, which keeps them under
+    their own ``"restval"`` key. Caption text prefers each sentence's
+    ``raw`` field, falling back to ``" ".join(tokens)``; image ids are
+    the filename stem, like every other loader here."""
+    with open(path) as f:
+        payload = json.load(f)
+    desc: dict[str, list[str]] = {}
+    splits: dict[str, list[str]] = {"train": [], "val": [], "test": []}
+    for img in payload.get("images", []):
+        stem = str(img["filename"]).rsplit(".", 1)[0]
+        desc[stem] = [
+            s["raw"] if s.get("raw") else " ".join(s.get("tokens", []))
+            for s in img.get("sentences", [])
+        ]
+        split = str(img.get("split", "train"))
+        if split == "restval" and restval_to_train:
+            split = "train"
+        splits.setdefault(split, []).append(stem)
+    return desc, splits
+
+
 def load_split(split_file) -> list[str]:
     """Parse a split file -> list of image ids."""
     ids = []
