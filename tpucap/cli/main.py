@@ -116,9 +116,32 @@ def _add_common_model_flags(p):
     p.add_argument("--min-len", type=int, default=0,
                    help="length floor: endseq blocked until this many "
                    "tokens are generated (0 = off)")
+    p.add_argument("--bad-words", default=None,
+                   help="comma-separated words that must never be "
+                   "generated (or @FILE with one word per line) — the "
+                   "production blocklist control; applies to "
+                   "greedy/beam/sample/diverse, TP decode, and the "
+                   "serving engines")
     p.add_argument("--preset", default=None,
                    help="config preset name (config1..config5), overrides "
                    "encoder/decoder flags")
+
+
+def _parse_bad_words(spec) -> tuple:
+    """--bad-words 'w1,w2' or '@FILE' (one word per line, # comments)
+    -> tuple for DecodeConfig.bad_words."""
+    if not spec:
+        return ()
+    if spec.startswith("@"):
+        with open(spec[1:]) as f:
+            words = [
+                ln.strip()
+                for ln in f
+                if ln.strip() and not ln.lstrip().startswith("#")
+            ]
+    else:
+        words = [w.strip() for w in spec.split(",") if w.strip()]
+    return tuple(words)
 
 
 def _build_config(args):
@@ -237,6 +260,7 @@ def _build_config(args):
             beam_width=getattr(args, "beam_width", 3),
             max_len=args.max_len,
             min_len=getattr(args, "min_len", 0) or 0,
+            bad_words=_parse_bad_words(getattr(args, "bad_words", None)),
             length_penalty=getattr(args, "length_penalty", None)
             or "simple",
             approx_topk=getattr(args, "approx_topk", False),

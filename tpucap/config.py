@@ -76,6 +76,13 @@ class DecodeConfig:
     # the merge stage stays exact). Faster at large vocab, ~0.95 recall
     # per step — captions may rarely differ from the exact engine.
     approx_topk: bool = False
+    # Words that must never be generated (the production profanity /
+    # blocklist control): excluded from the candidate vocabulary at
+    # every decode step of greedy/beam/sample/diverse and the TP
+    # vocab-sharded scorer. Lowercased against the tokenizer vocabulary;
+    # out-of-vocabulary entries are ignored (they can never be
+    # generated anyway). Static — part of the compiled program.
+    bad_words: tuple = ()
 
 
 @dataclasses.dataclass(frozen=True)

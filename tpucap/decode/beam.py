@@ -69,6 +69,18 @@ def normalized_scores(
     return scores / denom
 
 
+def apply_banned(masked, banned_ids):
+    """Exclude ``banned_ids`` (a STATIC tuple of token ids — part of the
+    compiled program, like pad_id) from the candidate vocabulary.
+    Selection-only, the same convention as the pad/min_len masks: the
+    softmax normalizer is computed from the raw logits, so scores stay
+    true log-probs under the full softmax."""
+    if not banned_ids:
+        return masked
+    ids = jnp.asarray(tuple(banned_ids), jnp.int32)
+    return masked.at[:, ids].set(jnp.asarray(NEG_INF, masked.dtype))
+
+
 def _shared_keys(decoder_or_none, state) -> frozenset:
     """Top-level state keys that are per-image constants (identical across
     a beam's hypotheses) — e.g. the attention decoder's feature grids. They
@@ -124,6 +136,7 @@ def beam_decode(
     beam_width: int,
     pad_id: int = 0,
     min_len: int = 0,
+    banned_ids: tuple = (),
     length_normalize: bool = True,
     alpha: float = 1.0,
     length_penalty: str = "simple",
@@ -148,7 +161,7 @@ def beam_decode(
     be sorted the way ``lax.top_k`` sorts (score desc, index-ordered ties,
     grouped so that candidate order within a beam follows ascending global
     word index on ties) and must already exclude ``pad_id`` (and honor
-    ``min_len`` via the step index ``t``). Used by the
+    ``min_len`` via the step index ``t`` and ``banned_ids``). Used by the
     tensor-parallel engine to plug in vocab-sharded scoring while sharing
     this loop's bookkeeping, backpointers, and reconstruction.
 
@@ -180,6 +193,9 @@ def beam_decode(
             masked = logits.at[:, pad_id].set(
                 jnp.asarray(NEG_INF, logits.dtype)
             )
+            # Banned words (DecodeConfig.bad_words) leave the candidate
+            # set entirely; selection-only like pad (lse untouched).
+            masked = apply_banned(masked, banned_ids)
             if min_len:
                 # Length floor: endseq leaves the candidate set while
                 # t < min_len. Masked BEFORE stage-1 top-k so the slot

@@ -117,6 +117,8 @@ class ContinuousDecodeEngine(AdmissionMixin):
         end_id: int,
         max_len: int,
         pad_id: int = 0,
+        min_len: int = 0,
+        banned_ids: tuple = (),
         feature_shape: tuple | None = None,
         feature_dtype=jnp.float32,
         matmul_precision: str = "default",
@@ -128,6 +130,8 @@ class ContinuousDecodeEngine(AdmissionMixin):
         self.end_id = end_id
         self.max_len = max_len
         self.pad_id = pad_id
+        self.min_len = min_len
+        self.banned_ids = tuple(banned_ids)
         self.feature_shape = feature_shape or (decoder.feature_dim,)
         self.feature_dtype = feature_dtype
         # 'highest' mirrors pipeline._decode_fn's precision='f32'
@@ -189,6 +193,19 @@ class ContinuousDecodeEngine(AdmissionMixin):
                 )
             logits = logits.astype(jnp.float32)
             masked = logits.at[:, self.pad_id].set(-jnp.inf)
+            if self.banned_ids:
+                from tpucap.decode.beam import apply_banned
+
+                masked = apply_banned(masked, self.banned_ids)
+            if self.min_len:
+                # Length floor (greedy.py min_len semantics, per lane:
+                # a lane's step index IS its emitted length): endseq is
+                # excluded from the argmax while lengths < min_len; lse
+                # stays the full-softmax normalizer.
+                floor = masked.at[:, self.end_id].set(-jnp.inf)
+                masked = jnp.where(
+                    (state.lengths < self.min_len)[:, None], floor, masked
+                )
             lse = jax.scipy.special.logsumexp(logits, axis=-1)
             nxt = jnp.argmax(masked, axis=-1).astype(jnp.int32)
             tok_logp = (

@@ -71,6 +71,8 @@ class ContinuousBeamEngine(AdmissionMixin):
         end_id: int,
         max_len: int,
         pad_id: int = 0,
+        min_len: int = 0,
+        banned_ids: tuple = (),
         length_normalize: bool = True,
         alpha: float = 1.0,
         length_penalty: str = "simple",
@@ -87,6 +89,8 @@ class ContinuousBeamEngine(AdmissionMixin):
         self.end_id = end_id
         self.max_len = max_len
         self.pad_id = pad_id
+        self.min_len = min_len
+        self.banned_ids = tuple(banned_ids)
         self.length_normalize = length_normalize
         self.alpha = alpha
         self.length_penalty = length_penalty
@@ -230,6 +234,22 @@ class ContinuousBeamEngine(AdmissionMixin):
             masked = logits.at[:, self.pad_id].set(
                 jnp.asarray(NEG_INF, logits.dtype)
             )
+            if self.banned_ids:
+                from tpucap.decode.beam import apply_banned
+
+                masked = apply_banned(masked, self.banned_ids)
+            if self.min_len:
+                # Length floor (beam.py min_len semantics, per GROUP:
+                # a group's step counter t is its emitted length):
+                # endseq leaves the candidate set while t < min_len,
+                # masked BEFORE stage-1 top-k; lse stays full-softmax.
+                blocked = masked.at[:, self.end_id].set(
+                    jnp.asarray(NEG_INF, masked.dtype)
+                )
+                lane_t = jnp.repeat(state.t, k)  # (R*k,)
+                masked = jnp.where(
+                    (lane_t < self.min_len)[:, None], blocked, masked
+                )
             if self.approx_topk:
                 pb_vals, pb_words = jax.lax.approx_max_k(masked, k)
             else:

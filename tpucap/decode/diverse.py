@@ -44,6 +44,7 @@ from tpucap.decode.beam import (
     _gather_beams,
     _shared_keys,
     _tile_state,
+    apply_banned,
     normalized_scores,
 )
 
@@ -76,6 +77,7 @@ def diverse_beam_decode(
     diversity: float = 0.5,
     pad_id: int = 0,
     min_len: int = 0,
+    banned_ids: tuple = (),
     length_normalize: bool = True,
     alpha: float = 1.0,
     length_penalty: str = "simple",
@@ -123,6 +125,7 @@ def diverse_beam_decode(
             logits.astype(jnp.float32), axis=-1
         ).reshape(B, G, kg)
         masked = logits.at[:, pad_id].set(jnp.asarray(NEG_INF, logits.dtype))
+        masked = apply_banned(masked, banned_ids)
         if min_len:
             blocked = masked.at[:, end_id].set(
                 jnp.asarray(NEG_INF, masked.dtype)

@@ -72,6 +72,7 @@ def greedy_decode(
     max_len: int,
     pad_id: int = 0,
     min_len: int = 0,
+    banned_ids: tuple = (),
     decoder=None,  # accepted for interface parity with beam_decode (unused)
     unroll: int = 1,
 ) -> DecodeResult:
@@ -102,6 +103,12 @@ def greedy_decode(
         # correction — avoids materializing the full log-prob array.
         logits = logits.astype(jnp.float32)
         masked = logits.at[:, pad_id].set(-jnp.inf)
+        if banned_ids:
+            # Banned words (DecodeConfig.bad_words): out of the argmax,
+            # selection-only like pad — the lse below stays full-softmax.
+            from tpucap.decode.beam import apply_banned
+
+            masked = apply_banned(masked, banned_ids)
         if min_len:
             # Length floor (see beam.py): endseq excluded from the
             # argmax while t < min_len; the score stays the chosen

@@ -31,6 +31,7 @@ def sample_decode(
     repetition_penalty: float = 1.0,
     pad_id: int = 0,
     min_len: int = 0,
+    banned_ids: tuple = (),
 ) -> DecodeResult:
     """Ancestral sampling with optional temperature, top-k truncation,
     and top-p (nucleus) truncation — applied in that order, the
@@ -73,6 +74,13 @@ def sample_decode(
         t, tokens, state, last, done, lengths, scores, seen, key = carry
         logits, new_state = step_fn(params, state, last)
         logits = logits.astype(jnp.float32).at[:, pad_id].set(NEG_INF)
+        if banned_ids:
+            # Banned words carry no probability mass (masked before the
+            # softmax, so the remaining vocabulary renormalizes —
+            # sampling semantics, same as min_len's endseq handling).
+            from tpucap.decode.beam import apply_banned
+
+            logits = apply_banned(logits, banned_ids)
         if use_pen:
             penalized = jnp.where(
                 logits > 0,

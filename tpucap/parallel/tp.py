@@ -283,6 +283,7 @@ def make_tp_beam_fn(
     beam_width: int,
     pad_id: int = 0,
     min_len: int = 0,
+    banned_ids: tuple = (),
     length_normalize: bool = True,
     alpha: float = 1.0,
     length_penalty: str = "simple",
@@ -331,6 +332,15 @@ def make_tp_beam_fn(
                 jnp.int32, local.shape, 1
             )
             local = jnp.where(cols == pad_id, NEG_INF, local)
+            if banned_ids:
+                # Banned words (beam.py apply_banned convention): each
+                # banned id lives in exactly one shard's slice; the
+                # global lse above is untouched (selection-only).
+                local = jnp.where(
+                    jnp.isin(cols, jnp.asarray(banned_ids, jnp.int32)),
+                    NEG_INF,
+                    local,
+                )
             if min_len:
                 # Length floor (beam.py min_len): endseq — also in
                 # exactly one shard's slice — leaves the candidate set

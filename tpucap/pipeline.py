@@ -95,6 +95,21 @@ class CaptioningPipeline:
         wi = self.tokenizer.word_index
         return wi[START_TOKEN], wi[END_TOKEN]
 
+    def _banned_ids(self) -> tuple:
+        """``DecodeConfig.bad_words`` -> static sorted token-id tuple.
+        Words are lowercased against the tokenizer vocabulary;
+        out-of-vocabulary entries are dropped (the decoder can never
+        emit an id the vocabulary doesn't hold). Static by design — the
+        blocklist is part of the compiled decode program, costing one
+        fused scatter per step."""
+        words = self.config.decode.bad_words
+        if not words:
+            return ()
+        wi = self.tokenizer.word_index
+        return tuple(
+            sorted({wi[w] for w in (x.lower() for x in words) if w in wi})
+        )
+
     # -- model construction ------------------------------------------------
 
     def build(self, rng=None, init_params: bool = True):
@@ -2210,6 +2225,7 @@ class CaptioningPipeline:
                         end_id=end_id,
                         max_len=dcfg.max_len,
                         min_len=dcfg.min_len,
+                        banned_ids=self._banned_ids(),
                     )
 
         else:
@@ -2227,6 +2243,7 @@ class CaptioningPipeline:
                         max_len=dcfg.max_len,
                         beam_width=beam_width,
                         min_len=dcfg.min_len,
+                        banned_ids=self._banned_ids(),
                         length_normalize=dcfg.length_normalize,
                         alpha=dcfg.alpha,
                         length_penalty=dcfg.length_penalty,
@@ -2348,13 +2365,18 @@ class CaptioningPipeline:
             from tpucap.parallel import make_dp_decode_fn
 
             kwargs = dict(
-                start_id=start_id, end_id=end_id, max_len=dcfg.max_len
+                start_id=start_id,
+                end_id=end_id,
+                max_len=dcfg.max_len,
+                min_len=dcfg.min_len,
+                banned_ids=self._banned_ids(),
             )
             if method != "greedy":
                 kwargs.update(
                     beam_width=beam_width,
                     length_normalize=dcfg.length_normalize,
                     alpha=dcfg.alpha,
+                    length_penalty=dcfg.length_penalty,
                     approx_topk=dcfg.approx_topk,
                 )
             fn = make_dp_decode_fn(
@@ -2378,6 +2400,7 @@ class CaptioningPipeline:
                 max_len=dcfg.max_len,
                 beam_width=1 if method == "greedy" else beam_width,
                 min_len=dcfg.min_len,
+                banned_ids=self._banned_ids(),
                 length_normalize=dcfg.length_normalize,
                 alpha=dcfg.alpha,
                 length_penalty=dcfg.length_penalty,
@@ -2473,6 +2496,7 @@ class CaptioningPipeline:
                     end_id=end_id,
                     max_len=self.config.decode.max_len,
                     min_len=self.config.decode.min_len,
+                    banned_ids=self._banned_ids(),
                     temperature=temperature,
                     top_k=top_k,
                     top_p=top_p,
@@ -2626,6 +2650,7 @@ class CaptioningPipeline:
                         group_width=group_width,
                         diversity=diversity,
                         min_len=dcfg.min_len,
+                        banned_ids=self._banned_ids(),
                         length_normalize=dcfg.length_normalize,
                         alpha=dcfg.alpha,
                         length_penalty=dcfg.length_penalty,
@@ -2827,6 +2852,7 @@ class CaptioningPipeline:
                             end_id=end_id,
                             max_len=dcfg.max_len,
                             min_len=dcfg.min_len,
+                            banned_ids=self._banned_ids(),
                         )
 
             else:
@@ -2844,6 +2870,7 @@ class CaptioningPipeline:
                             max_len=dcfg.max_len,
                             beam_width=beam_width,
                             min_len=dcfg.min_len,
+                            banned_ids=self._banned_ids(),
                             length_normalize=dcfg.length_normalize,
                             alpha=dcfg.alpha,
                             length_penalty=dcfg.length_penalty,
@@ -2882,6 +2909,13 @@ class CaptioningPipeline:
         Returns ``(captions, stats)`` with stats =
         ``{rounds, drafted, accepted, emitted, acceptance_rate}``.
         """
+        if self._banned_ids():
+            raise NotImplementedError(
+                "bad_words is not plumbed through the speculative "
+                "draft/verify programs yet — decode with "
+                "method='greedy' (token-identical) when a blocklist "
+                "is configured"
+            )
         if not hasattr(self.decoder, "step_chunk"):
             raise ValueError(
                 "speculative decode needs a chunk-verify (KV-cache) "
@@ -3107,6 +3141,7 @@ class CaptioningPipeline:
                         end_id=end_id,
                         max_len=dcfg.max_len,
                         min_len=dcfg.min_len,
+                        banned_ids=self._banned_ids(),
                     )
                 return beam_decode(
                     self.decoder.step,
@@ -3117,6 +3152,7 @@ class CaptioningPipeline:
                     max_len=dcfg.max_len,
                     beam_width=beam_width,
                     min_len=dcfg.min_len,
+                    banned_ids=self._banned_ids(),
                     length_normalize=dcfg.length_normalize,
                     alpha=dcfg.alpha,
                     length_penalty=dcfg.length_penalty,

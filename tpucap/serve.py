@@ -487,6 +487,8 @@ class ContinuousCaptionServer:
             start_id=start_id,
             end_id=end_id,
             max_len=pipeline.config.decode.max_len,
+            min_len=pipeline.config.decode.min_len,
+            banned_ids=pipeline._banned_ids(),
             feature_shape=feature_shape,
             feature_dtype=pipeline._infer_dtype(),
             # Mirror pipeline._decode_fn's precision='f32' exact-parity
