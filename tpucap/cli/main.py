@@ -91,8 +91,8 @@ def _add_common_model_flags(p):
                    choices=["vgg16", "inception_v3", "resnet50", "tiny_cnn",
                             "vit_b16", "vit_tiny"])
     p.add_argument("--decoder", default="lstm1",
-                   choices=["lstm1", "lstm2", "inject", "attention",
-                            "transformer"])
+                   choices=["lstm1", "lstm2", "gru1", "gru2", "inject",
+                            "attention", "transformer"])
     p.add_argument("--features-kind", default="pooled",
                    choices=["pooled", "spatial"])
     p.add_argument("--embed-dim", type=int, default=256)
@@ -1476,7 +1476,8 @@ def main(argv=None):
     p.add_argument("--out", required=True,
                    help="output bundle dir for the distilled draft")
     p.add_argument("--student-decoder", default="lstm1",
-                   choices=["lstm1", "lstm2", "inject", "transformer"],
+                   choices=["lstm1", "lstm2", "gru1", "gru2", "inject",
+                            "transformer"],
                    help="draft decoder family (attention needs spatial "
                    "features and is rarely a sensible draft)")
     p.add_argument("--student-embed-dim", type=int, default=128)

@@ -20,7 +20,9 @@ from typing import Literal
 EncoderName = Literal[
     "vgg16", "inception_v3", "resnet50", "tiny_cnn", "vit_b16", "vit_tiny"
 ]
-DecoderName = Literal["lstm1", "lstm2", "inject", "attention", "transformer"]
+DecoderName = Literal[
+    "lstm1", "lstm2", "gru1", "gru2", "inject", "attention", "transformer"
+]
 DecodeMethod = Literal["greedy", "beam"]
 
 

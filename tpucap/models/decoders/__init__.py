@@ -16,6 +16,7 @@ batched greedy/beam engines in tpucap.decode drive any of them:
 
 from tpucap.models.decoders.base import CaptionDecoder
 from tpucap.models.decoders.lstm import MergeDecoder, InjectDecoder
+from tpucap.models.decoders.gru import GruMergeDecoder
 from tpucap.models.decoders.attention import AttentionDecoder
 from tpucap.models.decoders.transformer import TransformerDecoder
 
@@ -44,6 +45,15 @@ def build_decoder(
             embed_dim=embed_dim,
             hidden_dim=hidden_dim,
             num_layers=layers,
+            dropout_rate=dropout_rate,
+        )
+    if name in ("gru1", "gru2"):
+        return GruMergeDecoder(
+            vocab_size=vocab_size,
+            feature_dim=feature_dim,
+            embed_dim=embed_dim,
+            hidden_dim=hidden_dim,
+            num_layers=2 if name == "gru2" else num_layers,
             dropout_rate=dropout_rate,
         )
     if name == "inject":

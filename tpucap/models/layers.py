@@ -153,6 +153,84 @@ def lstm_forward(p, xs, mask=None, h0=None, c0=None, return_sequences=False):
     return h, (h, c)
 
 
+def init_gru_cell(key, in_dim: int, units: int, dtype=jnp.float32):
+    """Keras GRU-v2 defaults (reset_after=True): kernel glorot (in, 3U),
+    recurrent orthogonal (U, 3U), bias (2, 3U) zeros — row 0 the input
+    bias, row 1 the recurrent bias (kept SEPARATE because reset_after
+    applies the reset gate to h@U + b_rec, not to h@U alone)."""
+    k_kernel, k_rec = jax.random.split(key)
+    kernel = jax.nn.initializers.glorot_uniform()(
+        k_kernel, (in_dim, 3 * units), dtype
+    )
+    recurrent = jax.nn.initializers.orthogonal()(
+        k_rec, (units, 3 * units), dtype
+    )
+    bias = jnp.zeros((2, 3 * units), dtype)
+    return {"kernel": kernel, "recurrent": recurrent, "bias": bias}
+
+
+def gru_cell_step(p, x, h):
+    """One GRU step (Keras v2 semantics, reset_after=True). x (B, in),
+    h (B, units) -> h'.
+
+    Gate order z, r, hh [keras gru.py]:
+      mx = x@W + b_in;  mh = h@U + b_rec   (each split into 3)
+      z = sigmoid(mx_z + mh_z);  r = sigmoid(mx_r + mh_r)
+      hh = tanh(mx_h + r * mh_h)           <- reset AFTER the matmul
+      h' = z*h + (1-z)*hh
+
+    Same precision policy as lstm_cell_step: matmuls in the activation
+    dtype with f32 accumulation, gate math in f32, cast back.
+    """
+    mx = (
+        jnp.dot(
+            x, p["kernel"].astype(x.dtype), preferred_element_type=jnp.float32
+        )
+        + p["bias"][0].astype(jnp.float32)
+    )
+    mh = (
+        jnp.dot(
+            h,
+            p["recurrent"].astype(h.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        + p["bias"][1].astype(jnp.float32)
+    )
+    mx_z, mx_r, mx_h = jnp.split(mx, 3, axis=-1)
+    mh_z, mh_r, mh_h = jnp.split(mh, 3, axis=-1)
+    z = jax.nn.sigmoid(mx_z + mh_z)
+    r = jax.nn.sigmoid(mx_r + mh_r)
+    hh = jnp.tanh(mx_h + r * mh_h)
+    h_new = z * h.astype(jnp.float32) + (1.0 - z) * hh
+    return h_new.astype(h.dtype)
+
+
+def gru_forward(p, xs, mask=None, h0=None, return_sequences=False):
+    """Run a GRU over time with Keras masking semantics (lstm_forward's
+    contract: masked steps carry state AND output through unchanged)."""
+    B, T, _ = xs.shape
+    units = p["recurrent"].shape[0]
+    h = jnp.zeros((B, units), xs.dtype) if h0 is None else h0
+
+    xs_t = jnp.swapaxes(xs, 0, 1)
+    mask_t = (
+        jnp.swapaxes(mask, 0, 1)
+        if mask is not None
+        else jnp.ones((T, B), bool)
+    )
+
+    def body(h, inp):
+        x, m = inp
+        h2 = gru_cell_step(p, x, h)
+        h = jnp.where(m[:, None], h2, h)
+        return h, h
+
+    h, hs = jax.lax.scan(body, h, (xs_t, mask_t))
+    if return_sequences:
+        return jnp.swapaxes(hs, 0, 1), h
+    return h, h
+
+
 # ---------------------------------------------------------------------------
 # LayerNorm (transformer decoder family)
 
