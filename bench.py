@@ -74,9 +74,11 @@ def main():
     ap.add_argument(
         "--decoder",
         default="lstm1",
-        choices=["lstm1", "lstm2", "inject", "attention", "transformer"],
+        choices=["lstm1", "lstm2", "gru1", "gru2", "inject", "attention",
+                 "transformer"],
         help="attention implies spatial encoder features (config 4); "
-        "transformer is the beyond-parity KV-cached family",
+        "transformer is the beyond-parity KV-cached family; gru1/gru2 "
+        "the 3-gate merge variant",
     )
     ap.add_argument("--dtype", default="bf16", choices=["f32", "bf16"])
     ap.add_argument(

@@ -340,3 +340,114 @@ def test_attention_import_ambiguous_dims_rejected():
         layer._name = f"anon_{id(layer)}"
     with pytest.raises(ValueError, match="ambiguous"):
         attention_decoder_params_from_keras(model)
+
+
+# ---------------------------------------------------------------------------
+# GRU merge family (beyond-parity zoo member — same bridge guarantees)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def keras_gru_model():
+    """Merge-topology GRU model, AUTO layer names (topology/shape-based
+    matching, like the other import fixtures)."""
+    L = tf_keras.layers
+    inputs1 = L.Input(shape=(FEAT,))
+    fe = L.Dropout(0.5)(inputs1)
+    fe = L.Dense(HID, activation="relu")(fe)
+    inputs2 = L.Input(shape=(MAXLEN,))
+    se = L.Embedding(VOCAB, EMB, mask_zero=True)(inputs2)
+    se = L.Dropout(0.5)(se)
+    se = L.GRU(HID)(se)
+    d = L.add([fe, se])
+    d = L.Dense(HID, activation="relu")(d)
+    outputs = L.Dense(VOCAB, activation="softmax")(d)
+    return tf_keras.Model(inputs=[inputs1, inputs2], outputs=outputs)
+
+
+def test_gru_import_next_word_parity(keras_gru_model, rng):
+    from tpucap.checkpoint.keras_import import (
+        gru_merge_decoder_params_from_keras,
+    )
+
+    dec = build_decoder(
+        "gru1", vocab_size=VOCAB, feature_dim=FEAT,
+        embed_dim=EMB, hidden_dim=HID,
+    )
+    params = gru_merge_decoder_params_from_keras(keras_gru_model)
+    feats = rng.normal(size=(3, FEAT)).astype(np.float32)
+    prefixes = [[5, 7], [9], [4, 11, 2, 8]]
+    padded = pad_sequences(prefixes, maxlen=MAXLEN)
+    ref = keras_gru_model.predict(
+        [tf.constant(feats), tf.constant(padded.astype(np.float32))],
+        verbose=0,
+    )
+    for b, prefix in enumerate(prefixes):
+        st = dec.init_state(params, jnp.asarray(feats[b : b + 1]))
+        for tok in prefix:
+            logits, st = dec.step(params, st, jnp.asarray([tok]))
+        ours = np.asarray(jax.nn.softmax(logits, axis=-1))[0]
+        np.testing.assert_allclose(ours, ref[b], atol=2e-5)
+
+
+def test_gru_import_greedy_caption_parity(keras_gru_model, rng):
+    from tpucap.checkpoint.keras_import import (
+        gru_merge_decoder_params_from_keras,
+    )
+
+    dec = build_decoder(
+        "gru1", vocab_size=VOCAB, feature_dim=FEAT,
+        embed_dim=EMB, hidden_dim=HID,
+    )
+    params = gru_merge_decoder_params_from_keras(keras_gru_model)
+    feats = rng.normal(size=(4, FEAT)).astype(np.float32)
+
+    ref_tokens = []
+    for b in range(4):
+        seq = [START]
+        for _ in range(MAXLEN):
+            padded = pad_sequences([seq], maxlen=MAXLEN)
+            probs = keras_gru_model.predict(
+                [
+                    tf.constant(feats[b : b + 1]),
+                    tf.constant(padded.astype(np.float32)),
+                ],
+                verbose=0,
+            )[0]
+            probs[0] = 0.0
+            word = int(np.argmax(probs))
+            seq.append(word)
+            if word == END:
+                break
+        ref_tokens.append(seq[1:])
+
+    res = greedy_decode(
+        dec.step,
+        params,
+        dec.init_state(params, jnp.asarray(feats)),
+        start_id=START,
+        end_id=END,
+        max_len=MAXLEN,
+    )
+    for b, ref in enumerate(ref_tokens):
+        n = int(res.lengths[b])
+        assert list(np.asarray(res.tokens[b][:n])) == ref
+
+
+def test_gru_export_round_trip_and_h5(tmp_path):
+    from tpucap.checkpoint.keras_export import gru_merge_decoder_to_keras
+    from tpucap.checkpoint.keras_import import (
+        gru_merge_decoder_params_from_keras,
+    )
+
+    dec = build_decoder(
+        "gru2", vocab_size=VOCAB, feature_dim=FEAT,
+        embed_dim=EMB, hidden_dim=HID,
+    )
+    params = dec.init(jax.random.key(3))
+    model = gru_merge_decoder_to_keras(dec, params, max_len=MAXLEN)
+    _tree_equal(params, gru_merge_decoder_params_from_keras(model))
+    path = str(tmp_path / "gru.h5")
+    export_h5(dec, params, path, max_len=MAXLEN)
+    loaded = tf_keras.models.load_model(path, compile=False)
+    _tree_equal(params, gru_merge_decoder_params_from_keras(loaded))

@@ -9,8 +9,10 @@ migration loop in both directions (docs/MIGRATION.md). Token-exact
 round-trips are pinned by tests/test_keras_export.py against the same
 oracles the import paths use.
 
-Topologies (all four decoder families round-trip):
+Topologies (all five decoder zoo families round-trip):
 - merge (1/2-layer): the reference `define_model` (SURVEY.md §2.1 #6).
+- gru merge: the same topology over GRU(h) (beyond-parity family;
+  reset_after=True weights are layout-identical to ours).
 - inject: the genre's init-inject variant (SURVEY.md §2.1 #7) — image
   feature → Dense(tanh) ×2 → LSTM ``initial_state``.
 - attention: Show-Attend-Tell (SURVEY.md §2.1 #8) unrolled over
@@ -77,6 +79,59 @@ def merge_decoder_to_keras(decoder, params, *, max_len: int):
     )
     for i, cell in enumerate(params["cells"]):
         model.get_layer(f"lstm_{i}").set_weights(
+            [
+                np.asarray(cell["kernel"]),
+                np.asarray(cell["recurrent"]),
+                np.asarray(cell["bias"]),
+            ]
+        )
+    model.get_layer("pre_out").set_weights(dense_w(params["pre_out"]))
+    model.get_layer("out").set_weights(dense_w(params["out"]))
+    return model
+
+
+def gru_merge_decoder_to_keras(decoder, params, *, max_len: int):
+    """Build a tf_keras merge-topology GRU model carrying ``params`` —
+    the GRU analog of :func:`merge_decoder_to_keras` (L.GRU defaults to
+    reset_after=True, whose [kernel (E,3U), recurrent (U,3U),
+    bias (2,3U)] weights are exactly tpucap's native layout)."""
+    import tf_keras
+
+    if type(decoder).__name__ != "GruMergeDecoder":
+        raise ValueError(
+            "gru export needs a GruMergeDecoder; got "
+            f"{type(decoder).__name__}"
+        )
+    L = tf_keras.layers
+    vocab = decoder.vocab_size
+    feat = decoder.feature_dim
+    emb = decoder.embed_dim
+    hid = decoder.hidden_dim
+    n_layers = len(params["cells"])
+
+    inputs1 = L.Input(shape=(feat,), name="image_features")
+    fe1 = L.Dropout(decoder.dropout_rate)(inputs1)
+    fe2 = L.Dense(hid, activation="relu", name="feat_proj")(fe1)
+    inputs2 = L.Input(shape=(max_len,), name="token_ids")
+    se = L.Embedding(vocab, emb, mask_zero=True, name="embedding")(inputs2)
+    se = L.Dropout(decoder.dropout_rate)(se)
+    for i in range(n_layers):
+        last = i == n_layers - 1
+        se = L.GRU(hid, return_sequences=not last, name=f"gru_{i}")(se)
+    d1 = L.add([fe2, se])
+    d2 = L.Dense(hid, activation="relu", name="pre_out")(d1)
+    outputs = L.Dense(vocab, activation="softmax", name="out")(d2)
+    model = tf_keras.Model(inputs=[inputs1, inputs2], outputs=outputs)
+
+    def dense_w(p):
+        return [np.asarray(p["kernel"]), np.asarray(p["bias"])]
+
+    model.get_layer("feat_proj").set_weights(dense_w(params["feat_proj"]))
+    model.get_layer("embedding").set_weights(
+        [np.asarray(params["embedding"]["table"])]
+    )
+    for i, cell in enumerate(params["cells"]):
+        model.get_layer(f"gru_{i}").set_weights(
             [
                 np.asarray(cell["kernel"]),
                 np.asarray(cell["recurrent"]),
@@ -262,6 +317,7 @@ def decoder_to_keras(decoder, params, *, max_len: int, **kwargs):
     """Dispatch to the family-specific builder (all four families)."""
     builders = {
         "MergeDecoder": merge_decoder_to_keras,
+        "GruMergeDecoder": gru_merge_decoder_to_keras,
         "InjectDecoder": inject_decoder_to_keras,
         "AttentionDecoder": attention_decoder_to_keras,
     }

@@ -183,6 +183,69 @@ def merge_decoder_params_from_keras(model) -> dict:
     }
 
 
+def gru_merge_decoder_params_from_keras(model) -> dict:
+    """Import a merge-topology Keras GRU caption model into
+    GruMergeDecoder params — the GRU analog of
+    :func:`merge_decoder_params_from_keras` (same topology with GRU(h)
+    in place of LSTM(h); Keras GRU-v2 weights are [kernel (E,3U),
+    recurrent (U,3U), bias (2,3U)] with reset_after=True, exactly
+    tpucap's native layout — models/layers.py::init_gru_cell)."""
+    embeddings = [l for l in model.layers if _layer_type(l) == "Embedding"]
+    grus = [l for l in model.layers if _layer_type(l) == "GRU"]
+    denses = [l for l in model.layers if _layer_type(l) == "Dense"]
+    if len(embeddings) != 1 or not grus:
+        raise ValueError(
+            f"unexpected topology: {len(embeddings)} embeddings, "
+            f"{len(grus)} grus"
+        )
+    table = np.asarray(embeddings[0].get_weights()[0])
+    vocab = table.shape[0]
+    hidden = grus[0].get_weights()[1].shape[0]  # recurrent kernel (U, 3U)
+
+    out = None
+    hidden_denses = []
+    for l in denses:
+        dout = l.get_weights()[0].shape[1]
+        if dout == vocab and out is None:
+            out = _dense_params(l)
+        else:
+            hidden_denses.append(l)
+    if out is None or len(hidden_denses) != 2:
+        raise ValueError("could not identify the three Dense layers")
+    a, b = hidden_denses
+    if a.get_weights()[0].shape[0] != hidden:
+        feat_proj, pre_out = _dense_params(a), _dense_params(b)
+    elif b.get_weights()[0].shape[0] != hidden:
+        feat_proj, pre_out = _dense_params(b), _dense_params(a)
+    else:
+        feat_proj, pre_out = _dense_params(a), _dense_params(b)
+
+    cells = []
+    for l in grus:
+        w = l.get_weights()
+        if len(w) != 3 or np.asarray(w[2]).ndim != 2:
+            raise ValueError(
+                "expected reset_after=True GRU weights [kernel, "
+                f"recurrent, bias (2, 3U)]; got {[x.shape for x in w]} — "
+                "reset_after=False checkpoints use different cell math "
+                "and cannot import weight-for-weight"
+            )
+        cells.append(
+            {
+                "kernel": np.asarray(w[0]),
+                "recurrent": np.asarray(w[1]),
+                "bias": np.asarray(w[2]),
+            }
+        )
+    return {
+        "feat_proj": feat_proj,
+        "embedding": {"table": table},
+        "cells": cells,
+        "pre_out": pre_out,
+        "out": out,
+    }
+
+
 def _lstm_weight_layers(model):
     """LSTM-bearing layers in topological order: plain LSTM layers and
     RNN(LSTMCell) wrappers (the stepwise attention topology)."""
