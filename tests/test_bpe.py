@@ -1,0 +1,183 @@
+"""Subword BPE tokenizer (text/bpe.py): merge determinism, lossless
+round-trips, atomic specials, artifact dispatch, and the end-to-end
+pipeline/CLI integration (a BPE-tokenized model trains, captions decode
+to whole words, bundles reload the right tokenizer kind)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from tpucap.text import BpeTokenizer, Tokenizer, load_tokenizer
+from tpucap.text.clean import wrap_caption
+
+
+@pytest.fixture(scope="module")
+def bpe(toy_corpus):
+    tok = BpeTokenizer(200)
+    tok.fit_on_texts(toy_corpus)
+    return tok
+
+
+class TestCore:
+    def test_round_trip_is_lossless(self, bpe, toy_corpus):
+        seqs = bpe.texts_to_sequences(toy_corpus)
+        texts = bpe.sequences_to_texts(seqs)
+        assert texts == [t.lower() for t in toy_corpus]
+
+    def test_no_oov_for_seen_characters(self, bpe):
+        # Unseen word made of seen characters: encodes (to pieces) and
+        # decodes exactly — the property word-level tokenizers lack.
+        [ids] = bpe.texts_to_sequences(["dogside"])
+        assert ids
+        assert bpe.decode_ids(ids) == "dogside"
+
+    def test_specials_atomic_and_pad_reserved(self, bpe):
+        assert 0 not in bpe.index_word
+        [ids] = bpe.texts_to_sequences(["startseq a endseq"])
+        assert ids[0] == bpe.word_index["startseq"]
+        assert ids[-1] == bpe.word_index["endseq"]
+        assert bpe.word_for_id(ids[0]) == "startseq"
+
+    def test_vocab_bounded_and_deterministic(self, bpe, toy_corpus):
+        assert bpe.vocab_size <= 200
+        again = BpeTokenizer(200)
+        again.fit_on_texts(toy_corpus)
+        assert again.word_index == bpe.word_index
+        assert again.merges == bpe.merges
+
+    def test_merges_actually_compress(self, bpe, toy_corpus):
+        # Frequent corpus words become few pieces (not char-per-char).
+        [ids] = bpe.texts_to_sequences(["dog"])
+        assert len(ids) < 3
+
+    def test_save_load_round_trip(self, bpe, toy_corpus, tmp_path):
+        p = tmp_path / "bpe.json"
+        bpe.save(str(p))
+        loaded = load_tokenizer(str(p))
+        assert isinstance(loaded, BpeTokenizer)
+        assert loaded.word_index == bpe.word_index
+        assert loaded.texts_to_sequences(toy_corpus) == (
+            bpe.texts_to_sequences(toy_corpus)
+        )
+
+    def test_load_tokenizer_dispatches_word_files(
+        self, toy_corpus, tmp_path
+    ):
+        tok = Tokenizer()
+        tok.fit_on_texts(toy_corpus)
+        p = tmp_path / "tok.json"
+        tok.save(str(p))
+        loaded = load_tokenizer(str(p))
+        assert isinstance(loaded, Tokenizer)
+        assert loaded.word_index == tok.word_index
+
+
+class TestPipeline:
+    def _fixture(self, toy_corpus, rng, n=8):
+        ids = [f"i{k}" for k in range(n)]
+        desc = {
+            i: [toy_corpus[k % len(toy_corpus)]] for k, i in enumerate(ids)
+        }
+        feats = {i: rng.normal(size=(32,)).astype(np.float32) for i in ids}
+        return ids, desc, feats
+
+    def test_fit_generate_evaluate_with_bpe(self, toy_corpus, rng):
+        from tpucap.config import (
+            Config,
+            DecodeConfig,
+            DecoderConfig,
+            EncoderConfig,
+        )
+        from tpucap.pipeline import CaptioningPipeline
+
+        cfg = Config(
+            encoder=EncoderConfig(name="tiny_cnn", feature_dim=32),
+            decoder=DecoderConfig(
+                embed_dim=16, hidden_dim=32, dropout_rate=0.0
+            ),
+            decode=DecodeConfig(max_len=16),  # subword rows are longer
+        )
+        pipe = CaptioningPipeline(cfg)
+        ids, desc, feats = self._fixture(toy_corpus, rng)
+        tok = pipe.fit_tokenizer(desc, kind="bpe", bpe_vocab_size=160)
+        assert isinstance(tok, BpeTokenizer)
+        assert pipe.vocab_size == tok.vocab_size
+        pipe.build()
+        hist = pipe.fit(desc, feats, epochs=3, batch_size=4, log=None)
+        assert hist[-1]["loss"] < hist[0]["loss"]
+        f4 = np.stack([feats[i] for i in ids[:4]])
+        caps = pipe.generate(f4, method="beam")
+        assert len(caps) == 4
+        # Captions are whole words (no end-of-word markers leak out).
+        for c in caps:
+            assert "</w>" not in c
+        scores = pipe.evaluate(desc, feats, batch_size=4)
+        assert set(scores) >= {"bleu1", "bleu4"}
+
+        # bad_words needs the word tokenizer; refuse loudly under bpe.
+        # (Fresh pipeline: config is frozen per instance — decode
+        # programs are cached against it.)
+        import dataclasses
+
+        from tpucap.pipeline import CaptioningPipeline
+
+        banned_cfg = dataclasses.replace(
+            pipe.config,
+            decode=dataclasses.replace(
+                pipe.config.decode, bad_words=("dog",)
+            ),
+        )
+        banned = CaptioningPipeline(banned_cfg, tokenizer=pipe.tokenizer)
+        banned.decoder = pipe.decoder
+        banned.params = pipe.params
+        with pytest.raises(NotImplementedError, match="word-level"):
+            banned.generate(f4)
+
+    def test_ids_to_captions_joins_pieces(self, bpe):
+        from tpucap.decode import ids_to_captions
+
+        [ids] = bpe.texts_to_sequences(["a black dog endseq"])
+        tokens = np.asarray([ids], np.int32)
+        lengths = np.asarray([len(ids)], np.int32)
+        [cap] = ids_to_captions(
+            bpe, tokens, lengths, end_id=bpe.word_index["endseq"]
+        )
+        assert cap == "a black dog"
+
+
+def test_cli_bpe_workflow(tmp_path, capsys):
+    from tpucap.cli.main import main
+    from tpucap.data import generate_fixture_dataset
+
+    img_dir, token_file, train_file, test_file = generate_fixture_dataset(
+        tmp_path, n_images=6, image_size=32, seed=3
+    )
+    feats = str(tmp_path / "f.npz")
+    ckpt = str(tmp_path / "ckpt")
+    common = ["--encoder", "tiny_cnn", "--max-len", "16"]
+    main(["extract", *common, "--images", str(img_dir), "--out", feats,
+          "--batch-size", "4"])
+    capsys.readouterr()
+    main(["train", *common, "--tokens", token_file, "--split", train_file,
+          "--features", feats, "--checkpoint-dir", ckpt,
+          "--tokenizer", "bpe", "--bpe-vocab-size", "150",
+          "--epochs", "2", "--batch-size", "4"])
+    out = capsys.readouterr().out
+    assert "trained 2 epochs" in out
+    # The artifact reloads as a BPE tokenizer via the dispatching loader.
+    loaded = load_tokenizer(os.path.join(ckpt, "tokenizer.json"))
+    assert isinstance(loaded, BpeTokenizer)
+    payload = json.load(open(os.path.join(ckpt, "tokenizer.json")))
+    assert payload["kind"] == "bpe"
+    # caption + evaluate restore through the same artifact.
+    img0 = os.path.join(str(img_dir), sorted(os.listdir(img_dir))[0])
+    main(["caption", *common, "--image", img0, "--checkpoint-dir", ckpt,
+          "--method", "greedy"])
+    assert img0 in capsys.readouterr().out
+    main(["evaluate", *common, "--tokens", token_file, "--split", test_file,
+          "--features", feats, "--checkpoint-dir", ckpt,
+          "--method", "greedy", "--batch-size", "4"])
+    scores = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "bleu4" in scores

@@ -213,14 +213,15 @@ class AotCaptioner:
         import orbax.checkpoint as ocp
 
         from tpucap.config import config_from_dict
-        from tpucap.text import Tokenizer
 
         directory = os.path.abspath(directory)
         with open(os.path.join(_aot_dir(directory), _MANIFEST)) as f:
             manifest = json.load(f)
         with open(os.path.join(directory, "config.json")) as f:
             config = config_from_dict(json.load(f))
-        tokenizer = Tokenizer.load(
+        from tpucap.text import load_tokenizer
+
+        tokenizer = load_tokenizer(
             os.path.join(directory, "tokenizer.json")
         )
         ckptr = ocp.StandardCheckpointer()

@@ -393,7 +393,11 @@ def _cmd_train_finetune(args, pipe, prepared):
     CaptioningPipeline.load() consume it."""
     from tpucap.data.preprocess import preprocess_batch
 
-    pipe.fit_tokenizer(prepared)
+    pipe.fit_tokenizer(
+        prepared,
+        kind=getattr(args, "tokenizer", None) or "word",
+        bpe_vocab_size=getattr(args, "bpe_vocab_size", 1024),
+    )
     pipe.build()
     if getattr(args, "embeddings", None):
         pipe.set_pretrained_embeddings(
@@ -566,7 +570,11 @@ def cmd_train(args):
         np.load(args.features) if stream else dict(np.load(args.features))
     )
 
-    pipe.fit_tokenizer(prepared)
+    pipe.fit_tokenizer(
+        prepared,
+        kind=getattr(args, "tokenizer", None) or "word",
+        bpe_vocab_size=getattr(args, "bpe_vocab_size", 1024),
+    )
     pipe.build()
     if getattr(args, "embeddings", None):
         pipe.set_pretrained_embeddings(
@@ -723,11 +731,13 @@ def _restore_pipeline(args):
 
     from tpucap.checkpoint import CheckpointManager
     from tpucap.pipeline import CaptioningPipeline
-    from tpucap.text import Tokenizer
+    from tpucap.text import load_tokenizer
     from tpucap.train import TrainState, build_optimizer
 
     cfg = _build_config(args)
-    tok = Tokenizer.load(os.path.join(args.checkpoint_dir, "tokenizer.json"))
+    tok = load_tokenizer(
+        os.path.join(args.checkpoint_dir, "tokenizer.json")
+    )
     pipe = CaptioningPipeline(cfg, tokenizer=tok)
     pipe.build()
     if getattr(args, "keras_h5", None):
@@ -1406,6 +1416,16 @@ def main(argv=None):
                    "wants ~20x below the CE lr)")
     p.add_argument("--scst-temperature", type=float, default=1.0,
                    help="sampling temperature for SCST rollouts")
+    p.add_argument("--tokenizer", default="word",
+                   choices=["word", "bpe"],
+                   help="word (default): Keras-parity word vocabulary — "
+                   "the reference behavior; bpe: subword vocabulary "
+                   "(no OOV words, bounded embedding table; the "
+                   "tokenizer artifact round-trips through caption/"
+                   "evaluate/serve automatically)")
+    p.add_argument("--bpe-vocab-size", type=int, default=1024,
+                   help="target subword vocabulary size for "
+                   "--tokenizer bpe")
     p.add_argument("--embeddings", default=None,
                    help="GloVe-format word-vector file to initialize the "
                    "decoder embedding table from (zero rows for "

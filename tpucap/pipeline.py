@@ -78,9 +78,29 @@ class CaptioningPipeline:
 
     # -- tokenizer ---------------------------------------------------------
 
-    def fit_tokenizer(self, descriptions: dict[str, list[str]]) -> Tokenizer:
-        tok = Tokenizer()
+    def fit_tokenizer(
+        self,
+        descriptions: dict[str, list[str]],
+        *,
+        kind: str = "word",
+        bpe_vocab_size: int = 1024,
+    ):
+        """Fit the vocabulary on the caption corpus. ``kind='word'``
+        (default) is the Keras-parity word tokenizer — the reference's
+        behavior. ``kind='bpe'`` fits a subword vocabulary of
+        ``bpe_vocab_size`` pieces (text/bpe.py): no OOV words, bounded
+        embedding/vocab-projection size — the production choice for
+        open-vocabulary corpora (pairs naturally with the transformer
+        family)."""
         all_caps = [c for caps in descriptions.values() for c in caps]
+        if kind == "word":
+            tok = Tokenizer()
+        elif kind == "bpe":
+            from tpucap.text import BpeTokenizer
+
+            tok = BpeTokenizer(bpe_vocab_size)
+        else:
+            raise ValueError(f"unknown tokenizer kind {kind!r}")
         tok.fit_on_texts(all_caps)
         self.tokenizer = tok
         return tok
@@ -105,6 +125,15 @@ class CaptioningPipeline:
         words = self.config.decode.bad_words
         if not words:
             return ()
+        if hasattr(self.tokenizer, "decode_ids"):
+            # Subword vocabulary: a banned WORD decomposes into pieces
+            # shared with other words — masking piece ids would ban far
+            # more than the word. Needs sequence-level constraint
+            # tracking; refuse rather than over-block.
+            raise NotImplementedError(
+                "bad_words requires the word-level tokenizer (a subword "
+                "piece mask would block unrelated words)"
+            )
         wi = self.tokenizer.word_index
         return tuple(
             sorted({wi[w] for w in (x.lower() for x in words) if w in wi})
@@ -3257,7 +3286,11 @@ class CaptioningPipeline:
         with open(os.path.join(directory, "config.json")) as f:
             d = json.load(f)
         config = config_from_dict(d)
-        tokenizer = Tokenizer.load(os.path.join(directory, "tokenizer.json"))
+        from tpucap.text import load_tokenizer
+
+        tokenizer = load_tokenizer(
+            os.path.join(directory, "tokenizer.json")
+        )
         pipe = cls(config, tokenizer=tokenizer)
         pipe.build(init_params=False)  # params come from the bundle below
         ckptr = ocp.StandardCheckpointer()

@@ -7,12 +7,15 @@ differential tests against tf_keras in tests/test_tokenizer.py.
 """
 
 from tpucap.text.tokenizer import Tokenizer, text_to_word_sequence
+from tpucap.text.bpe import BpeTokenizer, load_tokenizer
 from tpucap.text.padding import pad_sequences, to_categorical
 from tpucap.text.clean import clean_caption, clean_descriptions, wrap_caption
 from tpucap.text.embeddings import build_embedding_matrix, load_word_vectors
 
 __all__ = [
     "Tokenizer",
+    "BpeTokenizer",
+    "load_tokenizer",
     "build_embedding_matrix",
     "load_word_vectors",
     "text_to_word_sequence",
