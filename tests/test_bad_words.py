@@ -95,6 +95,19 @@ def test_banned_ids_are_sorted_lowercased_and_oov_dropped(pipe):
     assert reban(pipe, ["zzzunknownzzz"])._banned_ids() == ()
 
 
+def test_blocklist_entries_normalize_like_captions(pipe):
+    """Review-found bug: entries were only lowercased, so 'Damn!' or a
+    two-word line was silently dropped while the vocabulary word it
+    contains kept being generated. Entries now run through the same
+    filter/split pipeline captions did."""
+    words = sorted(pipe.tokenizer.word_index)
+    w1, w2 = words[0], words[1]
+    p = reban(pipe, [f"{w1.upper()}!", f"  {w1},{w2} "])
+    assert p._banned_ids() == tuple(
+        sorted({pipe.tokenizer.word_index[w1], pipe.tokenizer.word_index[w2]})
+    )
+
+
 def test_oov_blocklist_is_identity(pipe, feats):
     assert reban(pipe, ["zzzunknownzzz"]).generate(feats) == pipe.generate(
         feats

@@ -52,6 +52,17 @@ class TestCore:
         [ids] = bpe.texts_to_sequences(["dog"])
         assert len(ids) < 3
 
+    def test_vocab_size_below_alphabet_raises(self, toy_corpus):
+        """Review-found bug: a target below the seed alphabet was
+        silently exceeded, violating the bounded-table contract."""
+        tok = BpeTokenizer(10)
+        with pytest.raises(ValueError, match="below the minimum"):
+            tok.fit_on_texts(toy_corpus)
+
+    def test_min_frequency_validated(self):
+        with pytest.raises(ValueError, match="min_frequency"):
+            BpeTokenizer(100, min_frequency=0)
+
     def test_save_load_round_trip(self, bpe, toy_corpus, tmp_path):
         p = tmp_path / "bpe.json"
         bpe.save(str(p))

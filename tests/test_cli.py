@@ -390,7 +390,7 @@ def test_cli_karpathy_json_workflow(tmp_path, capsys):
     assert "bleu4" in scores
 
     # Unknown split name fails loudly.
-    with pytest.raises(SystemExit, match="not a split"):
+    with pytest.raises(SystemExit, match="empty or absent"):
         main(["evaluate", *common, "--karpathy-json", str(kj),
               "--split", "dev", "--features", feats,
               "--checkpoint-dir", ckpt, "--batch-size", "4"])

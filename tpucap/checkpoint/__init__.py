@@ -6,11 +6,13 @@ from tpucap.checkpoint.keras_export import (
     attention_decoder_to_keras,
     decoder_to_keras,
     export_h5,
+    gru_merge_decoder_to_keras,
     inject_decoder_to_keras,
     merge_decoder_to_keras,
 )
 from tpucap.checkpoint.keras_import import (
     attention_decoder_params_from_keras,
+    gru_merge_decoder_params_from_keras,
     inject_decoder_params_from_keras,
     merge_decoder_params_from_keras,
     params_from_keras,
@@ -22,11 +24,13 @@ __all__ = [
     "export_decode",
     "params_from_keras",
     "merge_decoder_params_from_keras",
+    "gru_merge_decoder_params_from_keras",
     "inject_decoder_params_from_keras",
     "attention_decoder_params_from_keras",
     "export_h5",
     "decoder_to_keras",
     "merge_decoder_to_keras",
+    "gru_merge_decoder_to_keras",
     "inject_decoder_to_keras",
     "attention_decoder_to_keras",
     "CheckpointManager",

@@ -314,7 +314,8 @@ def attention_decoder_to_keras(
 
 
 def decoder_to_keras(decoder, params, *, max_len: int, **kwargs):
-    """Dispatch to the family-specific builder (all four families)."""
+    """Dispatch to the family-specific builder (all five zoo families
+    with a Keras topology; the transformer has none by design)."""
     builders = {
         "MergeDecoder": merge_decoder_to_keras,
         "GruMergeDecoder": gru_merge_decoder_to_keras,

@@ -341,10 +341,14 @@ def _load_dataset(args, default_split: str = "train"):
     if kj:
         desc, splits = _karpathy(kj)
         name = args.split or default_split
-        if name not in splits:
+        if not splits.get(name):
+            # Pre-seeded empty lists must fail the same way as unknown
+            # names — proceeding with zero images crashes obscurely
+            # downstream.
+            have = sorted(k for k, v in splits.items() if v)
             raise SystemExit(
-                f"--split {name!r} is not a split in {kj} "
-                f"(have {sorted(splits)})"
+                f"--split {name!r} is empty or absent in {kj} "
+                f"(non-empty splits: {have})"
             )
         return prepare_descriptions(desc, splits[name])
     if not args.tokens:
@@ -593,10 +597,11 @@ def cmd_train(args):
             # With --karpathy-json, --val-split names a split in the
             # JSON (normally "val") instead of a split file.
             desc, splits = _karpathy(kj)
-            if args.val_split not in splits:
+            if not splits.get(args.val_split):
+                have = sorted(k for k, v in splits.items() if v)
                 raise SystemExit(
-                    f"--val-split {args.val_split!r} is not a split in "
-                    f"{kj} (have {sorted(splits)})"
+                    f"--val-split {args.val_split!r} is empty or absent "
+                    f"in {kj} (non-empty splits: {have})"
                 )
             val_prepared = prepare_descriptions(
                 desc, splits[args.val_split]

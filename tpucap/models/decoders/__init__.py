@@ -7,6 +7,8 @@ batched greedy/beam engines in tpucap.decode drive any of them:
                             1- or 2-layer LSTM branch added to the image branch
 - ``lstm.InjectDecoder``  — image feature injected as the LSTM initial state
                             (SURVEY.md §2.1 #7)
+- ``gru.GruMergeDecoder`` — merge topology over a GRU stack (beyond
+                            parity; Keras GRU-v2 cell numerics)
 - ``attention.AttentionDecoder`` — Show-Attend-Tell soft attention over a
                             spatial feature grid (SURVEY.md §2.1 #8)
 - ``transformer.TransformerDecoder`` — beyond-parity pre-LN causal
@@ -93,6 +95,7 @@ def build_decoder(
 __all__ = [
     "CaptionDecoder",
     "MergeDecoder",
+    "GruMergeDecoder",
     "InjectDecoder",
     "AttentionDecoder",
     "TransformerDecoder",

@@ -134,10 +134,25 @@ class CaptioningPipeline:
                 "bad_words requires the word-level tokenizer (a subword "
                 "piece mask would block unrelated words)"
             )
-        wi = self.tokenizer.word_index
-        return tuple(
-            sorted({wi[w] for w in (x.lower() for x in words) if w in wi})
-        )
+        # Normalize each entry through the SAME pipeline captions were
+        # tokenized with (filters + lowercase + split) — a blocklist
+        # line like "Damn!" or "shut up" must ban the vocabulary words
+        # it contains, not be silently dropped as unknown.
+        from tpucap.text import text_to_word_sequence
+        from tpucap.text.tokenizer import DEFAULT_FILTERS
+
+        tok = self.tokenizer
+        wi = tok.word_index
+        normalized = [
+            w
+            for entry in words
+            for w in text_to_word_sequence(
+                entry,
+                filters=getattr(tok, "filters", DEFAULT_FILTERS),
+                lower=getattr(tok, "lower", True),
+            )
+        ]
+        return tuple(sorted({wi[w] for w in normalized if w in wi}))
 
     # -- model construction ------------------------------------------------
 

@@ -44,13 +44,17 @@ class BpeTokenizer:
         self,
         vocab_size: int = 1024,
         *,
-        min_frequency: int = 1,
+        min_frequency: int = 2,
         filters: str = DEFAULT_FILTERS,
         lower: bool = True,
         specials: tuple = SPECIALS,
     ):
         if vocab_size < len(specials) + 2:
             raise ValueError(f"vocab_size {vocab_size} too small")
+        if min_frequency < 1:
+            raise ValueError(
+                f"min_frequency must be >= 1, got {min_frequency}"
+            )
         self.target_vocab_size = vocab_size
         self.min_frequency = min_frequency
         self.filters = filters
@@ -88,6 +92,16 @@ class BpeTokenizer:
         # Reserved: 0 pad, then specials, then the alphabet, then merges.
         alphabet = sorted(symbols)
         budget = self.target_vocab_size - 1 - len(self.specials)
+        if len(alphabet) > budget:
+            # The "bounded table" contract must not be violated
+            # silently: the seed alphabet (chars + char</w> variants)
+            # alone already exceeds the target.
+            raise ValueError(
+                f"vocab_size {self.target_vocab_size} is below the "
+                f"minimum for this corpus: its character alphabet needs "
+                f"{len(alphabet) + 1 + len(self.specials)} entries "
+                "(pad + specials + alphabet) before any merge"
+            )
         merges: list[tuple[str, str]] = []
         merged_tokens: list[str] = []
         while len(alphabet) + len(merges) < budget:
@@ -101,7 +115,7 @@ class BpeTokenizer:
             best, count = max(
                 pairs.items(), key=lambda kv: (kv[1], kv[0][0], kv[0][1])
             )
-            if count < max(2, self.min_frequency):
+            if count < self.min_frequency:
                 break
             merges.append(best)
             merged_tokens.append(best[0] + best[1])
@@ -226,8 +240,11 @@ class BpeTokenizer:
         )
 
     @classmethod
-    def from_json(cls, payload: str) -> "BpeTokenizer":
-        d = json.loads(payload)
+    def from_json(cls, payload) -> "BpeTokenizer":
+        """``payload``: JSON string, or an already-parsed dict (the
+        dispatching ``load_tokenizer`` parses once and hands the dict
+        through rather than re-parsing a multi-MB artifact)."""
+        d = json.loads(payload) if isinstance(payload, str) else payload
         tok = cls(
             d["target_vocab_size"],
             min_frequency=d["min_frequency"],
@@ -255,9 +272,9 @@ def load_tokenizer(path):
     ``"kind": "bpe"`` tag; anything else is the word-level
     Keras-parity Tokenizer (pre-existing artifacts have no tag)."""
     with open(path) as f:
-        payload = f.read()
-    if json.loads(payload).get("kind") == "bpe":
-        return BpeTokenizer.from_json(payload)
+        d = json.load(f)
+    if d.get("kind") == "bpe":
+        return BpeTokenizer.from_json(d)
     from tpucap.text.tokenizer import Tokenizer
 
-    return Tokenizer.from_json(payload)
+    return Tokenizer.from_json(d)

@@ -242,8 +242,11 @@ class Tokenizer:
         )
 
     @classmethod
-    def from_json(cls, payload: str) -> "Tokenizer":
-        d = json.loads(payload)
+    def from_json(cls, payload) -> "Tokenizer":
+        """``payload``: JSON string, or an already-parsed dict (see
+        tpucap.text.bpe.load_tokenizer — one parse for multi-MB
+        artifacts)."""
+        d = json.loads(payload) if isinstance(payload, str) else payload
         tok = cls(
             num_words=d["num_words"],
             filters=d["filters"],
