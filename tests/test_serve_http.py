@@ -87,6 +87,19 @@ def test_health_and_stats(server):
     assert payload["images"]["requests"] >= 1  # from the jpeg test
 
 
+def test_demo_page(server):
+    host, port = server.address
+    conn = http.client.HTTPConnection(host, port, timeout=120)
+    for path in ("/", "/demo"):
+        conn.request("GET", path)
+        resp = conn.getresponse()
+        body = resp.read().decode()
+        assert resp.status == 200
+        assert resp.getheader("Content-Type") == "text/html"
+        assert "/caption" in body and "<!doctype html>" in body
+    conn.close()
+
+
 def test_unknown_route_404(server):
     status, _ = _request(server, "GET", "/nope")
     assert status == 404

@@ -20,6 +20,8 @@ Endpoints:
 - ``POST /caption_stream_features``  same, JSON features body
 - ``GET  /healthz``            liveness + backend
 - ``GET  /stats``              batcher stats (batch sizes, p50/p99 ms)
+- ``GET  /`` (or ``/demo``)    stdlib-only browser demo page (file
+                               picker -> POST /caption -> caption)
 
 Streaming uses connection-close framing (no Content-Length; read lines
 until EOF) so the stdlib handler needs no chunked-encoding machinery;
@@ -216,6 +218,16 @@ class CaptionHTTPServer:
                             "features": outer._features.stats(),
                         },
                     )
+                elif self.path in ("/", "/demo"):
+                    # Minimal browser demo: pick a JPEG, see the caption
+                    # (pure stdlib on both ends; the fetch posts the raw
+                    # bytes exactly like the curl examples).
+                    body = _DEMO_HTML.encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/html")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
                 else:
                     self._reply(404, {"error": f"no route {self.path}"})
 
@@ -328,3 +340,36 @@ class CaptionHTTPServer:
                     self._reply(500, {"error": str(e)})
 
         return Handler
+
+
+_DEMO_HTML = """<!doctype html>
+<html><head><meta charset="utf-8"><title>tpucap demo</title><style>
+body{font-family:system-ui,sans-serif;max-width:640px;margin:3rem auto;
+     padding:0 1rem;color:#222}
+img{max-width:100%;margin-top:1rem;border-radius:6px}
+#cap{margin-top:1rem;font-size:1.2rem;min-height:1.5rem}
+.err{color:#b00}
+</style></head><body>
+<h1>tpucap</h1>
+<p>Pick a JPEG; it is POSTed to <code>/caption</code> as raw bytes.</p>
+<input type="file" id="f" accept="image/jpeg">
+<div id="cap"></div><img id="img" hidden>
+<script>
+document.getElementById('f').addEventListener('change', async (e) => {
+  const file = e.target.files[0];
+  if (!file) return;
+  const img = document.getElementById('img');
+  img.src = URL.createObjectURL(file); img.hidden = false;
+  const cap = document.getElementById('cap');
+  cap.textContent = 'captioning…'; cap.className = '';
+  try {
+    const r = await fetch('/caption', {method: 'POST', body: file});
+    const d = await r.json();
+    if (!r.ok) throw new Error(d.error || r.status);
+    cap.textContent = d.caption;
+  } catch (err) {
+    cap.textContent = 'error: ' + err.message; cap.className = 'err';
+  }
+});
+</script></body></html>
+"""
