@@ -122,6 +122,10 @@ def _add_common_model_flags(p):
                    "production blocklist control; applies to "
                    "greedy/beam/sample/diverse, TP decode, and the "
                    "serving engines")
+    p.add_argument("--no-repeat-ngram", type=int, default=0,
+                   help="block n-grams from repeating within a caption "
+                   "(greedy/beam/sample/diverse; 1 = never repeat a "
+                   "token, 0 = off)")
     p.add_argument("--preset", default=None,
                    help="config preset name (config1..config5), overrides "
                    "encoder/decoder flags")
@@ -261,6 +265,7 @@ def _build_config(args):
             max_len=args.max_len,
             min_len=getattr(args, "min_len", 0) or 0,
             bad_words=_parse_bad_words(getattr(args, "bad_words", None)),
+            no_repeat_ngram_size=getattr(args, "no_repeat_ngram", 0) or 0,
             length_penalty=getattr(args, "length_penalty", None)
             or "simple",
             approx_topk=getattr(args, "approx_topk", False),

@@ -85,6 +85,14 @@ class DecodeConfig:
     # out-of-vocabulary entries are ignored (they can never be
     # generated anyway). Static — part of the compiled program.
     bad_words: tuple = ()
+    # No-repeat-ngram blocking (the anti-repetition dial): tokens that
+    # would complete an n-gram the sequence already generated leave the
+    # candidate vocabulary (greedy/beam/sample; selection-only in
+    # greedy/beam, renormalizing in sampling — decode/ngram.py). 1 =
+    # never repeat a token; 0 = off (the reference has no blocking).
+    # Unsupported with tensor-parallel decode and the speculative/
+    # continuous engines (clear errors there).
+    no_repeat_ngram_size: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -137,6 +137,7 @@ def beam_decode(
     pad_id: int = 0,
     min_len: int = 0,
     banned_ids: tuple = (),
+    no_repeat_ngram_size: int = 0,
     length_normalize: bool = True,
     alpha: float = 1.0,
     length_penalty: str = "simple",
@@ -165,6 +166,15 @@ def beam_decode(
     tensor-parallel engine to plug in vocab-sharded scoring while sharing
     this loop's bookkeeping, backpointers, and reconstruction.
 
+    ``no_repeat_ngram_size`` > 0 excludes from each hypothesis's
+    candidate vocabulary any token that would complete an n-gram that
+    hypothesis already generated (decode/ngram.py). Selection-only like
+    pad/min_len (the lse stays full-softmax). Opt-in cost: the loop
+    then carries a materialized (B, k, max_len) per-hypothesis token
+    buffer (gathered by parent each step) that the backpointer design
+    otherwise avoids — negligible at caption lengths, but only paid
+    when the dial is set.
+
     ``unroll`` > 1 runs that many steps per while_loop iteration
     (token-exact — frozen-carry semantics, decode/greedy.unroll_body),
     trading early-exit granularity for fewer loop boundaries."""
@@ -172,10 +182,19 @@ def beam_decode(
     B = jax.tree_util.tree_leaves(state)[0].shape[0]
     shared = _shared_keys(decoder, state)
     state = _tile_state(state, k, shared)
+    ngram = no_repeat_ngram_size
+    if ngram and scorer is not None:
+        # The custom-scorer seam (the TP vocab-sharded engine) reduces
+        # each beam to k candidates before this loop sees scores, so the
+        # ngram mask cannot be applied selection-exactly from here.
+        raise NotImplementedError(
+            "no_repeat_ngram_size is not supported with a custom beam "
+            "scorer (tensor-parallel decode); use parallelism=None/'dp'"
+        )
 
     if scorer is None:
 
-        def scorer(params, state, last, t):
+        def scorer(params, state, last, t, seqs=None):
             with jax.named_scope("beam_model_step"):
                 logits, new_state = step_fn(params, state, last)  # (B*k, V)
             # Lazy log-softmax: log_softmax is a per-row monotonic shift of
@@ -196,6 +215,19 @@ def beam_decode(
             # Banned words (DecodeConfig.bad_words) leave the candidate
             # set entirely; selection-only like pad (lse untouched).
             masked = apply_banned(masked, banned_ids)
+            if seqs is not None:
+                # No-repeat-ngram: per-hypothesis ban mask from the
+                # carried token history, applied BEFORE stage-1 top-k so
+                # the slot goes to the next-best word (selection-exact
+                # vs the oracle); lse stays the full-softmax normalizer.
+                from tpucap.decode.ngram import ngram_banned_mask
+
+                bm = ngram_banned_mask(
+                    seqs.reshape(B * k, -1), t, ngram, logits.shape[-1]
+                )
+                masked = jnp.where(
+                    bm, jnp.asarray(NEG_INF, masked.dtype), masked
+                )
             if min_len:
                 # Length floor: endseq leaves the candidate set while
                 # t < min_len. Masked BEFORE stage-1 top-k so the slot
@@ -240,12 +272,18 @@ def beam_decode(
     ).astype(jnp.float32)
 
     def cond(carry):
-        t, _, _, _, _, finished, _, _ = carry
-        return jnp.logical_and(t < max_len, ~jnp.all(finished))
+        return jnp.logical_and(carry[0] < max_len, ~jnp.all(carry[5]))
 
     def body(carry):
-        t, words_acc, parents_acc, state, last, finished, lengths, scores = carry
-        pb_logp, pb_words, new_state = scorer(params, state, last, t)
+        (t, words_acc, parents_acc, state, last, finished, lengths,
+         scores) = carry[:8]
+        if ngram:
+            seqs = carry[8]
+            pb_logp, pb_words, new_state = scorer(
+                params, state, last, t, seqs=seqs
+            )
+        else:
+            pb_logp, pb_words, new_state = scorer(params, state, last, t)
         C = pb_logp.shape[-1]  # candidates per live beam (k, or shards*k)
 
         live_cand = scores[:, :, None] + pb_logp  # (B, k, C)
@@ -287,7 +325,7 @@ def beam_decode(
 
         state = _gather_beams(new_state, parent, B, k, shared)
         last = word.reshape(B * k)
-        return (
+        out = (
             t + 1,
             words_acc,
             parents_acc,
@@ -297,6 +335,16 @@ def beam_decode(
             lengths,
             top_scores,
         )
+        if ngram:
+            # Per-hypothesis history: reindex by parent, append this
+            # step's word (pad for frozen slots — harmless, frozen
+            # hypotheses never expand again).
+            seqs = jnp.take_along_axis(seqs, parent[:, :, None], axis=1)
+            seqs = jax.lax.dynamic_update_slice(
+                seqs, word[:, :, None], (0, 0, t)
+            )
+            out = out + (seqs,)
+        return out
 
     carry = (
         jnp.array(0, jnp.int32),
@@ -308,13 +356,14 @@ def beam_decode(
         jnp.zeros((B, k), jnp.int32),
         scores0,
     )
+    if ngram:
+        carry = carry + (jnp.full((B, k, max_len), pad_id, jnp.int32),)
     if unroll > 1:
         from tpucap.decode.greedy import unroll_body
 
         body = unroll_body(body, unroll, limit=max_len)
-    _, words_acc, parents_acc, _, _, finished, lengths, scores = (
-        jax.lax.while_loop(cond, body, carry)
-    )
+    final = jax.lax.while_loop(cond, body, carry)
+    _, words_acc, parents_acc, _, _, finished, lengths, scores = final[:8]
 
     # Reconstruct the (B, k, max_len) sequences by walking backpointers
     # from the final slots to step 0 (one backward scan; outside the hot

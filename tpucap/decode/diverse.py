@@ -78,6 +78,7 @@ def diverse_beam_decode(
     pad_id: int = 0,
     min_len: int = 0,
     banned_ids: tuple = (),
+    no_repeat_ngram_size: int = 0,
     length_normalize: bool = True,
     alpha: float = 1.0,
     length_penalty: str = "simple",
@@ -87,7 +88,11 @@ def diverse_beam_decode(
     beams. ``step_fn(params, state, token) -> (logits, state)`` exactly
     as for beam_decode; state rows are laid out image-major, then
     group, then beam. ``diversity`` is the Hamming penalty strength
-    (lambda); 0 reduces every group to an independent standard beam."""
+    (lambda); 0 reduces every group to an independent standard beam.
+
+    ``no_repeat_ngram_size`` > 0 excludes per-hypothesis repeated-ngram
+    completions (decode/ngram.py; beam_decode semantics — selection-only,
+    opt-in (B, G, kg, max_len) history carry)."""
     if num_groups < 1 or group_width < 1:
         raise ValueError(
             f"need num_groups >= 1 and group_width >= 1, got "
@@ -115,9 +120,11 @@ def diverse_beam_decode(
         finished = carry[5]
         return jnp.logical_and(t < max_len, ~jnp.all(finished))
 
+    ngram = no_repeat_ngram_size
+
     def body(carry):
         (t, words_acc, parents_acc, state, last, finished, lengths,
-         sel_scores, true_scores) = carry
+         sel_scores, true_scores) = carry[:9]
         with jax.named_scope("dbs_model_step"):
             logits, new_state = step_fn(params, state, last)  # (B*K, V)
         V = logits.shape[-1]
@@ -126,6 +133,19 @@ def diverse_beam_decode(
         ).reshape(B, G, kg)
         masked = logits.at[:, pad_id].set(jnp.asarray(NEG_INF, logits.dtype))
         masked = apply_banned(masked, banned_ids)
+        if ngram:
+            # No-repeat-ngram: per-hypothesis ban from the carried
+            # history, BEFORE the per-group top-k (selection-exact);
+            # lse stays the full-softmax normalizer. Row layout of the
+            # (B, G, kg, L) carry flattens to the engine's image-major
+            # (B*K, V) logits rows.
+            from tpucap.decode.ngram import ngram_banned_mask
+
+            seqs = carry[9]
+            bm = ngram_banned_mask(seqs.reshape(B * K, -1), t, ngram, V)
+            masked = jnp.where(
+                bm, jnp.asarray(NEG_INF, masked.dtype), masked
+            )
         if min_len:
             blocked = masked.at[:, end_id].set(
                 jnp.asarray(NEG_INF, masked.dtype)
@@ -211,7 +231,7 @@ def diverse_beam_decode(
         state = _gather_beams(
             new_state, parent_all.reshape(B * G, kg), B * G, kg, shared
         )
-        return (
+        out = (
             t + 1,
             words_acc,
             parents_acc,
@@ -222,6 +242,16 @@ def diverse_beam_decode(
             jnp.stack(out_sel, axis=1),
             jnp.stack(out_true, axis=1),
         )
+        if ngram:
+            # Per-hypothesis history: reindex within each group by this
+            # step's parents, append the emitted words (pad for frozen
+            # slots — they never expand again).
+            seqs = jnp.take_along_axis(seqs, parent_all[..., None], axis=2)
+            seqs = jax.lax.dynamic_update_slice(
+                seqs, word_all[..., None], (0, 0, 0, t)
+            )
+            out = out + (seqs,)
+        return out
 
     carry = (
         jnp.array(0, jnp.int32),
@@ -234,8 +264,11 @@ def diverse_beam_decode(
         scores0,
         scores0,
     )
+    if ngram:
+        carry = carry + (jnp.full((B, G, kg, max_len), pad_id, jnp.int32),)
+    final = jax.lax.while_loop(cond, body, carry)
     (_, words_acc, parents_acc, _, _, finished, lengths,
-     _, true_scores) = jax.lax.while_loop(cond, body, carry)
+     _, true_scores) = final[:9]
 
     # Backpointer reconstruction, groups flattened into the batch
     # (parents index within their group).

@@ -1,0 +1,91 @@
+"""No-repeat-ngram blocking: the standard decode-quality dial that
+forbids the generator from ever emitting the same n-gram twice.
+
+Not part of the reference surface (it ships plain greedy + beam,
+SURVEY.md §2.1 #10-11) — provided as a framework extra like sampling
+and diverse beam, because repetitive captions ("a man in a man in a
+man") are the classic LSTM failure mode the dial exists to cut off.
+
+TPU-first shape discipline: the history window match is a static-shape
+sliding-window compare over the engine's (.., max_len) token buffer —
+(P, n-1) gathered windows against the current (n-1)-token suffix — and
+the ban set is materialized as one (rows, vocab) boolean scatter-max.
+At caption lengths (max_len ≈ 34) this is a few thousand int compares
+per row, invisible next to the step's matmuls, and it keeps the whole
+constraint inside the single compiled while_loop program (no host
+round-trips, no dynamic shapes).
+
+Semantics (mirrored by the test oracles in tests/test_ngram.py):
+- The history is the GENERATED tokens only — the fixed ``startseq``
+  prompt is not part of any window (unlike HF's convention of hashing
+  the full prompt; with a single constant start token the distinction
+  is a no-op for every n-gram that matters).
+- Emitting token w at step t is banned iff the (n-1)-token suffix
+  y[t-n+1:t] already occurred at some earlier position i <= t-n
+  followed by w — i.e. iff (y[t-n+1:t], w) is an n-gram already in the
+  sequence.
+- n = 1 degenerates to "never repeat any token".
+- The mask is SELECTION-only in greedy/beam (candidates leave the
+  top-k/argmax; the softmax normalizer stays full, so scores remain
+  true log-probs — the pad/min_len/bad_words convention) and
+  renormalizing in sampling (masked before the softmax, the
+  min_len-in-sampling convention).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def ngram_banned_mask(tokens, t, n: int, vocab: int):
+    """Boolean ban mask for no-repeat-ngram decoding.
+
+    tokens: (..., L) int32 generated-token buffer; positions >= t hold
+        pad (ignored — the validity mask below excludes them).
+    t: current step (traced scalar) — the position about to be written.
+    n: static ngram size (>= 1).
+    vocab: static vocabulary size.
+
+    Returns (..., vocab) bool, True where emitting that token at step t
+    would complete an n-gram already present in tokens[..., :t].
+    """
+    if n < 1:
+        raise ValueError(f"no_repeat_ngram_size must be >= 1, got {n}")
+    L = tokens.shape[-1]
+    P = L - (n - 1)  # number of (n-1)-gram window start positions
+    if P <= 0:
+        # n-grams longer than the buffer can never repeat.
+        return jnp.zeros(tokens.shape[:-1] + (vocab,), bool)
+
+    # All (n-1)-token windows of the buffer, gathered with a static
+    # index grid: windows[.., i, :] = tokens[.., i : i + n - 1].
+    win = jnp.arange(P)[:, None] + jnp.arange(n - 1)[None, :]
+    windows = tokens[..., win]  # (..., P, n-1)
+
+    # The suffix the next token would extend: the last n-1 generated
+    # tokens, y[t-n+1 : t] (start clamped; invalid when t < n, but the
+    # validity mask below is then empty anyway).
+    start = jnp.maximum(t - (n - 1), 0)
+    suffix = jax.lax.dynamic_slice_in_dim(tokens, start, n - 1, axis=-1)
+
+    match = jnp.all(windows == suffix[..., None, :], axis=-1)  # (..., P)
+    # Window i's completing token sits at i + n - 1, which must be an
+    # already-generated position (<= t - 1)  =>  i <= t - n.
+    match = jnp.logical_and(match, jnp.arange(P) <= t - n)
+    next_tok = tokens[..., jnp.arange(P) + (n - 1)]  # (..., P)
+
+    # Scatter-max the P (token, matched) pairs per row into the vocab
+    # axis — O(rows * P) updates, no (rows, P, vocab) intermediate.
+    lead = tokens.shape[:-1]
+    rows = 1
+    for d in lead:
+        rows *= d
+    flat_tok = next_tok.reshape(rows, P)
+    flat_match = match.reshape(rows, P)
+    mask = (
+        jnp.zeros((rows, vocab), bool)
+        .at[jnp.arange(rows)[:, None], flat_tok]
+        .max(flat_match)
+    )
+    return mask.reshape(lead + (vocab,))

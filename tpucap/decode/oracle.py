@@ -17,9 +17,24 @@ import numpy as np
 NEG_INF = -1e30
 
 
+def _ngram_bans(seq, n):
+    """Naive no-repeat-ngram ban set: tokens that would complete an
+    n-gram already present in ``seq`` (a Python list of generated
+    tokens). Built from a plain seen-ngram scan — independent of the
+    engine's windowed-compare implementation (decode/ngram.py)."""
+    if n < 1 or len(seq) < n - 1:
+        return set()
+    suffix = tuple(seq[len(seq) - (n - 1):])
+    return {
+        seq[i + n - 1]
+        for i in range(len(seq) - n + 1)
+        if tuple(seq[i:i + n - 1]) == suffix
+    }
+
+
 def greedy_oracle(
     step_fn, params, state, *, start_id, end_id, max_len, pad_id=0,
-    min_len=0,
+    min_len=0, no_repeat_ngram_size=0,
 ):
     """Per-step greedy loop mirroring tpucap.decode.greedy semantics."""
     import jax
@@ -41,6 +56,14 @@ def greedy_oracle(
         logits = jnp.asarray(logits).astype(jnp.float32)
         logp = np.asarray(jax.nn.log_softmax(logits, axis=-1))
         masked = np.array(logits.at[:, pad_id].set(-np.inf))
+        if no_repeat_ngram_size:
+            # Engine semantics: repeated-ngram completions leave the
+            # argmax only (scores stay full-softmax log-probs).
+            for b in range(B):
+                for w in _ngram_bans(
+                    [int(x) for x in tokens[b, :t]], no_repeat_ngram_size
+                ):
+                    masked[b, w] = -np.inf
         if t < min_len:
             # Engine min_len semantics: endseq excluded from the argmax,
             # scores untouched (full-softmax log-probs).
@@ -70,6 +93,7 @@ def beam_oracle(
     beam_width,
     pad_id=0,
     min_len=0,
+    no_repeat_ngram_size=0,
     length_normalize=True,
     alpha=1.0,
     length_penalty="simple",
@@ -100,6 +124,16 @@ def beam_oracle(
         V = logits.shape[-1]
         logp = np.array(jax.nn.log_softmax(logits, axis=-1)).reshape(B, k, V)
         logp[:, :, pad_id] = NEG_INF
+        if no_repeat_ngram_size:
+            # Engine semantics: per-hypothesis repeated-ngram
+            # completions leave the candidate set (selection-only).
+            for b in range(B):
+                for j in range(k):
+                    hist = [
+                        int(x) for x in tokens[b, j, :t]
+                    ][: int(lengths[b, j])]
+                    for w in _ngram_bans(hist, no_repeat_ngram_size):
+                        logp[b, j, w] = NEG_INF
         if t < min_len:
             # Engine min_len semantics: endseq leaves the candidate set
             # while t < min_len (never selected, so survivor scores are

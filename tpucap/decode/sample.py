@@ -32,6 +32,7 @@ def sample_decode(
     pad_id: int = 0,
     min_len: int = 0,
     banned_ids: tuple = (),
+    no_repeat_ngram_size: int = 0,
 ) -> DecodeResult:
     """Ancestral sampling with optional temperature, top-k truncation,
     and top-p (nucleus) truncation — applied in that order, the
@@ -46,6 +47,11 @@ def sample_decode(
     one multiplied — both monotonically push it down). The seen-set is
     per sequence and grows as the loop emits; start/pad ids are never
     penalized (pad is hard-masked anyway).
+
+    ``no_repeat_ngram_size`` > 0 hard-masks any token that would
+    complete an n-gram the sequence already generated (decode/ngram.py)
+    — masked before the softmax, so the remaining vocabulary
+    renormalizes (sampling semantics, like min_len's endseq handling).
 
     rng: jax PRNG key; the same key reproduces the same captions.
     """
@@ -88,6 +94,15 @@ def sample_decode(
                 logits * repetition_penalty,
             )
             logits = jnp.where(seen, penalized, logits)
+        if no_repeat_ngram_size:
+            # No-repeat-ngram: banned completions carry no probability
+            # mass (the rest of the vocabulary renormalizes).
+            from tpucap.decode.ngram import ngram_banned_mask
+
+            banned = ngram_banned_mask(
+                tokens, t, no_repeat_ngram_size, logits.shape[-1]
+            )
+            logits = jnp.where(banned, NEG_INF, logits)
         if min_len:
             # Length floor: endseq carries no probability mass while
             # t < min_len (masked before the softmax, so the remaining

@@ -2270,6 +2270,7 @@ class CaptioningPipeline:
                         max_len=dcfg.max_len,
                         min_len=dcfg.min_len,
                         banned_ids=self._banned_ids(),
+                        no_repeat_ngram_size=dcfg.no_repeat_ngram_size,
                     )
 
         else:
@@ -2288,6 +2289,7 @@ class CaptioningPipeline:
                         beam_width=beam_width,
                         min_len=dcfg.min_len,
                         banned_ids=self._banned_ids(),
+                        no_repeat_ngram_size=dcfg.no_repeat_ngram_size,
                         length_normalize=dcfg.length_normalize,
                         alpha=dcfg.alpha,
                         length_penalty=dcfg.length_penalty,
@@ -2414,6 +2416,7 @@ class CaptioningPipeline:
                 max_len=dcfg.max_len,
                 min_len=dcfg.min_len,
                 banned_ids=self._banned_ids(),
+                no_repeat_ngram_size=dcfg.no_repeat_ngram_size,
             )
             if method != "greedy":
                 kwargs.update(
@@ -2433,6 +2436,15 @@ class CaptioningPipeline:
         else:
             from tpucap.parallel.tp import make_tp_beam_fn, pad_vocab_params
 
+            if dcfg.no_repeat_ngram_size:
+                # The TP engine plugs a vocab-sharded custom scorer into
+                # beam_decode, which reduces candidates before the ngram
+                # mask could apply selection-exactly (see beam.py).
+                raise NotImplementedError(
+                    "no_repeat_ngram_size is not supported with "
+                    "tensor-parallel decode; use parallelism "
+                    "None|'dp'"
+                )
             n_model = dict(mesh.shape)["model"]
             dec_params, _ = pad_vocab_params(dec_params, n_model)
             fn = make_tp_beam_fn(
@@ -2541,6 +2553,9 @@ class CaptioningPipeline:
                     max_len=self.config.decode.max_len,
                     min_len=self.config.decode.min_len,
                     banned_ids=self._banned_ids(),
+                    no_repeat_ngram_size=(
+                        self.config.decode.no_repeat_ngram_size
+                    ),
                     temperature=temperature,
                     top_k=top_k,
                     top_p=top_p,
@@ -2695,6 +2710,7 @@ class CaptioningPipeline:
                         diversity=diversity,
                         min_len=dcfg.min_len,
                         banned_ids=self._banned_ids(),
+                        no_repeat_ngram_size=dcfg.no_repeat_ngram_size,
                         length_normalize=dcfg.length_normalize,
                         alpha=dcfg.alpha,
                         length_penalty=dcfg.length_penalty,
@@ -2897,6 +2913,7 @@ class CaptioningPipeline:
                             max_len=dcfg.max_len,
                             min_len=dcfg.min_len,
                             banned_ids=self._banned_ids(),
+                            no_repeat_ngram_size=dcfg.no_repeat_ngram_size,
                         )
 
             else:
@@ -2915,6 +2932,7 @@ class CaptioningPipeline:
                             beam_width=beam_width,
                             min_len=dcfg.min_len,
                             banned_ids=self._banned_ids(),
+                            no_repeat_ngram_size=dcfg.no_repeat_ngram_size,
                             length_normalize=dcfg.length_normalize,
                             alpha=dcfg.alpha,
                             length_penalty=dcfg.length_penalty,
@@ -2953,12 +2971,12 @@ class CaptioningPipeline:
         Returns ``(captions, stats)`` with stats =
         ``{rounds, drafted, accepted, emitted, acceptance_rate}``.
         """
-        if self._banned_ids():
+        if self._banned_ids() or self.config.decode.no_repeat_ngram_size:
             raise NotImplementedError(
-                "bad_words is not plumbed through the speculative "
-                "draft/verify programs yet — decode with "
-                "method='greedy' (token-identical) when a blocklist "
-                "is configured"
+                "bad_words / no_repeat_ngram_size are not plumbed "
+                "through the speculative draft/verify programs yet — "
+                "decode with method='greedy' (token-identical) when "
+                "either is configured"
             )
         if not hasattr(self.decoder, "step_chunk"):
             raise ValueError(
@@ -3186,6 +3204,7 @@ class CaptioningPipeline:
                         max_len=dcfg.max_len,
                         min_len=dcfg.min_len,
                         banned_ids=self._banned_ids(),
+                        no_repeat_ngram_size=dcfg.no_repeat_ngram_size,
                     )
                 return beam_decode(
                     self.decoder.step,
@@ -3197,6 +3216,7 @@ class CaptioningPipeline:
                     beam_width=beam_width,
                     min_len=dcfg.min_len,
                     banned_ids=self._banned_ids(),
+                    no_repeat_ngram_size=dcfg.no_repeat_ngram_size,
                     length_normalize=dcfg.length_normalize,
                     alpha=dcfg.alpha,
                     length_penalty=dcfg.length_penalty,
