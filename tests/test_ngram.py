@@ -276,11 +276,90 @@ def test_pipeline_tp_refuses_ngram(ngram_pipe, rng):
         ngram_pipe.generate(feats, method="beam", parallelism="tp")
 
 
-def test_continuous_server_refuses_ngram(ngram_pipe):
+def test_continuous_greedy_engine_matches_with_ngram(ngram_pipe, rng):
+    """Slot-recycled greedy == greedy_decode under the ngram dial,
+    including a staggered (recycled-lane) admission."""
+    from tpucap.decode.continuous import ContinuousDecodeEngine
+
+    feats = rng.normal(size=(3, 32)).astype(np.float32)
+    params = ngram_pipe.params["decoder"]
+    dec = ngram_pipe.decoder
+    ref = greedy_decode(
+        dec.step, params, dec.init_state(params, jnp.asarray(feats)),
+        start_id=1, end_id=2, max_len=10, no_repeat_ngram_size=2,
+    )
+    eng = ContinuousDecodeEngine(
+        dec, params, slots=2, start_id=1, end_id=2, max_len=10,
+        no_repeat_ngram_size=2, feature_shape=(32,),
+    )
+    st = eng.init_state()
+    idx, f = eng.pad_admission([0, 1], [feats[0], feats[1]])
+    st = eng.admit(st, idx, f)
+    st = eng.tick(st, 4)
+    # Recycle lane 0 mid-flight with request 2: the cleared token
+    # buffer must not leak the previous occupant's n-grams.
+    idx, f = eng.pad_admission([0], [feats[2]])
+    st = eng.admit(st, idx, f)
+    st = eng.tick(st, 10)
+    (tokens, lengths, _), _ = eng.collect(st, jnp.asarray([0, 1]))
+    np.testing.assert_array_equal(
+        np.asarray(tokens)[0], np.asarray(ref.tokens)[2]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(tokens)[1], np.asarray(ref.tokens)[1]
+    )
+
+
+def test_continuous_beam_engine_matches_with_ngram(ngram_pipe, rng):
+    """Group-recycled beam == beam_decode under the ngram dial, with a
+    staggered admission into a recycled group."""
+    from tpucap.decode.continuous_beam import ContinuousBeamEngine
+
+    feats = rng.normal(size=(2, 32)).astype(np.float32)
+    params = ngram_pipe.params["decoder"]
+    dec = ngram_pipe.decoder
+    ref = beam_decode(
+        dec.step, params,
+        dec.init_state(params, jnp.asarray(feats[1:2])),
+        start_id=1, end_id=2, max_len=10, beam_width=3,
+        no_repeat_ngram_size=2, decoder=dec,
+    )
+    eng = ContinuousBeamEngine(
+        dec, params, slots=1, beam_width=3, start_id=1, end_id=2,
+        max_len=10, no_repeat_ngram_size=2, feature_shape=(32,),
+    )
+    st = eng.init_state()
+    idx, f = eng.pad_admission([0], [feats[0]])
+    st = eng.admit(st, idx, f)
+    st = eng.tick(st, 5)
+    idx, f = eng.pad_admission([0], [feats[1]])
+    st = eng.admit(st, idx, f)
+    st = eng.tick(st, 10)
+    (tokens, lengths, scores), _ = eng.collect(st, jnp.asarray([0]))
+    np.testing.assert_array_equal(
+        np.asarray(tokens), np.asarray(ref.tokens)
+    )
+    np.testing.assert_allclose(
+        np.asarray(scores), np.asarray(ref.scores), atol=1e-5
+    )
+
+
+def test_continuous_server_matches_generate_with_ngram(ngram_pipe, rng):
     from tpucap.serve import ContinuousCaptionServer
 
-    with pytest.raises(NotImplementedError, match="no_repeat_ngram"):
-        ContinuousCaptionServer(ngram_pipe, slots=4)
+    feats = rng.normal(size=(5, 32)).astype(np.float32)
+    ref = ngram_pipe.generate(feats, method="greedy")
+    with ContinuousCaptionServer(
+        ngram_pipe, slots=2, ticks_per_sync=2
+    ) as srv:
+        got = [
+            fut.result(timeout=180)
+            for fut in [srv.submit(f) for f in feats]
+        ]
+    assert got == ref
+    for c in got:
+        grams = _ngrams(c.split(), 2)
+        assert len(grams) == len(set(grams)), c
 
 
 def test_cli_flag_reaches_config():

@@ -119,6 +119,7 @@ class ContinuousDecodeEngine(AdmissionMixin):
         pad_id: int = 0,
         min_len: int = 0,
         banned_ids: tuple = (),
+        no_repeat_ngram_size: int = 0,
         feature_shape: tuple | None = None,
         feature_dtype=jnp.float32,
         matmul_precision: str = "default",
@@ -132,6 +133,7 @@ class ContinuousDecodeEngine(AdmissionMixin):
         self.pad_id = pad_id
         self.min_len = min_len
         self.banned_ids = tuple(banned_ids)
+        self.no_repeat_ngram_size = no_repeat_ngram_size
         self.feature_shape = feature_shape or (decoder.feature_dim,)
         self.feature_dtype = feature_dtype
         # 'highest' mirrors pipeline._decode_fn's precision='f32'
@@ -197,6 +199,22 @@ class ContinuousDecodeEngine(AdmissionMixin):
                 from tpucap.decode.beam import apply_banned
 
                 masked = apply_banned(masked, self.banned_ids)
+            if self.no_repeat_ngram_size:
+                # No-repeat-ngram (greedy.py semantics, per lane: a
+                # lane's emitted length IS its step index): repeated-
+                # ngram completions leave the argmax; lse stays the
+                # full-softmax normalizer. Lane recycling is safe —
+                # admit() clears the token buffer, so no stale history
+                # can leak into a new occupant's mask.
+                from tpucap.decode.ngram import ngram_banned_mask
+
+                banned = ngram_banned_mask(
+                    state.tokens,
+                    state.lengths,
+                    self.no_repeat_ngram_size,
+                    logits.shape[-1],
+                )
+                masked = jnp.where(banned, -jnp.inf, masked)
             if self.min_len:
                 # Length floor (greedy.py min_len semantics, per lane:
                 # a lane's step index IS its emitted length): endseq is

@@ -52,6 +52,7 @@ class BeamSlotState:
     lengths: Any  # (R, k) int32
     words: Any  # (R, max_len, k) int32 emitted word per step
     parents: Any  # (R, max_len, k) int32 backpointers
+    seqs: Any  # (R, k, max_len) per-hypothesis history (ngram dial; (R, k, 1) dummy when off)
     active: Any  # (R,) bool — live request group
     finished: Any  # (R,) bool — group done, awaiting collection
 
@@ -73,6 +74,7 @@ class ContinuousBeamEngine(AdmissionMixin):
         pad_id: int = 0,
         min_len: int = 0,
         banned_ids: tuple = (),
+        no_repeat_ngram_size: int = 0,
         length_normalize: bool = True,
         alpha: float = 1.0,
         length_penalty: str = "simple",
@@ -91,6 +93,7 @@ class ContinuousBeamEngine(AdmissionMixin):
         self.pad_id = pad_id
         self.min_len = min_len
         self.banned_ids = tuple(banned_ids)
+        self.no_repeat_ngram_size = no_repeat_ngram_size
         self.length_normalize = length_normalize
         self.alpha = alpha
         self.length_penalty = length_penalty
@@ -140,6 +143,13 @@ class ContinuousBeamEngine(AdmissionMixin):
             lengths=jnp.zeros((R, k), jnp.int32),
             words=jnp.full((R, L, k), self.pad_id, jnp.int32),
             parents=parents0,
+            # Per-hypothesis history exists only for the ngram dial; a
+            # (R, k, 1) dummy keeps the pytree static when off.
+            seqs=jnp.full(
+                (R, k, L if self.no_repeat_ngram_size else 1),
+                self.pad_id,
+                jnp.int32,
+            ),
             active=jnp.zeros((R,), bool),
             finished=jnp.zeros((R,), bool),
         )
@@ -211,6 +221,7 @@ class ContinuousBeamEngine(AdmissionMixin):
             lengths=state.lengths.at[group_idx].set(0),
             words=state.words.at[group_idx].set(self.pad_id),
             parents=state.parents.at[group_idx].set(parents0),
+            seqs=state.seqs.at[group_idx].set(self.pad_id),
             active=state.active.at[group_idx].set(True),
             finished=state.finished.at[group_idx].set(False),
         )
@@ -238,6 +249,25 @@ class ContinuousBeamEngine(AdmissionMixin):
                 from tpucap.decode.beam import apply_banned
 
                 masked = apply_banned(masked, self.banned_ids)
+            if self.no_repeat_ngram_size:
+                # No-repeat-ngram (beam.py semantics, per hypothesis):
+                # repeated-ngram completions leave the candidate set
+                # BEFORE stage-1 top-k (selection-exact); lse stays the
+                # full-softmax normalizer. Each lane masks at its own
+                # group's step counter; admit() clears the history so
+                # group recycling can't leak a previous occupant's
+                # n-grams.
+                from tpucap.decode.ngram import ngram_banned_mask
+
+                bm = ngram_banned_mask(
+                    state.seqs.reshape(R * k, -1),
+                    jnp.repeat(state.t, k),
+                    self.no_repeat_ngram_size,
+                    masked.shape[-1],
+                )
+                masked = jnp.where(
+                    bm, jnp.asarray(NEG_INF, masked.dtype), masked
+                )
             if self.min_len:
                 # Length floor (beam.py min_len semantics, per GROUP:
                 # a group's step counter t is its emitted length):
@@ -325,6 +355,20 @@ class ContinuousBeamEngine(AdmissionMixin):
                 )
             last = jnp.where(act_lane, word.reshape(R * k), state.last)
 
+            if self.no_repeat_ngram_size:
+                # Per-hypothesis history: reindex by parent, append this
+                # step's word at the group's position; inactive groups
+                # keep their rows untouched (like words/parents).
+                new_seqs = jnp.take_along_axis(
+                    state.seqs, parent[:, :, None], axis=1
+                )
+                new_seqs = new_seqs.at[
+                    gidx[:, None], jnp.arange(k)[None, :], pos[:, None]
+                ].set(word)
+                seqs = jnp.where(act[:, None, None], new_seqs, state.seqs)
+            else:
+                seqs = state.seqs
+
             t = state.t + act.astype(jnp.int32)
             group_done = act & (
                 jnp.all(beam_finished, axis=1) | (t >= self.max_len)
@@ -341,6 +385,7 @@ class ContinuousBeamEngine(AdmissionMixin):
                     lengths=jnp.where(act[:, None], lengths, state.lengths),
                     words=words,
                     parents=parents,
+                    seqs=seqs,
                     active=act & ~group_done,
                     finished=state.finished | group_done,
                 ),

@@ -43,7 +43,10 @@ def ngram_banned_mask(tokens, t, n: int, vocab: int):
 
     tokens: (..., L) int32 generated-token buffer; positions >= t hold
         pad (ignored — the validity mask below excludes them).
-    t: current step (traced scalar) — the position about to be written.
+    t: current step — the position about to be written. A traced
+        scalar (the batch engines: every row at the same step) OR a
+        (...,)-shaped per-row array (the continuous engines: each lane
+        at its own step).
     n: static ngram size (>= 1).
     vocab: static vocabulary size.
 
@@ -65,14 +68,22 @@ def ngram_banned_mask(tokens, t, n: int, vocab: int):
 
     # The suffix the next token would extend: the last n-1 generated
     # tokens, y[t-n+1 : t] (start clamped; invalid when t < n, but the
-    # validity mask below is then empty anyway).
-    start = jnp.maximum(t - (n - 1), 0)
-    suffix = jax.lax.dynamic_slice_in_dim(tokens, start, n - 1, axis=-1)
+    # validity mask below is then empty anyway). Per-row gather so a
+    # per-lane t works the same as a shared scalar.
+    t_arr = jnp.broadcast_to(
+        jnp.asarray(t, jnp.int32), tokens.shape[:-1]
+    )
+    sidx = jnp.maximum(
+        t_arr[..., None] - (n - 1) + jnp.arange(n - 1), 0
+    )  # (..., n-1)
+    suffix = jnp.take_along_axis(tokens, sidx, axis=-1)
 
     match = jnp.all(windows == suffix[..., None, :], axis=-1)  # (..., P)
     # Window i's completing token sits at i + n - 1, which must be an
     # already-generated position (<= t - 1)  =>  i <= t - n.
-    match = jnp.logical_and(match, jnp.arange(P) <= t - n)
+    match = jnp.logical_and(
+        match, jnp.arange(P) <= (t_arr[..., None] - n)
+    )
     next_tok = tokens[..., jnp.arange(P) + (n - 1)]  # (..., P)
 
     # Scatter-max the P (token, matched) pairs per row into the vocab

@@ -467,16 +467,6 @@ class ContinuousCaptionServer:
         only admission pays the encoder pass, on exactly the rows being
         admitted (the config-5 online analog with encoder in the loop,
         VERDICT r2 missing #4)."""
-        if pipeline.config.decode.no_repeat_ngram_size:
-            # The continuous engines recycle lanes mid-decode; their
-            # per-lane histories don't carry the ngram ban state yet.
-            # The batch CaptionServer routes through pipeline.generate,
-            # which supports the dial.
-            raise NotImplementedError(
-                "no_repeat_ngram_size is not supported by the "
-                "continuous engines yet — serve with the batch "
-                "CaptionServer (engine='batch')"
-            )
         if mode not in ("features", "images"):
             raise ValueError(
                 f"mode must be 'features'|'images', got {mode!r}"
@@ -499,6 +489,9 @@ class ContinuousCaptionServer:
             max_len=pipeline.config.decode.max_len,
             min_len=pipeline.config.decode.min_len,
             banned_ids=pipeline._banned_ids(),
+            no_repeat_ngram_size=(
+                pipeline.config.decode.no_repeat_ngram_size
+            ),
             feature_shape=feature_shape,
             feature_dtype=pipeline._infer_dtype(),
             # Mirror pipeline._decode_fn's precision='f32' exact-parity
