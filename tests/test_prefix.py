@@ -1,0 +1,222 @@
+"""Forced-prefix (caption-completion) decoding: prime_prefix +
+generate_continuation. Oracle-exact on primed single rows, decomposable
+over mixed-length batches, identity at the empty prefix, and the
+OOV-prefix refusal.
+
+Framework extra (the reference always decodes from startseq,
+SURVEY.md §3.3).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpucap.decode import beam_decode, greedy_decode
+from tpucap.decode.oracle import beam_oracle, greedy_oracle
+from tpucap.decode.prefix import prime_prefix
+
+from test_decode import END, MAXLEN, START, features_for, make
+
+
+def _prime_oracle(dec, params, feats, prefix_tokens):
+    """Teacher-force a prefix through the decoder in plain Python."""
+    state = dec.init_state(params, feats)
+    last = START
+    lp = 0.0
+    for tok in prefix_tokens:
+        logits, state = dec.step(
+            params, state, jnp.full((feats.shape[0],), last, jnp.int32)
+        )
+        logp = np.asarray(
+            jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        )
+        lp += float(logp[0, tok])
+        last = tok
+    return state, last, lp
+
+
+@pytest.mark.parametrize("name", ["lstm1", "attention"])
+def test_prime_prefix_matches_python_loop(name):
+    dec, params = make(name)
+    feats = features_for(name, jax.random.key(1))[:1]
+    prefix = [5, 9, 3]
+
+    st, last, lp = prime_prefix(
+        dec.step, params, dec.init_state(params, feats),
+        jnp.asarray([prefix], jnp.int32), jnp.asarray([3], jnp.int32),
+        start_id=START,
+    )
+    ost, olast, olp = _prime_oracle(dec, params, feats, prefix)
+    assert int(last[0]) == olast
+    np.testing.assert_allclose(float(lp[0]), olp, atol=1e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5
+        ),
+        st, ost,
+    )
+
+
+@pytest.mark.parametrize("name", ["lstm1", "transformer"])
+def test_greedy_continuation_matches_primed_oracle(name):
+    """Engine decode from a primed state == greedy_oracle from the
+    Python-primed state (single row => scalar start works)."""
+    dec, params = make(name)
+    feats = features_for(name, jax.random.key(2))[:1]
+    prefix = [4, 7]
+
+    st, last, lp = prime_prefix(
+        dec.step, params, dec.init_state(params, feats),
+        jnp.asarray([prefix], jnp.int32), jnp.asarray([2], jnp.int32),
+        start_id=START,
+    )
+    res = jax.jit(
+        lambda p, s, l, v: greedy_decode(
+            dec.step, p, s, start_id=l, end_id=END, max_len=MAXLEN,
+            init_scores=v,
+        )
+    )(params, st, last, lp)
+
+    ost, olast, olp = _prime_oracle(dec, params, feats, prefix)
+    ot, ol, osc = greedy_oracle(
+        dec.step, params, ost, start_id=olast, end_id=END, max_len=MAXLEN
+    )
+    np.testing.assert_array_equal(np.asarray(res.tokens), ot)
+    np.testing.assert_allclose(
+        np.asarray(res.scores), osc + olp, atol=1e-4
+    )
+
+
+def test_beam_continuation_matches_primed_oracle():
+    dec, params = make("lstm1")
+    feats = features_for("lstm1", jax.random.key(3))[:1]
+    prefix = [6, 11, 3]
+
+    st, last, lp = prime_prefix(
+        dec.step, params, dec.init_state(params, feats),
+        jnp.asarray([prefix], jnp.int32), jnp.asarray([3], jnp.int32),
+        start_id=START,
+    )
+    res = jax.jit(
+        lambda p, s, l, v: beam_decode(
+            dec.step, p, s, start_id=l, end_id=END, max_len=MAXLEN,
+            beam_width=3, init_scores=v, decoder=dec,
+        )
+    )(params, st, last, lp)
+
+    ost, olast, olp = _prime_oracle(dec, params, feats, prefix)
+    ot, ol, osc, obt, obl, obs = beam_oracle(
+        dec.step, params, ost, start_id=olast, end_id=END,
+        max_len=MAXLEN, beam_width=3,
+    )
+    # Ranking is continuation-normalized on both sides; engine scores
+    # additionally carry the prefix log-prob.
+    np.testing.assert_array_equal(np.asarray(res.tokens), ot)
+    np.testing.assert_allclose(
+        np.asarray(res.scores), osc + olp, atol=1e-4
+    )
+    np.testing.assert_array_equal(np.asarray(res.beam_tokens), obt)
+
+
+@pytest.mark.parametrize("method", ["greedy", "beam"])
+def test_mixed_batch_decomposes_to_single_rows(method):
+    """Batched mixed-length prefixes == row-by-row single decodes —
+    the freeze-mask in prime_prefix can't leak across rows."""
+    dec, params = make("lstm1")
+    feats = features_for("lstm1", jax.random.key(4))[:3]
+    prefixes = [[5, 9, 3], [7], []]
+
+    def run(f, pref_rows):
+        P = max((len(p) for p in pref_rows), default=0)
+        arr = np.zeros((len(pref_rows), P), np.int32)
+        lens = np.zeros((len(pref_rows),), np.int32)
+        for i, p in enumerate(pref_rows):
+            arr[i, : len(p)] = p
+            lens[i] = len(p)
+        st, last, lp = prime_prefix(
+            dec.step, params, dec.init_state(params, f),
+            jnp.asarray(arr), jnp.asarray(lens), start_id=START,
+        )
+        kw = dict(
+            start_id=last, end_id=END, max_len=MAXLEN, init_scores=lp
+        )
+        if method == "greedy":
+            return greedy_decode(dec.step, params, st, **kw)
+        return beam_decode(
+            dec.step, params, st, beam_width=3, decoder=dec, **kw
+        )
+
+    batched = run(feats, prefixes)
+    for i in range(3):
+        single = run(feats[i : i + 1], [prefixes[i]])
+        np.testing.assert_array_equal(
+            np.asarray(batched.tokens)[i], np.asarray(single.tokens)[0]
+        )
+        np.testing.assert_allclose(
+            np.asarray(batched.scores)[i],
+            np.asarray(single.scores)[0],
+            atol=1e-4,
+        )
+
+
+@pytest.fixture(scope="module")
+def pref_pipe(toy_corpus):
+    from tpucap.config import (
+        Config, DecodeConfig, DecoderConfig, EncoderConfig,
+    )
+    from tpucap.pipeline import CaptioningPipeline
+    from tpucap.text import Tokenizer
+
+    cfg = Config(
+        encoder=EncoderConfig(name="tiny_cnn", feature_dim=32),
+        decoder=DecoderConfig(embed_dim=8, hidden_dim=16, dropout_rate=0.0),
+        decode=DecodeConfig(max_len=10),
+    )
+    p = CaptioningPipeline(cfg)
+    tok = Tokenizer()
+    tok.fit_on_texts(toy_corpus)
+    p.tokenizer = tok
+    p.build()
+    return p
+
+
+def test_pipeline_empty_prefix_is_generate(pref_pipe, rng):
+    feats = rng.normal(size=(3, 32)).astype(np.float32)
+    for method in ("greedy", "beam"):
+        assert pref_pipe.generate_continuation(
+            feats, "", method=method
+        ) == pref_pipe.generate(feats, method=method)
+
+
+def test_pipeline_captions_start_with_prefix(pref_pipe, rng, toy_corpus):
+    feats = rng.normal(size=(2, 32)).astype(np.float32)
+    # Two in-vocabulary words from the toy corpus.
+    words = [
+        w for w in toy_corpus[0].split() if w not in ("startseq", "endseq")
+    ]
+    prefix = " ".join(words[:2])
+    caps = pref_pipe.generate_continuation(feats, prefix, method="beam")
+    assert all(c.startswith(prefix) for c in caps), (prefix, caps)
+
+
+def test_pipeline_mixed_prefixes_per_row(pref_pipe, rng, toy_corpus):
+    feats = rng.normal(size=(2, 32)).astype(np.float32)
+    w = [
+        x for x in toy_corpus[0].split() if x not in ("startseq", "endseq")
+    ][0]
+    caps = pref_pipe.generate_continuation(feats, [w, ""], method="greedy")
+    assert caps[0].startswith(w)
+    assert caps[1] == pref_pipe.generate(feats, method="greedy")[1]
+
+
+def test_pipeline_oov_prefix_raises(pref_pipe, rng):
+    feats = rng.normal(size=(1, 32)).astype(np.float32)
+    with pytest.raises(ValueError, match="outside the tokenizer"):
+        pref_pipe.generate_continuation(feats, "zzzunknownword")
+
+
+def test_pipeline_sample_method_raises(pref_pipe, rng):
+    feats = rng.normal(size=(1, 32)).astype(np.float32)
+    with pytest.raises(ValueError, match="greedy|beam"):
+        pref_pipe.generate_continuation(feats, "", method="sample")

@@ -904,6 +904,12 @@ def cmd_caption(args):
         raise SystemExit(
             "--ensemble-with supports --method greedy|beam"
         )
+    if getattr(args, "prefix", None) and (
+        args.method not in ("greedy", "beam") or ens_bundles
+    ):
+        raise SystemExit(
+            "--prefix supports --method greedy|beam (no ensemble)"
+        )
     if not args.keras_h5:
         print(
             "note: no --keras-h5 given — the encoder runs with its "
@@ -964,6 +970,12 @@ def cmd_caption(args):
             method=args.method,
             beam_width=args.beam_width,
             weights=ens_weights,
+        )
+    elif getattr(args, "prefix", None):
+        feats = pipe.extract_features(list(args.image))
+        caps = pipe.generate_continuation(
+            feats, args.prefix, method=args.method,
+            beam_width=args.beam_width,
         )
     else:
         caps = pipe.caption_images(
@@ -1556,6 +1568,10 @@ def main(argv=None):
                    help="--method diverse: Hamming penalty strength "
                    "pushing later groups off earlier groups' words "
                    "(0 = independent exact beams)")
+    p.add_argument("--prefix", default=None,
+                   help="forced caption opening ('a dog'): the decoder "
+                   "is teacher-forced through it, then greedy/beam "
+                   "continues — guided captioning / completion")
     p.add_argument("--draft-bundle", default=None,
                    help="pipeline.save() bundle of a cheap draft model "
                    "(same tokenizer/features) for --method speculative — "

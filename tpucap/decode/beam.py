@@ -144,11 +144,18 @@ def beam_decode(
     decoder=None,
     scorer=None,
     approx_topk: bool = False,
+    init_scores=None,
     unroll: int = 1,
 ) -> BeamResult:
     """Beam-search a batch. ``step_fn(params, state, token) -> (logits, state)``
     where state leaves carry a leading hypothesis axis. Pass ``decoder`` to
     honor its ``beam_shared_keys`` (per-image state kept untiled).
+
+    ``start_id`` may be a scalar or a (B,) array (forced-prefix
+    continuation: every beam of a row starts from the last token of its
+    primed prefix — decode/prefix.py). ``init_scores`` (B,) shifts every
+    slot's score (rank-invariant within a row) so reported scores cover
+    prefix + continuation.
 
     ``min_len``: endseq is excluded from the candidate vocabulary at
     steps t < min_len, so every caption carries at least ``min_len``
@@ -270,6 +277,10 @@ def beam_decode(
         )[None, :],
         (B, 1),
     ).astype(jnp.float32)
+    if init_scores is not None:
+        # Constant per row: within-row ranking is unchanged, the
+        # NEG_INF stagger still pins slot 0 as the only live seed.
+        scores0 = scores0 + jnp.asarray(init_scores, jnp.float32)[:, None]
 
     def cond(carry):
         return jnp.logical_and(carry[0] < max_len, ~jnp.all(carry[5]))
@@ -351,7 +362,9 @@ def beam_decode(
         words0,
         parents0,
         state,
-        jnp.full((B * k,), start_id, jnp.int32),
+        jnp.repeat(
+            jnp.broadcast_to(jnp.asarray(start_id, jnp.int32), (B,)), k
+        ),
         jnp.zeros((B, k), bool),
         jnp.zeros((B, k), jnp.int32),
         scores0,
@@ -382,8 +395,17 @@ def beam_decode(
     )
     tokens = jnp.moveaxis(toks_rev[::-1], 0, -1)  # (B, k, max_len)
 
+    # Final ranking. With a primed prefix (init_scores), rank by the
+    # CONTINUATION's length-normalized log-prob — the shared prefix
+    # constant divided by per-beam lengths would otherwise skew the
+    # normalization; reported scores still include the prefix.
+    rank_scores = scores
+    if init_scores is not None:
+        rank_scores = (
+            scores - jnp.asarray(init_scores, jnp.float32)[:, None]
+        )
     norm = normalized_scores(
-        scores,
+        rank_scores,
         lengths,
         length_normalize=length_normalize,
         alpha=alpha,

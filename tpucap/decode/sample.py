@@ -33,6 +33,7 @@ def sample_decode(
     min_len: int = 0,
     banned_ids: tuple = (),
     no_repeat_ngram_size: int = 0,
+    init_scores=None,
 ) -> DecodeResult:
     """Ancestral sampling with optional temperature, top-k truncation,
     and top-p (nucleus) truncation — applied in that order, the
@@ -162,7 +163,7 @@ def sample_decode(
             lambda p, s, l: step_fn(p, s, l)[0],
             params,
             state,
-            jnp.full((B,), start_id, jnp.int32),
+            jnp.broadcast_to(jnp.asarray(start_id, jnp.int32), (B,)),
         ).shape[-1]
         if use_pen
         else 1
@@ -171,10 +172,14 @@ def sample_decode(
         jnp.array(0, jnp.int32),
         tokens0,
         state,
-        jnp.full((B,), start_id, jnp.int32),
+        jnp.broadcast_to(jnp.asarray(start_id, jnp.int32), (B,)),
         jnp.zeros((B,), bool),
         jnp.zeros((B,), jnp.int32),
-        jnp.zeros((B,), jnp.float32),
+        (
+            jnp.zeros((B,), jnp.float32)
+            if init_scores is None
+            else jnp.asarray(init_scores, jnp.float32)
+        ),
         jnp.zeros((B, V), bool),
         rng,
     )

@@ -2568,6 +2568,138 @@ class CaptioningPipeline:
             self.tokenizer, res.tokens, res.lengths, end_id=end_id
         )
 
+    def generate_continuation(
+        self,
+        features,
+        prefix,
+        *,
+        method: str | None = None,
+        beam_width: int | None = None,
+    ) -> list[str]:
+        """Forced-prefix captioning: continue user-supplied caption
+        openings ("a dog ..." -> the model's best completion). The
+        standard guided-captioning / interactive-completion surface; not
+        part of the reference (it always decodes from startseq,
+        SURVEY.md §3.3).
+
+        prefix: one string shared by every row, or a list of per-row
+        strings (mixed lengths fine; "" rows decode from scratch).
+        Words are encoded with the pipeline tokenizer under its own
+        normalization; a prefix word outside the vocabulary raises
+        (silently dropping it would caption something the caller didn't
+        ask for).
+
+        How: ONE lax.scan teacher-forces the prefix tokens through the
+        decoder (rows past their own prefix freeze via where-masks —
+        decode/prefix.py), then the unchanged greedy/beam engine
+        continues from each row's last prefix token with its score
+        seeded by the prefix log-prob, all inside one jit program.
+        Returned captions are "prefix + continuation" (sentinels
+        stripped); beam ranks by the CONTINUATION's length-normalized
+        score. DecodeConfig dials apply to the continuation (min_len
+        counts generated tokens; no_repeat_ngram history starts after
+        the prefix); max_len bounds the generated continuation.
+        """
+        from tpucap.decode.prefix import prime_prefix
+
+        method = method or self.config.decode.method
+        beam_width = beam_width or self.config.decode.beam_width
+        if method not in ("greedy", "beam"):
+            raise ValueError(
+                f"generate_continuation supports greedy|beam, got "
+                f"{method!r}"
+            )
+        feats = jnp.asarray(features, self._infer_dtype())
+        B = feats.shape[0]
+        if isinstance(prefix, str):
+            prefix = [prefix] * B
+        if len(prefix) != B:
+            raise ValueError(
+                f"{len(prefix)} prefixes for {B} feature rows"
+            )
+        seqs = self.tokenizer.texts_to_sequences(prefix)
+        from tpucap.text.bpe import BpeTokenizer
+
+        if not isinstance(self.tokenizer, BpeTokenizer):
+            # Word tokenizer: Keras semantics silently DROP unknown
+            # words — refuse instead (the model would be forced through
+            # a prefix the caller didn't ask for). BPE is open-vocab;
+            # piece counts legitimately differ from word counts.
+            for text, seq in zip(prefix, seqs):
+                n_words = len([w for w in text.split() if w])
+                if len(seq) != n_words:
+                    raise ValueError(
+                        f"prefix {text!r} contains words outside the "
+                        "tokenizer vocabulary"
+                    )
+        P = max((len(s) for s in seqs), default=0)
+        if P:
+            # Pad the forced length to a power of two: one compiled
+            # program per bucket instead of one per distinct prefix
+            # length (the admission-ladder idea; extra steps freeze via
+            # the plens mask).
+            P = 1 << (P - 1).bit_length()
+        pref = np.zeros((B, P), np.int32)
+        plens = np.zeros((B,), np.int32)
+        for i, s in enumerate(seqs):
+            pref[i, : len(s)] = s
+            plens[i] = len(s)
+
+        start_id, end_id = self._token_ids()
+        dcfg = self.config.decode
+        params = self._inference_params()["decoder"]
+        key = ("continuation", method, beam_width, P)
+        fn = self._decode_cache.get(key)
+        if fn is None:
+            matmul_precision = (
+                "highest" if self.config.precision == "f32" else "default"
+            )
+
+            @jax.jit
+            def fn(params, features, pref, plens):
+                with jax.default_matmul_precision(matmul_precision):
+                    state = self.decoder.init_state(params, features)
+                    state, last, lp = prime_prefix(
+                        self.decoder.step, params, state, pref, plens,
+                        start_id=start_id,
+                    )
+                    kw = dict(
+                        start_id=last,
+                        end_id=end_id,
+                        max_len=dcfg.max_len,
+                        min_len=dcfg.min_len,
+                        banned_ids=self._banned_ids(),
+                        no_repeat_ngram_size=dcfg.no_repeat_ngram_size,
+                        init_scores=lp,
+                        decoder=self.decoder,
+                    )
+                    if method == "greedy":
+                        return greedy_decode(
+                            self.decoder.step, params, state, **kw
+                        )
+                    return beam_decode(
+                        self.decoder.step, params, state,
+                        beam_width=beam_width,
+                        length_normalize=dcfg.length_normalize,
+                        alpha=dcfg.alpha,
+                        length_penalty=dcfg.length_penalty,
+                        approx_topk=dcfg.approx_topk,
+                        **kw,
+                    )
+
+            self._decode_cache[key] = fn
+        res = fn(params, feats, jnp.asarray(pref), jnp.asarray(plens))
+        tails = ids_to_captions(
+            self.tokenizer, res.tokens, res.lengths, end_id=end_id
+        )
+        # Reconstruct the prefix text from its token ids (exactly what
+        # the model was forced through, in the tokenizer's own casing).
+        heads = self.tokenizer.sequences_to_texts(seqs)
+        return [
+            (h + " " + t).strip() if h else t
+            for h, t in zip(heads, tails)
+        ]
+
     def generate_submit(
         self,
         features,
