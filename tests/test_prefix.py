@@ -220,3 +220,43 @@ def test_pipeline_sample_method_raises(pref_pipe, rng):
     feats = rng.normal(size=(1, 32)).astype(np.float32)
     with pytest.raises(ValueError, match="greedy|beam"):
         pref_pipe.generate_continuation(feats, "", method="sample")
+
+
+# ---------------------------------------------------------------------------
+# Serving layer: per-request prefixes through the micro-batcher
+# ---------------------------------------------------------------------------
+
+
+def test_caption_server_mixed_prefix_batch(pref_pipe, rng):
+    """Requests with and without prefixes batch together and each
+    matches its individual offline result."""
+    from tpucap.serve import CaptionServer
+
+    feats = rng.normal(size=(3, 32)).astype(np.float32)
+    ref_plain = pref_pipe.generate(feats, method="greedy")
+    ref_pref = pref_pipe.generate_continuation(
+        feats, ["black dog", "a man", ""], method="greedy"
+    )
+    with CaptionServer(
+        pref_pipe, max_batch=4, max_delay_ms=50, method="greedy"
+    ) as srv:
+        futs = [
+            srv.submit(feats[0], prefix="black dog"),
+            srv.submit(feats[1], prefix="a man"),
+            srv.submit(feats[2]),
+        ]
+        got = [f.result(timeout=180) for f in futs]
+    assert got[0] == ref_pref[0]
+    assert got[1] == ref_pref[1]
+    assert got[2] == ref_plain[2] == ref_pref[2]
+
+
+def test_caption_server_prefix_validation(pref_pipe, rng):
+    from tpucap.serve import CaptionServer
+
+    f = rng.normal(size=(32,)).astype(np.float32)
+    with CaptionServer(pref_pipe, max_batch=2, method="greedy") as srv:
+        with pytest.raises(ValueError, match="outside the tokenizer"):
+            srv.submit(f, prefix="zzzunknownword")
+        # A bad prefix must not have poisoned the server.
+        assert isinstance(srv.submit(f).result(timeout=180), str)

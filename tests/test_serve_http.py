@@ -87,6 +87,42 @@ def test_health_and_stats(server):
     assert payload["images"]["requests"] >= 1  # from the jpeg test
 
 
+def test_caption_features_with_prefix(server, pipe, rng):
+    """JSON "prefix" field routes through generate_continuation."""
+    word = next(iter(pipe.tokenizer.word_index))
+    feats = rng.normal(size=(128,)).astype(np.float32)
+    body = json.dumps(
+        {"features": feats.tolist(), "prefix": word}
+    ).encode()
+    status, payload = _request(server, "POST", "/caption_features", body)
+    assert status == 200
+    ref = pipe.generate_continuation(
+        feats[None], word, method="greedy"
+    )[0]
+    assert payload["caption"] == ref
+    assert payload["caption"].startswith(word)
+
+
+def test_caption_jpeg_with_prefix_query(server, pipe, rng):
+    word = next(iter(pipe.tokenizer.word_index))
+    blob = _jpeg_bytes(rng, pipe.encoder.input_size)
+    status, payload = _request(
+        server, "POST", f"/caption?prefix={word}", blob
+    )
+    assert status == 200
+    assert payload["caption"].startswith(word)
+
+
+def test_oov_prefix_is_a_400(server, rng):
+    feats = rng.normal(size=(128,)).astype(np.float32)
+    body = json.dumps(
+        {"features": feats.tolist(), "prefix": "zzzunknownword"}
+    ).encode()
+    status, payload = _request(server, "POST", "/caption_features", body)
+    assert status == 400
+    assert "vocabulary" in payload["error"]
+
+
 def test_demo_page(server):
     host, port = server.address
     conn = http.client.HTTPConnection(host, port, timeout=120)
@@ -151,9 +187,9 @@ def test_http_503_on_overload(pipe, rng, monkeypatch):
     # burst un-throttled and the 503 down to scheduling luck.
     real = CaptionServer._submit_batch
 
-    def slow_submit(self, batch):
+    def slow_submit(self, batch, prefixes=None):
         _time.sleep(0.4)
-        return real(self, batch)
+        return real(self, batch, prefixes)
 
     monkeypatch.setattr(CaptionServer, "_submit_batch", slow_submit)
     with CaptionHTTPServer(

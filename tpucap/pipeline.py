@@ -2568,6 +2568,28 @@ class CaptioningPipeline:
             self.tokenizer, res.tokens, res.lengths, end_id=end_id
         )
 
+    def encode_prefixes(self, texts: list) -> list:
+        """Tokenize forced-prefix strings, refusing out-of-vocabulary
+        words on the word tokenizer (Keras semantics silently DROP
+        unknown words — the model would be forced through a prefix the
+        caller didn't ask for). BPE is open-vocab: piece counts
+        legitimately differ from word counts, so no check applies.
+        Shared by generate_continuation and the serving layer's
+        submit-time validation (a bad prefix must fail ITS request, not
+        the whole micro-batch it lands in)."""
+        from tpucap.text.bpe import BpeTokenizer
+
+        seqs = self.tokenizer.texts_to_sequences(texts)
+        if not isinstance(self.tokenizer, BpeTokenizer):
+            for text, seq in zip(texts, seqs):
+                n_words = len([w for w in text.split() if w])
+                if len(seq) != n_words:
+                    raise ValueError(
+                        f"prefix {text!r} contains words outside the "
+                        "tokenizer vocabulary"
+                    )
+        return seqs
+
     def generate_continuation(
         self,
         features,
@@ -2617,21 +2639,7 @@ class CaptioningPipeline:
             raise ValueError(
                 f"{len(prefix)} prefixes for {B} feature rows"
             )
-        seqs = self.tokenizer.texts_to_sequences(prefix)
-        from tpucap.text.bpe import BpeTokenizer
-
-        if not isinstance(self.tokenizer, BpeTokenizer):
-            # Word tokenizer: Keras semantics silently DROP unknown
-            # words — refuse instead (the model would be forced through
-            # a prefix the caller didn't ask for). BPE is open-vocab;
-            # piece counts legitimately differ from word counts.
-            for text, seq in zip(prefix, seqs):
-                n_words = len([w for w in text.split() if w])
-                if len(seq) != n_words:
-                    raise ValueError(
-                        f"prefix {text!r} contains words outside the "
-                        "tokenizer vocabulary"
-                    )
+        seqs = self.encode_prefixes(prefix)
         P = max((len(s) for s in seqs), default=0)
         if P:
             # Pad the forced length to a power of two: one compiled

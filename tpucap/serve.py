@@ -63,7 +63,9 @@ def _drain_pending(q: queue.Queue) -> list:
     """Pop every queued request and return the futures. Re-puts ONE
     close sentinel afterwards: a wedged worker that eventually recovers
     must still see the shutdown signal, or it would park on the empty
-    queue (batch server) / spin (continuous server) forever."""
+    queue (batch server) / spin (continuous server) forever. Item
+    layouts differ per server (batch: (x, prefix, fut, t0); continuous:
+    (x, fut, t0, on_words)) — find the Future positionally."""
     futs = []
     while True:
         try:
@@ -71,7 +73,7 @@ def _drain_pending(q: queue.Queue) -> list:
         except queue.Empty:
             break
         if item is not None:
-            futs.append(item[1])
+            futs.append(next(f for f in item if isinstance(f, Future)))
     q.put(None)
     return futs
 
@@ -203,8 +205,16 @@ class CaptionServer:
 
     # -- client surface ----------------------------------------------------
 
-    def submit(self, x) -> Future:
-        """Enqueue one request; resolves to the caption string."""
+    def submit(self, x, prefix: str | None = None) -> Future:
+        """Enqueue one request; resolves to the caption string.
+
+        ``prefix``: optional forced caption opening for THIS request
+        (pipeline.generate_continuation semantics). Requests with and
+        without prefixes batch together; a batch containing any prefix
+        runs through the continuation program (prefixless rows ride
+        along with an empty prefix — token-identical to the plain
+        path). Validated here so a bad prefix fails its own request,
+        never the micro-batch it would land in."""
         x = np.asarray(x)
         expect = self._expected_shape()
         if x.shape != expect:
@@ -212,6 +222,21 @@ class CaptionServer:
                 f"request shape {x.shape} != expected {expect} "
                 f"(mode={self._mode!r})"
             )
+        if prefix:
+            method = (
+                self._decode_kw["method"]
+                or self._pipe.config.decode.method
+            )
+            if method not in ("greedy", "beam"):
+                raise ValueError(
+                    f"prefix needs method greedy|beam, server runs "
+                    f"{method!r}"
+                )
+            if self._decode_kw["parallelism"] not in (None, "none"):
+                raise ValueError(
+                    "prefix is not supported with mesh-parallel decode"
+                )
+            self._pipe.encode_prefixes([prefix])  # OOV -> raise NOW
         if (
             self._max_queue is not None
             and self._queue.qsize() >= self._max_queue
@@ -223,7 +248,7 @@ class CaptionServer:
         with self._submit_lock:
             if self._closed:
                 raise RuntimeError("server is closed")
-            self._queue.put((x, fut, time.perf_counter()))
+            self._queue.put((x, prefix or "", fut, time.perf_counter()))
         return fut
 
     def caption(self, x, timeout: float | None = 60.0) -> str:
@@ -286,17 +311,26 @@ class CaptionServer:
         return (cfg.feature_dim,)
 
     def _run_batch(self, batch: np.ndarray) -> list[str]:
-        return self._submit_batch(batch)()
+        return self._submit_batch(batch, None)()
 
-    def _submit_batch(self, batch: np.ndarray):
+    def _submit_batch(self, batch: np.ndarray, prefixes=None):
         """Dispatch one padded batch; returns a zero-arg finalizer that
         blocks on the result and yields the captions. On the async path
         the device starts immediately and the finalizer only pays the
-        host transfer + detokenize."""
+        host transfer + detokenize. ``prefixes`` (per-row strings, ""
+        = none) routes the batch through the continuation program."""
         if self._mode == "images":
             feats = self._pipe.encode_images(batch)
         else:
             feats = batch
+        if prefixes is not None:
+            captions = self._pipe.generate_continuation(
+                feats,
+                prefixes,
+                method=self._decode_kw["method"],
+                beam_width=self._decode_kw["beam_width"],
+            )
+            return lambda: captions
         if self._async_ok:
             return self._pipe.generate_submit(
                 feats,
@@ -382,7 +416,7 @@ class CaptionServer:
     def _flush(self, batch: list) -> None:
         """Pad to the bucket ladder and dispatch; the batch is retired
         later by _drain_one (pipelined) unless dispatch itself fails."""
-        xs, futs, t0s = zip(*batch)
+        xs, prefs, futs, t0s = zip(*batch)
         # Visible to close()'s wedge path: while dispatch is in flight
         # these futures are in neither the queue nor _inflight.
         self._current_futs = futs
@@ -393,7 +427,14 @@ class CaptionServer:
             pad = np.zeros((bucket - n,) + stacked.shape[1:], stacked.dtype)
             stacked = np.concatenate([stacked, pad])
         try:
-            finalize = self._submit_batch(stacked)
+            finalize = self._submit_batch(
+                stacked,
+                (
+                    list(prefs) + [""] * (bucket - n)
+                    if any(prefs)
+                    else None
+                ),
+            )
         except Exception as e:  # propagate to every waiter, keep serving
             _fail_futures(futs, e)
             self._current_futs = ()

@@ -8,9 +8,13 @@ host; all device work flows through the micro-batcher, so concurrent
 HTTP clients coalesce into TPU-shaped batches automatically.
 
 Endpoints:
-- ``POST /caption``            body = JPEG bytes -> {"caption": ...}
+- ``POST /caption``            body = JPEG bytes -> {"caption": ...};
+                               ``?prefix=a%20dog`` forces a caption
+                               opening (batch engine only)
 - ``POST /caption_features``   body = JSON {"features": [...]} (one row,
-                               the reference's pickled-features shape)
+                               the reference's pickled-features shape);
+                               optional ``"prefix": "a dog"`` field
+                               (or the query param)
 - ``POST /caption_stream``     JPEG bytes -> ndjson STREAM of
                                {"words": [...]} spans as the caption
                                decodes, then {"caption": ..., "done":
@@ -299,21 +303,50 @@ class CaptionHTTPServer:
             def do_POST(self):  # noqa: N802
                 n = int(self.headers.get("Content-Length", 0))
                 body = self.rfile.read(n)
-                try:
-                    if self.path == "/caption":
-                        x = _preprocess_jpeg(body, size, mode)
-                        fut = outer._images.submit(x)
-                    elif self.path == "/caption_features":
-                        feats = np.asarray(
-                            json.loads(body)["features"], np.float32
+                from urllib.parse import parse_qs, urlsplit
+
+                parts = urlsplit(self.path)
+                route, query = parts.path, parts.query
+                prefix = (
+                    parse_qs(query).get("prefix", [""])[0]
+                    if query
+                    else ""
+                )
+
+                def _submit(server, x, prefix):
+                    """Route a prefixed request; the continuous engines
+                    have no prefix surface -> a clean 400, not a crash
+                    in the batcher thread."""
+                    if not prefix:
+                        return server.submit(x)
+                    if not isinstance(server, CaptionServer):
+                        raise ValueError(
+                            "prefix needs engine='batch' (the "
+                            "continuous engines have no forced-prefix "
+                            "path)"
                         )
-                        fut = outer._features.submit(feats)
-                    elif self.path == "/caption_stream":
+                    return server.submit(x, prefix=prefix)
+
+                try:
+                    if route == "/caption":
+                        x = _preprocess_jpeg(body, size, mode)
+                        fut = _submit(outer._images, x, prefix)
+                    elif route == "/caption_features":
+                        payload = json.loads(body)
+                        feats = np.asarray(
+                            payload["features"], np.float32
+                        )
+                        fut = _submit(
+                            outer._features,
+                            feats,
+                            payload.get("prefix", "") or prefix,
+                        )
+                    elif route == "/caption_stream":
                         self._stream(
                             outer._images, _preprocess_jpeg(body, size, mode)
                         )
                         return
-                    elif self.path == "/caption_stream_features":
+                    elif route == "/caption_stream_features":
                         self._stream(
                             outer._features,
                             np.asarray(
@@ -351,7 +384,9 @@ img{max-width:100%;margin-top:1rem;border-radius:6px}
 .err{color:#b00}
 </style></head><body>
 <h1>tpucap</h1>
-<p>Pick a JPEG; it is POSTed to <code>/caption</code> as raw bytes.</p>
+<p>Pick a JPEG; it is POSTed to <code>/caption</code> as raw bytes.
+Optional: force a caption opening (batch engine only).</p>
+<input type="text" id="p" placeholder="prefix, e.g. 'a dog'" size="28">
 <input type="file" id="f" accept="image/jpeg">
 <div id="cap"></div><img id="img" hidden>
 <script>
@@ -362,8 +397,11 @@ document.getElementById('f').addEventListener('change', async (e) => {
   img.src = URL.createObjectURL(file); img.hidden = false;
   const cap = document.getElementById('cap');
   cap.textContent = 'captioning…'; cap.className = '';
+  const prefix = document.getElementById('p').value.trim();
+  const url = prefix
+    ? '/caption?prefix=' + encodeURIComponent(prefix) : '/caption';
   try {
-    const r = await fetch('/caption', {method: 'POST', body: file});
+    const r = await fetch(url, {method: 'POST', body: file});
     const d = await r.json();
     if (!r.ok) throw new Error(d.error || r.status);
     cap.textContent = d.caption;
