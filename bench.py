@@ -101,6 +101,14 @@ def main():
         "the library default remains exact (DecodeConfig.approx_topk)",
     )
     ap.add_argument(
+        "--no-repeat-ngram",
+        type=int,
+        default=0,
+        help="decode with no-repeat-ngram blocking of this size "
+        "(DecodeConfig.no_repeat_ngram_size) — measures the dial's "
+        "cost in the default caption mode",
+    )
+    ap.add_argument(
         "--int8",
         action="store_true",
         help="quantize the encoder to int8 serving weights (per-channel "
@@ -999,6 +1007,7 @@ def main():
                 start_id=START,
                 end_id=END,
                 max_len=args.max_len,
+                no_repeat_ngram_size=args.no_repeat_ngram,
                 unroll=args.unroll,
             )
         return beam_decode(
@@ -1011,6 +1020,7 @@ def main():
             beam_width=args.beam,
             decoder=decoder,
             approx_topk=not args.exact_topk,
+            no_repeat_ngram_size=args.no_repeat_ngram,
             unroll=args.unroll,
         )
 
@@ -1085,7 +1095,8 @@ def main():
         f"{args.dtype}"
         f"{', int8' if args.int8 and not args.no_encoder else ''}"
         f"{', int8-vocab' if args.int8_vocab else ''}"
-        f"{f', unroll {args.unroll}' if args.unroll > 1 else ''})",
+        f"{f', unroll {args.unroll}' if args.unroll > 1 else ''}"
+        f"{f', no-repeat-{args.no_repeat_ngram}gram' if args.no_repeat_ngram else ''})",
         "value": round(cps, 2),
         "unit": "captions/sec/chip",
         "vs_baseline": round(cps / per_chip_target, 4),

@@ -227,13 +227,10 @@ def beam_decode(
                 # carried token history, applied BEFORE stage-1 top-k so
                 # the slot goes to the next-best word (selection-exact
                 # vs the oracle); lse stays the full-softmax normalizer.
-                from tpucap.decode.ngram import ngram_banned_mask
+                from tpucap.decode.ngram import apply_ngram_ban
 
-                bm = ngram_banned_mask(
-                    seqs.reshape(B * k, -1), t, ngram, logits.shape[-1]
-                )
-                masked = jnp.where(
-                    bm, jnp.asarray(NEG_INF, masked.dtype), masked
+                masked = apply_ngram_ban(
+                    masked, seqs.reshape(B * k, -1), t, ngram
                 )
             if min_len:
                 # Length floor: endseq leaves the candidate set while

@@ -206,15 +206,14 @@ class ContinuousDecodeEngine(AdmissionMixin):
                 # full-softmax normalizer. Lane recycling is safe —
                 # admit() clears the token buffer, so no stale history
                 # can leak into a new occupant's mask.
-                from tpucap.decode.ngram import ngram_banned_mask
+                from tpucap.decode.ngram import apply_ngram_ban
 
-                banned = ngram_banned_mask(
+                masked = apply_ngram_ban(
+                    masked,
                     state.tokens,
                     state.lengths,
                     self.no_repeat_ngram_size,
-                    logits.shape[-1],
                 )
-                masked = jnp.where(banned, -jnp.inf, masked)
             if self.min_len:
                 # Length floor (greedy.py min_len semantics, per lane:
                 # a lane's step index IS its emitted length): endseq is

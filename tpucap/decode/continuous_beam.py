@@ -257,16 +257,13 @@ class ContinuousBeamEngine(AdmissionMixin):
                 # group's step counter; admit() clears the history so
                 # group recycling can't leak a previous occupant's
                 # n-grams.
-                from tpucap.decode.ngram import ngram_banned_mask
+                from tpucap.decode.ngram import apply_ngram_ban
 
-                bm = ngram_banned_mask(
+                masked = apply_ngram_ban(
+                    masked,
                     state.seqs.reshape(R * k, -1),
                     jnp.repeat(state.t, k),
                     self.no_repeat_ngram_size,
-                    masked.shape[-1],
-                )
-                masked = jnp.where(
-                    bm, jnp.asarray(NEG_INF, masked.dtype), masked
                 )
             if self.min_len:
                 # Length floor (beam.py min_len semantics, per GROUP:

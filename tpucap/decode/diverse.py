@@ -139,12 +139,11 @@ def diverse_beam_decode(
             # lse stays the full-softmax normalizer. Row layout of the
             # (B, G, kg, L) carry flattens to the engine's image-major
             # (B*K, V) logits rows.
-            from tpucap.decode.ngram import ngram_banned_mask
+            from tpucap.decode.ngram import apply_ngram_ban
 
             seqs = carry[9]
-            bm = ngram_banned_mask(seqs.reshape(B * K, -1), t, ngram, V)
-            masked = jnp.where(
-                bm, jnp.asarray(NEG_INF, masked.dtype), masked
+            masked = apply_ngram_ban(
+                masked, seqs.reshape(B * K, -1), t, ngram
             )
         if min_len:
             blocked = masked.at[:, end_id].set(

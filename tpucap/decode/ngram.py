@@ -38,28 +38,24 @@ import jax
 import jax.numpy as jnp
 
 
-def ngram_banned_mask(tokens, t, n: int, vocab: int):
-    """Boolean ban mask for no-repeat-ngram decoding.
+NEG_INF = -1e30  # matches decode/beam.py (avoid inf-inf NaNs)
 
-    tokens: (..., L) int32 generated-token buffer; positions >= t hold
-        pad (ignored — the validity mask below excludes them).
-    t: current step — the position about to be written. A traced
-        scalar (the batch engines: every row at the same step) OR a
-        (...,)-shaped per-row array (the continuous engines: each lane
-        at its own step).
-    n: static ngram size (>= 1).
-    vocab: static vocabulary size.
 
-    Returns (..., vocab) bool, True where emitting that token at step t
-    would complete an n-gram already present in tokens[..., :t].
+def _ngram_matches(tokens, t, n: int):
+    """Core window match shared by the mask and the in-place ban.
+
+    Returns ``(match, next_tok)``, both (..., P): ``match[.., i]`` is
+    True iff the (n-1)-gram at position i equals the current suffix and
+    its completing token ``next_tok[.., i] = tokens[.., i+n-1]`` is an
+    already-generated position. ``None, None`` when n-grams longer than
+    the buffer can never repeat.
     """
     if n < 1:
         raise ValueError(f"no_repeat_ngram_size must be >= 1, got {n}")
     L = tokens.shape[-1]
     P = L - (n - 1)  # number of (n-1)-gram window start positions
     if P <= 0:
-        # n-grams longer than the buffer can never repeat.
-        return jnp.zeros(tokens.shape[:-1] + (vocab,), bool)
+        return None, None
 
     # All (n-1)-token windows of the buffer, gathered with a static
     # index grid: windows[.., i, :] = tokens[.., i : i + n - 1].
@@ -85,10 +81,57 @@ def ngram_banned_mask(tokens, t, n: int, vocab: int):
         match, jnp.arange(P) <= (t_arr[..., None] - n)
     )
     next_tok = tokens[..., jnp.arange(P) + (n - 1)]  # (..., P)
+    return match, next_tok
+
+
+def apply_ngram_ban(masked, tokens, t, n: int):
+    """Ban repeated-ngram completions IN PLACE on a (rows, V) logits
+    array: scatter-min NEG_INF at the matched completion tokens —
+    O(rows * P) scatter updates against the buffer XLA already holds,
+    instead of materializing and where-applying a (rows, V) boolean
+    mask per step (measured 2.4x decode-step cost at batch 256 x beam
+    3, docs/PERF.md). This is what the engines call; the boolean
+    ``ngram_banned_mask`` below is the same match reduced to a mask
+    (tests, and any caller that wants the set itself).
+
+    masked: (rows, V) float logits (any float dtype);
+    tokens: (rows, L) int32; t: scalar or (rows,) step index.
+    """
+    match, next_tok = _ngram_matches(tokens, t, n)
+    if match is None:
+        return masked
+    rows = tokens.shape[0]
+    vals = jnp.where(
+        match,
+        jnp.asarray(NEG_INF, masked.dtype),
+        jnp.asarray(jnp.inf, masked.dtype),  # min(x, +inf) = x
+    )
+    return masked.at[jnp.arange(rows)[:, None], next_tok].min(vals)
+
+
+def ngram_banned_mask(tokens, t, n: int, vocab: int):
+    """Boolean ban mask for no-repeat-ngram decoding.
+
+    tokens: (..., L) int32 generated-token buffer; positions >= t hold
+        pad (ignored — the validity mask excludes them).
+    t: current step — the position about to be written. A traced
+        scalar (the batch engines: every row at the same step) OR a
+        (...,)-shaped per-row array (the continuous engines: each lane
+        at its own step).
+    n: static ngram size (>= 1).
+    vocab: static vocabulary size.
+
+    Returns (..., vocab) bool, True where emitting that token at step t
+    would complete an n-gram already present in tokens[..., :t].
+    """
+    match, next_tok = _ngram_matches(tokens, t, n)
+    if match is None:
+        return jnp.zeros(tokens.shape[:-1] + (vocab,), bool)
 
     # Scatter-max the P (token, matched) pairs per row into the vocab
     # axis — O(rows * P) updates, no (rows, P, vocab) intermediate.
     lead = tokens.shape[:-1]
+    P = match.shape[-1]
     rows = 1
     for d in lead:
         rows *= d

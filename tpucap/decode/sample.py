@@ -98,12 +98,11 @@ def sample_decode(
         if no_repeat_ngram_size:
             # No-repeat-ngram: banned completions carry no probability
             # mass (the rest of the vocabulary renormalizes).
-            from tpucap.decode.ngram import ngram_banned_mask
+            from tpucap.decode.ngram import apply_ngram_ban
 
-            banned = ngram_banned_mask(
-                tokens, t, no_repeat_ngram_size, logits.shape[-1]
+            logits = apply_ngram_ban(
+                logits, tokens, t, no_repeat_ngram_size
             )
-            logits = jnp.where(banned, NEG_INF, logits)
         if min_len:
             # Length floor: endseq carries no probability mass while
             # t < min_len (masked before the softmax, so the remaining
