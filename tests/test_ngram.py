@@ -270,10 +270,64 @@ def test_pipeline_generate_respects_ngram(ngram_pipe, rng):
             assert len(grams) == len(set(grams)), c
 
 
-def test_pipeline_tp_refuses_ngram(ngram_pipe, rng):
+def test_pipeline_tp_matches_single_with_ngram(ngram_pipe, rng):
+    """Vocab-sharded TP decode bans on its local slices — captions
+    identical to single-device under the ngram dial."""
     feats = rng.normal(size=(4, 32)).astype(np.float32)
-    with pytest.raises(NotImplementedError, match="no_repeat_ngram"):
-        ngram_pipe.generate(feats, method="beam", parallelism="tp")
+    single = ngram_pipe.generate(feats, method="beam")
+    tp = ngram_pipe.generate(feats, method="beam", parallelism="tp")
+    assert tp == single
+
+
+def test_tp_engine_matches_beam_decode_with_ngram():
+    from tpucap.core.mesh import Mesh
+    from tpucap.models.decoders import build_decoder
+    from tpucap.parallel.tp import make_tp_beam_fn
+
+    devices = jax.devices()
+    assert len(devices) == 8
+    mesh = Mesh(np.asarray(devices), ("model",))
+    dec = build_decoder(
+        "lstm1", vocab_size=32, feature_dim=9, embed_dim=8, hidden_dim=16
+    )
+    params = dec.init(jax.random.key(0))
+    feats = jax.random.normal(jax.random.key(1), (4, 9))
+
+    ref = beam_decode(
+        dec.step, params, dec.init_state(params, feats),
+        start_id=1, end_id=2, max_len=11, beam_width=3,
+        no_repeat_ngram_size=2,
+    )
+    tp_fn = make_tp_beam_fn(
+        dec, mesh, start_id=1, end_id=2, max_len=11, beam_width=3,
+        no_repeat_ngram_size=2,
+    )
+    out = tp_fn(params, feats)
+    np.testing.assert_array_equal(
+        np.asarray(ref.tokens), np.asarray(out.tokens)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ref.beam_tokens), np.asarray(out.beam_tokens)
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref.scores), np.asarray(out.scores), atol=1e-4
+    )
+
+
+def test_custom_scorer_without_seqs_refuses_ngram():
+    dec, params = make("lstm1")
+    feats = features_for("lstm1", jax.random.key(9))
+    state = dec.init_state(params, feats)
+
+    def scorer(params, state, last, t):  # no seqs kwarg
+        raise AssertionError("never called")
+
+    with pytest.raises(NotImplementedError, match="seqs"):
+        beam_decode(
+            dec.step, params, state, start_id=START, end_id=END,
+            max_len=MAXLEN, beam_width=3, no_repeat_ngram_size=2,
+            scorer=scorer,
+        )
 
 
 def test_continuous_greedy_engine_matches_with_ngram(ngram_pipe, rng):

@@ -191,13 +191,20 @@ def beam_decode(
     state = _tile_state(state, k, shared)
     ngram = no_repeat_ngram_size
     if ngram and scorer is not None:
-        # The custom-scorer seam (the TP vocab-sharded engine) reduces
-        # each beam to k candidates before this loop sees scores, so the
-        # ngram mask cannot be applied selection-exactly from here.
-        raise NotImplementedError(
-            "no_repeat_ngram_size is not supported with a custom beam "
-            "scorer (tensor-parallel decode); use parallelism=None/'dp'"
-        )
+        # A custom scorer reduces each beam to k candidates before this
+        # loop sees scores, so the ngram ban must be applied INSIDE the
+        # scorer (before its stage-1 top-k) to stay selection-exact.
+        # Scorers that can do that declare it by accepting a ``seqs``
+        # kwarg (the TP vocab-sharded scorer bans on its local slice);
+        # anything else is refused rather than silently un-banned.
+        import inspect
+
+        if "seqs" not in inspect.signature(scorer).parameters:
+            raise NotImplementedError(
+                "no_repeat_ngram_size needs a scorer that accepts the "
+                "per-hypothesis history (a 'seqs' kwarg); this custom "
+                "scorer does not — use parallelism=None/'dp'"
+            )
 
     if scorer is None:
 

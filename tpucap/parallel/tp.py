@@ -284,6 +284,7 @@ def make_tp_beam_fn(
     pad_id: int = 0,
     min_len: int = 0,
     banned_ids: tuple = (),
+    no_repeat_ngram_size: int = 0,
     length_normalize: bool = True,
     alpha: float = 1.0,
     length_penalty: str = "simple",
@@ -304,12 +305,16 @@ def make_tp_beam_fn(
         v_local = params["out"]["kernel"].shape[-1]
         col_offset = my * v_local
 
-        def tp_scorer(params, state, last, t):
+        def tp_scorer(params, state, last, t, seqs=None):
             """Distributed scoring stage plugged into the shared beam
             engine: local vocab-slice logits, global logsumexp over ICI,
             per-shard top-k, all_gather of the k-per-shard candidates
             (shard-major = ascending vocab offset — the tie order the
-            engine's merge stage requires)."""
+            engine's merge stage requires). ``seqs`` (the engine's
+            per-hypothesis history, present when no_repeat_ngram_size
+            is set) is identical on every shard — the merge stage runs
+            the same selection everywhere — so each shard bans the
+            completions that land in its own vocab slice."""
             hidden, new_state = decoder.step_hidden(params, state, last)
             local = (
                 jnp.dot(
@@ -348,6 +353,30 @@ def make_tp_beam_fn(
                 local = jnp.where(
                     (cols == end_id) & (t < min_len), NEG_INF, local
                 )
+            if seqs is not None:
+                # No-repeat-ngram on the local slice: match against the
+                # (replicated) history, then scatter-min NEG_INF at the
+                # banned completions this shard owns; out-of-slice bans
+                # are some other shard's rows. BEFORE the per-shard
+                # top-k (selection-exact); the global lse is untouched.
+                from tpucap.decode.ngram import _ngram_matches
+
+                match, next_tok = _ngram_matches(
+                    seqs.reshape(B * k, -1), t, no_repeat_ngram_size
+                )
+                if match is not None:
+                    mine = (next_tok >= col_offset) & (
+                        next_tok < col_offset + v_local
+                    )
+                    idx = jnp.clip(next_tok - col_offset, 0, v_local - 1)
+                    vals = jnp.where(
+                        match & mine,
+                        jnp.asarray(NEG_INF, local.dtype),
+                        jnp.asarray(jnp.inf, local.dtype),
+                    )
+                    local = local.at[
+                        jnp.arange(B * k)[:, None], idx
+                    ].min(vals)
 
             # Per-shard top-k over the local vocab slice; approx_topk
             # swaps in the TPU approx_max_k custom call (same serving
@@ -384,6 +413,7 @@ def make_tp_beam_fn(
             beam_width=k,
             pad_id=pad_id,
             min_len=min_len,
+            no_repeat_ngram_size=no_repeat_ngram_size,
             length_normalize=length_normalize,
             alpha=alpha,
             length_penalty=length_penalty,

@@ -2436,15 +2436,6 @@ class CaptioningPipeline:
         else:
             from tpucap.parallel.tp import make_tp_beam_fn, pad_vocab_params
 
-            if dcfg.no_repeat_ngram_size:
-                # The TP engine plugs a vocab-sharded custom scorer into
-                # beam_decode, which reduces candidates before the ngram
-                # mask could apply selection-exactly (see beam.py).
-                raise NotImplementedError(
-                    "no_repeat_ngram_size is not supported with "
-                    "tensor-parallel decode; use parallelism "
-                    "None|'dp'"
-                )
             n_model = dict(mesh.shape)["model"]
             dec_params, _ = pad_vocab_params(dec_params, n_model)
             fn = make_tp_beam_fn(
@@ -2457,6 +2448,7 @@ class CaptioningPipeline:
                 beam_width=1 if method == "greedy" else beam_width,
                 min_len=dcfg.min_len,
                 banned_ids=self._banned_ids(),
+                no_repeat_ngram_size=dcfg.no_repeat_ngram_size,
                 length_normalize=dcfg.length_normalize,
                 alpha=dcfg.alpha,
                 length_penalty=dcfg.length_penalty,
