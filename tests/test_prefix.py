@@ -260,3 +260,97 @@ def test_caption_server_prefix_validation(pref_pipe, rng):
             srv.submit(f, prefix="zzzunknownword")
         # A bad prefix must not have poisoned the server.
         assert isinstance(srv.submit(f).result(timeout=180), str)
+
+
+# ---------------------------------------------------------------------------
+# Chunked prefill (transformer KV-cache family)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("method", ["greedy", "beam"])
+def test_transformer_chunked_prefill_matches_scan(method):
+    """One step_chunk prefill == P sequential scan steps: same consumed
+    count, same continuation token, same prefix log-prob, and the
+    decode from both primed states is token-identical (the stale K/V a
+    short row keeps past its length is never visible — decode
+    overwrites each position in the step that first queries it)."""
+    dec, params = make("transformer")
+    feats = features_for("transformer", jax.random.key(11))[:3]
+    prefixes = np.asarray(
+        [[5, 9, 3], [7, 0, 0], [0, 0, 0]], np.int32
+    )
+    plens = np.asarray([3, 1, 0], np.int32)
+
+    def prime(use_chunk):
+        return prime_prefix(
+            dec.step, params, dec.init_state(params, feats),
+            jnp.asarray(prefixes), jnp.asarray(plens),
+            start_id=START, decoder=dec if use_chunk else None,
+        )
+
+    st_s, last_s, lp_s = prime(False)
+    st_c, last_c, lp_c = prime(True)
+    np.testing.assert_array_equal(np.asarray(last_s), np.asarray(last_c))
+    np.testing.assert_array_equal(
+        np.asarray(st_s["pos"]), np.asarray(st_c["pos"])
+    )
+    np.testing.assert_allclose(
+        np.asarray(lp_s), np.asarray(lp_c), atol=1e-4
+    )
+
+    def cont(st, last, lp):
+        kw = dict(
+            start_id=last, end_id=END, max_len=MAXLEN, init_scores=lp
+        )
+        if method == "greedy":
+            return greedy_decode(dec.step, params, st, **kw)
+        return beam_decode(
+            dec.step, params, st, beam_width=3, decoder=dec, **kw
+        )
+
+    r_s = cont(st_s, last_s, lp_s)
+    r_c = cont(st_c, last_c, lp_c)
+    np.testing.assert_array_equal(
+        np.asarray(r_s.tokens), np.asarray(r_c.tokens)
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_s.scores), np.asarray(r_c.scores), atol=1e-4
+    )
+
+
+def test_pipeline_transformer_prefix(toy_corpus, rng):
+    """generate_continuation on the KV-cache family end-to-end (routes
+    through the chunked prefill), plus the capacity refusal."""
+    from tpucap.config import (
+        Config, DecodeConfig, DecoderConfig, EncoderConfig,
+    )
+    from tpucap.pipeline import CaptioningPipeline
+    from tpucap.text import Tokenizer
+
+    cfg = Config(
+        encoder=EncoderConfig(name="tiny_cnn", feature_dim=32),
+        decoder=DecoderConfig(
+            name="transformer", embed_dim=16, hidden_dim=16,
+            num_layers=1, num_heads=2, mlp_dim=32, max_positions=24,
+            dropout_rate=0.0,
+        ),
+        decode=DecodeConfig(max_len=10),
+    )
+    p = CaptioningPipeline(cfg)
+    tok = Tokenizer()
+    tok.fit_on_texts(toy_corpus)
+    p.tokenizer = tok
+    p.build()
+
+    feats = rng.normal(size=(2, 32)).astype(np.float32)
+    w = [
+        x for x in toy_corpus[0].split() if x not in ("startseq", "endseq")
+    ][0]
+    caps = p.generate_continuation(feats, [w, ""], method="greedy")
+    assert caps[0].startswith(w)
+    assert caps[1] == p.generate(feats, method="greedy")[1]
+
+    with pytest.raises(ValueError, match="max_positions"):
+        p.generate_continuation(
+            feats, " ".join([w] * 16), method="greedy"
+        )

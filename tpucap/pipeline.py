@@ -2647,6 +2647,15 @@ class CaptioningPipeline:
 
         start_id, end_id = self._token_ids()
         dcfg = self.config.decode
+        max_pos = getattr(self.decoder, "max_positions", None)
+        if max_pos is not None and P + dcfg.max_len > max_pos:
+            # KV-cache family: prefix positions + continuation budget
+            # must fit the cache (P is the pow-2-padded forced length).
+            raise ValueError(
+                f"prefix length {P} (padded) + max_len {dcfg.max_len} "
+                f"exceeds decoder.max_positions {max_pos}; raise "
+                "max_positions or shorten the prefix"
+            )
         params = self._inference_params()["decoder"]
         key = ("continuation", method, beam_width, P)
         fn = self._decode_cache.get(key)
@@ -2661,7 +2670,7 @@ class CaptioningPipeline:
                     state = self.decoder.init_state(params, features)
                     state, last, lp = prime_prefix(
                         self.decoder.step, params, state, pref, plens,
-                        start_id=start_id,
+                        start_id=start_id, decoder=self.decoder,
                     )
                     kw = dict(
                         start_id=last,
