@@ -216,6 +216,38 @@ def test_pipeline_oov_prefix_raises(pref_pipe, rng):
         pref_pipe.generate_continuation(feats, "zzzunknownword")
 
 
+def test_encode_prefixes_tokenizer_normalization(pref_pipe, toy_corpus):
+    """The OOV check counts words under the TOKENIZER's normalization,
+    not text.split(): filter characters split words, so 'a, b' is two
+    words (valid) and 'a.b zzz' is three (the OOV 'zzz' must raise even
+    though split() sees only two words)."""
+    w1, w2 = [
+        x for x in toy_corpus[0].split() if x not in ("startseq", "endseq")
+    ][:2]
+    # Punctuation between valid words: must NOT raise, encodes 2 tokens.
+    (seq,) = pref_pipe.encode_prefixes([f"{w1}, {w2}"])
+    assert len(seq) == 2
+    # 'w1.w2' filter-splits into two valid tokens while split() counts
+    # one word — the OOV 'zzzunknownword' must still be caught.
+    with pytest.raises(ValueError, match="outside the tokenizer"):
+        pref_pipe.encode_prefixes([f"{w1}.{w2} zzzunknownword"])
+
+
+def test_continuation_submit_matches_blocking(pref_pipe, rng, toy_corpus):
+    """generate_continuation_submit is the async form: its finalizer
+    yields exactly generate_continuation."""
+    feats = rng.normal(size=(2, 32)).astype(np.float32)
+    w = [
+        x for x in toy_corpus[0].split() if x not in ("startseq", "endseq")
+    ][0]
+    fin = pref_pipe.generate_continuation_submit(
+        feats, [w, ""], method="greedy"
+    )
+    assert fin() == pref_pipe.generate_continuation(
+        feats, [w, ""], method="greedy"
+    )
+
+
 def test_pipeline_sample_method_raises(pref_pipe, rng):
     feats = rng.normal(size=(1, 32)).astype(np.float32)
     with pytest.raises(ValueError, match="greedy|beam"):
@@ -251,15 +283,65 @@ def test_caption_server_mixed_prefix_batch(pref_pipe, rng):
     assert got[2] == ref_plain[2] == ref_pref[2]
 
 
-def test_caption_server_prefix_validation(pref_pipe, rng):
+def test_caption_server_prefix_validation(pref_pipe, rng, toy_corpus):
     from tpucap.serve import CaptionServer
 
+    w = [
+        x for x in toy_corpus[0].split() if x not in ("startseq", "endseq")
+    ][0]
     f = rng.normal(size=(32,)).astype(np.float32)
     with CaptionServer(pref_pipe, max_batch=2, method="greedy") as srv:
         with pytest.raises(ValueError, match="outside the tokenizer"):
             srv.submit(f, prefix="zzzunknownword")
+        # Length cap (defaults to decode max_len=10): an 11-token prefix
+        # fails ITS OWN submit — it never reaches a micro-batch where it
+        # would fail riders too (and never forces a giant priming
+        # compile onto the batcher thread).
+        with pytest.raises(ValueError, match="max_prefix_tokens"):
+            srv.submit(f, prefix=" ".join([w] * 11))
         # A bad prefix must not have poisoned the server.
         assert isinstance(srv.submit(f).result(timeout=180), str)
+
+
+def test_caption_server_prefix_capacity_fails_only_its_request(
+    toy_corpus, rng
+):
+    """KV-cache family: a prefix that exceeds decoder.max_positions is
+    rejected at submit time; a plain rider request in the same window
+    still resolves."""
+    from tpucap.config import (
+        Config, DecodeConfig, DecoderConfig, EncoderConfig,
+    )
+    from tpucap.pipeline import CaptioningPipeline
+    from tpucap.serve import CaptionServer
+    from tpucap.text import Tokenizer
+
+    cfg = Config(
+        encoder=EncoderConfig(name="tiny_cnn", feature_dim=32),
+        decoder=DecoderConfig(
+            name="transformer", embed_dim=16, hidden_dim=16,
+            num_layers=1, num_heads=2, mlp_dim=32, max_positions=16,
+            dropout_rate=0.0,
+        ),
+        decode=DecodeConfig(max_len=10),
+    )
+    p = CaptioningPipeline(cfg)
+    tok = Tokenizer()
+    tok.fit_on_texts(toy_corpus)
+    p.tokenizer = tok
+    p.build()
+    w = [
+        x for x in toy_corpus[0].split() if x not in ("startseq", "endseq")
+    ][0]
+    feats = rng.normal(size=(2, 32)).astype(np.float32)
+    with CaptionServer(
+        p, max_batch=4, max_delay_ms=50, method="greedy"
+    ) as srv:
+        # 8 + max_len 10 > max_positions 16 -> reject at submit.
+        with pytest.raises(ValueError, match="max_positions"):
+            srv.submit(feats[0], prefix=" ".join([w] * 8))
+        fut = srv.submit(feats[1])
+        assert isinstance(fut.result(timeout=180), str)
 
 
 # ---------------------------------------------------------------------------
@@ -354,3 +436,12 @@ def test_pipeline_transformer_prefix(toy_corpus, rng):
         p.generate_continuation(
             feats, " ".join([w] * 16), method="greedy"
         )
+
+    # Capacity uses the TRUE prefix length, not the pow-2-padded one:
+    # 9 tokens pad to P=16, but decode only ever writes up to position
+    # 9 + max_len - 1 = 18 < 24, so this must be ACCEPTED (the padded
+    # rule 16 + 10 > 24 would wrongly reject it).
+    caps9 = p.generate_continuation(
+        feats, " ".join([w] * 9), method="greedy"
+    )
+    assert all(c.startswith(w) for c in caps9)

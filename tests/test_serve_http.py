@@ -123,6 +123,27 @@ def test_oov_prefix_is_a_400(server, rng):
     assert "vocabulary" in payload["error"]
 
 
+def test_stream_route_rejects_prefix(server, pipe, rng):
+    """The streaming routes have no forced-prefix surface: a prefix
+    must be a loud 400, never a silently-unprefixed 200 stream."""
+    word = next(iter(pipe.tokenizer.word_index))
+    feats = rng.normal(size=(128,)).astype(np.float32)
+    body = json.dumps(
+        {"features": feats.tolist(), "prefix": word}
+    ).encode()
+    status, payload = _request(
+        server, "POST", "/caption_stream_features", body
+    )
+    assert status == 400
+    assert "prefix" in payload["error"]
+    blob = _jpeg_bytes(rng, pipe.encoder.input_size)
+    status, payload = _request(
+        server, "POST", f"/caption_stream?prefix={word}", blob
+    )
+    assert status == 400
+    assert "prefix" in payload["error"]
+
+
 def test_demo_page(server):
     host, port = server.address
     conn = http.client.HTTPConnection(host, port, timeout=120)

@@ -90,8 +90,9 @@ class DecodeConfig:
     # candidate vocabulary (greedy/beam/sample; selection-only in
     # greedy/beam, renormalizing in sampling — decode/ngram.py). 1 =
     # never repeat a token; 0 = off (the reference has no blocking).
-    # Unsupported with tensor-parallel decode and the speculative/
-    # continuous engines (clear errors there).
+    # Supported everywhere except speculative decode (which raises a
+    # clear error): greedy/beam/sample/diverse, the TP vocab-sharded
+    # scorer, and both continuous serving engines all honor it.
     no_repeat_ngram_size: int = 0
 
 

@@ -2574,7 +2574,13 @@ class CaptioningPipeline:
         seqs = self.tokenizer.texts_to_sequences(texts)
         if not isinstance(self.tokenizer, BpeTokenizer):
             for text, seq in zip(texts, seqs):
-                n_words = len([w for w in text.split() if w])
+                # Count words under the TOKENIZER's own normalization
+                # (filter/punctuation splitting, lowercasing) — a plain
+                # text.split() disagrees whenever the prefix contains
+                # filter characters ("a.b" is two tokenizer words) and
+                # would both miss real OOV drops and reject valid
+                # prefixes like "a , dog".
+                n_words = len(self.tokenizer._analyze(text))
                 if len(seq) != n_words:
                     raise ValueError(
                         f"prefix {text!r} contains words outside the "
@@ -2590,6 +2596,21 @@ class CaptioningPipeline:
         method: str | None = None,
         beam_width: int | None = None,
     ) -> list[str]:
+        """Blocking forced-prefix captioning; exactly
+        ``generate_continuation_submit(...)()`` — see that method for
+        the full contract."""
+        return self.generate_continuation_submit(
+            features, prefix, method=method, beam_width=beam_width
+        )()
+
+    def generate_continuation_submit(
+        self,
+        features,
+        prefix,
+        *,
+        method: str | None = None,
+        beam_width: int | None = None,
+    ):
         """Forced-prefix captioning: continue user-supplied caption
         openings ("a dog ..." -> the model's best completion). The
         standard guided-captioning / interactive-completion surface; not
@@ -2613,6 +2634,12 @@ class CaptioningPipeline:
         score. DecodeConfig dials apply to the continuation (min_len
         counts generated tokens; no_repeat_ngram history starts after
         the prefix); max_len bounds the generated continuation.
+
+        This is the async form (mirrors :meth:`generate_submit`): the
+        priming+decode program is DISPATCHED immediately and a zero-arg
+        finalizer is returned that blocks on the result and yields the
+        caption strings — the serving micro-batcher overlaps batches
+        through it exactly like the plain path.
         """
         from tpucap.decode.prefix import prime_prefix
 
@@ -2648,13 +2675,19 @@ class CaptioningPipeline:
         start_id, end_id = self._token_ids()
         dcfg = self.config.decode
         max_pos = getattr(self.decoder, "max_positions", None)
-        if max_pos is not None and P + dcfg.max_len > max_pos:
-            # KV-cache family: prefix positions + continuation budget
-            # must fit the cache (P is the pow-2-padded forced length).
+        true_max = int(plens.max()) if P else 0
+        if max_pos is not None and max(P, true_max + dcfg.max_len) > max_pos:
+            # KV-cache family capacity: the chunked prefill writes
+            # positions [0, P) (P = pow-2-padded forced length), and the
+            # continuation writes up to position true_len + max_len - 1
+            # per row — so the cache must hold max(P, true_max + max_len)
+            # positions. Using P + max_len here would reject prefixes
+            # that actually fit (a 5-token prefix pads to P=8 but only
+            # ever queries position 5 + max_len - 1).
             raise ValueError(
-                f"prefix length {P} (padded) + max_len {dcfg.max_len} "
-                f"exceeds decoder.max_positions {max_pos}; raise "
-                "max_positions or shorten the prefix"
+                f"prefix length {true_max} (padded to {P}) + max_len "
+                f"{dcfg.max_len} exceeds decoder.max_positions {max_pos}; "
+                "raise max_positions or shorten the prefix"
             )
         params = self._inference_params()["decoder"]
         key = ("continuation", method, beam_width, P)
@@ -2698,16 +2731,20 @@ class CaptioningPipeline:
 
             self._decode_cache[key] = fn
         res = fn(params, feats, jnp.asarray(pref), jnp.asarray(plens))
-        tails = ids_to_captions(
-            self.tokenizer, res.tokens, res.lengths, end_id=end_id
-        )
         # Reconstruct the prefix text from its token ids (exactly what
         # the model was forced through, in the tokenizer's own casing).
         heads = self.tokenizer.sequences_to_texts(seqs)
-        return [
-            (h + " " + t).strip() if h else t
-            for h, t in zip(heads, tails)
-        ]
+
+        def finalize() -> list[str]:
+            tails = ids_to_captions(
+                self.tokenizer, res.tokens, res.lengths, end_id=end_id
+            )
+            return [
+                (h + " " + t).strip() if h else t
+                for h, t in zip(heads, tails)
+            ]
+
+        return finalize
 
     def generate_submit(
         self,

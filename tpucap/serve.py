@@ -158,11 +158,24 @@ class CaptionServer:
         parallelism: str | None = None,
         pipeline_depth: int = 1,
         max_queue: int | None = None,
+        max_prefix_tokens: int | None = None,
     ):
         if mode not in ("features", "images"):
             raise ValueError(f"mode must be 'features'|'images', got {mode!r}")
         if max_batch < 1:
             raise ValueError("max_batch must be >= 1")
+        # Per-request forced-prefix token cap (admission control): an
+        # unbounded prefix would force an arbitrarily large compiled
+        # priming program onto the shared batcher thread (one compile
+        # per pow-2 length bucket). Default: the caption budget itself —
+        # an opening longer than max_len generated tokens is outside any
+        # sane serving contract; offline generate_continuation stays
+        # uncapped.
+        self._max_prefix_tokens = (
+            max_prefix_tokens
+            if max_prefix_tokens is not None
+            else pipeline.config.decode.max_len
+        )
         self._pipe = pipeline
         self._mode = mode
         self._max_batch = max_batch
@@ -236,7 +249,31 @@ class CaptionServer:
                 raise ValueError(
                     "prefix is not supported with mesh-parallel decode"
                 )
-            self._pipe.encode_prefixes([prefix])  # OOV -> raise NOW
+            # Validate vocabulary AND length NOW so a bad prefix fails
+            # its own request, never the micro-batch it lands in (the
+            # batch-level check in generate_continuation would fail
+            # every rider).
+            (toks,) = self._pipe.encode_prefixes([prefix])  # OOV -> raise
+            n_tok = len(toks)
+            if n_tok > self._max_prefix_tokens:
+                raise ValueError(
+                    f"prefix has {n_tok} tokens, server cap is "
+                    f"max_prefix_tokens={self._max_prefix_tokens}"
+                )
+            max_pos = getattr(self._pipe.decoder, "max_positions", None)
+            if max_pos is not None and n_tok:
+                # Mirror generate_continuation's KV-capacity rule for
+                # THIS request alone: pow2(len) is monotone, so if every
+                # admitted request fits individually the padded batch
+                # fits too.
+                padded = 1 << (n_tok - 1).bit_length()
+                max_len = self._pipe.config.decode.max_len
+                if max(padded, n_tok + max_len) > max_pos:
+                    raise ValueError(
+                        f"prefix length {n_tok} (padded to {padded}) + "
+                        f"max_len {max_len} exceeds decoder."
+                        f"max_positions {max_pos}"
+                    )
         if (
             self._max_queue is not None
             and self._queue.qsize() >= self._max_queue
@@ -324,13 +361,16 @@ class CaptionServer:
         else:
             feats = batch
         if prefixes is not None:
-            captions = self._pipe.generate_continuation(
+            # Async like the plain path: the continuation program is
+            # dispatched now and only the finalizer pays host transfer +
+            # detokenize, so a prefixed batch doesn't stall the batcher
+            # thread (pipeline_depth overlap keeps working).
+            return self._pipe.generate_continuation_submit(
                 feats,
                 prefixes,
                 method=self._decode_kw["method"],
                 beam_width=self._decode_kw["beam_width"],
             )
-            return lambda: captions
         if self._async_ok:
             return self._pipe.generate_submit(
                 feats,

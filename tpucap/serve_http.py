@@ -342,16 +342,28 @@ class CaptionHTTPServer:
                             payload.get("prefix", "") or prefix,
                         )
                     elif route == "/caption_stream":
+                        if prefix:
+                            # The streaming path has no forced-prefix
+                            # surface — reject loudly rather than stream
+                            # an unprefixed caption with status 200.
+                            raise ValueError(
+                                "prefix is not supported on the "
+                                "streaming routes; use /caption"
+                            )
                         self._stream(
                             outer._images, _preprocess_jpeg(body, size, mode)
                         )
                         return
                     elif route == "/caption_stream_features":
+                        payload = json.loads(body)
+                        if prefix or payload.get("prefix"):
+                            raise ValueError(
+                                "prefix is not supported on the "
+                                "streaming routes; use /caption_features"
+                            )
                         self._stream(
                             outer._features,
-                            np.asarray(
-                                json.loads(body)["features"], np.float32
-                            ),
+                            np.asarray(payload["features"], np.float32),
                         )
                         return
                     else:
