@@ -985,6 +985,35 @@ def cmd_caption(args):
         print(f"{path}\t{cap}")
 
 
+def cmd_score(args):
+    """Teacher-forced caption scoring: how likely is THIS caption for
+    THIS image under the trained model (pipeline.score_captions)."""
+    if bool(args.caption) == bool(args.captions_file):
+        raise SystemExit(
+            "give exactly one of --caption (repeatable) or "
+            "--captions-file"
+        )
+    if args.captions_file:
+        with open(args.captions_file) as f:
+            captions = [ln.strip() for ln in f if ln.strip()]
+    else:
+        captions = list(args.caption)
+    if len(captions) != len(args.image):
+        raise SystemExit(
+            f"{len(captions)} captions for {len(args.image)} images — "
+            "they pair one-to-one, in order"
+        )
+    pipe = _restore_pipeline(args)
+    feats = pipe.extract_features(list(args.image))
+    for path, cap, s in zip(
+        args.image, captions, pipe.score_captions(feats, captions)
+    ):
+        print(
+            f"{path}\tlogp={s['logp']:.4f}\tppl={s['perplexity']:.3f}"
+            f"\ttokens={s['tokens']}\t{cap}"
+        )
+
+
 def cmd_evaluate(args):
     # Validate (and whitespace-strip) BEFORE any IO or decoding: the
     # decode pass over a full split costs minutes on the TPU, a typo'd
@@ -1599,6 +1628,28 @@ def main(argv=None):
                    "random encoder")
     _add_restore_flags(p)
     p.set_defaults(fn=cmd_caption)
+
+    p = sub.add_parser(
+        "score",
+        help="score given captions against images (teacher-forced "
+        "log-prob / perplexity — reranking & data filtering)",
+    )
+    _add_common_model_flags(p)
+    _add_optimizer_flags(p)
+    p.add_argument("--image", nargs="+", required=True)
+    p.add_argument("--caption", action="append", default=None,
+                   help="caption text to score (repeat once per "
+                   "--image, in order), or give --captions-file")
+    p.add_argument("--captions-file", default=None,
+                   help="file with one caption per line, paired with "
+                   "--image order")
+    p.add_argument("--checkpoint-dir", default="checkpoints")
+    p.add_argument("--keras-h5", default=None,
+                   help="pretrained Keras .h5 encoder weights — use the "
+                   "same file `extract` used, or scores come from a "
+                   "random encoder")
+    _add_restore_flags(p)
+    p.set_defaults(fn=cmd_score)
 
     p = sub.add_parser(
         "evaluate", help="BLEU-1..4 (+ CIDEr-D/ROUGE-L) over a split"

@@ -2839,6 +2839,105 @@ class CaptioningPipeline:
             )
         return out
 
+    def score_captions(self, features, captions) -> list[dict]:
+        """Score given captions against given images: the per-caption
+        teacher-forced log-probability under the model — the reranking /
+        data-filtering / caption-retrieval surface (the reference can
+        only GENERATE; it has no way to ask "how likely is THIS caption
+        for THIS image").
+
+        ``captions``: one bare caption string per feature row (no
+        startseq/endseq — they are added here; leading/trailing
+        sentinels are stripped if present, so generate() output scores
+        directly). A caption word outside the vocabulary raises on the
+        word tokenizer (silently dropping it would score a different
+        caption); BPE is open-vocab.
+
+        Returns, per row, ``{"logp", "tokens", "logp_per_token",
+        "perplexity"}`` where logp is the sum of full-softmax log-probs
+        of the caption's tokens INCLUDING the closing endseq — exactly
+        the decode engines' score convention, so
+        ``score_captions(f, generate(f))[i]["logp"]`` equals the greedy
+        engine's reported score.
+
+        TPU-first: ONE jitted teacher-forced forward per pow-2 length
+        bucket (forward_train is a single scan — no per-token host
+        loop), shared across calls via the decode-program cache.
+        """
+        from tpucap.text.clean import END_TOKEN, START_TOKEN
+
+        feats = jnp.asarray(features, self._infer_dtype())
+        B = feats.shape[0]
+        if isinstance(captions, str):
+            captions = [captions] * B
+        if len(captions) != B:
+            raise ValueError(
+                f"{len(captions)} captions for {B} feature rows"
+            )
+        stripped = []
+        for c in captions:
+            words = c.split()
+            if words and words[0] == START_TOKEN:
+                words = words[1:]
+            if words and words[-1] == END_TOKEN:
+                words = words[:-1]
+            stripped.append(" ".join(words))
+        seqs = self.encode_prefixes(stripped)  # OOV -> raise (word tok)
+        start_id, end_id = self._token_ids()
+        # Row layout mirrors training: full = [start, w1..wn, end],
+        # inputs = full[:-1], targets = full[1:]; pad id 0 masks.
+        max_full = max(len(s) for s in seqs) + 2
+        T = 1 << (max_full - 1 - 1).bit_length()  # pow-2 bucket for T=full-1
+        T = max(T, 1)
+        inputs = np.zeros((B, T), np.int32)
+        targets = np.zeros((B, T), np.int32)
+        for i, s in enumerate(seqs):
+            full = [start_id, *s, end_id]
+            inputs[i, : len(full) - 1] = full[:-1]
+            targets[i, : len(full) - 1] = full[1:]
+
+        params = self._inference_params()["decoder"]
+        key = ("score", T)
+        fn = self._decode_cache.get(key)
+        if fn is None:
+            matmul_precision = (
+                "highest" if self.config.precision == "f32" else "default"
+            )
+
+            @jax.jit
+            def fn(params, features, inputs, targets):
+                with jax.default_matmul_precision(matmul_precision):
+                    logits = self.decoder.forward_train(
+                        params, features, inputs, deterministic=True
+                    ).astype(jnp.float32)
+                    logp = jax.nn.log_softmax(logits, axis=-1)
+                    tok_lp = jnp.take_along_axis(
+                        logp, targets[..., None], axis=-1
+                    )[..., 0]
+                    mask = (targets != 0).astype(jnp.float32)
+                    return jnp.sum(tok_lp * mask, axis=-1), jnp.sum(
+                        mask, axis=-1
+                    )
+
+            self._decode_cache[key] = fn
+        logp, counts = fn(
+            params, feats, jnp.asarray(inputs), jnp.asarray(targets)
+        )
+        logp = np.asarray(logp, np.float64)
+        counts = np.asarray(counts, np.float64)
+        out = []
+        for lp, n in zip(logp, counts):
+            per = lp / n if n else 0.0
+            out.append(
+                {
+                    "logp": float(lp),
+                    "tokens": int(n),
+                    "logp_per_token": float(per),
+                    "perplexity": float(np.exp(-per)),
+                }
+            )
+        return out
+
     def generate_diverse(
         self,
         features,
