@@ -1183,6 +1183,7 @@ def cmd_serve(args):
         beam_width=args.beam_width,
         max_queue=args.max_queue,
         engine=args.engine,
+        allow_reload=args.allow_reload,
     )
     if args.warmup:
         print("warming up (compiling every batch bucket)...",
@@ -1755,6 +1756,10 @@ def main(argv=None):
                    "(first requests then pay the compiles)")
     p.add_argument("--method", default="beam", choices=["greedy", "beam"])
     p.add_argument("--beam-width", type=int, default=3)
+    p.add_argument("--allow-reload", action="store_true",
+                   help="enable POST /reload {'bundle': path}: "
+                   "zero-downtime weight hot-swap from a pipeline "
+                   "bundle (admin surface — off by default)")
     _add_restore_flags(p)
     p.set_defaults(fn=cmd_serve)
 

@@ -3585,6 +3585,83 @@ class CaptioningPipeline:
         ckptr.save(path, jax.device_get(self.params))
         ckptr.wait_until_finished()
 
+    def reload_params(self, source) -> None:
+        """Hot-swap model weights IN PLACE — the zero-downtime serving
+        update (a retrained checkpoint replaces the live weights without
+        restarting the server or recompiling a single program).
+
+        ``source``: a :meth:`save` bundle directory, or a params tree
+        with the same {'encoder','decoder'} layout as ``self.params``.
+
+        Validation before anything is touched: the new tree must have
+        the identical structure and identical per-leaf shapes AND dtypes
+        (so every compiled decode/encode program — which takes params as
+        ARGUMENTS — remains valid: weight-only reload never retraces);
+        for a bundle, the decoder/encoder config sections and the
+        tokenizer artifact must match exactly (a different vocab would
+        silently detokenize wrong captions). On any mismatch this raises
+        and the current weights keep serving.
+
+        Note this deliberately does NOT clear the decode-program cache:
+        the validated swap is the point — new weights ride the cached
+        XLA executables untouched.
+        """
+        import dataclasses
+        import json
+        import os
+
+        if isinstance(source, (str, os.PathLike)):
+            directory = os.path.abspath(os.fspath(source))
+            with open(os.path.join(directory, "config.json")) as f:
+                d = json.load(f)
+            ours = dataclasses.asdict(self.config)
+            for section in ("encoder", "decoder"):
+                if d.get(section) != ours[section]:
+                    raise ValueError(
+                        f"bundle {section} config differs from the live "
+                        f"pipeline's — reload_params swaps weights only; "
+                        f"load() a new pipeline for a topology change"
+                    )
+            tok_path = os.path.join(directory, "tokenizer.json")
+            if self.tokenizer is not None and os.path.exists(tok_path):
+                with open(tok_path) as f:
+                    theirs = json.load(f)
+                if theirs != json.loads(self.tokenizer.to_json()):
+                    raise ValueError(
+                        "bundle tokenizer differs from the live "
+                        "pipeline's — reloading would detokenize with "
+                        "the wrong vocabulary"
+                    )
+            import orbax.checkpoint as ocp
+
+            ckptr = ocp.StandardCheckpointer()
+            new = jax.tree_util.tree_map(
+                jnp.asarray,
+                ckptr.restore(os.path.join(directory, "params")),
+            )
+        else:
+            new = jax.tree_util.tree_map(jnp.asarray, source)
+
+        old_struct = jax.tree_util.tree_structure(self.params)
+        new_struct = jax.tree_util.tree_structure(new)
+        if old_struct != new_struct:
+            raise ValueError(
+                f"param tree structure differs: {new_struct} != "
+                f"{old_struct}"
+            )
+        old_leaves = jax.tree_util.tree_leaves_with_path(self.params)
+        new_leaves = jax.tree_util.tree_leaves(new)
+        for (path, o), n in zip(old_leaves, new_leaves):
+            if o.shape != n.shape or o.dtype != n.dtype:
+                raise ValueError(
+                    "param leaf "
+                    f"{jax.tree_util.keystr(path)} changed: "
+                    f"{n.shape}/{n.dtype} != {o.shape}/{o.dtype} — "
+                    "reload_params requires identical topology"
+                )
+        self.params = new
+        self._bf16_params = None
+
     @classmethod
     def load(cls, directory: str) -> "CaptioningPipeline":
         import json

@@ -27,6 +27,7 @@ from __future__ import annotations
 import queue
 import threading
 import time
+import typing
 from collections import deque
 from concurrent.futures import Future
 from dataclasses import dataclass, field
@@ -57,6 +58,15 @@ def _resolve(fut: Future, caption: str) -> None:
         fut.set_result(caption)
     except Exception:
         pass
+
+
+class _Reload(typing.NamedTuple):
+    """Queue control item for weight hot-reload. A NamedTuple so the
+    wedge-path _drain_pending (which finds each item's Future
+    positionally by iterating) fails its future like any request's."""
+
+    source: object
+    future: Future
 
 
 def _drain_pending(q: queue.Queue) -> list:
@@ -292,6 +302,37 @@ class CaptionServer:
         """Blocking single-request convenience wrapper."""
         return self.submit(x).result(timeout=timeout)
 
+    def reload(self, source) -> Future:
+        """Hot-swap model weights with zero downtime: enqueue a reload
+        that the batcher applies BETWEEN micro-batches (in-flight
+        batches drain first), so requests submitted before this call
+        resolve under the old weights and later ones under the new.
+        ``source`` as in pipeline.reload_params (a pipeline.save()
+        bundle dir or a same-topology params tree). Zero recompilation:
+        the validated swap reuses every compiled bucket program. On
+        validation failure the returned Future carries the error and
+        the server keeps serving the old weights."""
+        fut: Future = Future()
+        with self._submit_lock:
+            if self._closed:
+                raise RuntimeError("server is closed")
+            self._queue.put(_Reload(source, fut))
+        return fut
+
+    def _apply_reload(self, item: _Reload) -> None:
+        """Drain every in-flight batch, then swap. (Dispatched programs
+        already hold the old param buffers as arguments — draining first
+        is about a clean ordering guarantee, not correctness: everything
+        retired before the reload future resolves used old weights.)"""
+        while self._inflight:
+            self._drain_one()
+        try:
+            self._pipe.reload_params(item.source)
+        except Exception as e:
+            _fail_futures([item.future], e)
+            return
+        _resolve(item.future, True)
+
     def warmup(self, timeout: float | None = None) -> None:
         """Compile every bucket shape before serving traffic. ``timeout``
         accepted for signature parity with the continuous server's
@@ -410,9 +451,13 @@ class CaptionServer:
             if item is None:
                 self._drain_on_close()
                 return
+            if isinstance(item, _Reload):
+                self._apply_reload(item)
+                continue
             batch = [item]
             deadline = time.perf_counter() + self._max_delay_s
             stop = False
+            pending_reload = None
             while len(batch) < self._max_batch:
                 remaining = deadline - time.perf_counter()
                 if remaining <= 0:
@@ -424,10 +469,18 @@ class CaptionServer:
                 if nxt is None:
                     stop = True
                     break
+                if isinstance(nxt, _Reload):
+                    # Close the collection window here: everything
+                    # already collected rides the old weights, the swap
+                    # happens right after this batch dispatches.
+                    pending_reload = nxt
+                    break
                 batch.append(nxt)
             self._flush(batch)
             while len(self._inflight) >= self._depth:
                 self._drain_one()
+            if pending_reload is not None:
+                self._apply_reload(pending_reload)
             if stop:
                 self._drain_on_close()
                 return
@@ -443,6 +496,14 @@ class CaptionServer:
             except queue.Empty:
                 break
             if item is None:
+                continue
+            if isinstance(item, _Reload):
+                # Preserve submission order at shutdown too: flush what
+                # came before, swap, keep draining.
+                if batch:
+                    self._flush(batch)
+                    batch = []
+                self._apply_reload(item)
                 continue
             batch.append(item)
             if len(batch) == self._max_batch:
@@ -555,8 +616,39 @@ class ContinuousCaptionServer:
         self._pipe = pipeline
         self._mode = mode
         self._beam_width = beam_width
+        self._slots = slots
         start_id, end_id = pipeline._token_ids()
         self._end_id = end_id
+        self._build_engine()
+        self._ticks_per_sync = ticks_per_sync
+        self._max_queue = max_queue
+        self._queue: queue.Queue = queue.Queue()
+        # slot -> [future, t0, on_words|None, words_emitted] (mutable —
+        # _stream_progress advances words_emitted in place)
+        self._futures: dict[int, list] = {}
+        self._free = list(range(slots))
+        self._stats = ServerStats()
+        self._tick_count = 0
+        self._tick_occupancy = 0
+        self._closed = False
+        self._current_futs: tuple = ()  # batch mid-admission (wedge path)
+        self._submit_lock = threading.Lock()  # submit vs close ordering
+        self._thread = threading.Thread(
+            target=self._loop, name="tpucap-continuous", daemon=True
+        )
+        self._thread.start()
+
+    def _build_engine(self) -> None:
+        """Construct the device engine over the pipeline's CURRENT
+        inference params and a fresh (all-idle) slot state. Called at
+        __init__ and again by reload(): the engines' jitted methods
+        close over their params (static self), so a weight swap means a
+        new engine instance — and a re-trace of its program family on
+        next use (see reload's docstring)."""
+        pipeline = self._pipe
+        slots = self._slots
+        beam_width = self._beam_width
+        start_id, end_id = pipeline._token_ids()
         cfgE = pipeline.config.encoder
         feature_shape = (
             (pipeline.encoder.spatial_positions, cfgE.feature_dim)
@@ -605,23 +697,6 @@ class ContinuousCaptionServer:
                 pipeline.decoder, dec_params, **engine_kw
             )
         self._state = self._engine.init_state()
-        self._ticks_per_sync = ticks_per_sync
-        self._max_queue = max_queue
-        self._queue: queue.Queue = queue.Queue()
-        # slot -> [future, t0, on_words|None, words_emitted] (mutable —
-        # _stream_progress advances words_emitted in place)
-        self._futures: dict[int, list] = {}
-        self._free = list(range(slots))
-        self._stats = ServerStats()
-        self._tick_count = 0
-        self._tick_occupancy = 0
-        self._closed = False
-        self._current_futs: tuple = ()  # batch mid-admission (wedge path)
-        self._submit_lock = threading.Lock()  # submit vs close ordering
-        self._thread = threading.Thread(
-            target=self._loop, name="tpucap-continuous", daemon=True
-        )
-        self._thread.start()
 
     # -- client surface ----------------------------------------------------
 
@@ -634,6 +709,25 @@ class ContinuousCaptionServer:
 
     def submit(self, features) -> Future:
         return self._submit(features, None)
+
+    def reload(self, source) -> Future:
+        """Hot-swap model weights: admission pauses, active lanes run to
+        retirement under the old weights, then the pipeline's params are
+        replaced (pipeline.reload_params — same validation) and the
+        device engine is REBUILT over them; queued and future requests
+        decode under the new weights. Unlike :class:`CaptionServer`
+        (whose programs take params as arguments — zero recompilation),
+        the continuous engines close over their params, so the rebuilt
+        engine re-traces its program family on the next sync group; for
+        frequent reloads prefer the batch server, or accept the one-off
+        stall. On validation failure the Future carries the error and
+        the old engine keeps serving."""
+        fut: Future = Future()
+        with self._submit_lock:
+            if self._closed:
+                raise RuntimeError("server is closed")
+            self._queue.put(_Reload(source, fut))
+        return fut
 
     def submit_stream(self, features, on_words) -> Future:
         """Streaming submit: ``on_words(words: list[str])`` is invoked
@@ -759,6 +853,9 @@ class ContinuousCaptionServer:
                 )
             )
             futs.extend(self._current_futs)  # batch mid-admission
+            pending = getattr(self, "_pending_reload", None)
+            if pending is not None:
+                futs.append(pending.future)
             _fail_futures(futs, exc)
 
     def __enter__(self):
@@ -787,7 +884,14 @@ class ContinuousCaptionServer:
 
     def _admit_waiting(self, block: bool) -> bool:
         """Move queued requests into free lanes. Returns False when the
-        close sentinel arrives."""
+        close sentinel arrives. While a reload is pending, admission is
+        PAUSED (nothing is consumed) so active lanes drain and the swap
+        can apply; requests queued behind the reload stay queued and
+        decode under the new weights."""
+        if getattr(self, "_pending_reload", None) is not None:
+            if block:
+                time.sleep(0.005)  # don't spin while lanes drain
+            return not getattr(self, "_drain_sentinel", False)
         batch = []
         while len(batch) < len(self._free):
             try:
@@ -798,6 +902,11 @@ class ContinuousCaptionServer:
                 break
             if item is None:
                 self._drain_sentinel = True
+                break
+            if isinstance(item, _Reload):
+                # Stop collecting here: everything admitted so far (and
+                # already-active lanes) finishes under the old weights.
+                self._pending_reload = item
                 break
             batch.append(item)
         if batch:
@@ -916,10 +1025,14 @@ class ContinuousCaptionServer:
             futs = _drain_pending(self._queue)
             futs.extend(f for f, *_ in self._futures.values())
             futs.extend(self._current_futs)
+            pending = getattr(self, "_pending_reload", None)
+            if pending is not None:
+                futs.append(pending.future)
             _fail_futures(futs, e)
 
     def _loop_inner(self) -> None:
         self._drain_sentinel = False
+        self._pending_reload = None
         while True:
             keep = self._admit_waiting(block=not self._futures)
             if self._futures:
@@ -938,5 +1051,16 @@ class ContinuousCaptionServer:
                 self._stats.batches += 1  # one sync group
                 self._stream_progress()
                 self._retire(fin)
+            if self._pending_reload is not None and not self._futures:
+                item = self._pending_reload
+                try:
+                    self._pipe.reload_params(item.source)
+                    self._build_engine()  # new params -> new engine
+                except Exception as e:
+                    _fail_futures([item.future], e)
+                else:
+                    _resolve(item.future, True)
+                self._pending_reload = None
+                continue  # resume admission immediately
             if not keep and not self._futures:
                 return

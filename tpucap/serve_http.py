@@ -22,6 +22,12 @@ Endpoints:
                                every token, beam streams the group's
                                stable prefix + a retirement flush)
 - ``POST /caption_stream_features``  same, JSON features body
+- ``POST /reload``             JSON {"bundle": path} -> hot-swap model
+                               weights from a pipeline.save() bundle
+                               with zero downtime (admin surface —
+                               requires ``allow_reload=True`` /
+                               ``tpucap serve --allow-reload``; 403
+                               otherwise)
 - ``GET  /healthz``            liveness + backend
 - ``GET  /stats``              batcher stats (batch sizes, p50/p99 ms)
 - ``GET  /`` (or ``/demo``)    stdlib-only browser demo page (file
@@ -75,6 +81,7 @@ class CaptionHTTPServer:
         max_queue: int | None = None,
         engine: str = "batch",
         ticks_per_sync: int = 8,
+        allow_reload: bool = False,
     ):
         """engine='continuous' serves BOTH endpoints through the
         slot-recycling engine (ContinuousCaptionServer): greedy by
@@ -110,6 +117,9 @@ class CaptionHTTPServer:
             raise ValueError(
                 f"engine must be 'batch'|'continuous', got {engine!r}"
             )
+        # POST /reload is an ADMIN surface (it reads a bundle path off
+        # the request): disabled unless explicitly enabled.
+        self._allow_reload = allow_reload
         if engine == "continuous":
             self._images = ContinuousCaptionServer(
                 pipeline,
@@ -328,7 +338,33 @@ class CaptionHTTPServer:
                     return server.submit(x, prefix=prefix)
 
                 try:
-                    if route == "/caption":
+                    if route == "/reload":
+                        # Zero-downtime weight swap: {"bundle": path}.
+                        # Both endpoint servers share one pipeline, so
+                        # the reload is issued to BOTH (the continuous
+                        # engines each bake their own params copy) and
+                        # the reply waits for both to apply.
+                        if not outer._allow_reload:
+                            self._reply(
+                                403,
+                                {
+                                    "error": "reload is disabled — "
+                                    "start the server with "
+                                    "allow_reload=True "
+                                    "(`tpucap serve --allow-reload`)"
+                                },
+                            )
+                            return
+                        bundle = json.loads(body)["bundle"]
+                        futs = [
+                            outer._images.reload(bundle),
+                            outer._features.reload(bundle),
+                        ]
+                        for f in futs:
+                            f.result(timeout=600)
+                        self._reply(200, {"ok": True, "bundle": bundle})
+                        return
+                    elif route == "/caption":
                         x = _preprocess_jpeg(body, size, mode)
                         fut = _submit(outer._images, x, prefix)
                     elif route == "/caption_features":
