@@ -34,12 +34,14 @@ def make(name, **kw):
 
 
 def features_for(name, key):
-    if name == "attention":
+    if name in ("attention", "adaptive"):
         return jax.random.normal(key, (B, 9, FEAT))  # 3x3 "spatial" grid
     return jax.random.normal(key, (B, FEAT))
 
 
-DECODERS = ["lstm1", "lstm2", "inject", "attention", "transformer"]
+DECODERS = [
+    "lstm1", "lstm2", "inject", "attention", "adaptive", "transformer",
+]
 
 
 @pytest.mark.parametrize("name", DECODERS)

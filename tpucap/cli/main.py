@@ -92,7 +92,7 @@ def _add_common_model_flags(p):
                             "vit_b16", "vit_tiny"])
     p.add_argument("--decoder", default="lstm1",
                    choices=["lstm1", "lstm2", "gru1", "gru2", "inject",
-                            "attention", "transformer"])
+                            "attention", "adaptive", "transformer"])
     p.add_argument("--features-kind", default="pooled",
                    choices=["pooled", "spatial"])
     p.add_argument("--embed-dim", type=int, default=256)
@@ -239,7 +239,7 @@ def _build_config(args):
     from tpucap.config import encoder_config
 
     feats = args.features_kind
-    if args.decoder == "attention":
+    if args.decoder in ("attention", "adaptive"):
         feats = "spatial"
     num_layers = getattr(args, "num_layers", None)
     if num_layers is None:

@@ -21,7 +21,8 @@ EncoderName = Literal[
     "vgg16", "inception_v3", "resnet50", "tiny_cnn", "vit_b16", "vit_tiny"
 ]
 DecoderName = Literal[
-    "lstm1", "lstm2", "gru1", "gru2", "inject", "attention", "transformer"
+    "lstm1", "lstm2", "gru1", "gru2", "inject", "attention", "adaptive",
+    "transformer",
 ]
 DecodeMethod = Literal["greedy", "beam"]
 

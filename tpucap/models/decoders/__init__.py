@@ -11,6 +11,9 @@ batched greedy/beam engines in tpucap.decode drive any of them:
                             parity; Keras GRU-v2 cell numerics)
 - ``attention.AttentionDecoder`` — Show-Attend-Tell soft attention over a
                             spatial feature grid (SURVEY.md §2.1 #8)
+- ``adaptive.AdaptiveAttentionDecoder`` — adaptive attention with a
+                            visual sentinel (Lu et al. 2017; beyond
+                            parity — the model learns WHEN to look)
 - ``transformer.TransformerDecoder`` — beyond-parity pre-LN causal
                             Transformer with cross-attention + incremental
                             KV cache (MXU-first; no recurrence)
@@ -20,6 +23,7 @@ from tpucap.models.decoders.base import CaptionDecoder
 from tpucap.models.decoders.lstm import MergeDecoder, InjectDecoder
 from tpucap.models.decoders.gru import GruMergeDecoder
 from tpucap.models.decoders.attention import AttentionDecoder
+from tpucap.models.decoders.adaptive import AdaptiveAttentionDecoder
 from tpucap.models.decoders.transformer import TransformerDecoder
 
 
@@ -76,6 +80,15 @@ def build_decoder(
             attention_dim=attention_dim,
             dropout_rate=dropout_rate,
         )
+    if name == "adaptive":
+        return AdaptiveAttentionDecoder(
+            vocab_size=vocab_size,
+            feature_dim=feature_dim,
+            embed_dim=embed_dim,
+            hidden_dim=hidden_dim,
+            attention_dim=attention_dim,
+            dropout_rate=dropout_rate,
+        )
     if name == "transformer":
         return TransformerDecoder(
             vocab_size=vocab_size,
@@ -98,6 +111,7 @@ __all__ = [
     "GruMergeDecoder",
     "InjectDecoder",
     "AttentionDecoder",
+    "AdaptiveAttentionDecoder",
     "TransformerDecoder",
     "build_decoder",
 ]
