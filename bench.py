@@ -75,8 +75,8 @@ def main():
         "--decoder",
         default="lstm1",
         choices=["lstm1", "lstm2", "gru1", "gru2", "inject", "attention",
-                 "transformer"],
-        help="attention implies spatial encoder features (config 4); "
+                 "adaptive", "transformer"],
+        help="attention/adaptive imply spatial encoder features (config 4 and the visual-sentinel variant); "
         "transformer is the beyond-parity KV-cached family; gru1/gru2 "
         "the 3-gate merge variant",
     )
@@ -333,7 +333,7 @@ def main():
         file=sys.stderr,
     )
 
-    spatial = args.decoder == "attention"
+    spatial = args.decoder in ("attention", "adaptive")
     encoder = build_encoder(
         args.encoder, "spatial" if spatial else "pooled"
     )
@@ -430,9 +430,9 @@ def main():
 
         from tpucap.config import encoder_config
 
-        if args.decoder == "attention":
+        if args.decoder in ("attention", "adaptive"):
             raise SystemExit(
-                "e2e-jpeg does not support --decoder attention (spatial "
+                "e2e-jpeg does not support spatial decoders (spatial "
                 "feature plumbing); use the default caption mode"
             )
         cfg = Config(
@@ -582,7 +582,7 @@ def main():
         from tpucap.serve import CaptionServer, ContinuousCaptionServer
         from tpucap.text import Tokenizer
 
-        if args.decoder == "attention":
+        if args.decoder in ("attention", "adaptive"):
             raise SystemExit("--mode serve benches pooled-feature serving")
         cfg = Config(
             encoder=encoder_config(args.encoder),

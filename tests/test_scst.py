@@ -181,12 +181,15 @@ def test_scst_rollout_shapes_and_greedy_parity(toy_corpus, rng):
     )
 
 
-@pytest.mark.parametrize("family", ["merge2", "inject", "attention", "transformer"])
+@pytest.mark.parametrize(
+    "family", ["merge2", "inject", "attention", "adaptive", "transformer"]
+)
 def test_scst_all_decoder_families(family, rng):
     """The rollout/step pair is decoder-agnostic (uniform
     init_state/step/forward_train interface) — one SCST update on every
     family must produce a finite loss and move the params."""
     from tpucap.models.decoders import (
+        AdaptiveAttentionDecoder,
         AttentionDecoder,
         InjectDecoder,
         TransformerDecoder,
@@ -211,6 +214,12 @@ def test_scst_all_decoder_families(family, rng):
             hidden_dim=HID, attention_dim=8, dropout_rate=0.0,
         )
         feats = rng.normal(size=(2, 9, FEAT))  # 3x3 spatial grid
+    elif family == "adaptive":
+        dec = AdaptiveAttentionDecoder(
+            vocab_size=V, feature_dim=FEAT, embed_dim=EMBED,
+            hidden_dim=HID, attention_dim=8, dropout_rate=0.0,
+        )
+        feats = rng.normal(size=(2, 9, FEAT))
     else:
         dec = TransformerDecoder(
             vocab_size=V, feature_dim=FEAT, hidden_dim=HID,

@@ -68,6 +68,15 @@ def _add_optimizer_flags(p):
                    "parallelism none|dp and --finetune-encoder)")
     p.add_argument("--grad-clip-norm", type=float, default=None,
                    help="global-norm gradient clipping (0 = off)")
+    p.add_argument("--scheduled-sampling", type=float, default=None,
+                   help="scheduled sampling (exposure-bias training): "
+                   "max probability of replacing each teacher-forcing "
+                   "input token with the model's own first-pass "
+                   "prediction, ramped per epoch by --ss-schedule "
+                   "(parallelism none|dp)")
+    p.add_argument("--ss-schedule", default=None,
+                   choices=["linear", "inv_sigmoid", "constant"],
+                   help="scheduled-sampling ramp (default linear)")
     p.add_argument("--val-metric", default=None,
                    choices=["loss", "bleu4", "cider", "rouge_l",
                             "meteor"],
@@ -219,6 +228,10 @@ def _build_config(args):
                 "lr_decay_steps": getattr(args, "lr_decay_steps", None),
                 "warmup_steps": getattr(args, "warmup_steps", None),
                 "grad_clip_norm": getattr(args, "grad_clip_norm", None),
+                "scheduled_sampling": getattr(
+                    args, "scheduled_sampling", None
+                ),
+                "ss_schedule": getattr(args, "ss_schedule", None),
             }.items()
             if v is not None
         }

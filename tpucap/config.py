@@ -169,6 +169,17 @@ class TrainConfig:
     # machinery), bounding a hard kill's lost work to < N steps
     # instead of an epoch. Long-epoch (COCO-scale) insurance.
     checkpoint_every_steps: int = 0
+    # Scheduled sampling (Bengio et al. 2015; parallel two-pass form —
+    # tpucap/train/scheduled.py): maximum probability of replacing each
+    # teacher-forcing input token (position >= 1, non-pad) with the
+    # model's own gradient-free first-pass prediction, attacking
+    # exposure bias. 0 = off (exact teacher forcing). The per-epoch
+    # probability ramps by ss_schedule and is passed to the step as a
+    # traced scalar (no retrace). Parallelism 'none' | 'dp'.
+    scheduled_sampling: float = 0.0
+    # 'linear' (0 -> max over the run) | 'inv_sigmoid' (Bengio's
+    # S-curve, near-0 for the first ~5 epochs) | 'constant'.
+    ss_schedule: str = "linear"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -39,8 +39,17 @@ def make_dp_train_step(
     grad_accum_steps: int = 1,
     compute_dtype=None,
     donate: bool = False,
+    scheduled_sampling: bool = False,
 ):
     """(state, features, tokens) -> (state, metrics), batch sharded over axis.
+
+    ``scheduled_sampling=True`` adds a 4th TRACED argument ss_eps (the
+    per-epoch mixing probability — tpucap.train.scheduled): each
+    shard's first-pass predictions replace its own input tokens with
+    probability ss_eps. Coin keys are folded by shard index (the
+    dropout recipe), so like dropout this is per-shard randomness: the
+    DP update equals a single-device update drawing the same
+    shard-folded coins, not one drawing a single global coin vector.
 
     ``donate=True``: donate the input state's buffers (in-place param/
     opt-state update; caller must rebind — see make_train_step).
@@ -55,7 +64,7 @@ def make_dp_train_step(
 
     warn_if_attention_reg_unused(decoder, attention_reg)
 
-    def local_loss(params, features, tokens, rng):
+    def local_loss(params, features, tokens, rng, ss_eps, ss_rng):
         sums = caption_loss_sums(
             decoder,
             params,
@@ -67,14 +76,23 @@ def make_dp_train_step(
             label_smoothing=label_smoothing,
             attention_reg=attention_reg,
             compute_dtype=compute_dtype,
+            ss_eps=ss_eps,
+            ss_rng=ss_rng,
         )
         global_sums = jax.tree_util.tree_map(
             lambda s: jax.lax.psum(s, axis), sums
         )
         return loss_from_sums(global_sums, attention_reg=attention_reg)
 
-    def shard_body(state: TrainState, features, tokens):
-        rng, dropout_rng = jax.random.split(state.rng)
+    def shard_body(state: TrainState, features, tokens, ss_eps=None):
+        if scheduled_sampling:
+            rng, dropout_rng, ss_rng = jax.random.split(state.rng, 3)
+            ss_rng = jax.random.fold_in(
+                ss_rng, jax.lax.axis_index(axis)
+            )
+        else:
+            rng, dropout_rng = jax.random.split(state.rng)
+            ss_eps = ss_rng = None
         # Decorrelate dropout across shards; deterministic runs ignore it.
         dropout_rng = jax.random.fold_in(
             dropout_rng, jax.lax.axis_index(axis)
@@ -90,13 +108,18 @@ def make_dp_train_step(
                 label_smoothing=label_smoothing,
                 attention_reg=attention_reg,
                 compute_dtype=compute_dtype,
+                ss_eps=ss_eps,
             )
             g_nll, g_reg, sums = accumulated_sum_grads(
                 sums_fn,
                 state.params,
                 features,
                 tokens,
-                None if deterministic else dropout_rng,
+                # ss needs a key even in deterministic mode; sums_fn
+                # splits the per-microbatch folded key (loop.py recipe).
+                ss_rng
+                if scheduled_sampling
+                else (None if deterministic else dropout_rng),
                 steps=grad_accum_steps,
                 use_reg=use_reg,
             )
@@ -116,7 +139,7 @@ def make_dp_train_step(
         else:
             (loss, metrics), grads = jax.value_and_grad(
                 local_loss, has_aux=True
-            )(state.params, features, tokens, dropout_rng)
+            )(state.params, features, tokens, dropout_rng, ss_eps, ss_rng)
             # shard_map AD transposes the forward psum in local_loss
             # into a psum of the (replicated) cotangent, so each shard's
             # grad comes out as N * (its local contribution to the
@@ -134,10 +157,13 @@ def make_dp_train_step(
         )
         return new_state, metrics
 
+    in_specs = (P(), P(axis), P(axis))
+    if scheduled_sampling:
+        in_specs = in_specs + (P(),)  # ss_eps scalar, replicated
     sharded = shard_map(
         shard_body,
         mesh=mesh,
-        in_specs=(P(), P(axis), P(axis)),
+        in_specs=in_specs,
         out_specs=(P(), P()),
         check_vma=False,
     )

@@ -587,6 +587,27 @@ class CaptioningPipeline:
                 "transformed layout (stacked stages / padded vocab) — "
                 "drop the flag or use 'none'/'dp'"
             )
+        use_ss = cfg.scheduled_sampling > 0
+        if use_ss:
+            if not 0.0 < cfg.scheduled_sampling <= 1.0:
+                raise ValueError(
+                    f"scheduled_sampling={cfg.scheduled_sampling} must "
+                    "be a probability in (0, 1]"
+                )
+            if cfg.ss_schedule not in (
+                "linear", "inv_sigmoid", "constant"
+            ):
+                raise ValueError(
+                    f"unknown ss_schedule {cfg.ss_schedule!r}; "
+                    "have linear|inv_sigmoid|constant"
+                )
+            if parallelism not in ("none", "dp"):
+                raise NotImplementedError(
+                    "scheduled_sampling is wired into the single-device "
+                    f"and data-parallel steps; parallelism="
+                    f"{parallelism!r} runs its own loss program — drop "
+                    "the flag or use 'none'/'dp'"
+                )
         if parallelism == "dp":
             self._mesh = make_mesh(self.config.mesh.n_devices)
             if batch_size % dict(self._mesh.shape)["data"]:
@@ -604,6 +625,7 @@ class CaptioningPipeline:
                 grad_accum_steps=cfg.grad_accum_steps,
                 compute_dtype=compute_dtype,
                 donate=True,
+                scheduled_sampling=use_ss,
             )
         elif parallelism == "fsdp":
             from tpucap.parallel import (
@@ -831,6 +853,7 @@ class CaptioningPipeline:
                 grad_accum_steps=cfg.grad_accum_steps,
                 compute_dtype=compute_dtype,
                 donate=True,
+                scheduled_sampling=use_ss,
             )
         else:
             raise ValueError(f"unknown parallelism {parallelism!r}")
@@ -975,6 +998,20 @@ class CaptioningPipeline:
                 metrics_sum: dict = {}
                 n = 0
                 skip = resume_batch if epoch == start_epoch else 0
+                ss_args = ()
+                ss_eps_val = None
+                if use_ss:
+                    from tpucap.train.scheduled import epsilon_for_epoch
+
+                    # A traced scalar argument: the per-epoch ramp never
+                    # retraces the compiled step.
+                    ss_eps_val = epsilon_for_epoch(
+                        epoch,
+                        epochs,
+                        max_eps=cfg.scheduled_sampling,
+                        schedule=cfg.ss_schedule,
+                    )
+                    ss_args = (jnp.asarray(ss_eps_val, jnp.float32),)
                 if stream:
                     from tpucap.data.pipeline import (
                         caption_batch_stream,
@@ -1023,7 +1060,7 @@ class CaptioningPipeline:
                         continue
                     if data_parallel and not stream:
                         bf, bt = shard_batch(self._mesh, (bf, bt))
-                    self.state, metrics = step(self.state, bf, bt)
+                    self.state, metrics = step(self.state, bf, bt, *ss_args)
                     if ema_update is not None:
                         ema = ema_update(ema, self.state.params)
                     n += 1
@@ -1053,6 +1090,8 @@ class CaptioningPipeline:
                     k: float(v) / max(n, 1) for k, v in metrics_sum.items()
                 }
                 epoch_metrics["epoch"] = epoch
+                if ss_eps_val is not None:
+                    epoch_metrics["ss_eps"] = float(ss_eps_val)
                 if preempted:
                     # Grace window: skip eval/val work, write the rescue
                     # checkpoint (an ordinary checkpoint at a mid-epoch

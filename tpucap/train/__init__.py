@@ -15,6 +15,7 @@ from tpucap.train.distill import (
     make_distill_step,
 )
 from tpucap.train.preemption import PreemptionGuard
+from tpucap.train.scheduled import epsilon_for_epoch, scheduled_inputs
 from tpucap.train.scst import make_scst_rollout, make_scst_step, scst_loss
 from tpucap.train.sequences import build_training_batch
 
@@ -35,4 +36,6 @@ __all__ = [
     "distill_loss_sums",
     "distill_loss_from_sums",
     "make_distill_step",
+    "epsilon_for_epoch",
+    "scheduled_inputs",
 ]

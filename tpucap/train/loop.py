@@ -154,10 +154,17 @@ def caption_sums_fn(
     label_smoothing: float = 0.0,
     attention_reg: float = 0.0,
     compute_dtype=None,
+    ss_eps=None,
 ):
     """-> (sums_fn(params, features, tokens, rng) -> sums dict, use_reg)
     — the standard decoder-on-precomputed-features loss pieces, shaped
-    for :func:`accumulated_sum_grads`."""
+    for :func:`accumulated_sum_grads`.
+
+    ``ss_eps`` (a traced scalar, closed over; None = off) turns on
+    scheduled sampling. The rng argument is then MANDATORY (never None,
+    even when ``deterministic``) and is split per call into the
+    sampling coin key and the dropout key — so each accumulation
+    microbatch draws independent coins via the caller's fold_in."""
     from tpucap.train.loss import caption_loss_sums
 
     use_reg = attention_reg > 0.0 and hasattr(
@@ -165,6 +172,11 @@ def caption_sums_fn(
     )
 
     def sums_fn(p, fm, tm, r):
+        ss_rng = None
+        if ss_eps is not None:
+            r_ss, r_drop = jax.random.split(r)
+            ss_rng = r_ss
+            r = None if deterministic else r_drop
         return caption_loss_sums(
             decoder,
             p,
@@ -176,6 +188,8 @@ def caption_sums_fn(
             label_smoothing=label_smoothing,
             attention_reg=attention_reg,
             compute_dtype=compute_dtype,
+            ss_eps=ss_eps,
+            ss_rng=ss_rng,
         )
 
     return sums_fn, use_reg
@@ -291,8 +305,16 @@ def make_train_step(
     grad_accum_steps: int = 1,
     compute_dtype=None,
     donate: bool = False,
+    scheduled_sampling: bool = False,
 ) -> Callable:
     """Single-device jit'd step: (state, features, tokens) -> (state, metrics).
+
+    ``scheduled_sampling=True`` changes the step signature to
+    (state, features, tokens, ss_eps): ss_eps is a TRACED scalar (the
+    per-epoch ramp never retraces) and each input token at position
+    >= 1 is replaced by the model's own gradient-free first-pass
+    prediction with probability ss_eps before the loss forward
+    (tpucap.train.scheduled — the parallel two-pass formulation).
 
     ``donate=True`` donates the input TrainState's buffers to XLA
     (donate_argnums=0): params and optimizer state update in place
@@ -321,7 +343,7 @@ def make_train_step(
 
     warn_if_attention_reg_unused(decoder, attention_reg)
 
-    def loss_fn(params, features, tokens, rng):
+    def loss_fn(params, features, tokens, rng, ss_eps, ss_rng):
         return caption_loss(
             decoder,
             params,
@@ -333,10 +355,16 @@ def make_train_step(
             label_smoothing=label_smoothing,
             attention_reg=attention_reg,
             compute_dtype=compute_dtype,
+            ss_eps=ss_eps,
+            ss_rng=ss_rng,
         )
 
-    def step(state: TrainState, features, tokens):
-        rng, dropout_rng = jax.random.split(state.rng)
+    def step(state: TrainState, features, tokens, ss_eps=None):
+        if scheduled_sampling:
+            rng, dropout_rng, ss_rng = jax.random.split(state.rng, 3)
+        else:
+            rng, dropout_rng = jax.random.split(state.rng)
+            ss_eps = ss_rng = None
         if grad_accum_steps > 1:
             sums_fn, use_reg = caption_sums_fn(
                 decoder,
@@ -345,13 +373,19 @@ def make_train_step(
                 label_smoothing=label_smoothing,
                 attention_reg=attention_reg,
                 compute_dtype=compute_dtype,
+                ss_eps=ss_eps,
             )
             g_nll, g_reg, sums = accumulated_sum_grads(
                 sums_fn,
                 state.params,
                 features,
                 tokens,
-                None if deterministic else dropout_rng,
+                # Scheduled sampling needs a key even in deterministic
+                # (dropout-off) mode; sums_fn splits the folded key into
+                # the coin key and the dropout key.
+                ss_rng
+                if scheduled_sampling
+                else (None if deterministic else dropout_rng),
                 steps=grad_accum_steps,
                 use_reg=use_reg,
             )
@@ -364,7 +398,7 @@ def make_train_step(
         else:
             (loss, metrics), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
-            )(state.params, features, tokens, dropout_rng)
+            )(state.params, features, tokens, dropout_rng, ss_eps, ss_rng)
         updates, opt_state = optimizer.update(
             grads, state.opt_state, state.params
         )

@@ -114,6 +114,8 @@ def caption_loss_sums(
     label_smoothing: float = 0.0,
     attention_reg: float = 0.0,
     compute_dtype=None,
+    ss_eps=None,
+    ss_rng=None,
 ):
     """Sum-form teacher-forced loss pieces for a (local) batch.
 
@@ -128,11 +130,27 @@ def caption_loss_sums(
     REDUCTION stays f32: the CE already upcasts logits before
     log_softmax, and the attention-coverage regularizer below sums in
     f32. TrainConfig.precision='bf16' reaches here.
+
+    ``ss_eps`` (a TRACED scalar; None = off statically) enables
+    scheduled sampling: a gradient-free first forward predicts every
+    position and each input token (position >= 1, non-pad) is replaced
+    by the model's own prediction with probability ss_eps before the
+    loss forward — tpucap.train.scheduled. Requires ``ss_rng``. Targets
+    stay gold.
     """
     params = cast_floats(params, compute_dtype)
     features = cast_floats(features, compute_dtype)
     inputs = tokens[:, :-1]
     targets = tokens[:, 1:]
+    if ss_eps is not None:
+        from tpucap.train.scheduled import scheduled_inputs
+
+        if ss_rng is None:
+            raise ValueError("scheduled sampling (ss_eps) needs ss_rng")
+        inputs = scheduled_inputs(
+            decoder, params, features, inputs,
+            eps=ss_eps, rng=ss_rng, pad_id=pad_id,
+        )
     use_attention_reg = attention_reg > 0.0 and hasattr(
         decoder, "forward_train_with_alphas"
     )
@@ -200,6 +218,8 @@ def caption_loss(
     label_smoothing: float = 0.0,
     attention_reg: float = 0.0,
     compute_dtype=None,
+    ss_eps=None,
+    ss_rng=None,
 ):
     """Teacher-forced loss. tokens (B, T) post-padded full captions
     (startseq ... endseq); inputs = tokens[:, :-1], targets = tokens[:, 1:].
@@ -218,5 +238,7 @@ def caption_loss(
         label_smoothing=label_smoothing,
         attention_reg=attention_reg,
         compute_dtype=compute_dtype,
+        ss_eps=ss_eps,
+        ss_rng=ss_rng,
     )
     return loss_from_sums(sums, attention_reg=attention_reg)
