@@ -160,6 +160,14 @@ def main():
         "block multiple + segment-id masking; docs/PERF.md)",
     )
     ap.add_argument(
+        "--scheduled-sampling",
+        type=float,
+        default=None,
+        help="--mode train: measure the scheduled-sampling step at this "
+        "mixing probability (two-pass cost — the extra gradient-free "
+        "forward; tpucap/train/scheduled.py)",
+    )
+    ap.add_argument(
         "--train-mixed",
         action="store_true",
         help="--mode train only: MIXED-precision step (f32 master "
@@ -726,6 +734,7 @@ def main():
             decoder,
             optimizer,
             compute_dtype=jnp.bfloat16 if args.train_mixed else None,
+            scheduled_sampling=args.scheduled_sampling is not None,
         )
         feat_shape = (
             (args.batch, 196, encoder.feature_dim)
@@ -737,9 +746,15 @@ def main():
             jax.random.key(3), (args.batch, args.max_len + 1), 1, args.vocab
         ).astype(jnp.int32)
 
+        ss_args = (
+            (jnp.float32(args.scheduled_sampling),)
+            if args.scheduled_sampling is not None
+            else ()
+        )
+
         def run_train():
             nonlocal state
-            state, m = step(state, feats, tokens)
+            state, m = step(state, feats, tokens, *ss_args)
             return m
 
         compile_s, med, _ = time_fn(
@@ -753,7 +768,13 @@ def main():
         result = {
             "metric": f"training samples/sec (batch {args.batch}, "
             f"T {args.max_len}, "
-            f"{'mixed-bf16' if args.train_mixed else args.dtype})",
+            f"{'mixed-bf16' if args.train_mixed else args.dtype}"
+            + (
+                f", ss={args.scheduled_sampling}"
+                if args.scheduled_sampling is not None
+                else ""
+            )
+            + ")",
             "value": round(sps, 2),
             "unit": "samples/sec/chip",
             "vs_baseline": 0.0,

@@ -41,12 +41,16 @@ def test_cli_full_workflow(tmp_path, capsys):
     out = capsys.readouterr().out
     assert img0 in out
 
+    coco = str(tmp_path / "results.json")
     main(["evaluate", *common, "--tokens", token_file, "--split", test_file,
           "--features", feats, "--checkpoint-dir", ckpt,
-          "--method", "greedy", "--batch-size", "4"])
+          "--method", "greedy", "--batch-size", "4",
+          "--coco-results", coco])
     out = capsys.readouterr().out
     scores = json.loads(out.strip().splitlines()[-1])
     assert set(scores) == {"bleu1", "bleu2", "bleu3", "bleu4"}
+    rows = json.load(open(coco))
+    assert rows and set(rows[0]) == {"image_id", "caption"}
 
 
 def test_cli_preset_config_resolution():

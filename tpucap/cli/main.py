@@ -1044,6 +1044,7 @@ def cmd_evaluate(args):
     prepared = _load_dataset(args, default_split="test")
     features = dict(np.load(args.features))
     dump = getattr(args, "dump_captions", None)
+    coco_out = getattr(args, "coco_results", None)
     out = pipe.evaluate(
         prepared,
         features,
@@ -1052,7 +1053,7 @@ def cmd_evaluate(args):
         batch_size=args.batch_size,
         parallelism=args.parallelism,
         metrics=metrics,
-        return_captions=bool(dump),
+        return_captions=bool(dump or coco_out),
     )
     if dump:
         from tpucap.train.evaluate import evaluate_captions
@@ -1079,9 +1080,56 @@ def cmd_evaluate(args):
                     + "\n"
                 )
         print(f"wrote per-image captions to {dump}", file=sys.stderr)
+    elif coco_out:
+        scores, generated = out
     else:
         scores = out
+    if coco_out:
+        # coco-caption results format: [{"image_id": ..., "caption":
+        # ...}] with integer ids where the id is numeric (COCO's
+        # convention) — feeds pycocoevalcap / external leaderboards.
+        rows = [
+            {
+                "image_id": int(i) if str(i).isdigit() else str(i),
+                "caption": cap,
+            }
+            for i, cap in generated.items()
+        ]
+        with open(coco_out, "w") as f:
+            json.dump(rows, f)
+        print(
+            f"wrote {len(rows)} coco-format results to {coco_out}",
+            file=sys.stderr,
+        )
     print(json.dumps(scores))
+
+
+def cmd_compare(args):
+    """Paired bootstrap significance test between two `evaluate
+    --dump-captions` artifacts (tpucap.train.compare; Koehn 2004)."""
+    from tpucap.train.compare import compare_caption_files
+
+    result = compare_caption_files(
+        args.file_a,
+        args.file_b,
+        metric=args.metric,
+        n_resamples=args.bootstrap,
+        seed=args.seed,
+    )
+    verdict = (
+        "B != A (significant at 0.05)"
+        if result["significant_at_05"]
+        else "no significant difference at 0.05"
+    )
+    print(
+        f"# {args.metric}: A={result['score_a']:.4f} "
+        f"B={result['score_b']:.4f} delta={result['delta']:+.4f} "
+        f"ci95=[{result['delta_ci95'][0]:+.4f}, "
+        f"{result['delta_ci95'][1]:+.4f}] p={result['p_value']:.3f} "
+        f"-> {verdict}",
+        file=sys.stderr,
+    )
+    print(json.dumps(result))
 
 
 def cmd_export(args):
@@ -1695,8 +1743,29 @@ def main(argv=None):
                    help="comma list from bleu,cider,rouge_l,meteor "
                    "(default "
                    "bleu = the reference-parity BLEU-1..4)")
+    p.add_argument("--coco-results", default=None,
+                   help="also write coco-caption results JSON "
+                   "([{image_id, caption}, ...], numeric ids as ints) "
+                   "for pycocoevalcap / external leaderboards")
     _add_restore_flags(p)
     p.set_defaults(fn=cmd_evaluate)
+
+    p = sub.add_parser(
+        "compare",
+        help="paired bootstrap significance test between two "
+        "`evaluate --dump-captions` files (Koehn 2004)",
+    )
+    p.add_argument("file_a", help="baseline system's --dump-captions JSONL")
+    p.add_argument("file_b", help="candidate system's --dump-captions JSONL")
+    p.add_argument("--metric", default="bleu4",
+                   choices=["bleu1", "bleu2", "bleu3", "bleu4",
+                            "cider", "rouge_l", "meteor"],
+                   help="corpus metric to compare (same conventions as "
+                   "evaluate --metrics)")
+    p.add_argument("--bootstrap", type=int, default=1000,
+                   help="number of bootstrap resamples")
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=cmd_compare)
 
     p = sub.add_parser(
         "export",
