@@ -1183,6 +1183,25 @@ def cmd_export(args):
 def cmd_serve(args):
     from tpucap.serve_http import CaptionHTTPServer
 
+    # Validate the --extra-model specs BEFORE any (slow) model loading
+    # so a typo fails instantly.
+    extra_specs = {}
+    for spec in getattr(args, "extra_model", None) or []:
+        name, sep, path = spec.partition("=")
+        if not sep or not name or not path:
+            raise SystemExit(
+                f"--extra-model wants NAME=BUNDLE_DIR, got {spec!r}"
+            )
+        if name in extra_specs or name == "default":
+            raise SystemExit(
+                f"--extra-model: duplicate/reserved name {name!r}"
+            )
+        extra_specs[name] = path
+    if extra_specs and getattr(args, "aot_bundle", None):
+        raise SystemExit("--extra-model is not supported with --aot-bundle")
+    if extra_specs and args.engine != "batch":
+        raise SystemExit("--extra-model needs --engine batch")
+
     if getattr(args, "aot_bundle", None):
         # Serve the AOT StableHLO artifact: no model code, no tracing —
         # the micro-batcher drives the exported program ladder directly.
@@ -1234,6 +1253,14 @@ def cmd_serve(args):
         pipe = CaptioningPipeline.load(args.model_dir)
     else:
         pipe = _restore_pipeline(args)
+    extra_models = None
+    if extra_specs:
+        from tpucap.pipeline import CaptioningPipeline
+
+        extra_models = {
+            name: CaptioningPipeline.load(path)
+            for name, path in extra_specs.items()
+        }
     srv = CaptionHTTPServer(
         pipe,
         host=args.host,
@@ -1245,6 +1272,7 @@ def cmd_serve(args):
         max_queue=args.max_queue,
         engine=args.engine,
         allow_reload=args.allow_reload,
+        extra_models=extra_models,
     )
     if args.warmup:
         print("warming up (compiling every batch bucket)...",
@@ -1842,6 +1870,12 @@ def main(argv=None):
                    help="enable POST /reload {'bundle': path}: "
                    "zero-downtime weight hot-swap from a pipeline "
                    "bundle (admin surface — off by default)")
+    p.add_argument("--extra-model", action="append", default=None,
+                   metavar="NAME=BUNDLE_DIR",
+                   help="serve an additional pipeline bundle behind the "
+                   "same port (repeatable); requests route with "
+                   "?model=NAME or a 'model' JSON field — each model "
+                   "gets its own micro-batcher (engine batch only)")
     _add_restore_flags(p)
     p.set_defaults(fn=cmd_serve)
 

@@ -29,9 +29,18 @@ Endpoints:
                                ``tpucap serve --allow-reload``; 403
                                otherwise)
 - ``GET  /healthz``            liveness + backend
-- ``GET  /stats``              batcher stats (batch sizes, p50/p99 ms)
+- ``GET  /stats``              batcher stats (batch sizes, p50/p99 ms);
+                               keyed per model when several are served
 - ``GET  /`` (or ``/demo``)    stdlib-only browser demo page (file
                                picker -> POST /caption -> caption)
+
+Multi-model serving: ``extra_models={name: pipeline}`` (CLI
+``tpucap serve --extra-model name=BUNDLE_DIR`` repeatable) serves
+several models behind one port; requests pick one with ``?model=name``
+(or a "model" field on the JSON routes), unnamed requests hit the
+primary. Each model keeps its own micro-batcher pair (batches never mix
+models; the chip time-divides across whole batches), and ``/reload``
+accepts a "model" field.
 
 Streaming uses connection-close framing (no Content-Length; read lines
 until EOF) so the stdlib handler needs no chunked-encoding machinery;
@@ -82,6 +91,7 @@ class CaptionHTTPServer:
         engine: str = "batch",
         ticks_per_sync: int = 8,
         allow_reload: bool = False,
+        extra_models: dict | None = None,
     ):
         """engine='continuous' serves BOTH endpoints through the
         slot-recycling engine (ContinuousCaptionServer): greedy by
@@ -89,8 +99,29 @@ class CaptionHTTPServer:
         beam_width-lane group); other methods (sampling) have no
         continuous engine and raise. The JPEG /caption path runs the
         encoder in the admission path (mode='images'); /caption_features
-        skips it."""
+        skips it.
+
+        ``extra_models`` ({name: pipeline}) serves several models behind
+        one port: requests route with ``?model=name`` (or a "model"
+        field on the JSON routes); the positional pipeline serves
+        unnamed requests. Each model gets its own micro-batcher pair, so
+        batches never mix models and the XLA programs stay per-model;
+        the device interleaves whole batches (time-division — the
+        single-chip multi-tenant shape). Batch engine only: a continuous
+        engine's tick loop would monopolize the device against its
+        neighbors. ``/reload`` takes an optional "model" field."""
         self._pipe = pipeline
+        if extra_models:
+            if engine != "batch":
+                raise ValueError(
+                    "extra_models needs engine='batch' (continuous "
+                    "tick loops would contend for the single device)"
+                )
+            if "default" in extra_models:
+                raise ValueError(
+                    "'default' names the positional pipeline — pick "
+                    "another name for the extra model"
+                )
         kw = dict(
             max_batch=max_batch,
             max_delay_ms=max_delay_ms,
@@ -141,6 +172,15 @@ class CaptionHTTPServer:
             self._features = CaptionServer(
                 pipeline, mode="features", **kw
             )
+        # name -> (pipeline, images server, features server); "default"
+        # is the positional pipeline, extra models add their own pairs.
+        self._models = {"default": (pipeline, self._images, self._features)}
+        for name, extra in (extra_models or {}).items():
+            self._models[name] = (
+                extra,
+                CaptionServer(extra, mode="images", **kw),
+                CaptionServer(extra, mode="features", **kw),
+            )
         self._httpd = ThreadingHTTPServer(
             (host, port), self._make_handler()
         )
@@ -152,13 +192,14 @@ class CaptionHTTPServer:
         return self._httpd.server_address[:2]
 
     def warmup(self) -> None:
-        """Pre-compile both backing servers' program families so the
+        """Pre-compile every backing server's program families so the
         first request never pays a compile (seconds to minutes on a
-        remote-compile TPU link). The images server is skipped when the
-        backing model has no encoder path (a features-only AOT bundle)."""
-        if getattr(self._pipe.encoder, "input_size", None) is not None:
-            self._images.warmup()
-        self._features.warmup()
+        remote-compile TPU link). An images server is skipped when its
+        model has no encoder path (a features-only AOT bundle)."""
+        for pipe, images, features in self._models.values():
+            if getattr(pipe.encoder, "input_size", None) is not None:
+                images.warmup()
+            features.warmup()
 
     def serve_background(self) -> tuple[str, int]:
         """Start serving on a daemon thread; returns (host, port)."""
@@ -183,8 +224,9 @@ class CaptionHTTPServer:
         self._httpd.server_close()
         if self._thread is not None:
             self._thread.join(timeout=30)
-        self._images.close()
-        self._features.close()
+        for _, images, features in self._models.values():
+            images.close()
+            features.close()
 
     def __enter__(self):
         return self
@@ -196,8 +238,23 @@ class CaptionHTTPServer:
 
     def _make_handler(self):
         outer = self
-        size = self._pipe.encoder.input_size
-        mode = self._pipe.encoder.preprocess_mode
+
+        def _resolve(name):
+            """-> (images server, features server, input size,
+            preprocess mode) for a model name ('' = default)."""
+            try:
+                pipe, images, features = outer._models[name or "default"]
+            except KeyError:
+                raise ValueError(
+                    f"unknown model {name!r}; serving "
+                    f"{sorted(outer._models)}"
+                ) from None
+            return (
+                images,
+                features,
+                pipe.encoder.input_size,
+                pipe.encoder.preprocess_mode,
+            )
 
         class Handler(BaseHTTPRequestHandler):
             # Tests and production logs both want quiet request lines.
@@ -225,13 +282,27 @@ class CaptionHTTPServer:
                         {"ok": True, "backend": jax.default_backend()},
                     )
                 elif self.path == "/stats":
-                    self._reply(
-                        200,
-                        {
-                            "images": outer._images.stats(),
-                            "features": outer._features.stats(),
-                        },
-                    )
+                    if len(outer._models) == 1:
+                        self._reply(
+                            200,
+                            {
+                                "images": outer._images.stats(),
+                                "features": outer._features.stats(),
+                            },
+                        )
+                    else:
+                        self._reply(
+                            200,
+                            {
+                                name: {
+                                    "images": im.stats(),
+                                    "features": fe.stats(),
+                                }
+                                for name, (_, im, fe) in sorted(
+                                    outer._models.items()
+                                )
+                            },
+                        )
                 elif self.path in ("/", "/demo"):
                     # Minimal browser demo: pick a JPEG, see the caption
                     # (pure stdlib on both ends; the fetch posts the raw
@@ -317,11 +388,9 @@ class CaptionHTTPServer:
 
                 parts = urlsplit(self.path)
                 route, query = parts.path, parts.query
-                prefix = (
-                    parse_qs(query).get("prefix", [""])[0]
-                    if query
-                    else ""
-                )
+                qs = parse_qs(query) if query else {}
+                prefix = qs.get("prefix", [""])[0]
+                model = qs.get("model", [""])[0]
 
                 def _submit(server, x, prefix):
                     """Route a prefixed request; the continuous engines
@@ -339,11 +408,11 @@ class CaptionHTTPServer:
 
                 try:
                     if route == "/reload":
-                        # Zero-downtime weight swap: {"bundle": path}.
-                        # Both endpoint servers share one pipeline, so
-                        # the reload is issued to BOTH (the continuous
-                        # engines each bake their own params copy) and
-                        # the reply waits for both to apply.
+                        # Zero-downtime weight swap: {"bundle": path,
+                        # "model": name?}. A model's endpoint servers
+                        # share one pipeline, so the reload is issued to
+                        # BOTH (the continuous engines each bake their
+                        # own params copy) and the reply waits for both.
                         if not outer._allow_reload:
                             self._reply(
                                 403,
@@ -355,25 +424,33 @@ class CaptionHTTPServer:
                                 },
                             )
                             return
-                        bundle = json.loads(body)["bundle"]
+                        payload = json.loads(body)
+                        bundle = payload["bundle"]
+                        images, features, _, _ = _resolve(
+                            payload.get("model", "") or model
+                        )
                         futs = [
-                            outer._images.reload(bundle),
-                            outer._features.reload(bundle),
+                            images.reload(bundle),
+                            features.reload(bundle),
                         ]
                         for f in futs:
                             f.result(timeout=600)
                         self._reply(200, {"ok": True, "bundle": bundle})
                         return
                     elif route == "/caption":
-                        x = _preprocess_jpeg(body, size, mode)
-                        fut = _submit(outer._images, x, prefix)
+                        images, _, size, pmode = _resolve(model)
+                        x = _preprocess_jpeg(body, size, pmode)
+                        fut = _submit(images, x, prefix)
                     elif route == "/caption_features":
                         payload = json.loads(body)
+                        _, features, _, _ = _resolve(
+                            payload.get("model", "") or model
+                        )
                         feats = np.asarray(
                             payload["features"], np.float32
                         )
                         fut = _submit(
-                            outer._features,
+                            features,
                             feats,
                             payload.get("prefix", "") or prefix,
                         )
@@ -386,8 +463,9 @@ class CaptionHTTPServer:
                                 "prefix is not supported on the "
                                 "streaming routes; use /caption"
                             )
+                        images, _, size, pmode = _resolve(model)
                         self._stream(
-                            outer._images, _preprocess_jpeg(body, size, mode)
+                            images, _preprocess_jpeg(body, size, pmode)
                         )
                         return
                     elif route == "/caption_stream_features":
@@ -397,8 +475,11 @@ class CaptionHTTPServer:
                                 "prefix is not supported on the "
                                 "streaming routes; use /caption_features"
                             )
+                        _, features, _, _ = _resolve(
+                            payload.get("model", "") or model
+                        )
                         self._stream(
-                            outer._features,
+                            features,
                             np.asarray(payload["features"], np.float32),
                         )
                         return
