@@ -343,6 +343,44 @@ def test_cli_evaluate_dump_captions(tmp_path):
     )
 
 
+def test_cli_caption_dump_attention(tmp_path, capsys):
+    """caption --dump-attention writes the overlay artifact: per-token
+    alphas (+ sentinel column on the adaptive family), lengths,
+    captions, and the grid size for reshaping."""
+    img_dir, token_file, train_file, _ = generate_fixture_dataset(
+        tmp_path, n_images=6, image_size=32, seed=13
+    )
+    feats = str(tmp_path / "f.npz")
+    ckpt = str(tmp_path / "ckpt")
+    common = ["--encoder", "tiny_cnn", "--decoder", "adaptive",
+              "--max-len", "10", "--embed-dim", "8", "--hidden-dim", "16"]
+    main(["extract", *common, "--images", str(img_dir), "--out", feats,
+          "--batch-size", "4"])
+    main(["train", *common, "--tokens", token_file, "--split", train_file,
+          "--features", feats, "--checkpoint-dir", ckpt,
+          "--epochs", "1", "--batch-size", "4"])
+    capsys.readouterr()
+    img0 = os.path.join(str(img_dir), sorted(os.listdir(img_dir))[0])
+    out = str(tmp_path / "attn.npz")
+    main(["caption", *common, "--image", img0, "--checkpoint-dir", ckpt,
+          "--method", "greedy", "--dump-attention", out])
+    printed = capsys.readouterr().out
+    art = np.load(out)
+    g = int(art["spatial_positions"])
+    # adaptive alphas carry the sentinel column: L+1
+    assert art["alphas"].shape[0] == 1
+    assert art["alphas"].shape[2] == g + 1
+    np.testing.assert_allclose(art["alphas"].sum(-1), 1.0, atol=1e-4)
+    assert art["captions"][0] in printed  # stdout caption == artifact
+
+    # refused combinations fail fast
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit, match="dump-attention"):
+        main(["caption", *common, "--image", img0, "--checkpoint-dir",
+              ckpt, "--method", "mbr", "--dump-attention", out])
+
+
 def test_cli_karpathy_json_workflow(tmp_path, capsys):
     """--karpathy-json replaces --tokens/--split files: train reads the
     'train' split (--val-split names the 'val' split), evaluate defaults

@@ -923,6 +923,16 @@ def cmd_caption(args):
         raise SystemExit(
             "--prefix supports --method greedy|beam (no ensemble)"
         )
+    dump_attn = getattr(args, "dump_attention", None)
+    if dump_attn and (
+        args.method not in ("greedy", "beam")
+        or ens_bundles
+        or getattr(args, "prefix", None)
+    ):
+        raise SystemExit(
+            "--dump-attention supports --method greedy|beam "
+            "(no ensemble/prefix)"
+        )
     if not args.keras_h5:
         print(
             "note: no --keras-h5 given — the encoder runs with its "
@@ -989,6 +999,27 @@ def cmd_caption(args):
         caps = pipe.generate_continuation(
             feats, args.prefix, method=args.method,
             beam_width=args.beam_width,
+        )
+    elif dump_attn:
+        feats = pipe.extract_features(list(args.image))
+        caps, alphas, lengths = pipe.generate_with_attention(
+            feats, method=args.method, beam_width=args.beam_width
+        )
+        # The overlay artifact: alphas (B, T, L) — or (B, T, L+1) for
+        # the adaptive family, whose last column is the sentinel weight
+        # beta ("don't look"); spatial_positions reshapes L into the
+        # encoder's grid (e.g. 196 -> 14x14) for upsampled heatmaps.
+        np.savez(
+            dump_attn,
+            alphas=alphas,
+            lengths=lengths,
+            captions=np.asarray(caps),
+            images=np.asarray([str(p) for p in args.image]),
+            spatial_positions=np.int32(pipe.encoder.spatial_positions),
+        )
+        print(
+            f"wrote attention maps {tuple(alphas.shape)} to {dump_attn}",
+            file=sys.stderr,
         )
     else:
         caps = pipe.caption_images(
@@ -1671,6 +1702,11 @@ def main(argv=None):
                    choices=["greedy", "beam", "speculative", "diverse",
                             "mbr"])
     p.add_argument("--beam-width", type=int, default=3)
+    p.add_argument("--dump-attention", default=None, metavar="OUT.npz",
+                   help="also write per-token attention maps "
+                   "(alphas/lengths/captions/spatial_positions) for "
+                   "heatmap overlays — attention/adaptive/transformer "
+                   "decoders, --method greedy|beam")
     p.add_argument("--mbr-candidates", type=int, default=5,
                    help="--method mbr: candidate pool size per image")
     p.add_argument("--mbr-from", default="sample",
