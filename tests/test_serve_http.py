@@ -361,3 +361,54 @@ def test_http_continuous_concurrent_mixed_endpoints(pipe, rng):
         for status, got, want in results:
             assert status == 200
             assert got == want
+
+
+def test_serve_cli_sigterm_graceful_drain(pipe, tmp_path):
+    """`tpucap serve` drains and exits 0 on SIGTERM (the orchestrator
+    stop signal) instead of dying mid-batch — subprocess e2e: start,
+    confirm liveness over HTTP, SIGTERM, assert the clean-drain exit."""
+    import os
+    import re
+    import signal
+    import subprocess
+    import sys
+    import time
+    import urllib.request
+
+    bundle = tmp_path / "bundle"
+    pipe.save(str(bundle))
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    proc = subprocess.Popen(
+        [
+            sys.executable, "-m", "tpucap", "serve",
+            "--model-dir", str(bundle), "--port", "0",
+            "--method", "greedy", "--max-batch", "2", "--no-warmup",
+        ],
+        env=env,
+        stderr=subprocess.PIPE,
+        text=True,
+    )
+    try:
+        # The CLI announces its bound address on stderr.
+        addr = None
+        for _ in range(600):
+            line = proc.stderr.readline()
+            m = re.search(r"http://([\d.]+):(\d+)", line or "")
+            if m:
+                addr = (m.group(1), int(m.group(2)))
+                break
+        assert addr, "server never announced its address"
+        with urllib.request.urlopen(
+            f"http://{addr[0]}:{addr[1]}/healthz", timeout=30
+        ) as r:
+            assert r.status == 200
+
+        proc.send_signal(signal.SIGTERM)
+        rest = proc.stderr.read()
+        code = proc.wait(timeout=120)
+        assert code == 0, f"exit {code}; stderr tail: {rest[-500:]}"
+        assert "drained; bye" in rest
+    finally:
+        if proc.poll() is None:
+            proc.kill()

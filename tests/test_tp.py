@@ -24,15 +24,23 @@ def model_mesh():
     return Mesh(_np.asarray(devices), ("model",))
 
 
-@pytest.mark.parametrize("name", ["lstm1", "lstm2", "inject", "transformer"])
+@pytest.mark.parametrize(
+    "name",
+    ["lstm1", "lstm2", "inject", "attention", "adaptive", "transformer"],
+)
 @pytest.mark.parametrize("k", [1, 3])
 def test_tp_beam_matches_single_device(model_mesh, name, k):
+    # The spatial families ride the same step_hidden seam; their
+    # beam-shared feature grids stay untiled under the TP scorer too.
+    spatial = name in ("attention", "adaptive")
+    kw = {"attention_dim": 8} if spatial else {}
     dec = build_decoder(
         name, vocab_size=VOCAB, feature_dim=FEAT, embed_dim=EMB,
-        hidden_dim=HID,
+        hidden_dim=HID, **kw,
     )
     params = dec.init(jax.random.key(0))
-    feats = jax.random.normal(jax.random.key(1), (B, FEAT))
+    shape = (B, 9, FEAT) if spatial else (B, FEAT)
+    feats = jax.random.normal(jax.random.key(1), shape)
 
     ref = beam_decode(
         dec.step,
@@ -42,6 +50,7 @@ def test_tp_beam_matches_single_device(model_mesh, name, k):
         end_id=END,
         max_len=MAXLEN,
         beam_width=k,
+        decoder=dec,
     )
 
     tp_fn = make_tp_beam_fn(

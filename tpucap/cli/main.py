@@ -1313,12 +1313,30 @@ def cmd_serve(args):
     print(f"serving on http://{host}:{port} "
           f"(POST /caption, POST /caption_features, GET /stats)",
           file=sys.stderr)
+    # Graceful drain on SIGTERM (the orchestrator's stop signal — the
+    # serving analog of train --handle-preemption): stop accepting,
+    # finish in-flight batches via close(), exit 0. The handler only
+    # schedules shutdown — BaseServer.shutdown() would deadlock if
+    # called from a signal frame interrupting serve_forever itself.
+    import signal
+    import threading as _threading
+
+    def _on_sigterm(signum, frame):
+        del signum, frame
+        print("SIGTERM: draining and shutting down...", file=sys.stderr)
+        _threading.Thread(
+            target=srv._httpd.shutdown, daemon=True
+        ).start()
+
+    old_term = signal.signal(signal.SIGTERM, _on_sigterm)
     try:
         srv.serve_forever()
     except KeyboardInterrupt:
         pass
     finally:
+        signal.signal(signal.SIGTERM, old_term)
         srv.close()
+        print("drained; bye", file=sys.stderr)
 
 
 def cmd_doctor(args):
