@@ -380,6 +380,13 @@ def test_cli_caption_dump_attention(tmp_path, capsys):
         main(["caption", *common, "--image", img0, "--checkpoint-dir",
               ckpt, "--method", "mbr", "--dump-attention", out])
 
+    # pooled decoder families fail fast (before the checkpoint restore)
+    pooled = [a for a in common]
+    pooled[pooled.index("adaptive")] = "lstm1"
+    with _pytest.raises(SystemExit, match="attention decoder family"):
+        main(["caption", *pooled, "--image", img0, "--checkpoint-dir",
+              ckpt, "--dump-attention", out])
+
 
 def test_cli_karpathy_json_workflow(tmp_path, capsys):
     """--karpathy-json replaces --tokens/--split files: train reads the

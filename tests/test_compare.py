@@ -210,6 +210,22 @@ def test_compare_files(tmp_path):
     with pytest.raises(ValueError, match="caption"):
         load_caption_dump(str(tmp_path / "c.jsonl"))
 
+    # a duplicate image_id (e.g. two evaluate runs appended to one
+    # path) refuses instead of silently comparing a smaller corpus
+    dup = _dump_rows(ids, caps_a, refs) + _dump_rows(
+        ids[:1], caps_a[:1], refs[:1]
+    )
+    _write_dump(tmp_path / "dup.jsonl", dup)
+    with pytest.raises(ValueError, match="duplicate image_id"):
+        load_caption_dump(str(tmp_path / "dup.jsonl"))
+
+    # an empty references list refuses naming the row (it would
+    # otherwise crash deep inside the BLEU stats)
+    empty = _dump_rows(ids[:2], caps_a[:2], [refs[0], []])
+    _write_dump(tmp_path / "er.jsonl", empty)
+    with pytest.raises(ValueError, match="no references"):
+        load_caption_dump(str(tmp_path / "er.jsonl"))
+
 
 def test_compare_cli(tmp_path, capsys):
     from tpucap.cli.main import main

@@ -253,3 +253,47 @@ def test_http_reload_swaps_weights(toy_corpus, rng, tmp_path):
         assert status == 200 and payload["ok"] is True
         status, payload = _http(srv, "POST", "/caption_features", body)
         assert status == 200 and payload["caption"] == ""
+
+
+def test_http_reload_batch_restores_once(toy_corpus, rng, tmp_path):
+    """The batch endpoint servers share one pipeline whose programs take
+    params as arguments — POST /reload must swap (and restore the bundle
+    from disk) exactly once, not once per endpoint server."""
+    from tpucap.serve_http import CaptionHTTPServer
+
+    p = _pipe(toy_corpus)
+    donor = _pipe(toy_corpus)
+    donor.params = _end_biased(donor)
+    bundle = str(tmp_path / "bundle")
+    donor.save(bundle)
+
+    calls = []
+    orig = p.reload_params
+    p.reload_params = lambda src: (calls.append(src), orig(src))[1]
+
+    feats = rng.normal(size=(32,)).astype(np.float32)
+    body = json.dumps({"features": feats.tolist()}).encode()
+    with CaptionHTTPServer(
+        p, port=0, max_batch=2, method="greedy", allow_reload=True
+    ) as srv:
+        srv.serve_background()
+        status, payload = _http(
+            srv, "POST", "/reload", json.dumps({"bundle": bundle}).encode()
+        )
+        assert status == 200 and payload["ok"] is True
+        # the swap serves BOTH endpoints (shared pipeline)
+        status, payload = _http(srv, "POST", "/caption_features", body)
+        assert status == 200 and payload["caption"] == ""
+    assert calls == [bundle]
+
+
+def test_http_allow_reload_needs_reloadable_model(toy_corpus):
+    """allow_reload=True with a model that has no reload_params (an AOT
+    artifact) fails at construction, not on the first POST /reload."""
+    from tpucap.serve_http import CaptionHTTPServer
+
+    class Frozen:  # AotCaptioner-shaped: no reload_params
+        pass
+
+    with pytest.raises(ValueError, match="no reload_params"):
+        CaptionHTTPServer(Frozen(), port=0, allow_reload=True)

@@ -147,7 +147,7 @@ def test_schedules():
         epsilon_for_epoch(e, 40, max_eps=0.5, schedule="inv_sigmoid")
         for e in range(40)
     ]
-    assert sig[0] < 0.1  # near-0 start
+    assert sig[0] == 0.0  # epoch 0 is pure teacher forcing, exactly
     assert all(b > a for a, b in zip(sig, sig[1:]))  # monotone
     assert all(s < 0.5 for s in sig)  # asymptotes below max
 

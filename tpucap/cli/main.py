@@ -933,6 +933,18 @@ def cmd_caption(args):
             "--dump-attention supports --method greedy|beam "
             "(no ensemble/prefix)"
         )
+    if dump_attn and args.decoder not in (
+        "attention",
+        "adaptive",
+        "transformer",
+    ):
+        # Fail before the checkpoint restore: pooled families have no
+        # per-step attention distribution to dump.
+        raise SystemExit(
+            "--dump-attention needs an attention decoder family "
+            f"(attention|adaptive|transformer), got --decoder "
+            f"{args.decoder}"
+        )
     if not args.keras_h5:
         print(
             "note: no --keras-h5 given — the encoder runs with its "
@@ -1232,6 +1244,14 @@ def cmd_serve(args):
         raise SystemExit("--extra-model is not supported with --aot-bundle")
     if extra_specs and args.engine != "batch":
         raise SystemExit("--extra-model needs --engine batch")
+    if args.allow_reload and getattr(args, "aot_bundle", None):
+        # AotCaptioner has no reload_params — the exported StableHLO
+        # programs are immutable artifacts. Fail at startup instead of
+        # letting an operator discover it on the first POST /reload.
+        raise SystemExit(
+            "--allow-reload is not supported with --aot-bundle "
+            "(AOT artifacts are immutable; restart on a new bundle)"
+        )
 
     if getattr(args, "aot_bundle", None):
         # Serve the AOT StableHLO artifact: no model code, no tracing —

@@ -151,6 +151,18 @@ class CaptionHTTPServer:
         # POST /reload is an ADMIN surface (it reads a bundle path off
         # the request): disabled unless explicitly enabled.
         self._allow_reload = allow_reload
+        if allow_reload:
+            # Fail at construction, not on the first POST /reload: a
+            # model without reload_params (an AOT artifact) can never
+            # honor the endpoint this flag enables.
+            named = {"default": pipeline, **(extra_models or {})}
+            for name, pipe_ in named.items():
+                if not hasattr(pipe_, "reload_params"):
+                    raise ValueError(
+                        f"allow_reload=True but model {name!r} "
+                        f"({type(pipe_).__name__}) has no reload_params "
+                        "— AOT artifacts are immutable"
+                    )
         if engine == "continuous":
             self._images = ContinuousCaptionServer(
                 pipeline,
@@ -410,9 +422,12 @@ class CaptionHTTPServer:
                     if route == "/reload":
                         # Zero-downtime weight swap: {"bundle": path,
                         # "model": name?}. A model's endpoint servers
-                        # share one pipeline, so the reload is issued to
-                        # BOTH (the continuous engines each bake their
-                        # own params copy) and the reply waits for both.
+                        # share one pipeline; the batch servers' programs
+                        # take params as arguments, so ONE swap serves
+                        # both endpoints (the bundle restores from disk
+                        # once). The continuous engines each bake their
+                        # own params copy into a device engine, so both
+                        # get the reload and the reply waits for both.
                         if not outer._allow_reload:
                             self._reply(
                                 403,
@@ -429,10 +444,13 @@ class CaptionHTTPServer:
                         images, features, _, _ = _resolve(
                             payload.get("model", "") or model
                         )
-                        futs = [
-                            images.reload(bundle),
-                            features.reload(bundle),
-                        ]
+                        if isinstance(images, CaptionServer):
+                            futs = [images.reload(bundle)]
+                        else:
+                            futs = [
+                                images.reload(bundle),
+                                features.reload(bundle),
+                            ]
                         for f in futs:
                             f.result(timeout=600)
                         self._reply(200, {"ok": True, "bundle": bundle})

@@ -310,7 +310,24 @@ def load_caption_dump(path: str) -> dict[str, dict]:
                         f"{path}:{line_no}: missing {key!r} — is this an "
                         "`evaluate --dump-captions` artifact?"
                     )
-            out[str(row["image_id"])] = {
+            if not row["references"]:
+                # An empty reference list would crash deep inside the
+                # BLEU stats (min() over ref lengths) — name the row.
+                raise ValueError(
+                    f"{path}:{line_no}: image {row['image_id']!r} has "
+                    "no references"
+                )
+            image_id = str(row["image_id"])
+            if image_id in out:
+                # Silently keeping the last row would compare a smaller
+                # corpus than the file contains (e.g. two evaluate runs
+                # appended to one path).
+                raise ValueError(
+                    f"{path}:{line_no}: duplicate image_id "
+                    f"{image_id!r} — was the dump file appended to "
+                    "by more than one evaluate run?"
+                )
+            out[image_id] = {
                 "caption": row["caption"],
                 "references": list(row["references"]),
             }

@@ -93,9 +93,10 @@ def epsilon_for_epoch(
       (the curriculum: early epochs are pure teacher forcing).
     - ``inv_sigmoid``: Bengio et al.'s inverse-sigmoid decay of the
       teacher-forcing probability, k/(k + exp(i/k)), turned into a
-      sampling probability and scaled by ``max_eps`` — an S-curve that
-      stays near 0 for the first ~k epochs and asymptotes to
-      ``max_eps``.
+      sampling probability, normalized so epoch 0 is EXACTLY pure
+      teacher forcing (the raw curve starts at 1/(k+1), not 0), and
+      scaled by ``max_eps`` — an S-curve that stays small for the
+      first ~k epochs and asymptotes to ``max_eps``.
     - ``constant``: ``max_eps`` from epoch 0.
     """
     if schedule == "constant":
@@ -103,7 +104,10 @@ def epsilon_for_epoch(
     if schedule == "linear":
         return float(max_eps) * (epoch / max(total_epochs - 1, 1))
     if schedule == "inv_sigmoid":
-        return float(max_eps) * (1.0 - k / (k + math.exp(epoch / k)))
+        s = 1.0 - k / (k + math.exp(epoch / k))
+        s0 = 1.0 / (k + 1.0)  # raw curve at epoch 0
+        # max() absorbs float rounding at epoch 0 (s - s0 ~ -1e-16)
+        return float(max_eps) * max(0.0, (s - s0) / (1.0 - s0))
     raise ValueError(
         f"unknown ss_schedule {schedule!r}; "
         "have linear|inv_sigmoid|constant"
