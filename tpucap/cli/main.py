@@ -55,6 +55,12 @@ def _add_optimizer_flags(p):
                    help="scan each batch as N microbatches (exact "
                    "full-batch update, 1/N peak activation memory; "
                    "parallelism none|dp)")
+    p.add_argument("--steps-per-dispatch", type=int, default=None,
+                   help="run N optimizer steps per compiled program "
+                   "call (lax.scan over N stacked batches) — amortizes "
+                   "per-dispatch host overhead; the update sequence is "
+                   "exactly the per-step one (parallelism none|dp, no "
+                   "--ema-decay)")
     p.add_argument("--checkpoint-every-steps", type=int, default=None,
                    help="also checkpoint every N optimizer steps "
                    "(mid-epoch; --resume restores the exact position) "
@@ -232,6 +238,9 @@ def _build_config(args):
                     args, "scheduled_sampling", None
                 ),
                 "ss_schedule": getattr(args, "ss_schedule", None),
+                "steps_per_dispatch": getattr(
+                    args, "steps_per_dispatch", None
+                ),
             }.items()
             if v is not None
         }
@@ -304,6 +313,15 @@ def _build_config(args):
             lr_decay_steps=getattr(args, "lr_decay_steps", None) or 1000,
             warmup_steps=getattr(args, "warmup_steps", None) or 0,
             grad_clip_norm=getattr(args, "grad_clip_norm", None) or 0.0,
+            checkpoint_every_steps=getattr(
+                args, "checkpoint_every_steps", None
+            )
+            or 0,
+            scheduled_sampling=getattr(args, "scheduled_sampling", None)
+            or 0.0,
+            ss_schedule=getattr(args, "ss_schedule", None) or "linear",
+            steps_per_dispatch=getattr(args, "steps_per_dispatch", None)
+            or 1,
         ),
         mesh=MeshConfig(
             model_devices=getattr(args, "model_devices", 0) or 1

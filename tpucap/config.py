@@ -180,6 +180,16 @@ class TrainConfig:
     # 'linear' (0 -> max over the run) | 'inv_sigmoid' (Bengio's
     # S-curve, near-0 for the first ~5 epochs) | 'constant'.
     ss_schedule: str = "linear"
+    # Multi-step dispatch: lax.scan N optimizer steps inside ONE
+    # compiled program call, amortizing per-dispatch host overhead
+    # (the dominant cost once the device step is a few ms — e.g. over
+    # a remote-TPU link) across N steps. The update sequence is
+    # EXACTLY the per-step sequence (the scan body IS the single
+    # step); epoch tails shorter than N run through the single-step
+    # program. Parallelism 'none' | 'dp'; ema_decay (a per-step
+    # shadow) is not supported. Preemption/interval-checkpoint
+    # granularity becomes N steps. 1 = one program call per step.
+    steps_per_dispatch: int = 1
 
 
 @dataclasses.dataclass(frozen=True)

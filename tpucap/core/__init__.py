@@ -5,6 +5,7 @@ from tpucap.core.mesh import (
     data_sharding,
     replicated_sharding,
     shard_batch,
+    shard_stacked_batch,
     replicate_tree,
     local_device_count,
     pad_to_multiple,
@@ -16,6 +17,7 @@ __all__ = [
     "data_sharding",
     "replicated_sharding",
     "shard_batch",
+    "shard_stacked_batch",
     "replicate_tree",
     "local_device_count",
     "pad_to_multiple",

@@ -67,6 +67,20 @@ def shard_batch(mesh: Mesh, batch):
     return jax.tree_util.tree_map(put, batch)
 
 
+def shard_stacked_batch(mesh: Mesh, batch):
+    """Place a pytree of (N, B, ...) host stacks of N batches with the
+    SECOND (batch) axis sharded over data — the input layout of the
+    multi-step train programs (``make_*_train_step(multi_steps=N)``),
+    whose lax.scan walks the leading axis one batch per step."""
+
+    def put(x):
+        x = np.asarray(x)
+        spec = P(None, DATA_AXIS, *([None] * (x.ndim - 2)))
+        return _put_global(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(put, batch)
+
+
 def replicate_tree(mesh: Mesh, tree):
     """Replicate a pytree of host arrays over every device of the mesh
     (params/optimizer state on a multi-process mesh — uncommitted numpy

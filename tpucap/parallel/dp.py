@@ -40,8 +40,17 @@ def make_dp_train_step(
     compute_dtype=None,
     donate: bool = False,
     scheduled_sampling: bool = False,
+    multi_steps: int = 1,
 ):
     """(state, features, tokens) -> (state, metrics), batch sharded over axis.
+
+    ``multi_steps=N`` returns a multi-step program: inputs are stacks
+    of N batches (features (N, B, F), tokens (N, B, T)) sharded over
+    the SECOND (batch) axis — in_specs P(None, axis) — and the shard
+    body lax.scans the single-step body N times, so one dispatch runs
+    N psum'd optimizer steps with the exact per-step update sequence.
+    Metrics come back SUMMED over the N steps (loop.make_train_step
+    contract).
 
     ``scheduled_sampling=True`` adds a 4th TRACED argument ss_eps (the
     per-epoch mixing probability — tpucap.train.scheduled): each
@@ -157,11 +166,28 @@ def make_dp_train_step(
         )
         return new_state, metrics
 
-    in_specs = (P(), P(axis), P(axis))
+    body_fn = shard_body
+    batch_spec = P(axis)
+    if multi_steps > 1:
+        batch_spec = P(None, axis)  # (N, B, ...) stacks: shard axis 1
+
+        def multi_body(state: TrainState, features, tokens, ss_eps=None):
+            def body(st, xs):
+                f, t = xs
+                return shard_body(st, f, t, ss_eps)
+
+            state, ms = jax.lax.scan(body, state, (features, tokens))
+            return state, jax.tree_util.tree_map(
+                lambda x: jax.numpy.sum(x, axis=0), ms
+            )
+
+        body_fn = multi_body
+
+    in_specs = (P(), batch_spec, batch_spec)
     if scheduled_sampling:
         in_specs = in_specs + (P(),)  # ss_eps scalar, replicated
     sharded = shard_map(
-        shard_body,
+        body_fn,
         mesh=mesh,
         in_specs=in_specs,
         out_specs=(P(), P()),

@@ -28,7 +28,13 @@ import numpy as np
 import optax
 
 from tpucap.config import Config
-from tpucap.core import make_mesh, pad_rows, pad_to_multiple, shard_batch
+from tpucap.core import (
+    make_mesh,
+    pad_rows,
+    pad_to_multiple,
+    shard_batch,
+    shard_stacked_batch,
+)
 from tpucap.data.preprocess import preprocess_batch
 from tpucap.decode import beam_decode, greedy_decode, ids_to_captions
 from tpucap.models.decoders import build_decoder
@@ -608,6 +614,26 @@ class CaptioningPipeline:
                     f"{parallelism!r} runs its own loss program — drop "
                     "the flag or use 'none'/'dp'"
                 )
+        spd = cfg.steps_per_dispatch
+        if spd < 1:
+            raise ValueError(
+                f"steps_per_dispatch={spd} must be >= 1"
+            )
+        if spd > 1:
+            if parallelism not in ("none", "dp"):
+                raise NotImplementedError(
+                    "steps_per_dispatch scans the single-device/"
+                    f"data-parallel step body; parallelism="
+                    f"{parallelism!r} builds its own step — drop the "
+                    "flag or use 'none'/'dp'"
+                )
+            if cfg.ema_decay:
+                raise NotImplementedError(
+                    "ema_decay updates a per-step host-visible shadow; "
+                    f"steps_per_dispatch={spd} runs {spd} steps per "
+                    "host visit — drop one of the two flags"
+                )
+        multi_step = None
         if parallelism == "dp":
             self._mesh = make_mesh(self.config.mesh.n_devices)
             if batch_size % dict(self._mesh.shape)["data"]:
@@ -615,18 +641,23 @@ class CaptioningPipeline:
                     f"batch_size {batch_size} must divide by the "
                     f"{dict(self._mesh.shape)['data']}-device data mesh"
                 )
-            step = make_dp_train_step(
-                self.decoder,
-                optimizer,
-                self._mesh,
-                pad_id=0,
-                label_smoothing=cfg.label_smoothing,
-                attention_reg=cfg.attention_reg,
-                grad_accum_steps=cfg.grad_accum_steps,
-                compute_dtype=compute_dtype,
-                donate=True,
-                scheduled_sampling=use_ss,
-            )
+            def _mk_step(ms):
+                return make_dp_train_step(
+                    self.decoder,
+                    optimizer,
+                    self._mesh,
+                    pad_id=0,
+                    label_smoothing=cfg.label_smoothing,
+                    attention_reg=cfg.attention_reg,
+                    grad_accum_steps=cfg.grad_accum_steps,
+                    compute_dtype=compute_dtype,
+                    donate=True,
+                    scheduled_sampling=use_ss,
+                    multi_steps=ms,
+                )
+
+            step = _mk_step(1)
+            multi_step = _mk_step(spd) if spd > 1 else None
         elif parallelism == "fsdp":
             from tpucap.parallel import (
                 make_fsdp_train_step,
@@ -844,17 +875,23 @@ class CaptioningPipeline:
                 donate=True,
             )
         elif parallelism == "none":
-            step = make_train_step(
-                self.decoder,
-                optimizer,
-                pad_id=0,
-                label_smoothing=cfg.label_smoothing,
-                attention_reg=cfg.attention_reg,
-                grad_accum_steps=cfg.grad_accum_steps,
-                compute_dtype=compute_dtype,
-                donate=True,
-                scheduled_sampling=use_ss,
-            )
+
+            def _mk_step(ms):
+                return make_train_step(
+                    self.decoder,
+                    optimizer,
+                    pad_id=0,
+                    label_smoothing=cfg.label_smoothing,
+                    attention_reg=cfg.attention_reg,
+                    grad_accum_steps=cfg.grad_accum_steps,
+                    compute_dtype=compute_dtype,
+                    donate=True,
+                    scheduled_sampling=use_ss,
+                    multi_steps=ms,
+                )
+
+            step = _mk_step(1)
+            multi_step = _mk_step(spd) if spd > 1 else None
         else:
             raise ValueError(f"unknown parallelism {parallelism!r}")
 
@@ -994,6 +1031,12 @@ class CaptioningPipeline:
                         f"resumed from step {done} (epoch "
                         f"{start_epoch}, batch {resume_batch})"
                     )
+            next_save = 0
+            if spd > 1 and cfg.checkpoint_every_steps > 0:
+                done0 = start_epoch * steps_per_epoch + resume_batch
+                next_save = (
+                    done0 // cfg.checkpoint_every_steps + 1
+                ) * cfg.checkpoint_every_steps
             for epoch in range(start_epoch, epochs):
                 metrics_sum: dict = {}
                 n = 0
@@ -1039,8 +1082,12 @@ class CaptioningPipeline:
                             ),
                             depth=prefetch,
                             transform=(
+                                # Multi-step dispatch stacks host batches
+                                # into (spd, B, ...) groups below, so the
+                                # prefetch thread must hand back host
+                                # arrays; placement happens per group.
                                 (lambda b: shard_batch(self._mesh, b))
-                                if data_parallel
+                                if data_parallel and spd == 1
                                 else None
                             ),
                         ),
@@ -1050,6 +1097,7 @@ class CaptioningPipeline:
                     batch_src = enumerate(
                         batch_iterator((F, T), batch_size, rng=rng)
                     )
+                pending: list = []  # spd > 1: host batches awaiting a group
                 for b_i, (bf, bt) in batch_src:
                     if b_i < skip:
                         # Resumed mid-epoch (in-memory path): the
@@ -1058,12 +1106,36 @@ class CaptioningPipeline:
                         # cheap — no assembly is saved by skipping
                         # earlier.
                         continue
-                    if data_parallel and not stream:
-                        bf, bt = shard_batch(self._mesh, (bf, bt))
-                    self.state, metrics = step(self.state, bf, bt, *ss_args)
-                    if ema_update is not None:
-                        ema = ema_update(ema, self.state.params)
-                    n += 1
+                    if spd > 1:
+                        # Multi-step dispatch: buffer spd host batches,
+                        # stack to (spd, B, ...) and run ONE scanned
+                        # program — the per-dispatch host overhead is
+                        # paid once per spd steps. Epoch tails shorter
+                        # than spd flush through the single-step
+                        # program after the loop.
+                        pending.append((bf, bt))
+                        if len(pending) < spd:
+                            continue
+                        gf = np.stack([p[0] for p in pending])
+                        gt = np.stack([p[1] for p in pending])
+                        pending.clear()
+                        if data_parallel:
+                            gf, gt = shard_stacked_batch(
+                                self._mesh, (gf, gt)
+                            )
+                        self.state, metrics = multi_step(
+                            self.state, gf, gt, *ss_args
+                        )
+                        n += spd  # metrics come back summed over spd
+                    else:
+                        if data_parallel and not stream:
+                            bf, bt = shard_batch(self._mesh, (bf, bt))
+                        self.state, metrics = step(
+                            self.state, bf, bt, *ss_args
+                        )
+                        if ema_update is not None:
+                            ema = ema_update(ema, self.state.params)
+                        n += 1
                     # Device-side accumulation: a per-step device_get blocks
                     # async dispatch (one host round-trip per step); sync
                     # once per epoch instead.
@@ -1073,15 +1145,43 @@ class CaptioningPipeline:
                         checkpoint_manager is not None
                         and cfg.checkpoint_every_steps > 0
                         and b_i + 1 < steps_per_epoch
-                        and (epoch * steps_per_epoch + b_i + 1)
-                        % cfg.checkpoint_every_steps
-                        == 0
+                        and (
+                            (epoch * steps_per_epoch + b_i + 1)
+                            % cfg.checkpoint_every_steps
+                            == 0
+                            if spd == 1
+                            # Dispatch boundaries move in strides of spd
+                            # and (after a resume) may not align with
+                            # the interval — save at the first boundary
+                            # at/past each multiple.
+                            else (epoch * steps_per_epoch + b_i + 1)
+                            >= next_save
+                        )
                     ):
                         # Step-interval insurance checkpoint (the
                         # epoch's last step is covered by the epoch-
                         # boundary save). The save's device_get syncs
                         # dispatch — paid once per N steps by request.
                         _sentinel_save(checkpoint_manager, self.state)
+                        if spd > 1:
+                            done_now = epoch * steps_per_epoch + b_i + 1
+                            next_save = (
+                                done_now // cfg.checkpoint_every_steps + 1
+                            ) * cfg.checkpoint_every_steps
+                    if guard is not None and guard.fired:
+                        preempted = True
+                        break
+                # Epoch tail shorter than spd: the leftover batches run
+                # through the single-step program (pending is empty
+                # whenever the loop broke on preemption — the guard is
+                # only consulted at dispatch boundaries).
+                for bf, bt in () if preempted else pending:
+                    if data_parallel:
+                        bf, bt = shard_batch(self._mesh, (bf, bt))
+                    self.state, metrics = step(self.state, bf, bt, *ss_args)
+                    n += 1
+                    for k, v in metrics.items():
+                        metrics_sum[k] = metrics_sum.get(k, 0.0) + v
                     if guard is not None and guard.fired:
                         preempted = True
                         break

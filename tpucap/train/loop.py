@@ -306,8 +306,18 @@ def make_train_step(
     compute_dtype=None,
     donate: bool = False,
     scheduled_sampling: bool = False,
+    multi_steps: int = 1,
 ) -> Callable:
     """Single-device jit'd step: (state, features, tokens) -> (state, metrics).
+
+    ``multi_steps=N`` returns a MULTI-STEP program instead: it takes
+    stacked inputs (features (N, B, F), tokens (N, B, T)) and runs N
+    optimizer steps as one ``lax.scan`` inside a single jit call —
+    the scan body is exactly the single step, so the update sequence
+    (including the per-step rng threading) is identical to N separate
+    calls; only the per-dispatch host overhead is amortized N-fold.
+    Returned metrics are SUMMED over the N steps (divide by the step
+    count when averaging, as train_epoch/fit already do).
 
     ``scheduled_sampling=True`` changes the step signature to
     (state, features, tokens, ss_eps): ss_eps is a TRACED scalar (the
@@ -407,6 +417,22 @@ def make_train_step(
             step=state.step + 1, params=params, opt_state=opt_state, rng=rng
         )
         return new_state, metrics
+
+    if multi_steps > 1:
+
+        def multi(state: TrainState, features, tokens, ss_eps=None):
+            def body(st, xs):
+                f, t = xs
+                return step(st, f, t, ss_eps)
+
+            state, ms = jax.lax.scan(body, state, (features, tokens))
+            # Sum over the N per-step metric scalars; callers divide by
+            # the step count (train_epoch / fit accumulate sums + n).
+            return state, jax.tree_util.tree_map(
+                lambda x: jnp.sum(x, axis=0), ms
+            )
+
+        return jax.jit(multi, donate_argnums=(0,) if donate else ())
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
