@@ -133,6 +133,23 @@ def test_per_model_stats(server):
     assert payload["b"]["features"]["requests"] >= 2
 
 
+def test_per_model_metrics(server):
+    """GET /metrics labels every series with its model name."""
+    host, port = server.address
+    conn = http.client.HTTPConnection(host, port, timeout=120)
+    conn.request("GET", "/metrics")
+    resp = conn.getresponse()
+    text = resp.read().decode()
+    conn.close()
+    assert resp.status == 200
+    for model in ("default", "b"):
+        for endpoint in ("images", "features"):
+            assert (
+                f'tpucap_requests_total{{model="{model}",'
+                f'endpoint="{endpoint}"}}'
+            ) in text
+
+
 def test_per_model_reload(server, pipes, tmp_path_factory, rng):
     """Reload model 'b' from a retrained bundle: b's captions change,
     the default model's stay — isolation under one port."""

@@ -412,3 +412,55 @@ def test_serve_cli_sigterm_graceful_drain(pipe, tmp_path):
     finally:
         if proc.poll() is None:
             proc.kill()
+
+
+def test_prometheus_metrics_endpoint(server, pipe, rng):
+    """GET /metrics renders the /stats content in the Prometheus text
+    exposition format: HELP/TYPE headers, per-model x endpoint labels,
+    and latency quantiles as a summary once traffic has flowed."""
+    # Ensure at least one features request so percentiles exist.
+    feats = rng.normal(size=(128,)).astype(np.float32)
+    body = json.dumps({"features": feats.tolist()}).encode()
+    status, _ = _request(server, "POST", "/caption_features", body)
+    assert status == 200
+
+    host, port = server.address
+    conn = http.client.HTTPConnection(host, port, timeout=120)
+    conn.request("GET", "/metrics")
+    resp = conn.getresponse()
+    ctype = resp.getheader("Content-Type")
+    text = resp.read().decode()
+    conn.close()
+    assert resp.status == 200
+    assert ctype.startswith("text/plain") and "version=0.0.4" in ctype
+
+    assert "# TYPE tpucap_requests_total counter" in text
+    assert "# HELP tpucap_requests_total" in text
+    # Per-model x endpoint series with values.
+    import re as _re
+
+    m = _re.search(
+        r'tpucap_requests_total\{model="default",endpoint="features"\} '
+        r"(\d+(?:\.\d+)?)",
+        text,
+    )
+    assert m and float(m.group(1)) >= 1
+    assert 'model="default",endpoint="images"' in text
+    # Latency summary carries quantile labels after traffic.
+    assert "# TYPE tpucap_request_latency_ms summary" in text
+    assert (
+        'tpucap_request_latency_ms{model="default",endpoint="features",'
+        'quantile="0.5"}' in text
+    )
+    # Counters agree with the JSON /stats view of the same moment
+    # (requests only grow, so >= the value captured above).
+    status, stats = _request(server, "GET", "/stats")
+    assert status == 200
+    assert float(m.group(1)) <= stats["features"]["requests"]
+    # Every non-comment line parses as "name{labels} value".
+    for line in text.strip().splitlines():
+        if line.startswith("#"):
+            continue
+        assert _re.fullmatch(
+            r"[a-z_]+\{[^}]*\} -?\d+(?:\.\d+)?(?:e[+-]?\d+)?", line
+        ), line

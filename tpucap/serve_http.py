@@ -31,6 +31,10 @@ Endpoints:
 - ``GET  /healthz``            liveness + backend
 - ``GET  /stats``              batcher stats (batch sizes, p50/p99 ms);
                                keyed per model when several are served
+- ``GET  /metrics``            the same stats in the Prometheus text
+                               exposition format (version 0.0.4), one
+                               series per model x endpoint — point a
+                               stock scrape job at it
 - ``GET  /`` (or ``/demo``)    stdlib-only browser demo page (file
                                picker -> POST /caption -> caption)
 
@@ -63,6 +67,82 @@ from tpucap.serve import (
     ContinuousCaptionServer,
     Overloaded,
 )
+
+
+def _prom_escape(value: str) -> str:
+    """Escape a Prometheus label value (exposition-format rules)."""
+    return (
+        value.replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n")
+    )
+
+
+# (metric family, type, help, stats key) for the /metrics renderer.
+# Counters are cumulative since server start (reset on restart — the
+# normal Prometheus counter contract); gauges are point-in-time.
+_PROM_FAMILIES = (
+    ("tpucap_requests_total", "counter",
+     "Requests admitted to the batcher", "requests"),
+    ("tpucap_batches_total", "counter",
+     "Device batches dispatched", "batches"),
+    ("tpucap_padded_rows_total", "counter",
+     "Pad rows dispatched (bucket ladder fill)", "padded_rows"),
+    ("tpucap_ticks_total", "counter",
+     "Continuous-engine decode ticks", "ticks"),
+    ("tpucap_mean_batch_size", "gauge",
+     "Mean dispatched batch size", "mean_batch"),
+    ("tpucap_mean_occupancy", "gauge",
+     "Continuous-engine mean live lanes per tick", "mean_occupancy"),
+)
+
+
+def _prometheus_text(models: dict) -> str:
+    """Render every model's batcher stats in the Prometheus text
+    exposition format (version 0.0.4) — the standard pull-based
+    monitoring surface (``GET /metrics``), so a stock Prometheus
+    scrape job can watch throughput/latency without parsing the JSON
+    ``/stats`` shape. ``models`` is the {name: (pipe, images_server,
+    features_server)} routing table."""
+    snaps = []  # (labels, stats)
+    for name in sorted(models):
+        _, images, features = models[name]
+        for endpoint, srv in (("images", images), ("features", features)):
+            snaps.append(
+                (
+                    f'model="{_prom_escape(name)}",endpoint="{endpoint}"',
+                    srv.stats(),
+                )
+            )
+    lines = []
+    for fam, typ, help_, key in _PROM_FAMILIES:
+        rows = [
+            (labels, s[key]) for labels, s in snaps if s.get(key) is not None
+        ]
+        if not rows:
+            continue
+        lines.append(f"# HELP {fam} {help_}")
+        lines.append(f"# TYPE {fam} {typ}")
+        for labels, v in rows:
+            lines.append(f"{fam}{{{labels}}} {float(v):g}")
+    # Request latency percentiles as a summary (absent until the first
+    # request — percentiles of an empty window are meaningless).
+    lat_rows = [
+        (labels, q, s[k])
+        for labels, s in snaps
+        for q, k in (("0.5", "p50_ms"), ("0.99", "p99_ms"))
+        if s.get(k) is not None
+    ]
+    if lat_rows:
+        lines.append(
+            "# HELP tpucap_request_latency_ms "
+            "Request latency from submit to caption (milliseconds)"
+        )
+        lines.append("# TYPE tpucap_request_latency_ms summary")
+        for labels, q, v in lat_rows:
+            lines.append(
+                f'tpucap_request_latency_ms{{{labels},quantile="{q}"}} '
+                f"{float(v):g}"
+            )
+    return "\n".join(lines) + "\n"
 
 
 def _preprocess_jpeg(blob: bytes, size: int, mode: str) -> np.ndarray:
@@ -315,6 +395,18 @@ class CaptionHTTPServer:
                                 )
                             },
                         )
+                elif self.path == "/metrics":
+                    # Prometheus text exposition (version 0.0.4): the
+                    # /stats content reshaped for a stock scrape job.
+                    body = _prometheus_text(outer._models).encode()
+                    self.send_response(200)
+                    self.send_header(
+                        "Content-Type",
+                        "text/plain; version=0.0.4; charset=utf-8",
+                    )
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
                 elif self.path in ("/", "/demo"):
                     # Minimal browser demo: pick a JPEG, see the caption
                     # (pure stdlib on both ends; the fetch posts the raw
