@@ -10,6 +10,10 @@ has finished.
 
 from tpucap.decode.greedy import greedy_decode, DecodeResult
 from tpucap.decode.beam import beam_decode, BeamResult
+from tpucap.decode.constrained import (
+    constrained_beam_decode,
+    ConstrainedBeamResult,
+)
 from tpucap.decode.diverse import diverse_beam_decode, DiverseBeamResult
 from tpucap.decode.ensemble import EnsembleDecoder
 from tpucap.decode.mbr import mbr_select
@@ -20,6 +24,8 @@ from tpucap.decode.text import ids_to_captions
 __all__ = [
     "greedy_decode",
     "beam_decode",
+    "constrained_beam_decode",
+    "ConstrainedBeamResult",
     "diverse_beam_decode",
     "DiverseBeamResult",
     "sample_decode",

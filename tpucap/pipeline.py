@@ -3158,6 +3158,202 @@ class CaptioningPipeline:
             )
         return out
 
+    def _constraint_ids(self, include_words, batch: int) -> np.ndarray:
+        """Validate and encode must-include words -> (B, C) int32 id
+        array (pad_id 0 = unused slot). ``include_words`` is a list of
+        words (same constraints for every image) or a list of per-image
+        word lists (ragged; rows are padded). Every entry must normalize
+        to exactly ONE in-vocabulary word — silently dropping a
+        constraint would return an unconstrained caption while claiming
+        otherwise, so OOV / multi-word / duplicate entries raise."""
+        if hasattr(self.tokenizer, "decode_ids"):
+            raise NotImplementedError(
+                "include_words requires the word-level tokenizer (a "
+                "subword word decomposes into pieces — a must-include "
+                "PIECE set is a phrase constraint, not supported)"
+            )
+        from tpucap.decode.constrained import MAX_CONSTRAINTS
+        from tpucap.text import text_to_word_sequence
+        from tpucap.text.tokenizer import DEFAULT_FILTERS
+
+        tok = self.tokenizer
+        wi = tok.word_index
+        start_id, end_id = self._token_ids()
+        banned = set(self._banned_ids())
+
+        if not include_words:
+            raise ValueError("include_words is empty")
+        per_image = isinstance(include_words[0], (list, tuple))
+        rows = (
+            [list(r) for r in include_words]
+            if per_image
+            else [list(include_words)] * batch
+        )
+        if per_image and len(rows) != batch:
+            raise ValueError(
+                f"per-image include_words has {len(rows)} rows for "
+                f"{batch} images"
+            )
+
+        def encode(entry: str) -> int:
+            words = text_to_word_sequence(
+                entry,
+                filters=getattr(tok, "filters", DEFAULT_FILTERS),
+                lower=getattr(tok, "lower", True),
+            )
+            if len(words) != 1:
+                raise ValueError(
+                    f"include_words entry {entry!r} normalizes to "
+                    f"{len(words)} words — phrase constraints are not "
+                    "supported; pass single words"
+                )
+            w = words[0]
+            if w not in wi:
+                raise ValueError(
+                    f"include_words entry {entry!r} -> {w!r} is not in "
+                    "the vocabulary (the model can never emit it)"
+                )
+            i = wi[w]
+            if i in (start_id, end_id):
+                raise ValueError(
+                    f"include_words entry {w!r} is a sequence sentinel"
+                )
+            if i in banned:
+                raise ValueError(
+                    f"include_words entry {w!r} is also in bad_words"
+                )
+            return i
+
+        id_rows = []
+        for r, row in enumerate(rows):
+            ids = [encode(e) for e in row]
+            if len(set(ids)) != len(ids):
+                raise ValueError(
+                    f"duplicate include_words in row {r}: {row!r}"
+                )
+            id_rows.append(ids)
+        C = max(len(ids) for ids in id_rows)
+        if not 1 <= C <= MAX_CONSTRAINTS:
+            raise ValueError(
+                f"need 1..{MAX_CONSTRAINTS} include_words per image, "
+                f"got {C} (each word doubles the decode batch)"
+            )
+        out = np.zeros((batch, C), np.int32)  # pad_id 0 = pre-satisfied
+        for b, ids in enumerate(id_rows):
+            out[b, : len(ids)] = ids
+        return out
+
+    def generate_constrained(
+        self,
+        features,
+        include_words,
+        *,
+        beam_width: int | None = None,
+        return_details: bool = False,
+    ):
+        """Constrained beam search (decode/constrained.py — Anderson et
+        al. 2017, the guided-captioning construction): captions that
+        MUST include the given words, the complement of
+        ``DecodeConfig.bad_words``. ``include_words`` is a list of words
+        applied to every image, or a list of per-image word lists
+        (ragged rows fine — unused slots are pre-satisfied). Up to 4
+        words per image (the 2^C satisfaction banks ride the decode
+        batch, so each word doubles the step cost — the paper's 1-3-tag
+        regime).
+
+        When full satisfaction is unreachable within
+        config.decode.max_len, the engine returns the best caption of
+        the most-satisfied bank (the paper's fallback) — check
+        ``satisfied`` in the details. Scores stay true log-probs
+        (constraints shape selection only), so entries are comparable
+        with generate / generate_n_best output.
+
+        Returns captions; ``return_details=True`` returns per-image
+        dicts {caption, score (normalized), satisfied: {word: bool},
+        num_satisfied}."""
+        dcfg = self.config.decode
+        if dcfg.no_repeat_ngram_size:
+            raise NotImplementedError(
+                "generate_constrained does not compose with "
+                "no_repeat_ngram_size (the bank-hopping beam does not "
+                "carry per-hypothesis histories)"
+            )
+        beam_width = beam_width or dcfg.beam_width
+        params = self._inference_params()["decoder"]
+        feats = jnp.asarray(features, self._infer_dtype())
+        B = int(feats.shape[0])
+        cids = self._constraint_ids(include_words, B)
+        C = cids.shape[1]
+        start_id, end_id = self._token_ids()
+        cache_key = ("constrained", beam_width, C)
+        fn = self._decode_cache.get(cache_key)
+        if fn is None:
+            from tpucap.decode import constrained_beam_decode
+
+            matmul_precision = (
+                "highest" if self.config.precision == "f32" else "default"
+            )
+
+            @jax.jit
+            def fn(params, features, cids):
+                with jax.default_matmul_precision(matmul_precision):
+                    state = self.decoder.init_state(params, features)
+                    return constrained_beam_decode(
+                        self.decoder.step,
+                        params,
+                        state,
+                        start_id=start_id,
+                        end_id=end_id,
+                        max_len=dcfg.max_len,
+                        beam_width=beam_width,
+                        constraint_ids=cids,
+                        min_len=dcfg.min_len,
+                        banned_ids=self._banned_ids(),
+                        length_normalize=dcfg.length_normalize,
+                        alpha=dcfg.alpha,
+                        length_penalty=dcfg.length_penalty,
+                        decoder=self.decoder,
+                    )
+
+            self._decode_cache[cache_key] = fn
+        res = fn(params, feats, jnp.asarray(cids))
+        tokens = np.asarray(res.tokens)
+        lengths = np.asarray(res.lengths)
+        caps = ids_to_captions(
+            self.tokenizer, tokens, lengths, end_id=end_id
+        )
+        if not return_details:
+            return caps
+        from tpucap.decode.beam import normalized_scores
+
+        norm = np.asarray(
+            normalized_scores(
+                np.asarray(res.scores, np.float32),
+                lengths,
+                length_normalize=dcfg.length_normalize,
+                alpha=dcfg.alpha,
+                length_penalty=dcfg.length_penalty,
+            )
+        )
+        satisfied = np.asarray(res.satisfied)
+        index_word = {i: w for w, i in self.tokenizer.word_index.items()}
+        out = []
+        for b in range(len(caps)):
+            sat = {
+                index_word[int(i)]: bool(satisfied[b, c])
+                for c, i in enumerate(cids[b])
+                if int(i) != 0
+            }
+            out.append(
+                {
+                    "caption": caps[b],
+                    "score": float(norm[b]),
+                    "satisfied": sat,
+                    "num_satisfied": sum(sat.values()),
+                }
+            )
+        return out
+
     def generate_mbr(
         self,
         features,
