@@ -194,10 +194,15 @@ def cbs_oracle(
         state = jax.tree_util.tree_map(gather, new_state)
         last = words.reshape(Bn * S * k)
 
+    # Two-stage final ranking (matches the engine): max satisfaction
+    # count among reachable slots, then argmax norm at that count.
     norm = np.asarray(normalized_scores(scores, lengths))
-    pop = np.array([bin(s).count("1") for s in range(S)], np.float32)
+    pop = np.array([bin(s).count("1") for s in range(S)], np.int32)
+    reach = scores > NEG / 2
+    pcb = np.broadcast_to(pop[None, :, None], scores.shape)
+    best_pop = np.where(reach, pcb, -1).reshape(Bn, -1).max(1)
     rank = np.where(
-        scores < NEG / 2, NEG, pop[None, :, None] * np.float32(1e6) + norm
+        reach & (pcb == best_pop[:, None, None]), norm, NEG
     )
     best = rank.reshape(Bn, S * k).argmax(1)
     bb, bk = best // k, best % k
@@ -365,6 +370,24 @@ class TestSemantics:
         for b in range(B):
             assert 5 in toks[b][: lens[b]]
 
+    def test_bf16_native_dtype_stage1(self):
+        # Stage-1 top_k runs in the model dtype (beam.py discipline);
+        # the engine must stay well-formed on bf16 logits (NEG_INF
+        # masks overflow to -inf there, which the reachability guard
+        # and frozen-slot absorption both tolerate).
+        dec, params = make_model(9)
+        pb = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16), params
+        )
+        f = feats(70).astype(jnp.bfloat16)
+        res = _engine(dec, pb, f, np.asarray([5], np.int32), k=2)
+        assert np.asarray(res.satisfied).all()
+        toks, lens = np.asarray(res.tokens), np.asarray(res.lengths)
+        scs = np.asarray(res.scores)
+        for b in range(B):
+            assert 5 in toks[b][: lens[b]]
+            assert scs[b] > NEG / 2 and np.isfinite(scs[b])
+
     def test_c_bounds(self):
         dec, params = make_model()
         with pytest.raises(ValueError, match="constraint slots"):
@@ -438,6 +461,22 @@ class TestPipeline:
             pipe_.generate_constrained(feats_, list(words[:5]))
         with pytest.raises(ValueError, match="empty"):
             pipe_.generate_constrained(feats_, [])
+
+    def test_num_words_capped_id_raises(self, pipe):
+        # A num_words-capped tokenizer keeps the full word_index while
+        # the model head is capped — an id >= V must raise, not reach
+        # the engine as an out-of-bounds gather (NaN scores + a
+        # fabricated satisfied=True caption).
+        pipe_, feats_, words = pipe
+        tok = pipe_.tokenizer
+        high_word = max(tok.word_index, key=tok.word_index.get)
+        assert tok.num_words is None
+        try:
+            tok.num_words = tok.word_index[high_word]  # caps V below it
+            with pytest.raises(ValueError, match="num_words cap"):
+                pipe_.generate_constrained(feats_, [high_word])
+        finally:
+            tok.num_words = None
 
     def test_ngram_refused(self, pipe):
         import dataclasses

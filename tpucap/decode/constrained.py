@@ -37,11 +37,13 @@ with beam.py, and scores stay TRUE log-probs under the full softmax
 (constraints shape selection only).
 
 Unreachable bank slots carry score NEG_INF; in f32, NEG_INF + logp
-absorbs back to NEG_INF exactly, so dead hypotheses stay dead, tie-break
-deterministically (lowest candidate index), and the final ranking
-guards on score > NEG_INF/2 before applying the satisfaction-count
-preference — a garbage slot in the full bank can never outrank a real
-caption from a lesser bank.
+absorbs back to NEG_INF exactly, so dead hypotheses stay dead and
+tie-break deterministically (lowest candidate index). The final
+ranking is TWO-STAGE — first the maximum satisfaction count among
+reachable slots, then the engine's normalized score restricted to that
+count — rather than one fused `count*BONUS + norm` float key, whose
+f32 quantum at BONUS=1e6 (~0.06) would swallow typical normalized-score
+gaps and degrade the within-count pick to index order.
 
 Scope (documented, validated by the pipeline layer): single-token
 constraints (phrase constraints would enlarge the FSM alphabet —
@@ -69,11 +71,6 @@ from tpucap.decode.beam import (
 )
 
 MAX_CONSTRAINTS = 4  # 2^C banks ride the step batch; 16x is the ceiling
-
-# Satisfaction-count preference for the final ranking: one full count
-# step must dominate any normalized-score difference (|norm| <= ~1e3 at
-# caption lengths) while staying far from the NEG_INF sentinel.
-_BANK_BONUS = 1e6
 
 
 @jax.tree_util.register_dataclass
@@ -207,12 +204,22 @@ def constrained_beam_decode(
         for tbank in range(S):  # static bank loop (FSM states)
             # --- stay candidates: bank t's own top-k, unsatisfied
             # constraint words excluded (they transition, not stay).
-            m = base[:, tbank].astype(jnp.float32)  # (B, k, V)
+            # Stage-1 top_k runs in the model's native dtype (beam.py's
+            # discipline — bf16->f32 is order-preserving, so selection
+            # is identical at half the vocab-scan bandwidth); scores go
+            # f32 only after selection.
+            m = base[:, tbank]  # (B, k, V)
             for i in range(C):
                 if not tbank & (1 << i):
-                    m = jnp.where(eq[i][:, None, :], jnp.float32(NEG_INF), m)
+                    m = jnp.where(
+                        eq[i][:, None, :],
+                        jnp.asarray(NEG_INF, m.dtype),
+                        m,
+                    )
             pb_vals, pb_words = jax.lax.top_k(m, k)  # (B, k, k)
-            pb_logp = pb_vals - lse[:, tbank][:, :, None]
+            pb_logp = (
+                pb_vals.astype(jnp.float32) - lse[:, tbank][:, :, None]
+            )
 
             fin_t = finished[:, tbank][:, :, None]  # (B, k, 1)
             sc_t = scores[:, tbank]  # (B, k)
@@ -242,10 +249,10 @@ def constrained_beam_decode(
                 sbank = tbank & ~(1 << i)
                 wi = cids[:, i]  # (B,)
                 arr_logit = jnp.take_along_axis(
-                    logits_r[:, sbank].astype(jnp.float32),
+                    logits_r[:, sbank],
                     jnp.broadcast_to(wi[:, None, None], (B, k, 1)),
                     axis=-1,
-                )[..., 0]  # (B, k)
+                )[..., 0].astype(jnp.float32)  # (B, k)
                 arr_logp = arr_logit - lse[:, sbank]
                 arr_sc = jnp.where(
                     finished[:, sbank],  # frozen sources cannot emit
@@ -347,8 +354,10 @@ def constrained_beam_decode(
     )
     tokens = jnp.moveaxis(toks_rev[::-1], 0, -1).reshape(B, S, k, max_len)
 
-    # Final ranking: most-satisfied reachable bank first, then the
-    # engine's normalized score. Dead slots rank NEG_INF absolutely.
+    # Final ranking, TWO-STAGE (see module docstring): (1) the maximum
+    # satisfaction count among reachable slots, (2) argmax normalized
+    # score restricted to slots at that count — a fused float key would
+    # quantize away score gaps. Dead slots rank NEG_INF absolutely.
     norm = normalized_scores(
         scores,
         lengths,
@@ -357,12 +366,17 @@ def constrained_beam_decode(
         length_penalty=length_penalty,
     )
     popcount = jnp.asarray(
-        [bin(s).count("1") for s in range(S)], jnp.float32
+        [bin(s).count("1") for s in range(S)], jnp.int32
     )
+    reach = ~unreachable(scores)  # (B, S, k)
+    pc = jnp.broadcast_to(popcount[None, :, None], (B, S, k))
+    best_pop = jnp.max(
+        jnp.where(reach, pc, -1).reshape(B, S * k), axis=1
+    )  # (B,) — the seed bank is always reachable, so best_pop >= 0
     rank = jnp.where(
-        unreachable(scores),
+        reach & (pc == best_pop[:, None, None]),
+        norm,
         jnp.float32(NEG_INF),
-        popcount[None, :, None] * jnp.float32(_BANK_BONUS) + norm,
     )
     flat = rank.reshape(B, S * k)
     best = jnp.argmax(flat, axis=1)  # (B,)

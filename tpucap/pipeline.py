@@ -158,7 +158,17 @@ class CaptioningPipeline:
                 lower=getattr(tok, "lower", True),
             )
         ]
-        return tuple(sorted({wi[w] for w in normalized if w in wi}))
+        # Ids at/above the model head's num_words cap can never be
+        # emitted — dropping them matches the OOV rule above.
+        return tuple(
+            sorted(
+                {
+                    wi[w]
+                    for w in normalized
+                    if w in wi and wi[w] < self.vocab_size
+                }
+            )
+        )
 
     # -- model construction ------------------------------------------------
 
@@ -3183,6 +3193,8 @@ class CaptioningPipeline:
 
         if not include_words:
             raise ValueError("include_words is empty")
+        if batch == 0:
+            raise ValueError("features batch is empty")
         per_image = isinstance(include_words[0], (list, tuple))
         rows = (
             [list(r) for r in include_words]
@@ -3214,6 +3226,16 @@ class CaptioningPipeline:
                     "the vocabulary (the model can never emit it)"
                 )
             i = wi[w]
+            if i >= self.vocab_size:
+                # num_words-capped tokenizers keep the FULL word_index
+                # while the model head is capped — an id >= V would be
+                # an out-of-bounds gather in the engine (NaN scores, a
+                # fabricated caption), so it is OOV for the model.
+                raise ValueError(
+                    f"include_words entry {w!r} has id {i} >= the "
+                    f"model vocabulary size {self.vocab_size} "
+                    "(num_words cap) — the model can never emit it"
+                )
             if i in (start_id, end_id):
                 raise ValueError(
                     f"include_words entry {w!r} is a sequence sentinel"
@@ -3336,7 +3358,7 @@ class CaptioningPipeline:
             )
         )
         satisfied = np.asarray(res.satisfied)
-        index_word = {i: w for w, i in self.tokenizer.word_index.items()}
+        index_word = self.tokenizer.index_word
         out = []
         for b in range(len(caps)):
             sat = {
