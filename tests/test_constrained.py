@@ -423,6 +423,51 @@ def _pipe(seed=0):
     return pipe, np.asarray(feats()), words
 
 
+@pytest.mark.slow
+def test_cli_caption_include_words(tmp_path, capsys):
+    import os
+
+    from tpucap.cli.main import main
+    from tpucap.data import generate_fixture_dataset
+    from tpucap.data.flickr8k import load_descriptions
+
+    img_dir, token_file, train_file, _ = generate_fixture_dataset(
+        tmp_path, n_images=6, image_size=32, seed=3
+    )
+    feats_file = str(tmp_path / "f.npz")
+    ckpt = str(tmp_path / "ckpt")
+    common = ["--encoder", "tiny_cnn", "--max-len", "12"]
+    main(["extract", *common, "--images", str(img_dir),
+          "--out", feats_file, "--batch-size", "4"])
+    main(["train", *common, "--tokens", token_file,
+          "--split", train_file, "--features", feats_file,
+          "--checkpoint-dir", ckpt, "--epochs", "1",
+          "--batch-size", "4"])
+    capsys.readouterr()
+
+    # Pick a real corpus word to constrain on.
+    descs = load_descriptions(token_file)
+    word = next(
+        w
+        for caps in descs.values()
+        for w in caps[0].split()
+        # Corpus cleaning drops 1-char words and non-alpha tokens.
+        if w not in ("startseq", "endseq") and len(w) > 1 and w.isalpha()
+    )
+    img0 = os.path.join(str(img_dir), sorted(os.listdir(img_dir))[0])
+    main(["caption", *common, "--image", img0,
+          "--checkpoint-dir", ckpt, "--method", "beam",
+          "--beam-width", "2", "--include-words", word])
+    out = capsys.readouterr().out
+    line = next(ln for ln in out.splitlines() if ln.startswith(img0))
+    assert word in line.split("\t")[1].split()
+
+    with pytest.raises(SystemExit, match="method beam"):
+        main(["caption", *common, "--image", img0,
+              "--checkpoint-dir", ckpt, "--method", "greedy",
+              "--include-words", word])
+
+
 class TestPipeline:
     @pytest.fixture(scope="class")
     def pipe(self):

@@ -941,6 +941,21 @@ def cmd_caption(args):
         raise SystemExit(
             "--prefix supports --method greedy|beam (no ensemble)"
         )
+    include_words = None
+    if getattr(args, "include_words", None):
+        include_words = [
+            w.strip() for w in args.include_words.split(",") if w.strip()
+        ]
+        if (
+            args.method != "beam"
+            or ens_bundles
+            or getattr(args, "prefix", None)
+            or getattr(args, "dump_attention", None)
+        ):
+            raise SystemExit(
+                "--include-words supports --method beam only "
+                "(no ensemble/prefix/dump-attention)"
+            )
     dump_attn = getattr(args, "dump_attention", None)
     if dump_attn and (
         args.method not in ("greedy", "beam")
@@ -1024,6 +1039,21 @@ def cmd_caption(args):
             beam_width=args.beam_width,
             weights=ens_weights,
         )
+    elif include_words:
+        feats = pipe.extract_features(list(args.image))
+        details = pipe.generate_constrained(
+            feats, include_words, beam_width=args.beam_width,
+            return_details=True,
+        )
+        caps = [d["caption"] for d in details]
+        for path, d in zip(args.image, details):
+            if d["num_satisfied"] < len(d["satisfied"]):
+                missing = [w for w, ok in d["satisfied"].items() if not ok]
+                print(
+                    f"{path}: could not include {missing} within "
+                    "--max-len (returning the most-satisfied caption)",
+                    file=sys.stderr,
+                )
     elif getattr(args, "prefix", None):
         feats = pipe.extract_features(list(args.image))
         caps = pipe.generate_continuation(
@@ -1783,6 +1813,13 @@ def main(argv=None):
                    help="forced caption opening ('a dog'): the decoder "
                    "is teacher-forced through it, then greedy/beam "
                    "continues — guided captioning / completion")
+    p.add_argument("--include-words", default=None, metavar="W1,W2",
+                   help="words the caption MUST contain (constrained "
+                   "beam search, Anderson et al. 2017; up to 4 — each "
+                   "word doubles the decode batch). Applies to every "
+                   "image; --method beam only. Prints the achieved "
+                   "satisfaction per image on stderr when full "
+                   "satisfaction was unreachable within --max-len")
     p.add_argument("--draft-bundle", default=None,
                    help="pipeline.save() bundle of a cheap draft model "
                    "(same tokenizer/features) for --method speculative — "
