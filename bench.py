@@ -109,6 +109,16 @@ def main():
         "cost in the default caption mode",
     )
     ap.add_argument(
+        "--constraints",
+        type=int,
+        default=0,
+        help="decode with C must-include word constraints (constrained "
+        "beam search — decode/constrained.py); the 2^C satisfaction "
+        "banks multiply the step batch, so this measures the dial's "
+        "cost scaling. beam method only; exact top-k (the bank engine "
+        "has no approx stage); excludes --no-repeat-ngram/--unroll",
+    )
+    ap.add_argument(
         "--int8",
         action="store_true",
         help="quantize the encoder to int8 serving weights (per-channel "
@@ -1038,7 +1048,37 @@ def main():
         print(json.dumps(result))
         return
 
+    if args.constraints:
+        if (
+            args.method != "beam"
+            or args.no_repeat_ngram
+            or args.unroll > 1
+        ):
+            raise SystemExit(
+                "--constraints needs --method beam without "
+                "--no-repeat-ngram/--unroll"
+            )
+        from tpucap.decode import constrained_beam_decode
+
+        # Distinct synthetic mid-vocab ids (any ids work for a cost
+        # measurement; avoiding START/END/pad keeps semantics real).
+        constraint_ids = np.arange(
+            5, 5 + 4 * args.constraints, 4, dtype=np.int32
+        )
+
     def decode(dp, state):
+        if args.constraints:
+            return constrained_beam_decode(
+                decoder.step,
+                dp,
+                state,
+                start_id=START,
+                end_id=END,
+                max_len=args.max_len,
+                beam_width=args.beam,
+                constraint_ids=constraint_ids,
+                decoder=decoder,
+            )
         if args.method == "greedy":
             return greedy_decode(
                 decoder.step,
@@ -1128,7 +1168,7 @@ def main():
     result = {
         "metric": f"captions/sec ({args.method}"
         f"{f' {args.beam}' if args.method == 'beam' else ''}"
-        f"{'' if args.method != 'beam' else (' exact-topk' if args.exact_topk else ' approx-topk')}, "
+        f"{'' if args.method != 'beam' else (' exact-topk' if args.exact_topk or args.constraints else ' approx-topk')}, "
         f"batch {args.batch}, "
         f"{args.decoder}, "
         f"{'decode-only' if args.no_encoder else args.encoder + '+decode'}, "
@@ -1136,7 +1176,8 @@ def main():
         f"{', int8' if args.int8 and not args.no_encoder else ''}"
         f"{', int8-vocab' if args.int8_vocab else ''}"
         f"{f', unroll {args.unroll}' if args.unroll > 1 else ''}"
-        f"{f', no-repeat-{args.no_repeat_ngram}gram' if args.no_repeat_ngram else ''})",
+        f"{f', no-repeat-{args.no_repeat_ngram}gram' if args.no_repeat_ngram else ''}"
+        f"{f', {args.constraints} constraints' if args.constraints else ''})",
         "value": round(cps, 2),
         "unit": "captions/sec/chip",
         "vs_baseline": round(cps / per_chip_target, 4),

@@ -539,3 +539,139 @@ class TestPipeline:
                 pipe_.generate_constrained(feats_, [words[0]])
         finally:
             pipe_.config = old
+
+
+# ---------------------------------------------------------------------------
+# Serving layer: per-request include_words through the micro-batcher
+# ---------------------------------------------------------------------------
+
+
+class TestServing:
+    @pytest.fixture(scope="class")
+    def pipe(self):
+        return _pipe()
+
+    def test_mixed_batch_matches_offline(self, pipe):
+        """Constrained and plain requests submitted into one window:
+        the batcher splits them into separate dispatches (the 2^C
+        multiplier must not tax plain riders) and each matches its
+        individual offline result — including the C bucket padding
+        (row 0's single word rides a 2-slot program because row 2
+        brought two; the padded slot is pre-satisfied, which the
+        offline comparison below proves is caption-identical)."""
+        from tpucap.serve import CaptionServer
+
+        pipe_, feats_, words = pipe
+        ref_plain = pipe_.generate(feats_, method="beam", beam_width=2)
+        ref_c0 = pipe_.generate_constrained(
+            feats_[0:1], [[words[0]]], beam_width=2
+        )
+        ref_c2 = pipe_.generate_constrained(
+            feats_[2:3], [[words[1], words[2]]], beam_width=2
+        )
+        with CaptionServer(
+            pipe_, max_batch=4, max_delay_ms=50, method="beam",
+            beam_width=2,
+        ) as srv:
+            futs = [
+                srv.submit(feats_[0], include_words=[words[0]]),
+                srv.submit(feats_[1]),
+                srv.submit(feats_[2], include_words=[words[1], words[2]]),
+            ]
+            got = [f.result(timeout=180) for f in futs]
+        assert got[0] == ref_c0[0]
+        assert got[1] == ref_plain[1]
+        assert got[2] == ref_c2[0]
+        assert words[0] in got[0].split()
+
+    def test_submit_validation(self, pipe):
+        """Bad constraints fail their own request at submit time, never
+        the batch; the server keeps serving afterwards."""
+        from tpucap.serve import CaptionServer
+
+        pipe_, feats_, words = pipe
+        f = np.asarray(feats_[0])
+        with CaptionServer(
+            pipe_, max_batch=2, method="beam", beam_width=2
+        ) as srv:
+            with pytest.raises(ValueError, match="not in the vocab"):
+                srv.submit(f, include_words=["zzzunknownzzz"])
+            with pytest.raises(ValueError, match="not both"):
+                srv.submit(f, prefix=words[0], include_words=[words[1]])
+            with pytest.raises(ValueError, match="include_words per"):
+                srv.submit(f, include_words=list(words[:5]))
+            # Server still healthy after rejected submits.
+            assert isinstance(
+                srv.submit(f, include_words=[words[0]]).result(
+                    timeout=180
+                ),
+                str,
+            )
+        with CaptionServer(pipe_, max_batch=2, method="greedy") as srv:
+            with pytest.raises(ValueError, match="method beam"):
+                srv.submit(f, include_words=[words[0]])
+
+    def test_http_include_words(self, pipe):
+        """HTTP field/query routes through the constrained program on a
+        beam server; the greedy streaming route rejects it."""
+        import json as _json
+
+        from tpucap.serve_http import CaptionHTTPServer
+
+        pipe_, feats_, words = pipe
+
+        def req(srv, method, path, body=None):
+            import http.client
+
+            host, port = srv.address
+            conn = http.client.HTTPConnection(host, port, timeout=120)
+            conn.request(method, path, body=body)
+            resp = conn.getresponse()
+            payload = _json.loads(resp.read())
+            conn.close()
+            return resp.status, payload
+
+        ref = pipe_.generate_constrained(
+            feats_[0:1], [[words[0]]], beam_width=2
+        )[0]
+        with CaptionHTTPServer(
+            pipe_, port=0, max_batch=2, max_delay_ms=5, method="beam",
+            beam_width=2,
+        ) as srv:
+            srv.serve_background()
+            body = _json.dumps(
+                {
+                    "features": np.asarray(feats_[0]).tolist(),
+                    "include_words": [words[0]],
+                }
+            ).encode()
+            status, payload = req(srv, "POST", "/caption_features", body)
+            assert status == 200
+            assert payload["caption"] == ref
+            # Query-param form on the same route.
+            body2 = _json.dumps(
+                {"features": np.asarray(feats_[0]).tolist()}
+            ).encode()
+            status, payload = req(
+                srv,
+                "POST",
+                f"/caption_features?include_words={words[0]}",
+                body2,
+            )
+            assert status == 200 and payload["caption"] == ref
+            # Streaming route rejects constraints loudly.
+            status, payload = req(
+                srv,
+                "POST",
+                f"/caption_stream_features?include_words={words[0]}",
+                body2,
+            )
+            assert status == 400
+            # OOV -> 400, not a batcher crash.
+            status, payload = req(
+                srv,
+                "POST",
+                "/caption_features?include_words=zzzunknownzzz",
+                body2,
+            )
+            assert status == 400

@@ -208,9 +208,9 @@ def test_http_503_on_overload(pipe, rng, monkeypatch):
     # burst un-throttled and the 503 down to scheduling luck.
     real = CaptionServer._submit_batch
 
-    def slow_submit(self, batch, prefixes=None):
+    def slow_submit(self, batch, prefixes=None, include_words=None):
         _time.sleep(0.4)
-        return real(self, batch, prefixes)
+        return real(self, batch, prefixes, include_words)
 
     monkeypatch.setattr(CaptionServer, "_submit_batch", slow_submit)
     with CaptionHTTPServer(

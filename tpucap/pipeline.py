@@ -3168,7 +3168,9 @@ class CaptioningPipeline:
             )
         return out
 
-    def _constraint_ids(self, include_words, batch: int) -> np.ndarray:
+    def _constraint_ids(
+        self, include_words, batch: int, num_slots: int | None = None
+    ) -> np.ndarray:
         """Validate and encode must-include words -> (B, C) int32 id
         array (pad_id 0 = unused slot). ``include_words`` is a list of
         words (same constraints for every image) or a list of per-image
@@ -3260,6 +3262,16 @@ class CaptioningPipeline:
                 f"need 1..{MAX_CONSTRAINTS} include_words per image, "
                 f"got {C} (each word doubles the decode batch)"
             )
+        if num_slots is not None:
+            # Pad the constraint axis up (extra slots are pre-satisfied
+            # pad_id) — the serving layer buckets C to bound compiled
+            # program count the way batch sizes are bucketed.
+            if not C <= num_slots <= MAX_CONSTRAINTS:
+                raise ValueError(
+                    f"num_slots={num_slots} must be in "
+                    f"[{C}, {MAX_CONSTRAINTS}]"
+                )
+            C = num_slots
         out = np.zeros((batch, C), np.int32)  # pad_id 0 = pre-satisfied
         for b, ids in enumerate(id_rows):
             out[b, : len(ids)] = ids
@@ -3272,6 +3284,23 @@ class CaptioningPipeline:
         *,
         beam_width: int | None = None,
         return_details: bool = False,
+    ):
+        """``generate_constrained_submit(...)()`` — see there."""
+        return self.generate_constrained_submit(
+            features,
+            include_words,
+            beam_width=beam_width,
+            return_details=return_details,
+        )()
+
+    def generate_constrained_submit(
+        self,
+        features,
+        include_words,
+        *,
+        beam_width: int | None = None,
+        return_details: bool = False,
+        num_slots: int | None = None,
     ):
         """Constrained beam search (decode/constrained.py — Anderson et
         al. 2017, the guided-captioning construction): captions that
@@ -3290,9 +3319,15 @@ class CaptioningPipeline:
         (constraints shape selection only), so entries are comparable
         with generate / generate_n_best output.
 
-        Returns captions; ``return_details=True`` returns per-image
-        dicts {caption, score (normalized), satisfied: {word: bool},
-        num_satisfied}."""
+        Returns a zero-arg finalizer (generate_submit's async-dispatch
+        contract: the device starts immediately, the finalizer pays
+        host transfer + detokenize) yielding captions, or the detail
+        dicts under ``return_details=True``: per-image {caption, score
+        (normalized), satisfied: {word: bool}, num_satisfied}.
+        ``num_slots`` pads the constraint axis up (extra slots are
+        pre-satisfied) so the serving layer can bucket C the way batch
+        sizes are bucketed; ``generate_constrained`` is exactly
+        ``generate_constrained_submit(...)()``."""
         dcfg = self.config.decode
         if dcfg.no_repeat_ngram_size:
             raise NotImplementedError(
@@ -3304,7 +3339,7 @@ class CaptioningPipeline:
         params = self._inference_params()["decoder"]
         feats = jnp.asarray(features, self._infer_dtype())
         B = int(feats.shape[0])
-        cids = self._constraint_ids(include_words, B)
+        cids = self._constraint_ids(include_words, B, num_slots)
         C = cids.shape[1]
         start_id, end_id = self._token_ids()
         cache_key = ("constrained", beam_width, C)
@@ -3339,42 +3374,46 @@ class CaptioningPipeline:
 
             self._decode_cache[cache_key] = fn
         res = fn(params, feats, jnp.asarray(cids))
-        tokens = np.asarray(res.tokens)
-        lengths = np.asarray(res.lengths)
-        caps = ids_to_captions(
-            self.tokenizer, tokens, lengths, end_id=end_id
-        )
-        if not return_details:
-            return caps
-        from tpucap.decode.beam import normalized_scores
 
-        norm = np.asarray(
-            normalized_scores(
-                np.asarray(res.scores, np.float32),
-                lengths,
-                length_normalize=dcfg.length_normalize,
-                alpha=dcfg.alpha,
-                length_penalty=dcfg.length_penalty,
+        def finalize():
+            tokens = np.asarray(res.tokens)
+            lengths = np.asarray(res.lengths)
+            caps = ids_to_captions(
+                self.tokenizer, tokens, lengths, end_id=end_id
             )
-        )
-        satisfied = np.asarray(res.satisfied)
-        index_word = self.tokenizer.index_word
-        out = []
-        for b in range(len(caps)):
-            sat = {
-                index_word[int(i)]: bool(satisfied[b, c])
-                for c, i in enumerate(cids[b])
-                if int(i) != 0
-            }
-            out.append(
-                {
-                    "caption": caps[b],
-                    "score": float(norm[b]),
-                    "satisfied": sat,
-                    "num_satisfied": sum(sat.values()),
+            if not return_details:
+                return caps
+            from tpucap.decode.beam import normalized_scores
+
+            norm = np.asarray(
+                normalized_scores(
+                    np.asarray(res.scores, np.float32),
+                    lengths,
+                    length_normalize=dcfg.length_normalize,
+                    alpha=dcfg.alpha,
+                    length_penalty=dcfg.length_penalty,
+                )
+            )
+            satisfied = np.asarray(res.satisfied)
+            index_word = self.tokenizer.index_word
+            out = []
+            for b in range(len(caps)):
+                sat = {
+                    index_word[int(i)]: bool(satisfied[b, c])
+                    for c, i in enumerate(cids[b])
+                    if int(i) != 0
                 }
-            )
-        return out
+                out.append(
+                    {
+                        "caption": caps[b],
+                        "score": float(norm[b]),
+                        "satisfied": sat,
+                        "num_satisfied": sum(sat.values()),
+                    }
+                )
+            return out
+
+        return finalize
 
     def generate_mbr(
         self,

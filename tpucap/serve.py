@@ -228,7 +228,12 @@ class CaptionServer:
 
     # -- client surface ----------------------------------------------------
 
-    def submit(self, x, prefix: str | None = None) -> Future:
+    def submit(
+        self,
+        x,
+        prefix: str | None = None,
+        include_words=None,
+    ) -> Future:
         """Enqueue one request; resolves to the caption string.
 
         ``prefix``: optional forced caption opening for THIS request
@@ -237,7 +242,21 @@ class CaptionServer:
         runs through the continuation program (prefixless rows ride
         along with an empty prefix — token-identical to the plain
         path). Validated here so a bad prefix fails its own request,
-        never the micro-batch it would land in."""
+        never the micro-batch it would land in.
+
+        ``include_words``: optional words THIS request's caption must
+        contain (pipeline.generate_constrained semantics; beam method
+        only, exclusive with ``prefix``). Constrained requests dispatch
+        as their own micro-batches through the bank-FSM program — the
+        2^C step-cost multiplier must not tax plain riders — with C
+        bucketed pow-2 ({1,2,4}) to bound compiled-program count;
+        those programs compile on first constrained traffic, not at
+        warmup. Words are validated here (OOV/phrase/duplicate/… fail
+        this request alone). When full satisfaction is unreachable the
+        caption of the most-satisfied bank is returned (the offline
+        fallback) — the batch surface reports strings only; use
+        generate_constrained(return_details=True) offline for
+        satisfaction masks."""
         x = np.asarray(x)
         expect = self._expected_shape()
         if x.shape != expect:
@@ -284,6 +303,37 @@ class CaptionServer:
                         f"max_len {max_len} exceeds decoder."
                         f"max_positions {max_pos}"
                     )
+        iw: tuple = ()
+        if include_words:
+            if prefix:
+                raise ValueError(
+                    "a request takes prefix OR include_words, not both"
+                )
+            method = (
+                self._decode_kw["method"]
+                or self._pipe.config.decode.method
+            )
+            if method != "beam":
+                raise ValueError(
+                    f"include_words needs method beam, server runs "
+                    f"{method!r}"
+                )
+            if self._decode_kw["parallelism"] not in (None, "none"):
+                raise ValueError(
+                    "include_words is not supported with mesh-parallel "
+                    "decode"
+                )
+            if self._pipe.config.decode.no_repeat_ngram_size:
+                raise ValueError(
+                    "include_words does not compose with "
+                    "no_repeat_ngram_size (generate_constrained's "
+                    "refusal, surfaced at admission)"
+                )
+            iw = tuple(str(w) for w in include_words)
+            # Full word validation NOW (OOV / phrase / duplicate /
+            # sentinel / num_words-cap / BPE refusal) so a bad
+            # constraint fails its own request, never the batch.
+            self._pipe._constraint_ids([list(iw)], 1)
         if (
             self._max_queue is not None
             and self._queue.qsize() >= self._max_queue
@@ -295,7 +345,9 @@ class CaptionServer:
         with self._submit_lock:
             if self._closed:
                 raise RuntimeError("server is closed")
-            self._queue.put((x, prefix or "", fut, time.perf_counter()))
+            self._queue.put(
+                (x, prefix or "", iw, fut, time.perf_counter())
+            )
         return fut
 
     def caption(self, x, timeout: float | None = 60.0) -> str:
@@ -391,16 +443,29 @@ class CaptionServer:
     def _run_batch(self, batch: np.ndarray) -> list[str]:
         return self._submit_batch(batch, None)()
 
-    def _submit_batch(self, batch: np.ndarray, prefixes=None):
+    def _submit_batch(
+        self, batch: np.ndarray, prefixes=None, include_words=None
+    ):
         """Dispatch one padded batch; returns a zero-arg finalizer that
         blocks on the result and yields the captions. On the async path
         the device starts immediately and the finalizer only pays the
         host transfer + detokenize. ``prefixes`` (per-row strings, ""
-        = none) routes the batch through the continuation program."""
+        = none) routes the batch through the continuation program;
+        ``include_words`` (per-row word lists, [] = none) through the
+        constrained bank-FSM program with C bucketed pow-2."""
         if self._mode == "images":
             feats = self._pipe.encode_images(batch)
         else:
             feats = batch
+        if include_words is not None:
+            max_c = max(len(r) for r in include_words)
+            c_bucket = 1 if max_c <= 1 else (2 if max_c <= 2 else 4)
+            return self._pipe.generate_constrained_submit(
+                feats,
+                include_words,
+                beam_width=self._decode_kw["beam_width"],
+                num_slots=c_bucket,
+            )
         if prefixes is not None:
             # Async like the plain path: the continuation program is
             # dispatched now and only the finalizer pays host transfer +
@@ -515,9 +580,20 @@ class CaptionServer:
             self._drain_one()
 
     def _flush(self, batch: list) -> None:
+        """Split constrained requests into their own dispatch (the 2^C
+        bank multiplier must not tax plain/prefix riders), then pad
+        each group to the bucket ladder and dispatch."""
+        constrained = [it for it in batch if it[2]]
+        if constrained and len(constrained) < len(batch):
+            self._flush_group([it for it in batch if not it[2]])
+            self._flush_group(constrained)
+            return
+        self._flush_group(batch)
+
+    def _flush_group(self, batch: list) -> None:
         """Pad to the bucket ladder and dispatch; the batch is retired
         later by _drain_one (pipelined) unless dispatch itself fails."""
-        xs, prefs, futs, t0s = zip(*batch)
+        xs, prefs, iws, futs, t0s = zip(*batch)
         # Visible to close()'s wedge path: while dispatch is in flight
         # these futures are in neither the queue nor _inflight.
         self._current_futs = futs
@@ -533,6 +609,13 @@ class CaptionServer:
                 (
                     list(prefs) + [""] * (bucket - n)
                     if any(prefs)
+                    else None
+                ),
+                (
+                    # Padding rows get [] = all-pre-satisfied slots;
+                    # such a row is EXACTLY standard beam search.
+                    [list(w) for w in iws] + [[]] * (bucket - n)
+                    if any(iws)
                     else None
                 ),
             )

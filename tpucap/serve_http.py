@@ -10,11 +10,14 @@ HTTP clients coalesce into TPU-shaped batches automatically.
 Endpoints:
 - ``POST /caption``            body = JPEG bytes -> {"caption": ...};
                                ``?prefix=a%20dog`` forces a caption
-                               opening (batch engine only)
+                               opening; ``?include_words=dog,red``
+                               constrains the caption to contain the
+                               words (batch engine only, beam method)
 - ``POST /caption_features``   body = JSON {"features": [...]} (one row,
                                the reference's pickled-features shape);
-                               optional ``"prefix": "a dog"`` field
-                               (or the query param)
+                               optional ``"prefix": "a dog"`` and
+                               ``"include_words": ["dog", ...]`` fields
+                               (or the query params)
 - ``POST /caption_stream``     JPEG bytes -> ndjson STREAM of
                                {"words": [...]} spans as the caption
                                decodes, then {"caption": ..., "done":
@@ -494,19 +497,28 @@ class CaptionHTTPServer:
                 route, query = parts.path, parts.query
                 qs = parse_qs(query) if query else {}
                 prefix = qs.get("prefix", [""])[0]
+                include_words = [
+                    w for w in qs.get("include_words", [""])[0].split(",")
+                    if w.strip()
+                ]
                 model = qs.get("model", [""])[0]
 
-                def _submit(server, x, prefix):
-                    """Route a prefixed request; the continuous engines
-                    have no prefix surface -> a clean 400, not a crash
-                    in the batcher thread."""
-                    if not prefix:
+                def _submit(server, x, prefix, include_words=()):
+                    """Route a prefixed/constrained request; the
+                    continuous engines have neither surface -> a clean
+                    400, not a crash in the batcher thread."""
+                    if not prefix and not include_words:
                         return server.submit(x)
                     if not isinstance(server, CaptionServer):
                         raise ValueError(
-                            "prefix needs engine='batch' (the "
-                            "continuous engines have no forced-prefix "
-                            "path)"
+                            "prefix/include_words need engine='batch' "
+                            "(the continuous engines have no "
+                            "forced-prefix/constrained path)"
+                        )
+                    if include_words:
+                        return server.submit(
+                            x, prefix=prefix or None,
+                            include_words=include_words,
                         )
                     return server.submit(x, prefix=prefix)
 
@@ -550,7 +562,7 @@ class CaptionHTTPServer:
                     elif route == "/caption":
                         images, _, size, pmode = _resolve(model)
                         x = _preprocess_jpeg(body, size, pmode)
-                        fut = _submit(images, x, prefix)
+                        fut = _submit(images, x, prefix, include_words)
                     elif route == "/caption_features":
                         payload = json.loads(body)
                         _, features, _, _ = _resolve(
@@ -563,15 +575,17 @@ class CaptionHTTPServer:
                             features,
                             feats,
                             payload.get("prefix", "") or prefix,
+                            payload.get("include_words")
+                            or include_words,
                         )
                     elif route == "/caption_stream":
-                        if prefix:
-                            # The streaming path has no forced-prefix
-                            # surface — reject loudly rather than stream
-                            # an unprefixed caption with status 200.
+                        if prefix or include_words:
+                            # The streaming path has no forced-prefix /
+                            # constrained surface — reject loudly rather
+                            # than stream an unmodified caption with 200.
                             raise ValueError(
-                                "prefix is not supported on the "
-                                "streaming routes; use /caption"
+                                "prefix/include_words are not supported "
+                                "on the streaming routes; use /caption"
                             )
                         images, _, size, pmode = _resolve(model)
                         self._stream(
@@ -580,10 +594,16 @@ class CaptionHTTPServer:
                         return
                     elif route == "/caption_stream_features":
                         payload = json.loads(body)
-                        if prefix or payload.get("prefix"):
+                        if (
+                            prefix
+                            or payload.get("prefix")
+                            or include_words
+                            or payload.get("include_words")
+                        ):
                             raise ValueError(
-                                "prefix is not supported on the "
-                                "streaming routes; use /caption_features"
+                                "prefix/include_words are not supported "
+                                "on the streaming routes; use "
+                                "/caption_features"
                             )
                         _, features, _, _ = _resolve(
                             payload.get("model", "") or model
