@@ -600,6 +600,10 @@ class TestServing:
                 srv.submit(f, prefix=words[0], include_words=[words[1]])
             with pytest.raises(ValueError, match="include_words per"):
                 srv.submit(f, include_words=list(words[:5]))
+            # A bare string must fail loudly — iterating it would
+            # constrain on single characters ("dog" -> 'd','o','g').
+            with pytest.raises(ValueError, match="list of words"):
+                srv.submit(f, include_words=words[0])
             # Server still healthy after rejected submits.
             assert isinstance(
                 srv.submit(f, include_words=[words[0]]).result(

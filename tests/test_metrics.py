@@ -211,3 +211,60 @@ class TestMeteor:
         assert "meteor" in out and 0.0 < out["meteor"] <= 1.0
         with pytest.raises(ValueError, match="unknown metrics"):
             evaluate_captions(desc, gen, metrics=("spice",))
+
+
+class TestCaptionStats:
+    def test_hand_values(self):
+        from tpucap.train.metrics import caption_stats
+
+        hyps = [
+            ["a", "dog", "runs"],
+            ["a", "cat", "sits"],
+        ]
+        s = caption_stats(hyps)
+        # unigrams: 6 total, 5 unique ("a" repeats).
+        assert s["distinct_1"] == pytest.approx(5 / 6)
+        # bigrams: 4 total, all unique.
+        assert s["distinct_2"] == pytest.approx(1.0)
+        assert s["vocab_used"] == 5.0
+        assert s["unique_captions"] == 1.0
+        assert s["mean_len"] == 3.0
+
+    def test_mode_collapse_is_visible(self):
+        """The failure mode these metrics exist for: identical captions
+        for every image crater distinct-n and unique_captions while an
+        overlap metric could stay flat."""
+        from tpucap.train.metrics import caption_stats
+
+        collapsed = caption_stats([["a", "dog", "runs"]] * 10)
+        diverse = caption_stats(
+            [["a", "dog", "runs"], ["two", "cats", "sit"],
+             ["the", "bird", "flies"]]
+        )
+        assert collapsed["unique_captions"] == 0.0
+        assert diverse["unique_captions"] == 1.0
+        assert collapsed["distinct_1"] < diverse["distinct_1"]
+        assert collapsed["vocab_used"] < diverse["vocab_used"]
+
+    def test_duplicate_pair_counts_neither(self):
+        from tpucap.train.metrics import caption_stats
+
+        s = caption_stats([["a"], ["a"], ["b"]])
+        assert s["unique_captions"] == pytest.approx(1 / 3)
+
+    def test_empty_corpus_raises(self):
+        from tpucap.train.metrics import caption_stats
+
+        with pytest.raises(ValueError):
+            caption_stats([])
+
+    def test_evaluate_captions_plumbs_diversity(self):
+        desc = {
+            "i1": ["startseq a dog runs endseq"],
+            "i2": ["startseq a cat sits endseq"],
+        }
+        gen = {"i1": "a dog runs", "i2": "a cat sits"}
+        out = evaluate_captions(desc, gen, metrics=("bleu", "diversity"))
+        assert out["distinct_1"] == pytest.approx(5 / 6)
+        assert out["unique_captions"] == 1.0
+        assert "bleu4" in out  # composes with the parity default

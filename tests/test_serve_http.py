@@ -414,6 +414,41 @@ def test_serve_cli_sigterm_graceful_drain(pipe, tmp_path):
             proc.kill()
 
 
+def test_prometheus_counters_render_exactly():
+    """Counters past 1e6 must render EXACTLY — %g's 6 significant
+    digits would quantize requests_total so consecutive scrapes could
+    read identical values while thousands of requests were served
+    (breaking Prometheus rate())."""
+    from tpucap.serve_http import _prometheus_text
+
+    class FakeServer:
+        def __init__(self, stats):
+            self._stats = stats
+
+        def stats(self):
+            return self._stats
+
+    big = 12_345_678  # %g would emit 1.23457e+07 (= 12,345,700)
+    text = _prometheus_text(
+        {
+            "default": (
+                None,
+                FakeServer({"requests": big, "mean_batch": 3.25}),
+                FakeServer({"requests": 0}),
+            )
+        }
+    )
+    assert (
+        f'tpucap_requests_total{{model="default",endpoint="images"}} '
+        f"{big}" in text
+    )
+    assert "e+0" not in text and "E+0" not in text
+    assert (
+        'tpucap_mean_batch_size{model="default",endpoint="images"} 3.25'
+        in text
+    )
+
+
 def test_prometheus_metrics_endpoint(server, pipe, rng):
     """GET /metrics renders the /stats content in the Prometheus text
     exposition format: HELP/TYPE headers, per-model x endpoint labels,

@@ -15,6 +15,8 @@ component inventory this package implements):
 - ``tpucap.ops``     — Pallas kernels + C++ JPEG decode extension
 - ``tpucap.checkpoint`` — orbax checkpoint manager, Keras .h5 import
 - ``tpucap.cli``     — extract / train / caption / evaluate / bench entry points
+- ``tpucap.serve`` / ``tpucap.serve_http`` — micro-batching caption servers
+- ``tpucap.client`` — stdlib Python SDK for the HTTP serving layer
 """
 
 from tpucap.version import __version__

@@ -1125,11 +1125,11 @@ def cmd_evaluate(args):
     metrics = tuple(
         m.strip() for m in args.metrics.split(",") if m.strip()
     )
-    bad = set(metrics) - {"bleu", "cider", "rouge_l", "meteor"}
+    bad = set(metrics) - {"bleu", "cider", "rouge_l", "meteor", "diversity"}
     if bad or not metrics:
         raise SystemExit(
             f"--metrics: unknown {sorted(bad) or '(empty)'}; "
-            "choose from bleu,cider,rouge_l,meteor"
+            "choose from bleu,cider,rouge_l,meteor,diversity"
         )
     pipe = _restore_pipeline(args)
     prepared = _load_dataset(args, default_split="test")
@@ -1897,9 +1897,11 @@ def main(argv=None):
                    help="also write per-image JSONL (image_id, caption, "
                    "references, sentence BLEU-4) for error analysis")
     p.add_argument("--metrics", default="bleu",
-                   help="comma list from bleu,cider,rouge_l,meteor "
-                   "(default "
-                   "bleu = the reference-parity BLEU-1..4)")
+                   help="comma list from bleu,cider,rouge_l,meteor,"
+                   "diversity (default "
+                   "bleu = the reference-parity BLEU-1..4; diversity "
+                   "adds reference-free distinct-1/2, vocab_used, "
+                   "unique_captions, mean_len)")
     p.add_argument("--coco-results", default=None,
                    help="also write coco-caption results JSON "
                    "([{image_id, caption}, ...], numeric ids as ints) "

@@ -143,32 +143,43 @@ class CaptioningPipeline:
         # Normalize each entry through the SAME pipeline captions were
         # tokenized with (filters + lowercase + split) — a blocklist
         # line like "Damn!" or "shut up" must ban the vocabulary words
-        # it contains, not be silently dropped as unknown.
+        # it contains, not be silently dropped as unknown. Words the
+        # model can never emit (OOV or num_words-capped) drop out.
+        return tuple(
+            sorted(
+                {
+                    i
+                    for entry in words
+                    for _, i in self._normalize_vocab_entry(entry)
+                    if i is not None
+                }
+            )
+        )
+
+    def _normalize_vocab_entry(self, entry: str):
+        """Run ``entry`` through the tokenizer's OWN normalization
+        (filters + lowercase + split) and look up each resulting
+        word's model-emittable id -> [(word, id_or_None)]. ``None``
+        marks a word the model head can never emit: absent from
+        word_index, or at/above the num_words cap (a capped tokenizer
+        keeps the FULL word_index while the head is capped — an
+        id >= V would be an out-of-bounds gather in the engines).
+        Single source of truth for "is this a vocabulary word", shared
+        by bad_words (drops None) and include_words (raises on None)
+        so the two dials can never disagree about the rule."""
         from tpucap.text import text_to_word_sequence
         from tpucap.text.tokenizer import DEFAULT_FILTERS
 
         tok = self.tokenizer
         wi = tok.word_index
-        normalized = [
-            w
-            for entry in words
+        return [
+            (w, wi[w] if w in wi and wi[w] < self.vocab_size else None)
             for w in text_to_word_sequence(
                 entry,
                 filters=getattr(tok, "filters", DEFAULT_FILTERS),
                 lower=getattr(tok, "lower", True),
             )
         ]
-        # Ids at/above the model head's num_words cap can never be
-        # emitted — dropping them matches the OOV rule above.
-        return tuple(
-            sorted(
-                {
-                    wi[w]
-                    for w in normalized
-                    if w in wi and wi[w] < self.vocab_size
-                }
-            )
-        )
 
     # -- model construction ------------------------------------------------
 
@@ -3185,11 +3196,7 @@ class CaptioningPipeline:
                 "PIECE set is a phrase constraint, not supported)"
             )
         from tpucap.decode.constrained import MAX_CONSTRAINTS
-        from tpucap.text import text_to_word_sequence
-        from tpucap.text.tokenizer import DEFAULT_FILTERS
 
-        tok = self.tokenizer
-        wi = tok.word_index
         start_id, end_id = self._token_ids()
         banned = set(self._banned_ids())
 
@@ -3210,31 +3217,27 @@ class CaptioningPipeline:
             )
 
         def encode(entry: str) -> int:
-            words = text_to_word_sequence(
-                entry,
-                filters=getattr(tok, "filters", DEFAULT_FILTERS),
-                lower=getattr(tok, "lower", True),
-            )
-            if len(words) != 1:
+            pairs = self._normalize_vocab_entry(entry)
+            if len(pairs) != 1:
                 raise ValueError(
                     f"include_words entry {entry!r} normalizes to "
-                    f"{len(words)} words — phrase constraints are not "
+                    f"{len(pairs)} words — phrase constraints are not "
                     "supported; pass single words"
                 )
-            w = words[0]
-            if w not in wi:
+            w, i = pairs[0]
+            if i is None:
+                # Distinguish the two un-emittable cases for the error
+                # message; the RULE itself lives in
+                # _normalize_vocab_entry, shared with bad_words.
+                full = self.tokenizer.word_index.get(w)
+                if full is None:
+                    raise ValueError(
+                        f"include_words entry {entry!r} -> {w!r} is "
+                        "not in the vocabulary (the model can never "
+                        "emit it)"
+                    )
                 raise ValueError(
-                    f"include_words entry {entry!r} -> {w!r} is not in "
-                    "the vocabulary (the model can never emit it)"
-                )
-            i = wi[w]
-            if i >= self.vocab_size:
-                # num_words-capped tokenizers keep the FULL word_index
-                # while the model head is capped — an id >= V would be
-                # an out-of-bounds gather in the engine (NaN scores, a
-                # fabricated caption), so it is OOV for the model.
-                raise ValueError(
-                    f"include_words entry {w!r} has id {i} >= the "
+                    f"include_words entry {w!r} has id {full} >= the "
                     f"model vocabulary size {self.vocab_size} "
                     "(num_words cap) — the model can never emit it"
                 )

@@ -305,6 +305,15 @@ class CaptionServer:
                     )
         iw: tuple = ()
         if include_words:
+            if isinstance(include_words, (str, bytes)):
+                # A bare string would iterate character-by-character
+                # below ("dog" -> ('d','o','g')) — an easy client
+                # mistake that must fail loudly, not constrain on
+                # single letters.
+                raise ValueError(
+                    "include_words must be a list of words, got a "
+                    f"string {include_words!r}"
+                )
             if prefix:
                 raise ValueError(
                     "a request takes prefix OR include_words, not both"

@@ -125,7 +125,13 @@ def _prometheus_text(models: dict) -> str:
         lines.append(f"# HELP {fam} {help_}")
         lines.append(f"# TYPE {fam} {typ}")
         for labels, v in rows:
-            lines.append(f"{fam}{{{labels}}} {float(v):g}")
+            # Counters must render EXACTLY — %g's 6 significant digits
+            # would quantize requests_total past ~1e6, so consecutive
+            # scrapes could read identical values while thousands of
+            # requests were served (breaking Prometheus rate()).
+            # repr() is shortest-exact for floats; ints print as ints.
+            out = repr(float(v)) if not float(v).is_integer() else str(int(v))
+            lines.append(f"{fam}{{{labels}}} {out}")
     # Request latency percentiles as a summary (absent until the first
     # request — percentiles of an empty window are meaningless).
     lat_rows = [

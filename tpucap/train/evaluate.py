@@ -49,7 +49,9 @@ def evaluate_captions(
     compares against — controlled by strip_sentinels=False for strict
     compat). ``metrics`` selects from 'bleu' (the reference-parity
     default), 'cider' (CIDEr-D), 'rouge_l', 'meteor' (exact+stem
-    modules — offline lower bound of METEOR 1.5) — extras come from
+    modules — offline lower bound of METEOR 1.5), and 'diversity'
+    (reference-free distinct-1/2, vocab_used, unique_captions,
+    mean_len — the mode-collapse diagnostics) — extras come from
     tpucap.train.metrics."""
     refs, hyps = [], []
     for image_id, hyp in generated.items():
@@ -66,11 +68,13 @@ def evaluate_captions(
             ]
         refs.append(ref_tokens)
         hyps.append(hyp_tokens)
-    unknown = set(metrics) - {"bleu", "cider", "rouge_l", "meteor"}
+    unknown = set(metrics) - {
+        "bleu", "cider", "rouge_l", "meteor", "diversity",
+    }
     if unknown:
         raise ValueError(
             f"unknown metrics {sorted(unknown)}; "
-            "have bleu|cider|rouge_l|meteor"
+            "have bleu|cider|rouge_l|meteor|diversity"
         )
     out: dict[str, float] = {}
     if "bleu" in metrics:
@@ -87,4 +91,8 @@ def evaluate_captions(
         from tpucap.train.metrics import meteor
 
         out["meteor"] = meteor(refs, hyps)
+    if "diversity" in metrics:
+        from tpucap.train.metrics import caption_stats
+
+        out.update(caption_stats(hyps))
     return out

@@ -216,3 +216,40 @@ def meteor(
         for refs, hyp in zip(references, hypotheses)
     ]
     return float(sum(scores) / len(scores))
+
+
+def caption_stats(hypotheses: list[list[str]]) -> dict[str, float]:
+    """Reference-free diversity/length diagnostics of a generated
+    caption set — the standard companions to the overlap metrics for
+    spotting mode collapse (a beam-search model can hold its BLEU while
+    emitting the same five captions for everything; these numbers
+    can't miss that):
+
+    - ``distinct_1`` / ``distinct_2`` (Li et al., NAACL 2016): unique
+      n-grams / total n-grams across the corpus, n=1,2.
+    - ``vocab_used``: number of distinct words emitted.
+    - ``unique_captions``: fraction of images whose caption string is
+      unique in the set (1.0 = no two images share a caption).
+    - ``mean_len``: mean caption length in words.
+
+    Takes the hypotheses in the same token-list layout as the overlap
+    metrics (sentinels already stripped by evaluate_captions)."""
+    if not hypotheses:
+        raise ValueError("empty corpus")
+    total = {1: 0, 2: 0}
+    uniq: dict[int, set] = {1: set(), 2: set()}
+    for hyp in hypotheses:
+        for n in (1, 2):
+            grams = [tuple(hyp[i : i + n]) for i in range(len(hyp) - n + 1)]
+            total[n] += len(grams)
+            uniq[n].update(grams)
+    caps = Counter(tuple(h) for h in hypotheses)
+    return {
+        "distinct_1": len(uniq[1]) / total[1] if total[1] else 0.0,
+        "distinct_2": len(uniq[2]) / total[2] if total[2] else 0.0,
+        "vocab_used": float(len(uniq[1])),
+        "unique_captions": sum(
+            1 for c in caps.values() if c == 1
+        ) / len(hypotheses),
+        "mean_len": sum(len(h) for h in hypotheses) / len(hypotheses),
+    }
