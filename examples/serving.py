@@ -61,6 +61,21 @@ def main():
             t.join()
         print("captions:", results[:3], "...")
         print("stats:", srv.stats())
+
+    # The same thing over HTTP with the client SDK (tpucap.client):
+    # an application that holds no model, no device, no jax — just a
+    # host:port. caption_features_many ships all rows in ONE request
+    # and the server's micro-batcher coalesces them on-device.
+    from tpucap.client import CaptionClient
+    from tpucap.serve_http import CaptionHTTPServer
+
+    with CaptionHTTPServer(pipe, port=0, max_batch=8) as http_srv:
+        http_srv.serve_background()
+        client = CaptionClient(*http_srv.address)
+        caps = client.caption_features_many(all_feats[:4])
+        assert caps[0] == results[0]
+        print("client SDK captions:", caps[:2], "...")
+        print("healthz:", client.healthz())
     print("serving example OK")
 
 

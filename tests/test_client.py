@@ -89,6 +89,23 @@ def test_caption_features_accepts_arrays_and_lists(client, pipe, rng):
     assert client.caption_features(feats.tolist()) == ref
 
 
+def test_caption_features_many_one_request(client, pipe, rng):
+    """POST /caption_batch: many rows in one request equal the offline
+    batch; shape errors and per-request dials behave."""
+    feats = rng.normal(size=(5, 128)).astype(np.float32)
+    got = client.caption_features_many(feats)
+    assert got == list(
+        pipe.generate(feats, method="beam", beam_width=2)
+    )
+    # A single row (1-D) must be rejected toward /caption_features.
+    with pytest.raises(ServerError, match="LIST of feature rows"):
+        client.caption_features_many(feats[0])
+    # Shared dial applies to every row.
+    word = _vocab_word(pipe)
+    got = client.caption_features_many(feats[:2], include_words=[word])
+    assert all(word in c.split() for c in got)
+
+
 def test_caption_many_is_order_preserving(client, pipe, rng):
     """Concurrent submission (the micro-batcher's intended shape)
     returns captions in input order, equal to serial requests."""
@@ -142,6 +159,47 @@ def test_monitoring_surfaces(client):
     assert stats["features"]["requests"] >= 1
     text = client.metrics()
     assert "# TYPE tpucap_requests_total counter" in text
+
+
+def test_cli_caption_server_mode(client, beam_server, pipe, rng, tmp_path, capsys):
+    """`tpucap caption --server HOST:PORT` routes through the client
+    SDK — no local checkpoint restore — and prints path\\tcaption lines
+    identical to direct client calls; offline-only modes refuse."""
+    from tpucap.cli.main import main
+
+    host, port = beam_server.address
+    paths = []
+    for i in range(2):
+        blob = _jpeg_bytes(rng, pipe.encoder.input_size)
+        p = tmp_path / f"img{i}.jpg"
+        p.write_bytes(blob)
+        paths.append(str(p))
+    main(["caption", "--server", f"{host}:{port}",
+          "--image", *paths])
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 2
+    for path, line in zip(paths, out):
+        got_path, cap = line.split("\t")
+        assert got_path == path
+        assert cap == client.caption(open(path, "rb").read())
+
+    # Per-request dial passes through.
+    word = _vocab_word(pipe)
+    main(["caption", "--server", f"{host}:{port}",
+          "--image", paths[0], "--include-words", word])
+    line = capsys.readouterr().out.strip()
+    assert word in line.split("\t")[1].split()
+
+    # Offline-only modes refuse before any network IO.
+    with pytest.raises(SystemExit, match="offline"):
+        main(["caption", "--server", f"{host}:{port}",
+              "--image", paths[0], "--method", "mbr"])
+    with pytest.raises(SystemExit, match="HOST:PORT"):
+        main(["caption", "--server", "nope", "--image", paths[0]])
+    # Server-side validation surfaces as a clean exit, not a traceback.
+    with pytest.raises(SystemExit, match="server error"):
+        main(["caption", "--server", f"{host}:{port}",
+              "--image", paths[0], "--include-words", "zzzunknownzzz"])
 
 
 def test_stream_exact_concatenation(pipe, rng):

@@ -910,7 +910,84 @@ def cmd_distill(args):
         )
 
 
+def _caption_remote(args):
+    """``caption --server HOST:PORT``: caption through a RUNNING
+    ``tpucap serve`` endpoint via the tpucap.client SDK instead of
+    restoring a model locally — no checkpoint, no device, no compile
+    on this machine; the server's micro-batcher does the device work.
+    Per-request dials (--prefix / --include-words) pass through;
+    everything model-shaped (--method/--beam-width/--decoder/...) is
+    SERVER-side state and is ignored here, while the modes that only
+    exist offline (speculative/diverse/mbr, ensembles, attention
+    dumps) refuse loudly."""
+    if args.method in ("speculative", "diverse", "mbr"):
+        raise SystemExit(
+            f"--method {args.method} is an offline decode mode; "
+            "--server supports the server's configured greedy/beam "
+            "(plus --prefix / --include-words per request)"
+        )
+    if getattr(args, "ensemble_with", None) or getattr(
+        args, "dump_attention", None
+    ):
+        raise SystemExit(
+            "--ensemble-with/--dump-attention need a local model; "
+            "drop --server to run offline"
+        )
+    if getattr(args, "prefix", None) and getattr(
+        args, "include_words", None
+    ):
+        raise SystemExit("a request takes --prefix OR --include-words")
+
+    from tpucap.client import CaptionClient, ServerError
+
+    host, _, port = args.server.rpartition(":")
+    if not port.isdigit():
+        raise SystemExit(
+            f"--server wants HOST:PORT, got {args.server!r}"
+        )
+    client = CaptionClient(
+        host or "127.0.0.1", int(port), model=args.server_model or ""
+    )
+    include_words = None
+    if getattr(args, "include_words", None):
+        include_words = [
+            w.strip() for w in args.include_words.split(",") if w.strip()
+        ]
+    blobs = []
+    for path in args.image:
+        with open(path, "rb") as f:
+            blobs.append(f.read())
+    try:
+        if not include_words and not getattr(args, "prefix", None):
+            caps = client.caption_many(blobs)
+        else:
+            # Dial'd requests go one-by-one (the dials are per-request
+            # query params); concurrent submission still batches
+            # server-side when several images are given.
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(min(32, len(blobs))) as pool:
+                caps = list(
+                    pool.map(
+                        lambda b: client.caption(
+                            b,
+                            prefix=getattr(args, "prefix", None),
+                            include_words=include_words,
+                        ),
+                        blobs,
+                    )
+                )
+    except ServerError as e:
+        raise SystemExit(f"server error ({e.status}): {e}")
+    except OSError as e:
+        raise SystemExit(f"cannot reach {args.server}: {e}")
+    for path, cap in zip(args.image, caps):
+        print(f"{path}\t{cap}")
+
+
 def cmd_caption(args):
+    if getattr(args, "server", None):
+        return _caption_remote(args)
     if args.method == "speculative" and not args.draft_bundle:
         # Validate BEFORE restore/extract — a missing draft must not cost
         # a checkpoint restore and an encoder compile first.
@@ -1783,6 +1860,15 @@ def main(argv=None):
     _add_common_model_flags(p)
     _add_optimizer_flags(p)
     p.add_argument("--image", nargs="+", required=True)
+    p.add_argument("--server", default=None, metavar="HOST:PORT",
+                   help="caption through a running `tpucap serve` "
+                   "endpoint instead of restoring a model locally "
+                   "(tpucap.client SDK; no checkpoint/device needed "
+                   "here). --prefix/--include-words pass through "
+                   "per request; model-shaped flags are the server's")
+    p.add_argument("--server-model", default=None, metavar="NAME",
+                   help="with --server: pick a named model on a "
+                   "multi-model server (?model=NAME routing)")
     p.add_argument("--checkpoint-dir", default="checkpoints")
     p.add_argument("--method", default="beam",
                    choices=["greedy", "beam", "speculative", "diverse",

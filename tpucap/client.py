@@ -170,6 +170,38 @@ class CaptionClient:
             "POST", "/caption_features", json.dumps(body).encode()
         )["caption"]
 
+    def caption_features_many(
+        self,
+        rows,
+        *,
+        prefix: str | None = None,
+        include_words: Sequence[str] | None = None,
+        model: str | None = None,
+    ) -> list[str]:
+        """Caption MANY feature rows in one request (``POST
+        /caption_batch``) — the single-connection alternative to
+        :meth:`caption_many`'s thread fan-out; the server submits the
+        rows together so its micro-batcher coalesces them into one
+        device batch. All rows share the same dials."""
+        if hasattr(rows, "tolist"):
+            rows = rows.tolist()
+        body = {"features": list(rows)}
+        m = self.model if model is None else model
+        if m:
+            body["model"] = m
+        if prefix:
+            body["prefix"] = prefix
+        if include_words:
+            if isinstance(include_words, (str, bytes)):
+                raise TypeError(
+                    "include_words must be a sequence of words, got a "
+                    f"string {include_words!r}"
+                )
+            body["include_words"] = list(include_words)
+        return self._request(
+            "POST", "/caption_batch", json.dumps(body).encode()
+        )["captions"]
+
     def caption_many(
         self,
         jpegs: Iterable[bytes],

@@ -18,6 +18,12 @@ Endpoints:
                                optional ``"prefix": "a dog"`` and
                                ``"include_words": ["dog", ...]`` fields
                                (or the query params)
+- ``POST /caption_batch``      body = JSON {"features": [[...], ...]}
+                               (MANY rows, one request) ->
+                               {"captions": [...]} — the
+                               single-connection way to fill a device
+                               batch; rows share the request's
+                               prefix/include_words dials
 - ``POST /caption_stream``     JPEG bytes -> ndjson STREAM of
                                {"words": [...]} spans as the caption
                                decodes, then {"caption": ..., "done":
@@ -584,6 +590,51 @@ class CaptionHTTPServer:
                             payload.get("include_words")
                             or include_words,
                         )
+                    elif route == "/caption_batch":
+                        # Many feature rows in ONE request — the
+                        # convenience surface for clients that can't
+                        # run concurrent connections (the other way to
+                        # fill a device batch; see client.caption_many
+                        # for the threaded shape). All rows share the
+                        # request's prefix/include_words dials and are
+                        # submitted together, so the micro-batcher
+                        # coalesces them into one device batch.
+                        payload = json.loads(body)
+                        _, features, _, _ = _resolve(
+                            payload.get("model", "") or model
+                        )
+                        rows = np.asarray(
+                            payload["features"], np.float32
+                        )
+                        if rows.ndim < 2:
+                            raise ValueError(
+                                "caption_batch wants a LIST of "
+                                f"feature rows, got shape {rows.shape}"
+                                " — use /caption_features for one row"
+                            )
+                        futs = [
+                            _submit(
+                                features,
+                                row,
+                                payload.get("prefix", "") or prefix,
+                                payload.get("include_words")
+                                or include_words,
+                            )
+                            for row in rows
+                        ]
+                        # Resolution failures are server-side (500),
+                        # unlike the admission errors mapped to 400
+                        # by the enclosing handler — same split as
+                        # the single-row tail below.
+                        try:
+                            caps = [
+                                f.result(timeout=120) for f in futs
+                            ]
+                        except Exception as e:
+                            self._reply(500, {"error": str(e)})
+                            return
+                        self._reply(200, {"captions": caps})
+                        return
                     elif route == "/caption_stream":
                         if prefix or include_words:
                             # The streaming path has no forced-prefix /
