@@ -202,6 +202,36 @@ def test_cli_caption_server_mode(client, beam_server, pipe, rng, tmp_path, capsy
               "--image", paths[0], "--include-words", "zzzunknownzzz"])
 
 
+def test_load_client_script(beam_server, capsys):
+    """scripts/load_client.py drives a live server and prints the JSON
+    summary line with real latency percentiles."""
+    import importlib.util
+    import json as _json
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "load_client",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "scripts",
+            "load_client.py",
+        ),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    host, port = beam_server.address
+    rc = mod.main([
+        f"{host}:{port}", "--clients", "2", "--requests", "6",
+        "--feature-dim", "128", "--warmup", "1",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    stats = _json.loads(out)
+    assert stats["requests"] == 6 and stats["errors"] == 0
+    assert stats["captions_per_sec"] > 0
+    assert 0 < stats["p50_ms"] <= stats["p99_ms"]
+
+
 def test_stream_exact_concatenation(pipe, rng):
     """caption_stream against a continuous-engine server: word spans
     handed to on_words concatenate to exactly the returned caption,
