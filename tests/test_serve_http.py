@@ -173,6 +173,65 @@ def test_bad_payloads_400(server):
     assert status == 400  # wrong feature dim
 
 
+def test_http_fuzz_hostile_payloads(server, pipe, rng):
+    """Randomized hostile input sweep: every malformed body/route/query
+    combination must produce a CLEAN client error (4xx/503 JSON) —
+    never a 500, a hang, or a wedged server. Seeded, so failures
+    reproduce."""
+    import random
+
+    r = random.Random(0)
+    routes = [
+        "/caption", "/caption_features", "/caption_batch",
+        "/caption_stream_features", "/reload", "/nonexistent",
+    ]
+    bodies = [
+        b"",
+        b"\x00\xff" * 100,
+        b"not json",
+        b"{",
+        b"[]",
+        b'{"features": "nope"}',
+        b'{"features": 42}',
+        b'{"features": {"a": 1}}',
+        b'{"features": [["x"]]}',
+        b'{"features": [' + b"[1]," * 50 + b"[1]]}",
+        b'{"bundle": 3}',
+        json.dumps({"features": [1.0] * 7}).encode(),  # wrong dim
+        json.dumps(
+            {"features": [1.0] * 128, "include_words": 5}
+        ).encode(),
+        json.dumps(
+            {"features": [1.0] * 128, "include_words": "dog"}
+        ).encode(),
+        json.dumps(
+            {"features": [1.0] * 128, "model": "ghost"}
+        ).encode(),
+        json.dumps({"features": [[1.0] * 128] * 3}).encode(),  # list
+    ]
+    queries = ["", "?include_words=,,,", "?prefix=%00", "?model=ghost"]
+    for _ in range(60):
+        route = r.choice(routes)
+        body = r.choice(bodies)
+        q = r.choice(queries)
+        status, payload = _request(server, "POST", route + q, body)
+        # /caption_batch with a well-formed row LIST and no bad dial is
+        # legitimately servable; everything else must be a clean 4xx.
+        assert status in (200, 400, 403, 404, 503), (
+            route, q, body[:40], status, payload,
+        )
+        if status != 200:
+            assert "error" in payload
+    # The server survived the sweep and still captions correctly.
+    feats = rng.normal(size=(128,)).astype(np.float32)
+    body = json.dumps({"features": feats.tolist()}).encode()
+    status, payload = _request(server, "POST", "/caption_features", body)
+    assert status == 200
+    assert payload["caption"] == pipe.generate(
+        feats[None], method="greedy"
+    )[0]
+
+
 def test_cli_serve_wires_model_dir(tmp_path, pipe, monkeypatch, rng):
     """`tpucap serve --model-dir` loads the bundle and builds the HTTP
     server (serve_forever patched out so the test doesn't block)."""
