@@ -60,6 +60,11 @@ def main(argv=None):
     ap.add_argument("--warmup", type=int, default=4,
                     help="untimed warmup requests (compile + caches)")
     ap.add_argument("--timeout", type=float, default=300.0)
+    ap.add_argument(
+        "--max-error-rate", type=float, default=0.0, metavar="FRAC",
+        help="exit nonzero when errors/requests exceeds this fraction "
+        "(default 0.0: any error fails the run — scripted deployment "
+        "checks must not pass on a partially failing endpoint)")
     args = ap.parse_args(argv)
 
     host, _, port = args.server.rpartition(":")
@@ -107,13 +112,18 @@ def main(argv=None):
     for i in range(min(args.warmup, args.clients)):
         one_request(i)
 
-    per_client = args.requests // args.clients
+    # Spread the remainder over the first (requests % clients) threads
+    # so exactly --requests requests are sent, not a rounded-down count.
+    base, extra = divmod(args.requests, args.clients)
+    counts = [
+        base + (1 if i < extra else 0) for i in range(args.clients)
+    ]
     latencies_ms: list[float] = []
     errors: list[str] = []
     lock = threading.Lock()
 
     def run_client(i):
-        for _ in range(per_client):
+        for _ in range(counts[i]):
             t0 = time.perf_counter()
             try:
                 one_request(i)
@@ -159,7 +169,12 @@ def main(argv=None):
     if errors:
         out["first_error"] = errors[0]
     print(json.dumps(out))
-    return 1 if errors and not done else 0
+    # Nonzero exit when the error rate exceeds the tolerance (default:
+    # ANY error) — a deployment check must not pass on a partially
+    # failing endpoint (ADVICE r3).
+    total = done + len(errors)
+    rate = len(errors) / total if total else 1.0
+    return 1 if rate > args.max_error_rate else 0
 
 
 if __name__ == "__main__":

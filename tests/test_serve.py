@@ -269,3 +269,55 @@ def test_close_fails_pending_futures_when_wedged(pipe, rng, monkeypatch):
     release.append(True)
     srv._thread.join(timeout=30)
     assert not srv._thread.is_alive()
+
+
+def test_submit_many_matches_direct_generate(pipe, rng):
+    feats = rng.normal(size=(5, 128)).astype(np.float32)
+    ref = pipe.generate(feats, method="greedy")
+    with CaptionServer(
+        pipe, max_batch=8, max_delay_ms=50, method="greedy"
+    ) as srv:
+        futs = srv.submit_many(feats)
+        got = [f.result(timeout=120) for f in futs]
+    assert got == ref
+    # Shape contract: a single row is not a row LIST.
+    with CaptionServer(
+        pipe, max_batch=8, max_delay_ms=1, method="greedy"
+    ) as srv:
+        with pytest.raises(ValueError, match="submit_many"):
+            srv.submit_many(feats[0])
+        assert srv.submit_many(feats[:0]) == []
+
+
+def test_submit_many_is_atomic_under_overload(pipe, rng, monkeypatch):
+    """A multi-row submit that exceeds queue capacity is rejected as a
+    WHOLE — no rows enqueue, so the batcher never decodes work for a
+    client that already got its Overloaded back (ADVICE r3)."""
+    import time as _time
+
+    from tpucap.serve import Overloaded
+
+    feats = rng.normal(size=(8, 128)).astype(np.float32)
+    real = CaptionServer._run_batch
+
+    def slow_run(self, batch):
+        _time.sleep(0.5)
+        return real(self, batch)
+
+    monkeypatch.setattr(CaptionServer, "_run_batch", slow_run)
+    srv = CaptionServer(
+        pipe, max_batch=1, max_delay_ms=1, method="greedy", max_queue=3
+    )
+    try:
+        first = srv.submit(feats[0])  # batcher picks this up
+        _time.sleep(0.1)
+        held = srv.submit_many(feats[1:3])  # 2 of 3 capacity
+        before = srv._queue.qsize()
+        with pytest.raises(Overloaded, match="max_queue"):
+            srv.submit_many(feats[3:6])  # 3 rows > 1 remaining slot
+        assert srv._queue.qsize() == before  # nothing half-admitted
+        assert isinstance(first.result(timeout=120), str)
+        for f in held:
+            assert isinstance(f.result(timeout=120), str)
+    finally:
+        srv.close()

@@ -558,3 +558,59 @@ def test_prometheus_metrics_endpoint(server, pipe, rng):
         assert _re.fullmatch(
             r"[a-z_]+\{[^}]*\} -?\d+(?:\.\d+)?(?:e[+-]?\d+)?", line
         ), line
+
+
+def test_caption_batch_row_cap_and_atomic_admission(pipe, rng, monkeypatch):
+    """/caption_batch: over-cap row counts are a clean 400, and a batch
+    that exceeds queue capacity rejects as a WHOLE (503) without
+    leaving accepted rows behind for the batcher (ADVICE r3)."""
+    import time as _time
+
+    from tpucap.serve import CaptionServer
+
+    real = CaptionServer._submit_batch
+
+    def slow_submit(self, batch, prefixes=None, include_words=None):
+        _time.sleep(0.3)
+        return real(self, batch, prefixes, include_words)
+
+    monkeypatch.setattr(CaptionServer, "_submit_batch", slow_submit)
+    with CaptionHTTPServer(
+        pipe, port=0, max_batch=1, max_delay_ms=1, method="greedy",
+        max_queue=2,
+    ) as srv:
+        srv.serve_background()
+        feats = rng.normal(size=(4, 128)).astype(np.float32)
+        # Row cap = max_queue here: a 3-row request can never fit -> 400.
+        body = json.dumps(
+            {"features": rng.normal(size=(3, 128)).tolist()}
+        ).encode()
+        status, payload = _request(srv, "POST", "/caption_batch", body)
+        assert status == 400 and "cap" in payload["error"]
+        # Occupy the batcher, then a 2-row batch against a full queue:
+        # 503 for the whole batch, queue unchanged.
+        one = json.dumps({"features": feats[0].tolist()}).encode()
+        two = json.dumps({"features": feats[1:3].tolist()}).encode()
+        import threading
+
+        codes = []
+
+        def post(b):
+            s, _ = _request(srv, "POST", "/caption_batch" if b is two
+                            else "/caption_features", b)
+            codes.append(s)
+
+        threads = [threading.Thread(target=post, args=(b,))
+                   for b in (one, one, one, two, two, two)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert 503 in codes  # shed under burst
+        assert 200 in codes  # admitted work still completes
+        # Server still healthy afterwards.
+        status, payload = _request(
+            srv, "POST", "/caption_batch",
+            json.dumps({"features": feats[:2].tolist()}).encode(),
+        )
+        assert status == 200 and len(payload["captions"]) == 2

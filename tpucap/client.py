@@ -114,7 +114,15 @@ class CaptionClient:
         try:
             payload = json.loads(raw)
         except ValueError:
-            payload = {"error": raw.decode("utf-8", "replace")}
+            # A 200 whose body is not JSON is a broken server (or a
+            # proxy in the path) — raise it as such instead of
+            # returning a synthesized dict that fails callers with a
+            # bare KeyError('caption') later (ADVICE r3).
+            text = raw.decode("utf-8", "replace")
+            raise ServerError(
+                resp.status,
+                f"non-JSON response body: {text[:500]!r}",
+            ) from None
         if resp.status != 200:
             raise ServerError(
                 resp.status, str(payload.get("error", payload))

@@ -264,6 +264,38 @@ class CaptionServer:
                 f"request shape {x.shape} != expected {expect} "
                 f"(mode={self._mode!r})"
             )
+        iw = self._validate_dials(prefix, include_words)
+        return self._enqueue_rows([x], prefix or "", iw)[0]
+
+    def submit_many(
+        self,
+        xs,
+        prefix: str | None = None,
+        include_words=None,
+    ) -> list[Future]:
+        """Enqueue MANY rows in one atomic admission — all rows are
+        accepted or none are. The shared dials (``prefix`` /
+        ``include_words``) are validated once, shapes are checked
+        before anything enqueues, and the capacity check covers the
+        whole set under the submit lock — so a multi-row request can
+        never be half-admitted (rows the batcher would decode for a
+        client that already got its 503 back)."""
+        xs = np.asarray(xs)
+        expect = self._expected_shape()
+        if xs.ndim != len(expect) + 1 or xs.shape[1:] != expect:
+            raise ValueError(
+                f"submit_many wants shape (N, *{expect}), got "
+                f"{xs.shape} (mode={self._mode!r})"
+            )
+        if xs.shape[0] == 0:
+            return []
+        iw = self._validate_dials(prefix, include_words)
+        return self._enqueue_rows(list(xs), prefix or "", iw)
+
+    def _validate_dials(self, prefix, include_words) -> tuple:
+        """Admission-time validation of the per-request decode dials;
+        -> the normalized include_words tuple. Raises so a bad dial
+        fails its own request, never the micro-batch it lands in."""
         if prefix:
             method = (
                 self._decode_kw["method"]
@@ -343,21 +375,30 @@ class CaptionServer:
             # sentinel / num_words-cap / BPE refusal) so a bad
             # constraint fails its own request, never the batch.
             self._pipe._constraint_ids([list(iw)], 1)
-        if (
-            self._max_queue is not None
-            and self._queue.qsize() >= self._max_queue
-        ):
-            raise Overloaded(
-                f"request queue at max_queue={self._max_queue}"
-            )
-        fut: Future = Future()
+        return iw
+
+    def _enqueue_rows(
+        self, rows: list, prefix: str, iw: tuple
+    ) -> list[Future]:
+        """Capacity-check and enqueue a set of validated rows under ONE
+        lock acquisition: admission is atomic for the whole set (and
+        against concurrent submitters)."""
         with self._submit_lock:
             if self._closed:
                 raise RuntimeError("server is closed")
-            self._queue.put(
-                (x, prefix or "", iw, fut, time.perf_counter())
-            )
-        return fut
+            if self._max_queue is not None and (
+                self._queue.qsize() + len(rows) > self._max_queue
+            ):
+                raise Overloaded(
+                    f"request queue at max_queue={self._max_queue}"
+                )
+            now = time.perf_counter()
+            futs: list[Future] = []
+            for x in rows:
+                fut: Future = Future()
+                self._queue.put((x, prefix, iw, fut, now))
+                futs.append(fut)
+        return futs
 
     def caption(self, x, timeout: float | None = 60.0) -> str:
         """Blocking single-request convenience wrapper."""
@@ -854,19 +895,44 @@ class ContinuousCaptionServer:
                 f"request shape {x.shape} != expected "
                 f"{self._input_shape} (mode={self._mode!r})"
             )
+        return self._enqueue_rows([x], on_words)[0]
+
+    def submit_many(self, xs) -> list[Future]:
+        """Enqueue MANY rows in one atomic admission — all accepted or
+        none (the CaptionServer.submit_many contract; the continuous
+        engines have no prefix/include_words surface)."""
+        xs = np.asarray(xs)
         if (
-            self._max_queue is not None
-            and self._queue.qsize() >= self._max_queue
+            xs.ndim != len(self._input_shape) + 1
+            or xs.shape[1:] != self._input_shape
         ):
-            raise Overloaded(
-                f"request queue at max_queue={self._max_queue}"
+            raise ValueError(
+                f"submit_many wants shape (N, *{self._input_shape}), "
+                f"got {xs.shape} (mode={self._mode!r})"
             )
-        fut: Future = Future()
+        if xs.shape[0] == 0:
+            return []
+        return self._enqueue_rows(list(xs), None)
+
+    def _enqueue_rows(self, rows: list, on_words) -> list[Future]:
+        """Capacity-check and enqueue under ONE lock acquisition so a
+        multi-row request is never half-admitted."""
         with self._submit_lock:
             if self._closed:
                 raise RuntimeError("server is closed")
-            self._queue.put((x, fut, time.perf_counter(), on_words))
-        return fut
+            if self._max_queue is not None and (
+                self._queue.qsize() + len(rows) > self._max_queue
+            ):
+                raise Overloaded(
+                    f"request queue at max_queue={self._max_queue}"
+                )
+            now = time.perf_counter()
+            futs: list[Future] = []
+            for x in rows:
+                fut: Future = Future()
+                self._queue.put((x, fut, now, on_words))
+                futs.append(fut)
+        return futs
 
     def caption(self, features, timeout: float | None = 60.0) -> str:
         return self.submit(features).result(timeout=timeout)

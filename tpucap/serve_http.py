@@ -612,16 +612,46 @@ class CaptionHTTPServer:
                                 f"feature rows, got shape {rows.shape}"
                                 " — use /caption_features for one row"
                             )
-                        futs = [
-                            _submit(
-                                features,
-                                row,
-                                payload.get("prefix", "") or prefix,
-                                payload.get("include_words")
-                                or include_words,
+                        # Per-request row cap: one request must not be
+                        # able to fill the whole admission queue (and
+                        # an unbounded-queue server still gets a sane
+                        # ceiling). ValueError -> 400 via the handler.
+                        cap = getattr(features, "_max_queue", None)
+                        cap = cap if cap is not None else 4096
+                        if rows.shape[0] > cap:
+                            raise ValueError(
+                                f"caption_batch got {rows.shape[0]} "
+                                f"rows, per-request cap is {cap} — "
+                                "split the request"
                             )
-                            for row in rows
-                        ]
+                        # Atomic admission (submit_many): dials and
+                        # shapes validate BEFORE anything enqueues and
+                        # the capacity check covers the whole set, so
+                        # a failed batch never leaves accepted rows
+                        # behind for the batcher to decode after the
+                        # client already got its 400/503 (ADVICE r3).
+                        bprefix = payload.get("prefix", "") or prefix
+                        biw = (
+                            payload.get("include_words")
+                            or include_words
+                        )
+                        if (bprefix or biw) and not isinstance(
+                            features, CaptionServer
+                        ):
+                            raise ValueError(
+                                "prefix/include_words need "
+                                "engine='batch' (the continuous "
+                                "engines have no forced-prefix/"
+                                "constrained path)"
+                            )
+                        if isinstance(features, CaptionServer):
+                            futs = features.submit_many(
+                                rows,
+                                prefix=bprefix or None,
+                                include_words=biw or None,
+                            )
+                        else:
+                            futs = features.submit_many(rows)
                         # Resolution failures are server-side (500),
                         # unlike the admission errors mapped to 400
                         # by the enclosing handler — same split as
