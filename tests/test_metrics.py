@@ -212,6 +212,47 @@ class TestMeteor:
         with pytest.raises(ValueError, match="unknown metrics"):
             evaluate_captions(desc, gen, metrics=("spice",))
 
+    def test_synonym_stage_from_fixture_file(self):
+        """With the bundled synonym fixture, 'canine' aligns to 'dog'
+        through the synonym stage — scoring exactly like the identical
+        sentence — while the no-synonyms default stays the exact+stem
+        lower bound."""
+        import os
+
+        from tpucap.train.metrics import SynonymTable, meteor
+
+        path = os.path.join(
+            os.path.dirname(__file__), "fixtures", "synonyms.txt"
+        )
+        refs = [[["a", "dog", "runs", "fast"]]]
+        hyp = [["a", "canine", "runs", "fast"]]
+        exact = meteor(refs, [["a", "dog", "runs", "fast"]])
+        assert meteor(refs, hyp, synonyms=path) == pytest.approx(
+            exact, abs=1e-9
+        )
+        assert meteor(refs, hyp) < exact  # lower bound without it
+        # Mapping form, symmetry (group membership is enough), and
+        # comment/comma parsing in the fixture.
+        table = SynonymTable.from_file(path)
+        assert table.synsets("sprints")  # comma-separated group
+        assert not table.synsets("lonelyword")  # 1-word group dropped
+        assert not table.synsets("zebra")
+        assert meteor(
+            refs, hyp, synonyms={"dog": ["canine"]}
+        ) == pytest.approx(exact, abs=1e-9)
+
+    def test_synonym_stage_plumbs_through_evaluate(self):
+        desc = {"i1": ["startseq a dog runs endseq"]}
+        gen = {"i1": "a canine runs"}
+        plain = evaluate_captions(desc, gen, metrics=("meteor",))
+        syn = evaluate_captions(
+            desc,
+            gen,
+            metrics=("meteor",),
+            meteor_synonyms={"dog": ["canine"]},
+        )
+        assert syn["meteor"] > plain["meteor"]
+
 
 class TestCaptionStats:
     def test_hand_values(self):
@@ -251,6 +292,16 @@ class TestCaptionStats:
 
         s = caption_stats([["a"], ["a"], ["b"]])
         assert s["unique_captions"] == pytest.approx(1 / 3)
+
+    def test_zero_bigrams_is_undefined_not_collapse(self):
+        """All-single-word captions have NO bigrams: distinct_2 must be
+        None (undefined), not 0.0 (which reads as maximal mode
+        collapse)."""
+        from tpucap.train.metrics import caption_stats
+
+        s = caption_stats([["a"], ["b"], ["c"]])
+        assert s["distinct_2"] is None
+        assert s["distinct_1"] == pytest.approx(1.0)
 
     def test_empty_corpus_raises(self):
         from tpucap.train.metrics import caption_stats

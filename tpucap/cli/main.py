@@ -945,6 +945,9 @@ def _caption_remote(args):
         raise SystemExit(
             f"--server wants HOST:PORT, got {args.server!r}"
         )
+    # Bracketed IPv6 literals ([::1]:8000) parse to host '[::1]' —
+    # strip the brackets, which http.client does not accept (ADVICE r3).
+    host = host.strip("[]")
     client = CaptionClient(
         host or "127.0.0.1", int(port), model=args.server_model or ""
     )
@@ -986,6 +989,14 @@ def _caption_remote(args):
 
 
 def cmd_caption(args):
+    if getattr(args, "server_model", None) and not getattr(
+        args, "server", None
+    ):
+        # --server-model without --server would be silently ignored —
+        # there is no local surface it applies to (ADVICE r3).
+        raise SystemExit(
+            "--server-model only applies with --server HOST:PORT"
+        )
     if getattr(args, "server", None):
         return _caption_remote(args)
     if args.method == "speculative" and not args.draft_bundle:
@@ -1208,6 +1219,14 @@ def cmd_evaluate(args):
             f"--metrics: unknown {sorted(bad) or '(empty)'}; "
             "choose from bleu,cider,rouge_l,meteor,diversity"
         )
+    syn = getattr(args, "meteor_synonyms", None)
+    if syn:
+        if "meteor" not in metrics:
+            raise SystemExit(
+                "--meteor-synonyms needs meteor in --metrics"
+            )
+        if not os.path.isfile(syn):
+            raise SystemExit(f"--meteor-synonyms: no such file {syn!r}")
     pipe = _restore_pipeline(args)
     prepared = _load_dataset(args, default_split="test")
     features = dict(np.load(args.features))
@@ -1222,6 +1241,7 @@ def cmd_evaluate(args):
         parallelism=args.parallelism,
         metrics=metrics,
         return_captions=bool(dump or coco_out),
+        meteor_synonyms=syn or None,
     )
     if dump:
         from tpucap.train.evaluate import evaluate_captions
@@ -1992,6 +2012,12 @@ def main(argv=None):
                    help="also write coco-caption results JSON "
                    "([{image_id, caption}, ...], numeric ids as ints) "
                    "for pycocoevalcap / external leaderboards")
+    p.add_argument("--meteor-synonyms", default=None, metavar="FILE",
+                   help="synonym-groups file (one group per line, "
+                   "words split on whitespace/commas, # comments) "
+                   "enabling METEOR's synonym stage from local data — "
+                   "e.g. a list derived from a local WordNet install; "
+                   "without it METEOR is the exact+stem lower bound")
     _add_restore_flags(p)
     p.set_defaults(fn=cmd_evaluate)
 

@@ -4105,6 +4105,7 @@ class CaptioningPipeline:
         parallelism: str | None = None,
         metrics: tuple = ("bleu",),
         return_captions: bool = False,
+        meteor_synonyms=None,
     ):
         """Batched decode + NLTK corpus BLEU-1..4. The tail chunk is
         zero-padded to ``batch_size`` so evaluation compiles exactly ONE
@@ -4130,7 +4131,10 @@ class CaptioningPipeline:
             )[:n]
             generated.update(dict(zip(chunk, caps)))
         scores = evaluate_captions(
-            descriptions, generated, metrics=metrics
+            descriptions,
+            generated,
+            metrics=metrics,
+            meteor_synonyms=meteor_synonyms,
         )
         if return_captions:
             return scores, generated

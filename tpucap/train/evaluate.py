@@ -40,6 +40,7 @@ def evaluate_captions(
     *,
     strip_sentinels: bool = True,
     metrics: tuple = ("bleu",),
+    meteor_synonyms=None,
 ) -> dict[str, float]:
     """Reference-parity evaluate_model: compare generated captions against
     the 5 reference captions per image, corpus-level BLEU-1..4.
@@ -52,7 +53,9 @@ def evaluate_captions(
     modules — offline lower bound of METEOR 1.5), and 'diversity'
     (reference-free distinct-1/2, vocab_used, unique_captions,
     mean_len — the mode-collapse diagnostics) — extras come from
-    tpucap.train.metrics."""
+    tpucap.train.metrics. ``meteor_synonyms`` enables METEOR's synonym
+    stage from local data (a synonym-groups file path, mapping, or
+    SynonymTable — tpucap.train.metrics.meteor)."""
     refs, hyps = [], []
     for image_id, hyp in generated.items():
         caps = descriptions[image_id]
@@ -90,7 +93,7 @@ def evaluate_captions(
     if "meteor" in metrics:
         from tpucap.train.metrics import meteor
 
-        out["meteor"] = meteor(refs, hyps)
+        out["meteor"] = meteor(refs, hyps, synonyms=meteor_synonyms)
     if "diversity" in metrics:
         from tpucap.train.metrics import caption_stats
 

@@ -191,16 +191,103 @@ class _NoWordnet:
         return []
 
 
+class _Lemma:
+    __slots__ = ("_name",)
+
+    def __init__(self, name):
+        self._name = name
+
+    def name(self):  # NLTK duck-type
+        return self._name
+
+
+class _Synset:
+    __slots__ = ("_lemmas",)
+
+    def __init__(self, words):
+        self._lemmas = [_Lemma(w) for w in words]
+
+    def lemmas(self):  # NLTK duck-type
+        return self._lemmas
+
+
+class SynonymTable:
+    """User-supplied synonym table duck-typing NLTK's wordnet corpus
+    reader for the METEOR synonym stage (``synsets(word)`` ->
+    [synset], ``synset.lemmas()`` -> [lemma], ``lemma.name()`` -> str
+    — the exact surface nltk.translate.meteor_score touches).
+
+    Built from either a mapping ``{word: [synonyms...]}`` or a text
+    file of synonym GROUPS: one group per line, words separated by
+    whitespace or commas, ``#`` comments — e.g. a line
+    ``dog canine hound`` makes the three mutually matchable. Symmetry
+    is applied (membership in a group is enough; direction does not
+    matter, matching WordNet synset semantics). This is the offline
+    stand-in for the real WordNet corpus: point it at a list derived
+    from a local WordNet installation to recover full METEOR, or at a
+    small domain table for a cheap upper step over exact+stem."""
+
+    def __init__(self, groups_or_map):
+        # NLTK's align pipeline runs exact -> stem -> synonym, and the
+        # stem stage REPLACES leftover surface forms with their Porter
+        # stems before the synonym lookup sees them ('canine' arrives
+        # as 'canin', and the reference side is stemmed too). So each
+        # group is expanded with the stems of its members, as keys and
+        # as lemma names, or the stage would never fire.
+        from nltk.stem.porter import PorterStemmer
+
+        stem = PorterStemmer().stem
+        if hasattr(groups_or_map, "items"):
+            groups = [
+                {str(w), *map(str, syns)}
+                for w, syns in groups_or_map.items()
+            ]
+        else:
+            groups = [set(map(str, g)) for g in groups_or_map]
+        self._syns: dict[str, set] = {}
+        for group in groups:
+            group = group | {stem(w) for w in group}
+            for word in group:
+                self._syns.setdefault(word, set()).update(group)
+
+    @classmethod
+    def from_file(cls, path) -> "SynonymTable":
+        groups = []
+        with open(path, encoding="utf-8") as f:
+            for line in f:
+                line = line.split("#", 1)[0].strip()
+                if not line:
+                    continue
+                words = [
+                    w for w in line.replace(",", " ").split() if w
+                ]
+                if len(words) >= 2:
+                    groups.append(words)
+        return cls(groups)
+
+    def synsets(self, word):  # NLTK duck-type
+        group = self._syns.get(word)
+        return [_Synset(sorted(group))] if group else []
+
+
 def meteor(
-    references: list[list[list[str]]], hypotheses: list[list[str]]
+    references: list[list[list[str]]],
+    hypotheses: list[list[str]],
+    synonyms=None,
 ) -> float:
-    """Corpus METEOR, exact+stem modules (Banerjee & Lavie 2005 via
+    """Corpus METEOR (Banerjee & Lavie 2005 via
     nltk.translate.meteor_score's alignment/chunk machinery, Porter
-    stemmer, synonym stage stubbed — see _NoWordnet): per image the max
-    sentence score over references (NLTK's convention), averaged over
-    images. NOT jar-identical to coco-caption's METEOR 1.5 (no synonym/
-    paraphrase tables offline); documented as the exact+stem lower
-    bound."""
+    stemmer): per image the max sentence score over references (NLTK's
+    convention), averaged over images.
+
+    ``synonyms`` drives the synonym stage: None (default) stubs it
+    (see _NoWordnet) — scores are the exact+stem LOWER BOUND, the only
+    option in a no-network environment with no local WordNet. Pass a
+    path to a synonym-groups file, a ``{word: [synonyms]}`` mapping,
+    or a prebuilt SynonymTable to enable the stage with local data.
+    NOT jar-identical to coco-caption's METEOR 1.5 either way (no
+    paraphrase tables); with a WordNet-derived table this matches
+    NLTK's full configuration."""
     from nltk.translate.meteor_score import meteor_score
 
     if len(references) != len(hypotheses):
@@ -210,7 +297,16 @@ def meteor(
         )
     if not references:
         raise ValueError("empty corpus")
-    wn = _NoWordnet()
+    if synonyms is None:
+        wn = _NoWordnet()
+    elif isinstance(synonyms, SynonymTable):
+        wn = synonyms
+    elif isinstance(synonyms, (str, bytes)) or hasattr(
+        synonyms, "__fspath__"
+    ):
+        wn = SynonymTable.from_file(synonyms)
+    else:
+        wn = SynonymTable(synonyms)
     scores = [
         meteor_score(refs, hyp, wordnet=wn)
         for refs, hyp in zip(references, hypotheses)
@@ -244,9 +340,13 @@ def caption_stats(hypotheses: list[list[str]]) -> dict[str, float]:
             total[n] += len(grams)
             uniq[n].update(grams)
     caps = Counter(tuple(h) for h in hypotheses)
+    # A corpus with zero n-grams at some n (e.g. all single-word
+    # captions -> no bigrams) leaves that distinct_n UNDEFINED — None,
+    # not 0.0, which would read as maximal mode collapse (ADVICE r3;
+    # the 'absent until meaningful' convention of the latency summary).
     return {
-        "distinct_1": len(uniq[1]) / total[1] if total[1] else 0.0,
-        "distinct_2": len(uniq[2]) / total[2] if total[2] else 0.0,
+        "distinct_1": len(uniq[1]) / total[1] if total[1] else None,
+        "distinct_2": len(uniq[2]) / total[2] if total[2] else None,
         "vocab_used": float(len(uniq[1])),
         "unique_captions": sum(
             1 for c in caps.values() if c == 1
