@@ -132,3 +132,29 @@ def test_ema_finetune_tracks_both_trees(toy_corpus, rng):
         rng.normal(size=(2, 128)).astype(np.float32), method="greedy"
     )
     assert len(caps) == 2
+
+
+def test_ema_composes_with_fsdp(toy_corpus, rng):
+    """EMA under FSDP (r4): the shadow tracks the SHARDED leaves (their
+    shapes are canonical — only placement is sharded), is gathered with
+    the params at the end, and equals the dp-EMA trajectory."""
+    desc, feats = data(toy_corpus, rng)
+    ref = make_pipe(toy_corpus, ema=DECAY)
+    ref.fit(desc, feats, epochs=2, parallelism="dp", log=None)
+    pipe = make_pipe(toy_corpus, ema=DECAY)
+    pipe.fit(desc, feats, epochs=2, parallelism="fsdp", log=None)
+    assert "decoder" in pipe.ema_params
+    for a, b in zip(
+        jax.tree.leaves(ref.ema_params["decoder"]),
+        jax.tree.leaves(pipe.ema_params["decoder"]),
+        strict=True,
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-6
+        )
+    # The swap surface works on the gathered shadow.
+    pipe.use_ema_weights()
+    caps = pipe.generate(
+        np.stack([feats["i0"], feats["i1"]]), method="greedy"
+    )
+    assert len(caps) == 2

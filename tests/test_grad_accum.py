@@ -181,10 +181,83 @@ def test_fit_rejects_accum_on_unwired_parallelism(toy_corpus, rng):
     # 2-step accumulation has a whole microbatch per scan step.
     desc = {f"i{k}": [toy_corpus[k % len(toy_corpus)]] for k in range(16)}
     feats = {i: rng.normal(size=(32,)).astype(np.float32) for i in desc}
+    # sp/pp/ep keep the guard (their memory dial is the mesh, not
+    # accumulation — see the fit comment); tp is wired as of r4.
     with pytest.raises(NotImplementedError, match="grad_accum"):
-        pipe.fit(desc, feats, epochs=1, parallelism="tp", log=None)
+        pipe.fit(desc, feats, epochs=1, parallelism="sp", log=None)
     # ...but the wired paths train and descend.
     hist = pipe.fit(desc, feats, epochs=6, parallelism="none", log=None)
     assert hist[-1]["loss"] < hist[0]["loss"]
     hist = pipe.fit(desc, feats, epochs=6, parallelism="dp", log=None)
     assert hist[-1]["loss"] < hist[0]["loss"]
+
+
+def test_tp_accum_matches_single_device_full_batch():
+    """TP grad accumulation (r4): the vocab-parallel step scanning A
+    microbatches in sum space equals the single-device full-batch
+    update — same ragged-padding fixture, so the normalize-once rule
+    is exercised."""
+    from tpucap.parallel.tp import make_tp_train_step
+
+    dec, params, feats, tokens = setup()
+    # TP needs vocab divisible by the mesh; rebuild at vocab 32.
+    dec = build_decoder(
+        "lstm1", vocab_size=32, feature_dim=FEAT, embed_dim=8,
+        hidden_dim=16,
+    )
+    params = dec.init(jax.random.key(0))
+    optimizer = optax.sgd(0.5)
+    full = make_train_step(dec, optimizer, deterministic=True)
+    p1, m1 = _run(full, params, feats, tokens, optimizer)
+
+    mesh = Mesh(np.asarray(jax.devices()), ("model",))
+    for accum in (2, 4):
+        tp = make_tp_train_step(
+            dec, optimizer, mesh, deterministic=True,
+            grad_accum_steps=accum,
+        )
+        p2, m2 = _run(tp, params, feats, tokens, optimizer)
+        np.testing.assert_allclose(
+            float(m1["loss"]), float(m2["loss"]), rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            float(m1["accuracy"]), float(m2["accuracy"]), rtol=1e-5
+        )
+        for a, b in zip(
+            jax.tree.leaves(p1), jax.tree.leaves(p2), strict=True
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=2e-6
+            )
+
+
+def test_tp_accum_2d_data_model_mesh():
+    """grad accumulation composes with the 2-D DPxTP mesh: per-data-
+    shard microbatch scans, sums globalized over both axes."""
+    from tpucap.parallel.tp import make_tp_train_step
+
+    dec, params, feats, tokens = setup()
+    dec = build_decoder(
+        "lstm1", vocab_size=32, feature_dim=FEAT, embed_dim=8,
+        hidden_dim=16,
+    )
+    params = dec.init(jax.random.key(0))
+    optimizer = optax.sgd(0.5)
+    full = make_train_step(dec, optimizer, deterministic=True)
+    p1, m1 = _run(full, params, feats, tokens, optimizer)
+
+    mesh = Mesh(
+        np.asarray(jax.devices()).reshape(2, 4), ("data", "model")
+    )
+    tp = make_tp_train_step(
+        dec, optimizer, mesh, deterministic=True, data_axis="data",
+        grad_accum_steps=2,
+    )
+    p2, m2 = _run(tp, params, feats, tokens, optimizer)
+    np.testing.assert_allclose(
+        float(m1["loss"]), float(m2["loss"]), rtol=1e-5
+    )
+    for a, b in zip(
+        jax.tree.leaves(p1), jax.tree.leaves(p2), strict=True
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)

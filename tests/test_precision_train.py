@@ -225,11 +225,199 @@ def test_pipeline_fit_bf16(toy_corpus, rng):
     assert len(cap) == 2
 
 
-def test_pipeline_fit_bf16_rejects_other_parallelism(toy_corpus, rng):
-    pipe = make_pipe(toy_corpus, precision="bf16")
+def test_pipeline_fit_bf16_tp_runs(toy_corpus, rng):
+    """bf16 now trains on the promoted beyond-parity paths too (r4 —
+    the bench's default precision must be trainable everywhere);
+    step-level closeness per family is pinned below."""
+    pipe = make_pipe(toy_corpus, precision="bf16", batch=8)
     desc, feats = pipe_data(toy_corpus, rng)
-    with pytest.raises(NotImplementedError, match="bf16"):
-        pipe.fit(desc, feats, parallelism="tp", log=None)
+    hist = pipe.fit(desc, feats, parallelism="tp", log=None)
+    assert np.isfinite(hist[-1]["loss"])
+
+
+def _assert_bf16_close(m1, m2, p1, p2, atol=5e-3, rtol=5e-3):
+    """bf16 closeness bar: identical math in sum space, only bf16
+    matmul partial-sum order differs between the one-device and
+    sharded programs (same tolerances as the DP-bf16 test unless the
+    sharded program reassociates more — see the PP caller)."""
+    np.testing.assert_allclose(
+        float(m1["loss"]), float(m2["loss"]), rtol=1e-3
+    )
+    for a, b in zip(
+        jax.tree.leaves(p1), jax.tree.leaves(p2), strict=True
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=atol, rtol=rtol
+        )
+
+
+def test_tp_bf16_matches_single_device_bf16():
+    from tpucap.parallel.tp import make_tp_train_step
+
+    dec = build_decoder(
+        "lstm1", vocab_size=32, feature_dim=FEAT, embed_dim=8,
+        hidden_dim=16,
+    )
+    params = dec.init(jax.random.key(0))
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.normal(size=(B, FEAT)), jnp.float32)
+    tokens = jnp.asarray(rng.integers(1, 32, size=(B, 7)), jnp.int32)
+    tokens = tokens.at[:, -2:].set(0)
+    opt = optax.sgd(0.5)
+    single = make_train_step(
+        dec, opt, deterministic=True, compute_dtype=jnp.bfloat16
+    )
+    tp = make_tp_train_step(
+        dec,
+        opt,
+        Mesh(np.asarray(jax.devices()), ("model",)),
+        deterministic=True,
+        compute_dtype=jnp.bfloat16,
+    )
+    s1 = TrainState.create(params, opt, jax.random.key(1))
+    s1, m1 = single(s1, feats, tokens)
+    s2 = TrainState.create(params, opt, jax.random.key(1))
+    s2, m2 = tp(s2, feats, tokens)
+    _assert_bf16_close(m1, m2, s1.params, s2.params)
+
+
+def _transformer(num_layers=2, max_positions=17, **kw):
+    return build_decoder(
+        "transformer",
+        vocab_size=VOCAB,
+        feature_dim=FEAT,
+        hidden_dim=16,
+        num_layers=num_layers,
+        num_heads=2,
+        mlp_dim=32,
+        max_positions=max_positions,
+        **kw,
+    )
+
+
+def _tf_data(T, seed=0):
+    rng = np.random.default_rng(seed)
+    feats = jnp.asarray(rng.normal(size=(B, FEAT)), jnp.float32)
+    tokens = np.asarray(rng.integers(1, VOCAB, size=(B, T)), np.int32)
+    tokens[:, 0] = START
+    tokens[:, -2:] = PAD
+    return feats, jnp.asarray(tokens)
+
+
+def test_pp_bf16_matches_single_device_bf16():
+    from jax.sharding import Mesh as JMesh
+
+    from tpucap.parallel import stack_pp_layers
+    from tpucap.parallel.pp import make_pp_train_step, unstack_pp_layers
+
+    dec = _transformer(num_layers=4, max_positions=8)
+    params = dec.init(jax.random.key(0))
+    feats, tokens = _tf_data(8)
+    opt = optax.sgd(0.5)
+    single = make_train_step(
+        dec, opt, deterministic=True, compute_dtype=jnp.bfloat16
+    )
+    s1 = TrainState.create(params, opt, jax.random.key(1))
+    s1, m1 = single(s1, feats, tokens)
+    pp = make_pp_train_step(
+        dec,
+        opt,
+        JMesh(np.asarray(jax.devices()[:4]), ("stage",)),
+        deterministic=True,
+        compute_dtype=jnp.bfloat16,
+    )
+    sp_state = TrainState.create(
+        stack_pp_layers(params), opt, jax.random.key(1)
+    )
+    sp_state, m2 = pp(sp_state, feats, tokens)
+    # PP reassociates MORE than the other shardings in bf16: the batch
+    # sum is split into M sequential microbatch matmuls AND activations
+    # round-trip through bf16 at every stage hop, so single elements
+    # land a few more ulp out than under DP (measured: 1/128 leaves at
+    # 2.5% relative with the 5e-3 bar; the f32 PP test pins 2e-5, so
+    # this is bf16 rounding, not a recipe error).
+    _assert_bf16_close(
+        m1, m2, s1.params, unstack_pp_layers(sp_state.params),
+        atol=2e-2, rtol=2e-2,
+    )
+
+
+def test_sp_bf16_matches_single_device_bf16():
+    from jax.sharding import Mesh as JMesh
+
+    from tpucap.parallel.sp import make_sp_train_step
+
+    dec = _transformer(num_layers=2, max_positions=17)
+    params = dec.init(jax.random.key(0))
+    feats, tokens = _tf_data(17)
+    opt = optax.sgd(0.5)
+    single = make_train_step(
+        dec, opt, deterministic=True, compute_dtype=jnp.bfloat16
+    )
+    s1 = TrainState.create(params, opt, jax.random.key(1))
+    s1, m1 = single(s1, feats, tokens)
+    sp = make_sp_train_step(
+        dec,
+        opt,
+        JMesh(np.asarray(jax.devices()[:4]), ("seq",)),
+        deterministic=True,
+        compute_dtype=jnp.bfloat16,
+    )
+    s2 = TrainState.create(params, opt, jax.random.key(1))
+    s2, m2 = sp(s2, feats, tokens)
+    _assert_bf16_close(m1, m2, s1.params, s2.params)
+
+
+def test_ep_bf16_matches_single_device_bf16():
+    from jax.sharding import Mesh as JMesh
+
+    from tpucap.parallel.ep import make_ep_train_step
+    from tpucap.train.loss import masked_cross_entropy_sums
+
+    AUX_W = 0.01
+    dec = _transformer(
+        num_layers=2, max_positions=8, num_experts=4, moe_top_k=2
+    )
+    params = dec.init(jax.random.key(0))
+    feats, tokens = _tf_data(8)
+    opt = optax.sgd(0.5)
+
+    def loss_fn(p):
+        # Single-device bf16 oracle: same cast boundary as the step
+        # builders (f32 master params, bf16 forward, f32 reductions).
+        p = cast_floats(p, jnp.bfloat16)
+        logits, aux = dec.forward_train_with_moe_aux(
+            p, cast_floats(feats, jnp.bfloat16), tokens[:, :-1],
+            deterministic=True,
+        )
+        nll, n_tok, _ = masked_cross_entropy_sums(
+            logits, tokens[:, 1:], pad_id=PAD
+        )
+        return nll / jnp.maximum(n_tok, 1.0) + AUX_W * aux
+
+    loss1, grads = jax.value_and_grad(loss_fn)(params)
+    updates, _ = opt.update(grads, opt.init(params), params)
+    p1 = optax.apply_updates(params, updates)
+
+    ep = make_ep_train_step(
+        dec,
+        opt,
+        JMesh(np.asarray(jax.devices()[:4]), ("expert",)),
+        deterministic=True,
+        moe_aux_weight=AUX_W,
+        compute_dtype=jnp.bfloat16,
+    )
+    s2 = TrainState.create(params, opt, jax.random.key(1))
+    s2, m2 = ep(s2, feats, tokens)
+    np.testing.assert_allclose(
+        float(loss1), float(m2["loss"]), rtol=1e-3
+    )
+    for a, b in zip(
+        jax.tree.leaves(p1), jax.tree.leaves(s2.params), strict=True
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-3, rtol=5e-3
+        )
 
 
 def test_pipeline_fit_rejects_unknown_precision(toy_corpus, rng):

@@ -87,6 +87,7 @@ def make_ep_train_step(
     label_smoothing: float = 0.0,
     moe_aux_weight: float = 0.01,
     deterministic: bool = False,
+    compute_dtype=None,
     donate: bool = False,
 ):
     """Build the expert-parallel train step.
@@ -111,6 +112,14 @@ def make_ep_train_step(
         )
 
     def local_loss(params, features, tokens, rng):
+        # Mixed-precision boundary (caption_loss_sums recipe): f32
+        # master params outside, compute_dtype forward; the CE and the
+        # router's load-balance statistics reduce in f32 (the router
+        # softmax upcasts — transformer.py).
+        from tpucap.train.loss import cast_floats
+
+        params = cast_floats(params, compute_dtype)
+        features = cast_floats(features, compute_dtype)
         inputs = tokens[:, :-1]
         targets = tokens[:, 1:]
         logits, aux = decoder.forward_train_with_moe_aux(

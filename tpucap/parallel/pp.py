@@ -124,6 +124,7 @@ def make_pp_train_step(
     pad_id: int = 0,
     label_smoothing: float = 0.0,
     deterministic: bool = False,
+    compute_dtype=None,
     donate: bool = False,
 ):
     """Build the pipeline-parallel train step.
@@ -153,6 +154,13 @@ def make_pp_train_step(
     perm = [(i, (i + 1) % num_stages) for i in range(num_stages)]
 
     def local_loss(params, features, tokens, rng):
+        # Mixed-precision boundary (caption_loss_sums recipe): f32
+        # master params outside, compute_dtype forward (incl. the
+        # ppermuted activations), f32 CE reductions (the CE upcasts).
+        from tpucap.train.loss import cast_floats
+
+        params = cast_floats(params, compute_dtype)
+        features = cast_floats(features, compute_dtype)
         s = jax.lax.axis_index(axis)
         inputs = tokens[:, :-1]
         targets = tokens[:, 1:]

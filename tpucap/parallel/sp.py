@@ -128,6 +128,7 @@ def make_sp_train_step(
     pad_id: int = 0,
     label_smoothing: float = 0.0,
     deterministic: bool = False,
+    compute_dtype=None,
     donate: bool = False,
 ):
     """Build the sequence-parallel train step.
@@ -151,6 +152,14 @@ def make_sp_train_step(
     n_shards = mesh.shape[axis]
 
     def local_loss(params, features, tokens, rng):
+        # Mixed-precision boundary (caption_loss_sums recipe): f32
+        # master params outside, compute_dtype block tensors; the ring
+        # attention's online-softmax accumulators stay pinned f32
+        # below, and the CE upcasts — reductions are f32 either way.
+        from tpucap.train.loss import cast_floats
+
+        params = cast_floats(params, compute_dtype)
+        features = cast_floats(features, compute_dtype)
         s = jax.lax.axis_index(axis)
         inputs = tokens[:, :-1]
         targets = tokens[:, 1:]

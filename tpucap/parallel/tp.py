@@ -95,6 +95,8 @@ def make_tp_train_step(
     deterministic: bool = False,
     label_smoothing: float = 0.0,
     true_vocab: int | None = None,
+    compute_dtype=None,
+    grad_accum_steps: int = 1,
     donate: bool = False,
 ):
     """Vocab-parallel training step: each shard computes only its (B, T,
@@ -135,7 +137,20 @@ def make_tp_train_step(
             f"{n_shards}-way '{axis}' mesh axis; pad the vocabulary"
         )
 
-    def local_loss(params, features, tokens, rng):
+    def raw_pieces(params, features, tokens, rng):
+        """Sum-form CE pieces for a (data-local) batch or microbatch:
+        -> (nll_sum, n_tokens, n_correct). The model-axis psums (lse /
+        target logit / accuracy argmax) happen INSIDE; the data-axis
+        psums and the 1/N normalization are the caller's — so the
+        grad-accum path can accumulate raw sums and normalize once
+        (the dp.py recipe)."""
+        # Mixed-precision boundary (the caption_loss_sums recipe):
+        # master params stay f32 outside; forward/backward matmuls run
+        # in compute_dtype; every CE reduction below is already f32.
+        from tpucap.train.loss import cast_floats
+
+        params = cast_floats(params, compute_dtype)
+        features = cast_floats(features, compute_dtype)
         inputs = tokens[:, :-1]
         targets = tokens[:, 1:]
         hidden = decoder.forward_hidden(
@@ -149,12 +164,18 @@ def make_tp_train_step(
         off = my * vl
         k_local = jax.lax.dynamic_slice_in_dim(kernel, off, vl, axis=1)
         b_local = jax.lax.dynamic_slice_in_dim(bias, off, vl, axis=0)
+        # Mirror models/layers.dense bit-for-bit per column (f32
+        # accumulate, round to the activation dtype, add bias in that
+        # dtype) then upcast for the lse math — exactly what the
+        # single-device CE sees after dense + log_softmax's upcast.
+        # Column slicing commutes with the dot, so each logit equals
+        # the unsharded one.
         local = (
             jnp.dot(
                 hidden, k_local, preferred_element_type=jnp.float32
-            )
-            + b_local
-        )  # (B, T, vl)
+            ).astype(hidden.dtype)
+            + b_local.astype(hidden.dtype)
+        ).astype(jnp.float32)  # (B, T, vl)
 
         # Stability max is gradient-free (standard logsumexp shift; also
         # pmax has no AD rule) — d lse/d local = softmax regardless of m.
@@ -191,14 +212,6 @@ def make_tp_train_step(
             nll = lse - tgt_logit
         nll_sum = jnp.sum(nll * mask)
         n_tokens = jnp.sum(mask)
-        if data_axis is not None:
-            # 2-D DPxTP: batch is also sharded; globalize the sum-form
-            # pieces over the data axis so the loss (and thus gradients)
-            # match a single-device step on the concatenated batch.
-            nll_sum = jax.lax.psum(nll_sum, data_axis)
-            n_tokens = jax.lax.psum(n_tokens, data_axis)
-        denom = jnp.maximum(n_tokens, 1.0)
-        loss = nll_sum / denom
 
         # Accuracy: global argmax via pmax value + pmin owning column.
         # Metrics carry no gradient — stop it before the collectives.
@@ -210,8 +223,21 @@ def make_tp_train_step(
             axis,
         )
         n_correct = jnp.sum((pred == targets) * mask)
+        return nll_sum, n_tokens, n_correct
+
+    def local_loss(params, features, tokens, rng):
+        nll_sum, n_tokens, n_correct = raw_pieces(
+            params, features, tokens, rng
+        )
         if data_axis is not None:
+            # 2-D DPxTP: batch is also sharded; globalize the sum-form
+            # pieces over the data axis so the loss (and thus gradients)
+            # match a single-device step on the concatenated batch.
+            nll_sum = jax.lax.psum(nll_sum, data_axis)
+            n_tokens = jax.lax.psum(n_tokens, data_axis)
             n_correct = jax.lax.psum(n_correct, data_axis)
+        denom = jnp.maximum(n_tokens, 1.0)
+        loss = nll_sum / denom
         acc = n_correct / denom
         return loss, {"loss": loss, "accuracy": acc, "tokens": n_tokens}
 
@@ -221,15 +247,95 @@ def make_tp_train_step(
             dropout_rng = jax.random.fold_in(
                 dropout_rng, jax.lax.axis_index(data_axis)
             )
-        (loss, metrics), grads = jax.value_and_grad(
-            local_loss, has_aux=True
-        )(state.params, features, tokens, dropout_rng)
-        # Same psum-transpose behavior as the DP step: each shard's grad is
-        # (shard count) x (its contribution); pmean over every sharded axis
-        # reconstructs the exact gradient.
-        grads = jax.lax.pmean(grads, axis)
-        if data_axis is not None:
-            grads = jax.lax.pmean(grads, data_axis)
+        if grad_accum_steps > 1:
+            # Sum-space accumulation (the dp.py recipe): scan the
+            # (data-local) batch as A microbatches, accumulate the RAW
+            # nll-sum gradients and the loss pieces, then globalize and
+            # normalize ONCE by the global token count — exactly the
+            # full-batch update (the loss is linear in the sums), with
+            # peak activation memory down by A. Dropout decorrelates
+            # per microbatch by fold_in, like the dp path.
+            B = features.shape[0]
+            if B % grad_accum_steps:
+                raise ValueError(
+                    f"(data-local) batch {B} not divisible by "
+                    f"grad_accum_steps {grad_accum_steps}"
+                )
+            mb = B // grad_accum_steps
+            f_mb = features.reshape(
+                (grad_accum_steps, mb) + features.shape[1:]
+            )
+            t_mb = tokens.reshape(
+                (grad_accum_steps, mb) + tokens.shape[1:]
+            )
+
+            def raw_head(p, fm, tm, r):
+                nll_sum, n_tok, n_cor = raw_pieces(p, fm, tm, r)
+                return nll_sum, (n_tok, n_cor)
+
+            def body(carry, xs):
+                g_acc, nll_acc, tok_acc, cor_acc, i = carry
+                fm, tm = xs
+                r = (
+                    None
+                    if deterministic
+                    else jax.random.fold_in(dropout_rng, i)
+                )
+                (nll, (n_tok, n_cor)), g = jax.value_and_grad(
+                    raw_head, has_aux=True
+                )(state.params, fm, tm, r)
+                g_acc = jax.tree_util.tree_map(jnp.add, g_acc, g)
+                return (
+                    g_acc,
+                    nll_acc + nll,
+                    tok_acc + n_tok,
+                    cor_acc + n_cor,
+                    i + 1,
+                ), None
+
+            g0 = jax.tree_util.tree_map(
+                jnp.zeros_like, state.params
+            )
+            zero = jnp.zeros((), jnp.float32)
+            (g_nll, nll_sum, n_tokens, n_correct, _), _ = jax.lax.scan(
+                body, (g0, zero, zero, zero, 0), (f_mb, t_mb)
+            )
+            # raw_pieces' in-forward psums already made the sums global
+            # over the MODEL axis (identical on every vocab shard);
+            # only the data axis still needs globalizing.
+            if data_axis is not None:
+                nll_sum = jax.lax.psum(nll_sum, data_axis)
+                n_tokens = jax.lax.psum(n_tokens, data_axis)
+                n_correct = jax.lax.psum(n_correct, data_axis)
+            denom = jnp.maximum(n_tokens, 1.0)
+            # Model axis: raw_pieces psums INSIDE the loss, so its
+            # transpose left an n_shards factor — pmean undoes it.
+            # Data axis: the accum path has NO in-loss data psum (the
+            # microbatch sums are data-local), so the raw gradients
+            # carry no factor and must be SUMMED across data shards.
+            # Dividing by the GLOBAL token count then normalizes the
+            # raw sum — the dp.py accum recipe.
+            grads = jax.lax.pmean(g_nll, axis)
+            if data_axis is not None:
+                grads = jax.lax.psum(grads, data_axis)
+            grads = jax.tree_util.tree_map(
+                lambda g: g / denom, grads
+            )
+            metrics = {
+                "loss": nll_sum / denom,
+                "accuracy": n_correct / denom,
+                "tokens": n_tokens,
+            }
+        else:
+            (loss, metrics), grads = jax.value_and_grad(
+                local_loss, has_aux=True
+            )(state.params, features, tokens, dropout_rng)
+            # Same psum-transpose behavior as the DP step: each shard's
+            # grad is (shard count) x (its contribution); pmean over
+            # every sharded axis reconstructs the exact gradient.
+            grads = jax.lax.pmean(grads, axis)
+            if data_axis is not None:
+                grads = jax.lax.pmean(grads, data_axis)
         updates, opt_state = optimizer.update(
             grads, state.opt_state, state.params
         )
