@@ -306,3 +306,38 @@ class TestFusedBottleneck:
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=5e-4, rtol=1e-4
         )
+
+
+class TestJpegThreads:
+    def test_thread_counts_agree_and_do_not_collapse(self, rng):
+        """Explicit pool sizes (bench --mode host-decode --threads N)
+        decode identically, and threads>1 on this 1-vCPU box must not
+        LOSE meaningful throughput vs threads=1 — the lock-contention
+        canary for the 'scales with cores' claim (which itself can
+        only be measured on a multi-core host; docs/PERF.md r4)."""
+        import time
+
+        from tpucap.ops import jpeg
+
+        if not jpeg.native_available():
+            pytest.skip("C++ extension unavailable")
+        blobs = _make_jpegs(rng, n=32, hw=(96, 128))
+
+        def run(n_threads):
+            jpeg.decode_jpeg_batch(blobs, 48, n_threads=n_threads)
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                out = jpeg.decode_jpeg_batch(
+                    blobs, 48, n_threads=n_threads
+                )
+                best = min(best, time.perf_counter() - t0)
+            return out, best
+
+        out1, t1 = run(1)
+        out2, t2 = run(2)
+        np.testing.assert_array_equal(out1, out2)
+        # Generous bound: scheduling noise on a loaded 1-vCPU CI box is
+        # real; what must never happen is a structural serialization
+        # (e.g. a decoder-global lock) making 2 threads ~2x slower.
+        assert t2 < 1.8 * t1, (t1, t2)
