@@ -149,6 +149,46 @@ def test_multistep_dp_matches_sequential():
         np.testing.assert_allclose(float(m2[k]), v, rtol=1e-5)
 
 
+def test_multistep_fsdp_matches_sequential():
+    """FSDP multi-step (r4): the scan body is the sharded-state step —
+    same updates and summed metrics as N fsdp dispatches."""
+    from tpucap.parallel import (
+        fsdp_gather_tree,
+        make_fsdp_train_step,
+        shard_fsdp_tree,
+    )
+
+    mesh = make_mesh(8)
+    dec, params, feats, tokens = setup()
+    opt = optax.adam(1e-3)
+    template = TrainState.create(params, opt, jax.random.key(1))
+    single = make_fsdp_train_step(
+        dec, opt, mesh, template, deterministic=True, min_size=64
+    )
+    multi = make_fsdp_train_step(
+        dec, opt, mesh, template, deterministic=True, min_size=64,
+        multi_steps=N,
+    )
+    s1 = shard_fsdp_tree(template, mesh, min_size=64)
+    sums1 = {}
+    for i in range(N):
+        bf, bt = shard_batch(mesh, (feats[i], tokens[i]))
+        s1, m = single(s1, bf, bt)
+        for k, v in m.items():
+            sums1[k] = sums1.get(k, 0.0) + float(v)
+    s2 = shard_fsdp_tree(template, mesh, min_size=64)
+    gf, gt = shard_stacked_batch(mesh, (feats, tokens))
+    s2, m2 = multi(s2, gf, gt)
+    assert int(s1.step) == int(s2.step) == N
+    _assert_trees_equal(
+        jax.device_get(fsdp_gather_tree(s1.params, mesh)),
+        jax.device_get(fsdp_gather_tree(s2.params, mesh)),
+        atol=1e-6,
+    )
+    for k, v in sums1.items():
+        np.testing.assert_allclose(float(m2[k]), v, rtol=1e-5)
+
+
 # ---------------------------------------------------------------- fit
 
 
@@ -179,14 +219,14 @@ def _data(toy_corpus, rng, n=24):
     return desc, feats
 
 
-@pytest.mark.parametrize("parallelism", ["none", "dp"])
+@pytest.mark.parametrize("parallelism", ["none", "dp", "fsdp"])
 def test_fit_steps_per_dispatch_trajectory(toy_corpus, parallelism):
     """fit(steps_per_dispatch=4) over epochs whose length is NOT a
     multiple of 4 (tail through the single-step program) reproduces the
     spd=1 trajectory: same per-epoch losses, same final params."""
     rng = np.random.default_rng(7)
     # 6 steps/epoch either way: one full group of 4 + a 2-step tail.
-    bs = 8 if parallelism == "dp" else 4  # dp: divisible by the 8-mesh
+    bs = 4 if parallelism == "none" else 8  # dp/fsdp: divisible by the 8-mesh
     desc, feats = _data(toy_corpus, rng, n=6 * bs)
 
     base = _pipe(toy_corpus, batch_size=bs)
@@ -207,7 +247,7 @@ def test_fit_steps_per_dispatch_validation(toy_corpus):
     desc, feats = _data(toy_corpus, rng, n=8)
     with pytest.raises(NotImplementedError, match="steps_per_dispatch"):
         _pipe(toy_corpus, steps_per_dispatch=2).fit(
-            desc, feats, parallelism="fsdp", log=None
+            desc, feats, parallelism="tp", log=None
         )
     with pytest.raises(NotImplementedError, match="ema_decay"):
         _pipe(toy_corpus, steps_per_dispatch=2, ema_decay=0.99).fit(

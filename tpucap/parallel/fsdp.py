@@ -235,6 +235,7 @@ def make_fsdp_train_step(
     compute_dtype=None,
     grad_clip_norm: float = 0.0,
     min_size: int = DEFAULT_MIN_SIZE,
+    multi_steps: int = 1,
     donate: bool = False,
 ):
     """(state, features, tokens) -> (state, metrics), with the state in
@@ -357,10 +358,31 @@ def make_fsdp_train_step(
         )
         return new_state, metrics
 
+    body_fn = shard_body
+    batch_spec = P(axis)
+    if multi_steps > 1:
+        # Same recipe as dp.py's multi-step dispatch: (N, B, ...) host
+        # stacks sharded over the SECOND axis, the scan body IS the
+        # single step (update sequence incl. rng threading identical),
+        # metrics summed over the N steps.
+        batch_spec = P(None, axis)
+
+        def multi_body(state: TrainState, features, tokens):
+            def body(st, xs):
+                f, t = xs
+                return shard_body(st, f, t)
+
+            state, ms = jax.lax.scan(body, state, (features, tokens))
+            return state, jax.tree_util.tree_map(
+                lambda x: jnp.sum(x, axis=0), ms
+            )
+
+        body_fn = multi_body
+
     sharded = shard_map(
-        shard_body,
+        body_fn,
         mesh=mesh,
-        in_specs=(state_specs, P(axis), P(axis)),
+        in_specs=(state_specs, batch_spec, batch_spec),
         out_specs=(state_specs, P()),
         check_vma=False,
     )

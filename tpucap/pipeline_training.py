@@ -258,12 +258,12 @@ class _PipelineTraining:
                 f"steps_per_dispatch={spd} must be >= 1"
             )
         if spd > 1:
-            if parallelism not in ("none", "dp"):
+            if parallelism not in ("none", "dp", "fsdp"):
                 raise NotImplementedError(
                     "steps_per_dispatch scans the single-device/"
-                    f"data-parallel step body; parallelism="
+                    f"data-parallel/fsdp step body; parallelism="
                     f"{parallelism!r} builds its own step — drop the "
-                    "flag or use 'none'/'dp'"
+                    "flag or use 'none'/'dp'/'fsdp'"
                 )
             if cfg.ema_decay:
                 raise NotImplementedError(
@@ -338,19 +338,25 @@ class _PipelineTraining:
             # Re-place params + optimizer state in the 1/N-per-device
             # ZeRO layout; the step gathers just-in-time.
             self.state = shard_fsdp_tree(self.state, self._mesh)
-            step = make_fsdp_train_step(
-                self.decoder,
-                optimizer,
-                self._mesh,
-                self.state,
-                pad_id=0,
-                label_smoothing=cfg.label_smoothing,
-                attention_reg=cfg.attention_reg,
-                grad_accum_steps=cfg.grad_accum_steps,
-                compute_dtype=compute_dtype,
-                grad_clip_norm=clip,
-                donate=True,
-            )
+
+            def _mk_fsdp_step(ms):
+                return make_fsdp_train_step(
+                    self.decoder,
+                    optimizer,
+                    self._mesh,
+                    self.state,
+                    pad_id=0,
+                    label_smoothing=cfg.label_smoothing,
+                    attention_reg=cfg.attention_reg,
+                    grad_accum_steps=cfg.grad_accum_steps,
+                    compute_dtype=compute_dtype,
+                    grad_clip_norm=clip,
+                    multi_steps=ms,
+                    donate=True,
+                )
+
+            step = _mk_fsdp_step(1)
+            multi_step = _mk_fsdp_step(spd) if spd > 1 else None
         elif parallelism in ("tp", "dp_tp"):
             from tpucap.parallel import make_tp_train_step
 
