@@ -56,3 +56,26 @@ def toy_corpus():
         "startseq a woman in a blue shirt climbs a rock wall endseq",
         "startseq a climber scales the rock face endseq",
     ]
+
+
+# ---------------------------------------------------------------------------
+# Cumulative-state hygiene for the full one-process suite.
+#
+# Two back-to-back full-suite runs (r4) segfaulted inside XLA's CPU
+# compiler at ~99% — the same late-file `fit` compile both times —
+# after ~1h of accumulated in-process state: hundreds of compiled
+# executables, tf_keras oracles, servers, loader threads. Clearing
+# JAX's executable/tracing caches at module boundaries bounds the live
+# compiled-program set to roughly one file's worth. Cost: re-compiles
+# for the few programs shared across files (small, CPU) — a price
+# worth paying for a suite that cannot crash the interpreter at 99%.
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    yield
+    import gc
+
+    try:
+        jax.clear_caches()
+    except Exception:
+        pass
+    gc.collect()

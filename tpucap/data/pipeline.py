@@ -156,35 +156,73 @@ def prefetch_iterator(it: Iterator, *, depth: int = 2, transform=None):
     ``transform`` runs on the WORKER thread (pass the device-placement
     closure — ``jax.device_put``/``shard_batch`` are thread-safe and
     dispatch async — so H2D transfer is also off the critical path).
-    Worker exceptions re-raise at the consumer's next pull; the worker
-    is a daemon, so an abandoned iterator never blocks interpreter
-    exit (it parks at the bounded queue and dies with the process)."""
+    Worker exceptions re-raise at the consumer's next pull.
+
+    The worker SHUTS DOWN when the consumer abandons the generator
+    (GeneratorExit / ``.close()`` / garbage collection): the finally
+    block signals stop and drains the queue so a put-blocked worker
+    wakes, drops its references (queued batches can be device arrays —
+    real memory), and exits. The pre-r4 version parked abandoned
+    workers at the bounded queue for the life of the process, which a
+    long test session accumulates (observed in a full-suite crash
+    dump); daemon=True remains the backstop for interpreter exit."""
     import queue
     import threading
 
     q: queue.Queue = queue.Queue(maxsize=max(1, depth))
     sentinel = object()
+    stop = threading.Event()
     failure: list[BaseException] = []
 
     def worker():
         try:
             for item in it:
-                q.put(transform(item) if transform is not None else item)
+                if stop.is_set():
+                    return
+                out = (
+                    transform(item) if transform is not None else item
+                )
+                while not stop.is_set():
+                    try:
+                        q.put(out, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
         except BaseException as e:  # noqa: BLE001 — re-raised at the consumer
             failure.append(e)
         finally:
-            q.put(sentinel)
+            # The sentinel must not be dropped on a full queue (the
+            # consumer would block forever once it drains the items) —
+            # keep trying unless the consumer already abandoned us
+            # (stop set: nobody is listening, and the consumer's drain
+            # loop empties the queue anyway).
+            while not stop.is_set():
+                try:
+                    q.put(sentinel, timeout=0.1)
+                    break
+                except queue.Full:
+                    continue
 
     threading.Thread(
         target=worker, daemon=True, name="tpucap-prefetch"
     ).start()
-    while True:
-        item = q.get()
-        if item is sentinel:
-            if failure:
-                raise failure[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if failure:
+                    raise failure[0]
+                return
+            yield item
+    finally:
+        stop.set()
+        try:  # drain so a put-blocked worker wakes and exits promptly
+            while True:
+                q.get_nowait()
+        except queue.Empty:
+            pass
 
 
 def caption_batches(
