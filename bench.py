@@ -181,6 +181,15 @@ def main():
         "block multiple + segment-id masking; docs/PERF.md)",
     )
     ap.add_argument(
+        "--fused-blocks",
+        default="",
+        help="resnet50 only: comma list of stages (conv2,conv3,conv4,"
+        "conv5) to run through the Pallas fused bottleneck kernel "
+        "(ops/pallas/bottleneck.py) — the r2 'wins standalone, loses "
+        "embedded' experiment, re-runnable per stage at the clean r4 "
+        "measurement depth; requires folded BN (the default)",
+    )
+    ap.add_argument(
         "--scheduled-sampling",
         type=float,
         default=None,
@@ -407,6 +416,24 @@ def main():
         import dataclasses as _dc
 
         encoder = _dc.replace(encoder, attention_impl="flash")
+    if args.fused_blocks:
+        import dataclasses as _dc
+
+        if args.encoder != "resnet50":
+            raise SystemExit("--fused-blocks is resnet50-only")
+        if args.no_fold_bn:
+            raise SystemExit(
+                "--fused-blocks needs folded BN (drop --no-fold-bn)"
+            )
+        stages = tuple(
+            s.strip() for s in args.fused_blocks.split(",") if s.strip()
+        )
+        bad = set(stages) - {"conv2", "conv3", "conv4", "conv5"}
+        if bad:
+            raise SystemExit(f"--fused-blocks: unknown stages {bad}")
+        encoder = _dc.replace(
+            encoder, fused_blocks=True, fused_stages=stages
+        )
     decoder = build_decoder(
         args.decoder,
         vocab_size=args.vocab,
@@ -1214,6 +1241,7 @@ def main():
         f"{args.dtype}"
         f"{', int8' if args.int8 and not args.no_encoder else ''}"
         f"{', int8-vocab' if args.int8_vocab else ''}"
+        f"{f', fused {args.fused_blocks}' if args.fused_blocks else ''}"
         f"{f', unroll {args.unroll}' if args.unroll > 1 else ''}"
         f"{f', no-repeat-{args.no_repeat_ngram}gram' if args.no_repeat_ngram else ''}"
         f"{f', {args.constraints} constraints' if args.constraints else ''})",
