@@ -234,6 +234,75 @@ def test_dp_eps_positive_runs():
     assert np.isfinite(m["loss"])
 
 
+def test_fsdp_eps0_matches_single_device():
+    """ss under fsdp (r4): eps=0 is exactly teacher forcing — the fsdp
+    step equals the plain single-device step, the dp recipe's bar."""
+    from tpucap.parallel import make_fsdp_train_step, shard_fsdp_tree
+    from tpucap.parallel.fsdp import fsdp_gather_tree
+
+    dec, params, feats, tokens = setup()
+    optimizer = optax.sgd(0.5)
+    mesh = make_mesh(8)
+    single = make_train_step(dec, optimizer, deterministic=True)
+    p1, m1 = _run(single, params, feats, tokens, optimizer)
+
+    template = TrainState.create(params, optimizer, jax.random.key(1))
+    fsdp = make_fsdp_train_step(
+        dec, optimizer, mesh, template, deterministic=True,
+        scheduled_sampling=True, min_size=64,
+    )
+    from tpucap.core import shard_batch
+
+    state = shard_fsdp_tree(template, mesh, min_size=64)
+    bf, bt = shard_batch(mesh, (jnp.asarray(feats), jnp.asarray(tokens)))
+    state, m2 = fsdp(state, bf, bt, jnp.float32(0.0))
+    np.testing.assert_allclose(m1["loss"], m2["loss"], rtol=1e-6)
+    for a, b in zip(
+        jax.tree.leaves(p1),
+        jax.tree.leaves(jax.device_get(fsdp_gather_tree(state.params, mesh))),
+        strict=True,
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
+
+
+def test_fsdp_eps_positive_runs_and_accum_refuses(toy_corpus, rng):
+    from tpucap.parallel import make_fsdp_train_step, shard_fsdp_tree
+
+    dec, params, feats, tokens = setup()
+    optimizer = optax.adam(1e-3)
+    mesh = make_mesh(4)
+    template = TrainState.create(params, optimizer, jax.random.key(1))
+    fsdp = make_fsdp_train_step(
+        dec, optimizer, mesh, template, scheduled_sampling=True,
+        min_size=64,
+    )
+    from tpucap.core import shard_batch
+
+    state = shard_fsdp_tree(template, mesh, min_size=64)
+    bf, bt = shard_batch(mesh, (jnp.asarray(feats), jnp.asarray(tokens)))
+    _, m = fsdp(state, bf, bt, jnp.float32(0.7))
+    assert np.isfinite(float(m["loss"]))
+    with pytest.raises(NotImplementedError, match="grad_accum"):
+        make_fsdp_train_step(
+            dec, optimizer, mesh, template, scheduled_sampling=True,
+            grad_accum_steps=2,
+        )
+    # fit-level: the ramp trains under fsdp (8 rows for the 8-mesh).
+    ids = [f"img{i}" for i in range(8)]
+    descs = {
+        i: [toy_corpus[k % len(toy_corpus)]] for k, i in enumerate(ids)
+    }
+    featmap = {
+        i: rng.normal(size=(128,)).astype(np.float32) for i in ids
+    }
+    p = _pipe(toy_corpus, scheduled_sampling=0.5)
+    hist = p.fit(
+        descs, featmap, epochs=2, batch_size=8,
+        parallelism="fsdp", log=None,
+    )
+    assert np.isfinite(hist[-1]["loss"]) and "ss_eps" in hist[-1]
+
+
 @pytest.mark.parametrize("name", ["attention", "transformer"])
 def test_other_families_smoke(name):
     """The two-pass recipe is decoder-agnostic: the SAT-regularized and
@@ -301,7 +370,7 @@ def test_fit_guards(toy_corpus, rng):
     p = _pipe(toy_corpus, scheduled_sampling=0.5)
     with pytest.raises(NotImplementedError, match="scheduled_sampling"):
         p.fit(descs, feats, epochs=1, batch_size=2,
-              parallelism="fsdp", log=None)
+              parallelism="tp", log=None)
     p2 = _pipe(toy_corpus, scheduled_sampling=1.5)
     with pytest.raises(ValueError, match="probability"):
         p2.fit(descs, feats, epochs=1, batch_size=2, log=None)

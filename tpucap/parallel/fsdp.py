@@ -236,6 +236,7 @@ def make_fsdp_train_step(
     grad_clip_norm: float = 0.0,
     min_size: int = DEFAULT_MIN_SIZE,
     multi_steps: int = 1,
+    scheduled_sampling: bool = False,
     donate: bool = False,
 ):
     """(state, features, tokens) -> (state, metrics), with the state in
@@ -270,7 +271,16 @@ def make_fsdp_train_step(
         lambda s: jax.lax.psum(s, axis), t
     )
 
-    def local_loss(shard_params, features, tokens, rng):
+    if scheduled_sampling and grad_accum_steps > 1:
+        raise NotImplementedError(
+            "scheduled_sampling + grad_accum_steps under fsdp is not "
+            "wired (the dp step composes them; drop one dial or use "
+            "parallelism='dp')"
+        )
+
+    def local_loss(
+        shard_params, features, tokens, rng, ss_eps=None, ss_rng=None
+    ):
         sums = caption_loss_sums(
             decoder,
             gather_full(shard_params),
@@ -282,11 +292,23 @@ def make_fsdp_train_step(
             label_smoothing=label_smoothing,
             attention_reg=attention_reg,
             compute_dtype=compute_dtype,
+            ss_eps=ss_eps,
+            ss_rng=ss_rng,
         )
         return loss_from_sums(psum_tree(sums), attention_reg=attention_reg)
 
-    def shard_body(state: TrainState, features, tokens):
-        rng, dropout_rng = jax.random.split(state.rng)
+    def shard_body(state: TrainState, features, tokens, ss_eps=None):
+        if scheduled_sampling:
+            # Per-shard coins, the dp.py recipe: the fsdp update equals
+            # a single-device update drawing the same shard-folded
+            # coins (like dropout), not one global coin vector.
+            rng, dropout_rng, ss_rng = jax.random.split(state.rng, 3)
+            ss_rng = jax.random.fold_in(
+                ss_rng, jax.lax.axis_index(axis)
+            )
+        else:
+            rng, dropout_rng = jax.random.split(state.rng)
+            ss_eps = ss_rng = None
         dropout_rng = jax.random.fold_in(
             dropout_rng, jax.lax.axis_index(axis)
         )
@@ -332,7 +354,7 @@ def make_fsdp_train_step(
         else:
             (loss, metrics), grads = jax.value_and_grad(
                 local_loss, has_aux=True
-            )(state.params, features, tokens, dropout_rng)
+            )(state.params, features, tokens, dropout_rng, ss_eps, ss_rng)
             # Factor-N bookkeeping (the dp.py argument, extended): the
             # forward psum transposes to a psum of the replicated
             # cotangent, so the full-param cotangent on each shard is
@@ -367,10 +389,10 @@ def make_fsdp_train_step(
         # metrics summed over the N steps.
         batch_spec = P(None, axis)
 
-        def multi_body(state: TrainState, features, tokens):
+        def multi_body(state: TrainState, features, tokens, ss_eps=None):
             def body(st, xs):
                 f, t = xs
-                return shard_body(st, f, t)
+                return shard_body(st, f, t, ss_eps)
 
             state, ms = jax.lax.scan(body, state, (features, tokens))
             return state, jax.tree_util.tree_map(
@@ -379,10 +401,13 @@ def make_fsdp_train_step(
 
         body_fn = multi_body
 
+    in_specs = (state_specs, batch_spec, batch_spec)
+    if scheduled_sampling:
+        in_specs = in_specs + (P(),)  # ss_eps scalar, replicated
     sharded = shard_map(
         body_fn,
         mesh=mesh,
-        in_specs=(state_specs, batch_spec, batch_spec),
+        in_specs=in_specs,
         out_specs=(state_specs, P()),
         check_vma=False,
     )

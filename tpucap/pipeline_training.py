@@ -245,12 +245,12 @@ class _PipelineTraining:
                     f"unknown ss_schedule {cfg.ss_schedule!r}; "
                     "have linear|inv_sigmoid|constant"
                 )
-            if parallelism not in ("none", "dp"):
+            if parallelism not in ("none", "dp", "fsdp"):
                 raise NotImplementedError(
-                    "scheduled_sampling is wired into the single-device "
-                    f"and data-parallel steps; parallelism="
+                    "scheduled_sampling is wired into the single-device"
+                    f", data-parallel and fsdp steps; parallelism="
                     f"{parallelism!r} runs its own loss program — drop "
-                    "the flag or use 'none'/'dp'"
+                    "the flag or use 'none'/'dp'/'fsdp'"
                 )
         spd = cfg.steps_per_dispatch
         if spd < 1:
@@ -352,6 +352,7 @@ class _PipelineTraining:
                     compute_dtype=compute_dtype,
                     grad_clip_norm=clip,
                     multi_steps=ms,
+                    scheduled_sampling=use_ss,
                     donate=True,
                 )
 
