@@ -255,3 +255,45 @@ def test_stream_exact_concatenation(pipe, rng):
                 None,
                 None,
             )
+
+
+def test_caption_jpegs_many_one_request(client, pipe, rng):
+    """POST /caption_batch with base64 JPEG rows: one request equals
+    the threaded per-JPEG path (same preprocess -> encoder -> decode),
+    and mixing features with images_b64 is a clean 400."""
+    size = pipe.encoder.input_size
+    blobs = [_jpeg_bytes(rng, size) for _ in range(4)]
+    got = client.caption_jpegs_many(blobs)
+    assert got == [client.caption(b) for b in blobs]
+    # Shared dial applies to every row.
+    word = _vocab_word(pipe)
+    dialed = client.caption_jpegs_many(blobs[:2], include_words=[word])
+    assert all(word in c.split() for c in dialed)
+    # features XOR images_b64.
+    import http.client as hc
+    import json as _json
+
+    host, port = client.host, client.port
+    conn = hc.HTTPConnection(host, port, timeout=60)
+    conn.request(
+        "POST",
+        "/caption_batch",
+        _json.dumps(
+            {"features": [[1.0] * 128], "images_b64": ["aGk="]}
+        ).encode(),
+    )
+    resp = conn.getresponse()
+    payload = _json.loads(resp.read())
+    conn.close()
+    assert resp.status == 400 and "not both" in payload["error"]
+    # Bad base64 / non-list payloads fail clean, server stays healthy.
+    with pytest.raises(ServerError):
+        client._request(
+            "POST",
+            "/caption_batch",
+            _json.dumps({"images_b64": "notalist"}).encode(),
+        )
+    assert client.caption_jpegs_many([]) == []
+    assert client.caption_jpegs_many(blobs[:1]) == [
+        client.caption(blobs[0])
+    ]

@@ -210,6 +210,46 @@ class CaptionClient:
             "POST", "/caption_batch", json.dumps(body).encode()
         )["captions"]
 
+    def caption_jpegs_many(
+        self,
+        jpegs: Iterable[bytes],
+        *,
+        prefix: str | None = None,
+        include_words: Sequence[str] | None = None,
+        model: str | None = None,
+    ) -> list[str]:
+        """Caption MANY JPEGs in one request (``POST /caption_batch``
+        with base64 rows) — the single-connection alternative to
+        :meth:`caption_many`: the server decodes/preprocesses the rows,
+        runs the encoder on-device, and its micro-batcher coalesces
+        them into one device batch (the config-5 shape over one HTTP
+        call). All rows share the same dials."""
+        import base64
+
+        blobs = list(jpegs)
+        if not blobs:
+            return []
+        body = {
+            "images_b64": [
+                base64.b64encode(b).decode("ascii") for b in blobs
+            ]
+        }
+        m = self.model if model is None else model
+        if m:
+            body["model"] = m
+        if prefix:
+            body["prefix"] = prefix
+        if include_words:
+            if isinstance(include_words, (str, bytes)):
+                raise TypeError(
+                    "include_words must be a sequence of words, got a "
+                    f"string {include_words!r}"
+                )
+            body["include_words"] = list(include_words)
+        return self._request(
+            "POST", "/caption_batch", json.dumps(body).encode()
+        )["captions"]
+
     def caption_many(
         self,
         jpegs: Iterable[bytes],

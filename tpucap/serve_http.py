@@ -591,32 +591,68 @@ class CaptionHTTPServer:
                             or include_words,
                         )
                     elif route == "/caption_batch":
-                        # Many feature rows in ONE request — the
-                        # convenience surface for clients that can't
-                        # run concurrent connections (the other way to
-                        # fill a device batch; see client.caption_many
-                        # for the threaded shape). All rows share the
-                        # request's prefix/include_words dials and are
-                        # submitted together, so the micro-batcher
-                        # coalesces them into one device batch.
+                        # Many rows in ONE request — the convenience
+                        # surface for clients that can't run concurrent
+                        # connections (the other way to fill a device
+                        # batch; see client.caption_many for the
+                        # threaded shape). Rows are EITHER feature
+                        # vectors ("features") OR base64 JPEGs
+                        # ("images_b64" — decoded/preprocessed on the
+                        # HTTP thread, encoder runs on-device: the
+                        # config-5 serving shape over one request). All
+                        # rows share the request's prefix/include_words
+                        # dials and are submitted together, so the
+                        # micro-batcher coalesces them into one device
+                        # batch.
                         payload = json.loads(body)
-                        _, features, _, _ = _resolve(
-                            payload.get("model", "") or model
-                        )
-                        rows = np.asarray(
-                            payload["features"], np.float32
-                        )
-                        if rows.ndim < 2:
+                        imgs_b64 = payload.get("images_b64")
+                        if imgs_b64 is not None and (
+                            "features" in payload
+                        ):
                             raise ValueError(
-                                "caption_batch wants a LIST of "
-                                f"feature rows, got shape {rows.shape}"
-                                " — use /caption_features for one row"
+                                "caption_batch takes features OR "
+                                "images_b64, not both"
                             )
+                        if imgs_b64 is not None:
+                            import base64
+
+                            srv, _, size, pmode = _resolve(
+                                payload.get("model", "") or model
+                            )
+                            if not isinstance(imgs_b64, list) or not (
+                                imgs_b64
+                            ):
+                                raise ValueError(
+                                    "images_b64 wants a non-empty "
+                                    "LIST of base64 JPEG strings"
+                                )
+                            rows = np.stack(
+                                [
+                                    _preprocess_jpeg(
+                                        base64.b64decode(b), size, pmode
+                                    )
+                                    for b in imgs_b64
+                                ]
+                            )
+                        else:
+                            _, srv, _, _ = _resolve(
+                                payload.get("model", "") or model
+                            )
+                            rows = np.asarray(
+                                payload["features"], np.float32
+                            )
+                            if rows.ndim < 2:
+                                raise ValueError(
+                                    "caption_batch wants a LIST of "
+                                    f"feature rows, got shape "
+                                    f"{rows.shape} — use "
+                                    "/caption_features for one row"
+                                )
                         # Per-request row cap: one request must not be
                         # able to fill the whole admission queue (and
                         # an unbounded-queue server still gets a sane
                         # ceiling). ValueError -> 400 via the handler.
-                        cap = getattr(features, "_max_queue", None)
+                        cap = getattr(srv, "_max_queue", None)
                         cap = cap if cap is not None else 4096
                         if rows.shape[0] > cap:
                             raise ValueError(
@@ -636,7 +672,7 @@ class CaptionHTTPServer:
                             or include_words
                         )
                         if (bprefix or biw) and not isinstance(
-                            features, CaptionServer
+                            srv, CaptionServer
                         ):
                             raise ValueError(
                                 "prefix/include_words need "
@@ -644,14 +680,14 @@ class CaptionHTTPServer:
                                 "engines have no forced-prefix/"
                                 "constrained path)"
                             )
-                        if isinstance(features, CaptionServer):
-                            futs = features.submit_many(
+                        if isinstance(srv, CaptionServer):
+                            futs = srv.submit_many(
                                 rows,
                                 prefix=bprefix or None,
                                 include_words=biw or None,
                             )
                         else:
-                            futs = features.submit_many(rows)
+                            futs = srv.submit_many(rows)
                         # Resolution failures are server-side (500),
                         # unlike the admission errors mapped to 400
                         # by the enclosing handler — same split as
