@@ -614,3 +614,103 @@ def test_caption_batch_row_cap_and_atomic_admission(pipe, rng, monkeypatch):
             json.dumps({"features": feats[:2].tolist()}).encode(),
         )
         assert status == 200 and len(payload["captions"]) == 2
+
+
+def test_caption_batch_images_one_threaded_decode_call(
+    server, pipe, rng, monkeypatch
+):
+    """Images-mode /caption_batch must decode the WHOLE request with ONE
+    decode_jpeg_batch call (the C++ pool threads across the batch;
+    per-row calls would serialize host decode for exactly the batched
+    serving shape the endpoint exists for)."""
+    import base64
+
+    from tpucap.ops import jpeg as jpeg_mod
+
+    calls = []
+    real = jpeg_mod.decode_jpeg_batch
+
+    def counting(blobs, size, **kw):
+        calls.append(len(blobs))
+        return real(blobs, size, **kw)
+
+    monkeypatch.setattr(jpeg_mod, "decode_jpeg_batch", counting)
+    size = pipe.encoder.input_size
+    blobs = [_jpeg_bytes(rng, size) for _ in range(3)]
+    body = json.dumps(
+        {"images_b64": [base64.b64encode(b).decode() for b in blobs]}
+    ).encode()
+    status, payload = _request(server, "POST", "/caption_batch", body)
+    assert status == 200 and len(payload["captions"]) == 3
+    assert calls == [3], calls  # one call, all rows
+    # And the captions match the direct (single-image) serving path.
+    for blob, cap in zip(blobs, payload["captions"]):
+        s, p = _request(server, "POST", "/caption", blob)
+        assert s == 200 and p["caption"] == cap
+
+
+def test_caption_batch_images_cap_checked_before_decode(
+    pipe, rng, monkeypatch
+):
+    """An over-cap images_b64 request must get its 400 from the row
+    count ALONE — before any base64/JPEG work is spent on it."""
+    import base64
+
+    from tpucap.ops import jpeg as jpeg_mod
+
+    def exploding(blobs, size, **kw):
+        raise AssertionError(
+            "decode ran for an over-cap request (cap must precede work)"
+        )
+
+    size = pipe.encoder.input_size
+    blob64 = base64.b64encode(_jpeg_bytes(rng, size)).decode()
+    with CaptionHTTPServer(
+        pipe, port=0, max_batch=2, max_delay_ms=1, method="greedy",
+        max_queue=2,
+    ) as srv:
+        srv.serve_background()
+        monkeypatch.setattr(jpeg_mod, "decode_jpeg_batch", exploding)
+        body = json.dumps({"images_b64": [blob64] * 3}).encode()
+        status, payload = _request(srv, "POST", "/caption_batch", body)
+        assert status == 400 and "cap is 2" in payload["error"]
+
+
+def test_request_body_ceiling_413(pipe, rng):
+    """POST bodies over max_body_bytes are rejected 413 from the
+    declared Content-Length alone (nothing oversized is buffered), on
+    every route, and the server keeps serving afterwards."""
+    with CaptionHTTPServer(
+        pipe, port=0, max_batch=4, max_delay_ms=1, method="greedy",
+        max_body_bytes=4096,
+    ) as srv:
+        srv.serve_background()
+        big = b"x" * 8192
+        for route in (
+            "/caption", "/caption_features", "/caption_batch",
+            "/caption_stream", "/reload", "/nonexistent",
+        ):
+            status, payload = _request(srv, "POST", route, big)
+            assert status == 413 and "error" in payload, (route, status)
+        # Oversized-payload fuzz tail: hostile declared lengths must be
+        # clean client errors, never 500s or hangs.
+        host, port = srv.address
+        for clen in ("999999999999", "nan", "-5", "1e9"):
+            conn = http.client.HTTPConnection(host, port, timeout=30)
+            conn.putrequest("POST", "/caption_features")
+            conn.putheader("Content-Length", clen)
+            conn.endheaders()
+            resp = conn.getresponse()
+            assert resp.status in (400, 413), (clen, resp.status)
+            json.loads(resp.read())
+            conn.close()
+        # Under the ceiling still serves.
+        feats = rng.normal(size=(128,)).astype(np.float32)
+        body = json.dumps({"features": feats.tolist()}).encode()
+        status, payload = _request(
+            srv, "POST", "/caption_features", body
+        )
+        assert status == 200
+        assert payload["caption"] == pipe.generate(
+            feats[None], method="greedy"
+        )[0]

@@ -1469,6 +1469,7 @@ def cmd_serve(args):
         engine=args.engine,
         allow_reload=args.allow_reload,
         extra_models=extra_models,
+        max_body_bytes=int(args.max_body_mb * (1 << 20)),
     )
     if args.warmup:
         print("warming up (compiling every batch bucket)...",
@@ -2099,6 +2100,9 @@ def main(argv=None):
     p.add_argument("--max-queue", type=int, default=None,
                    help="bounded admission: reject (HTTP 503) when this "
                    "many requests are queued (default unbounded)")
+    p.add_argument("--max-body-mb", type=float, default=64.0,
+                   help="request-body ceiling in MiB (HTTP 413 over it, "
+                   "checked before the body is read; 0 disables)")
     p.add_argument("--engine", default="batch",
                    choices=["batch", "continuous"],
                    help="feature-serving engine: micro-batched (default) "

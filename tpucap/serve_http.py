@@ -160,12 +160,26 @@ def _prometheus_text(models: dict) -> str:
     return "\n".join(lines) + "\n"
 
 
-def _preprocess_jpeg(blob: bytes, size: int, mode: str) -> np.ndarray:
+def _preprocess_jpeg_batch(
+    blobs: list[bytes], size: int, mode: str
+) -> np.ndarray:
+    """Decode+preprocess MANY JPEGs with ONE C++ call -> (N, size, size, 3).
+
+    One ``decode_jpeg_batch`` call is load-bearing: the C++ decoder
+    threads ACROSS the batch (ops/jpeg/jpeg_decode.cpp), so per-blob
+    calls would serialize host decode for exactly the batched serving
+    shape (/caption_batch images mode) it exists for.
+    ``preprocess_input`` is (..., 3)-broadcasting, so one vectorized
+    call normalizes the whole stack."""
     from tpucap.data.preprocess import preprocess_input
     from tpucap.ops import jpeg
 
-    rgb = jpeg.decode_jpeg_batch([blob], size)[0]  # (size, size, 3) uint8
+    rgb = jpeg.decode_jpeg_batch(blobs, size)  # (N, size, size, 3) uint8
     return preprocess_input(rgb.astype(np.float32), mode)
+
+
+def _preprocess_jpeg(blob: bytes, size: int, mode: str) -> np.ndarray:
+    return _preprocess_jpeg_batch([blob], size, mode)[0]
 
 
 class CaptionHTTPServer:
@@ -187,6 +201,7 @@ class CaptionHTTPServer:
         ticks_per_sync: int = 8,
         allow_reload: bool = False,
         extra_models: dict | None = None,
+        max_body_bytes: int = 64 << 20,
     ):
         """engine='continuous' serves BOTH endpoints through the
         slot-recycling engine (ContinuousCaptionServer): greedy by
@@ -204,8 +219,16 @@ class CaptionHTTPServer:
         the device interleaves whole batches (time-division — the
         single-chip multi-tenant shape). Batch engine only: a continuous
         engine's tick loop would monopolize the device against its
-        neighbors. ``/reload`` takes an optional "model" field."""
+        neighbors. ``/reload`` takes an optional "model" field.
+
+        ``max_body_bytes`` caps the POST request body (413 over it,
+        BEFORE the body is read): a server that ships admission caps
+        and overload shedding must not let one request buffer an
+        unbounded body on the HTTP thread. The 64 MiB default fits a
+        full 4096-row base64 /caption_batch of large JPEGs; 0 disables
+        the ceiling."""
         self._pipe = pipeline
+        self._max_body_bytes = int(max_body_bytes)
         if extra_models:
             if engine != "batch":
                 raise ValueError(
@@ -501,7 +524,33 @@ class CaptionHTTPServer:
                 self.wfile.write((json.dumps(final) + "\n").encode())
 
             def do_POST(self):  # noqa: N802
-                n = int(self.headers.get("Content-Length", 0))
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    if n < 0:
+                        # read(-n) would block until EOF — reject.
+                        raise ValueError
+                except (TypeError, ValueError):
+                    self._reply(
+                        400, {"error": "bad Content-Length header"}
+                    )
+                    self.close_connection = True
+                    return
+                limit = outer._max_body_bytes
+                if limit and n > limit:
+                    # Reject BEFORE reading: the declared size alone
+                    # earns the 413 — nothing oversized is ever
+                    # buffered on the handler thread.
+                    self._reply(
+                        413,
+                        {
+                            "error": f"request body {n} bytes exceeds "
+                            f"the server limit {limit} — split the "
+                            "request (max_body_bytes / --max-body-mb)"
+                        },
+                        {"Connection": "close"},
+                    )
+                    self.close_connection = True
+                    return
                 body = self.rfile.read(n)
                 from urllib.parse import parse_qs, urlsplit
 
@@ -613,6 +662,23 @@ class CaptionHTTPServer:
                                 "caption_batch takes features OR "
                                 "images_b64, not both"
                             )
+                        def _row_cap(srv) -> int:
+                            # Per-request row cap: one request must not
+                            # be able to fill the whole admission queue
+                            # (and an unbounded-queue server still gets
+                            # a sane ceiling). ValueError -> 400 via
+                            # the handler.
+                            cap = getattr(srv, "_max_queue", None)
+                            return cap if cap is not None else 4096
+
+                        def _check_cap(n_rows: int, cap: int):
+                            if n_rows > cap:
+                                raise ValueError(
+                                    f"caption_batch got {n_rows} "
+                                    f"rows, per-request cap is {cap} "
+                                    "— split the request"
+                                )
+
                         if imgs_b64 is not None:
                             import base64
 
@@ -626,13 +692,19 @@ class CaptionHTTPServer:
                                     "images_b64 wants a non-empty "
                                     "LIST of base64 JPEG strings"
                                 )
-                            rows = np.stack(
-                                [
-                                    _preprocess_jpeg(
-                                        base64.b64decode(b), size, pmode
-                                    )
-                                    for b in imgs_b64
-                                ]
+                            # Cap BEFORE any base64/JPEG work: an
+                            # oversized request must cost its 400,
+                            # not a full batch decode.
+                            _check_cap(len(imgs_b64), _row_cap(srv))
+                            blobs = [
+                                base64.b64decode(b) for b in imgs_b64
+                            ]
+                            # ONE threaded C++ decode call for the
+                            # whole request (the pool parallelizes
+                            # across rows; per-row calls would
+                            # serialize the config-5 serving shape).
+                            rows = _preprocess_jpeg_batch(
+                                blobs, size, pmode
                             )
                         else:
                             _, srv, _, _ = _resolve(
@@ -648,18 +720,7 @@ class CaptionHTTPServer:
                                     f"{rows.shape} — use "
                                     "/caption_features for one row"
                                 )
-                        # Per-request row cap: one request must not be
-                        # able to fill the whole admission queue (and
-                        # an unbounded-queue server still gets a sane
-                        # ceiling). ValueError -> 400 via the handler.
-                        cap = getattr(srv, "_max_queue", None)
-                        cap = cap if cap is not None else 4096
-                        if rows.shape[0] > cap:
-                            raise ValueError(
-                                f"caption_batch got {rows.shape[0]} "
-                                f"rows, per-request cap is {cap} — "
-                                "split the request"
-                            )
+                            _check_cap(rows.shape[0], _row_cap(srv))
                         # Atomic admission (submit_many): dials and
                         # shapes validate BEFORE anything enqueues and
                         # the capacity check covers the whole set, so
