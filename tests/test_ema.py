@@ -158,3 +158,35 @@ def test_ema_composes_with_fsdp(toy_corpus, rng):
         np.stack([feats["i0"], feats["i1"]]), method="greedy"
     )
     assert len(caps) == 2
+
+
+def test_ema_finetune_composes_with_fsdp(toy_corpus, rng):
+    """fit_finetune's ema x fsdp cell (r5, aligning with fit's r4
+    support): the joint {'encoder','decoder'} shadow tracks the
+    ZeRO-sharded leaves and is gathered with the params at the end;
+    the trajectory equals the dp run's."""
+    desc, _ = data(toy_corpus, rng)
+    images = {
+        i: rng.normal(size=(32, 32, 3)).astype(np.float32) for i in desc
+    }
+    ref = make_pipe(toy_corpus, ema=DECAY)
+    ref.fit_finetune(desc, images, epochs=2, parallelism="dp", log=None)
+    pipe = make_pipe(toy_corpus, ema=DECAY)
+    pipe.fit_finetune(
+        desc, images, epochs=2, parallelism="fsdp", log=None
+    )
+    assert set(pipe.ema_params) == {"encoder", "decoder"}
+    for tree in ("encoder", "decoder"):
+        for a, b in zip(
+            jax.tree.leaves(ref.ema_params[tree]),
+            jax.tree.leaves(pipe.ema_params[tree]),
+            strict=True,
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=5e-6
+            )
+    pipe.use_ema_weights()
+    caps = pipe.generate(
+        rng.normal(size=(2, 128)).astype(np.float32), method="greedy"
+    )
+    assert len(caps) == 2

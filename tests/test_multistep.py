@@ -189,6 +189,77 @@ def test_multistep_fsdp_matches_sequential():
         np.testing.assert_allclose(float(m2[k]), v, rtol=1e-5)
 
 
+def test_multistep_tp_matches_sequential():
+    """tp multi-step (r5): scanning the vocab-parallel step body — the
+    in-scan pmax/psum collectives are iteration-invariant — gives the
+    same updates and summed metrics as N tp dispatches."""
+    from jax.sharding import Mesh
+
+    from tpucap.parallel.tp import make_tp_train_step
+
+    mesh = Mesh(np.asarray(jax.devices()).reshape(8), ("model",))
+    V8 = 32  # divisible by the 8-way vocab shard
+    dec = build_decoder(
+        "lstm1", vocab_size=V8, feature_dim=FEAT, embed_dim=8,
+        hidden_dim=16,
+    )
+    params = dec.init(jax.random.key(0))
+    rng = np.random.default_rng(0)
+    feats = rng.normal(size=(N, B, FEAT)).astype(np.float32)
+    tokens = rng.integers(1, V8, size=(N, B, T)).astype(np.int32)
+    tokens[:, :, 0] = START
+    tokens[:, :, -2:] = PAD
+    opt = optax.adam(1e-3)
+    single = make_tp_train_step(dec, opt, mesh, deterministic=True)
+    multi = make_tp_train_step(
+        dec, opt, mesh, deterministic=True, multi_steps=N
+    )
+    s1 = TrainState.create(params, opt, jax.random.key(1))
+    s1, sums1 = _sequential(single, s1, feats, tokens)
+    s2 = TrainState.create(params, opt, jax.random.key(1))
+    s2, m2 = multi(s2, jnp.asarray(feats), jnp.asarray(tokens))
+    assert int(s1.step) == int(s2.step) == N
+    _assert_trees_equal(s1.params, s2.params, atol=1e-6)
+    for k, v in sums1.items():
+        np.testing.assert_allclose(float(m2[k]), v, rtol=1e-5)
+
+
+def test_multistep_2d_dp_tp_matches_sequential():
+    """2-D DPxTP multi-step: (N, B, ...) stacks sharded on the batch
+    axis over 'data' while the CE shards vocab over 'model' — same
+    updates as N 2-D dispatches."""
+    from jax.sharding import Mesh
+
+    from tpucap.parallel.tp import make_tp_train_step
+
+    mesh = Mesh(
+        np.asarray(jax.devices()).reshape(4, 2), ("data", "model")
+    )
+    V2 = 32
+    dec = build_decoder(
+        "lstm1", vocab_size=V2, feature_dim=FEAT, embed_dim=8,
+        hidden_dim=16,
+    )
+    params = dec.init(jax.random.key(0))
+    rng = np.random.default_rng(0)
+    feats = rng.normal(size=(N, B, FEAT)).astype(np.float32)
+    tokens = rng.integers(1, V2, size=(N, B, T)).astype(np.int32)
+    tokens[:, :, 0] = START
+    tokens[:, :, -2:] = PAD
+    opt = optax.adam(1e-3)
+    kw = dict(data_axis="data", deterministic=True)
+    single = make_tp_train_step(dec, opt, mesh, **kw)
+    multi = make_tp_train_step(dec, opt, mesh, multi_steps=N, **kw)
+    s1 = TrainState.create(params, opt, jax.random.key(1))
+    s1, sums1 = _sequential(single, s1, feats, tokens)
+    s2 = TrainState.create(params, opt, jax.random.key(1))
+    s2, m2 = multi(s2, jnp.asarray(feats), jnp.asarray(tokens))
+    assert int(s1.step) == int(s2.step) == N
+    _assert_trees_equal(s1.params, s2.params, atol=1e-6)
+    for k, v in sums1.items():
+        np.testing.assert_allclose(float(m2[k]), v, rtol=1e-5)
+
+
 # ---------------------------------------------------------------- fit
 
 
@@ -219,14 +290,15 @@ def _data(toy_corpus, rng, n=24):
     return desc, feats
 
 
-@pytest.mark.parametrize("parallelism", ["none", "dp", "fsdp"])
+@pytest.mark.parametrize("parallelism", ["none", "dp", "fsdp", "tp"])
 def test_fit_steps_per_dispatch_trajectory(toy_corpus, parallelism):
     """fit(steps_per_dispatch=4) over epochs whose length is NOT a
     multiple of 4 (tail through the single-step program) reproduces the
-    spd=1 trajectory: same per-epoch losses, same final params."""
+    spd=1 trajectory: same per-epoch losses, same final params. The tp
+    cell (r5) exercises the vocab-padded, vocab-parallel scan."""
     rng = np.random.default_rng(7)
     # 6 steps/epoch either way: one full group of 4 + a 2-step tail.
-    bs = 4 if parallelism == "none" else 8  # dp/fsdp: divisible by the 8-mesh
+    bs = 4 if parallelism in ("none", "tp") else 8  # dp/fsdp: 8-mesh
     desc, feats = _data(toy_corpus, rng, n=6 * bs)
 
     base = _pipe(toy_corpus, batch_size=bs)
@@ -246,8 +318,11 @@ def test_fit_steps_per_dispatch_validation(toy_corpus):
     rng = np.random.default_rng(7)
     desc, feats = _data(toy_corpus, rng, n=8)
     with pytest.raises(NotImplementedError, match="steps_per_dispatch"):
+        # pp amortizes dispatch over its own microbatch scan — the
+        # composition is refused with that reason (tp composes as of
+        # r5 and is covered by the trajectory test above).
         _pipe(toy_corpus, steps_per_dispatch=2).fit(
-            desc, feats, parallelism="tp", log=None
+            desc, feats, parallelism="pp", log=None
         )
     with pytest.raises(NotImplementedError, match="ema_decay"):
         _pipe(toy_corpus, steps_per_dispatch=2, ema_decay=0.99).fit(

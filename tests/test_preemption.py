@@ -388,7 +388,9 @@ def slow_log(msg):
 
 resume = bool(os.environ.get("TPUCAP_RESUME"))
 hist = pipe.fit(
-    desc, feats, epochs=40, batch_size=4,
+    desc, feats, epochs=40,
+    batch_size=int(os.environ.get("TPUCAP_BS", "4")),
+    parallelism=os.environ.get("TPUCAP_PAR", "none"),
     checkpoint_manager=mgr,
     handle_preemption=True,
     resume=resume,
@@ -403,15 +405,21 @@ else:
 
 
 @pytest.mark.slow
-def test_sigterm_end_to_end(tmp_path):
+@pytest.mark.parametrize("par,bs", [("none", 4), ("fsdp", 8)])
+def test_sigterm_end_to_end(tmp_path, par, bs):
     """Real OS semantics: SIGTERM a training process; it must exit 0
-    after writing a rescue checkpoint; the rerun resumes past it."""
+    after writing a rescue checkpoint; the rerun resumes past it.
+    The fsdp cell proves the at-scale (ZeRO) path has the same
+    preemption story as dp: rescue gathers to canonical layout,
+    resume re-materializes it sharded (restore_sharded)."""
     env = dict(
         os.environ,
         TPUCAP_REPO=os.path.dirname(
             os.path.dirname(os.path.abspath(__file__))
         ),
         TPUCAP_CKPT=str(tmp_path / "ckpt"),
+        TPUCAP_PAR=par,
+        TPUCAP_BS=str(bs),
     )
     env.pop("JAX_PLATFORMS", None)
     proc = subprocess.Popen(
@@ -496,7 +504,9 @@ def slow_log(msg):
     time.sleep(0.2)
 
 hist = pipe.fit(
-    desc, feats, epochs=12, batch_size=2,
+    desc, feats, epochs=12,
+    batch_size=int(os.environ.get("TPUCAP_BS", "2")),
+    parallelism=os.environ.get("TPUCAP_PAR", "none"),
     checkpoint_manager=mgr,
     resume=bool(os.environ.get("TPUCAP_RESUME")),
     log=slow_log,
@@ -507,15 +517,20 @@ print("FINAL %.10f" % hist[-1]["loss"], flush=True)
 
 
 @pytest.mark.slow
-def test_sigkill_step_checkpoint_resume(tmp_path):
+@pytest.mark.parametrize("par,bs", [("none", 2), ("fsdp", 8)])
+def test_sigkill_step_checkpoint_resume(tmp_path, par, bs):
     """The feature's whole point: a HARD kill (SIGKILL — no grace, no
     rescue save) loses < checkpoint_every_steps steps; the resumed run
-    lands on the exact same final loss as an uninterrupted one."""
+    lands on the exact same final loss as an uninterrupted one. The
+    fsdp cell exercises the sharded-state interval saves (gather to
+    canonical) + restore_sharded resume on the 8-device CPU mesh."""
     base_env = dict(
         os.environ,
         TPUCAP_REPO=os.path.dirname(
             os.path.dirname(os.path.abspath(__file__))
         ),
+        TPUCAP_PAR=par,
+        TPUCAP_BS=str(bs),
     )
     base_env.pop("JAX_PLATFORMS", None)
 
@@ -546,9 +561,9 @@ def test_sigkill_step_checkpoint_resume(tmp_path):
     mgr = CheckpointManager(str(tmp_path / "k"), best_metric=None)
     rescued = mgr.latest_step()
     mgr.close()
-    # 4 steps/epoch, killed during/after epoch 3's log line: the
-    # per-step checkpoints mean at most 1 step of work is lost.
-    assert rescued is not None and rescued >= 12
+    # 16 rows / bs steps per epoch, killed during/after epoch 3's log
+    # line: per-step checkpoints mean at most 1 step of work is lost.
+    assert rescued is not None and rescued >= 3 * (16 // bs)
 
     env_b["TPUCAP_RESUME"] = "1"
     rb = subprocess.run(
@@ -561,3 +576,108 @@ def test_sigkill_step_checkpoint_resume(tmp_path):
         ln for ln in rb.stdout.splitlines() if ln.startswith("FINAL")
     ][-1]
     assert final_b == final_a
+
+
+def test_fsdp_epoch_boundary_resume_is_exact(tmp_path):
+    """Resume parity for the at-scale (ZeRO) path: an interrupted-then-
+    resumed fsdp run lands on params bit-identical to an uninterrupted
+    fsdp run. Checkpoints carry the canonical layout (the epoch save
+    gathers); restore_sharded re-materializes them directly in the 1/N
+    layout of the live state."""
+    pipe_a, desc, feats = _pipe()
+    hist_a = pipe_a.fit(
+        desc, feats, epochs=4, batch_size=8, parallelism="fsdp",
+        log=None,
+    )
+
+    pipe_b, desc, feats = _pipe()
+    mgr = CheckpointManager(str(tmp_path / "fb"), best_metric=None)
+    pipe_b.fit(
+        desc, feats, epochs=2, batch_size=8, parallelism="fsdp",
+        checkpoint_manager=mgr, log=None,
+    )
+    pipe_c, desc, feats = _pipe()
+    hist_c = pipe_c.fit(
+        desc, feats, epochs=4, batch_size=8, parallelism="fsdp",
+        checkpoint_manager=mgr, resume=True, log=None,
+    )
+    mgr.close()
+    _assert_trees_equal(_params(pipe_a), _params(pipe_c))
+    assert [h["epoch"] for h in hist_c] == [2, 3]
+    np.testing.assert_allclose(
+        [h["loss"] for h in hist_a[2:]],
+        [h["loss"] for h in hist_c],
+        rtol=1e-6,
+    )
+
+
+def test_fsdp_mid_epoch_preemption_resume_is_exact(tmp_path):
+    """Mid-epoch rescue + resume under fsdp: the rescue gathers to the
+    canonical layout, the resume re-shards, and the trajectory matches
+    an uninterrupted fsdp run bit-exactly."""
+    pipe_a, desc, feats = _pipe()
+    pipe_a.fit(
+        desc, feats, epochs=3, batch_size=8, parallelism="fsdp",
+        log=None,
+    )
+
+    # 16 rows / batch 8 = 2 steps/epoch; fire after 3 steps ->
+    # mid-epoch-1 rescue at step 3.
+    pipe_b, desc, feats = _pipe()
+    mgr = CheckpointManager(str(tmp_path / "fm"), best_metric=None)
+    hist_b = pipe_b.fit(
+        desc, feats, epochs=3, batch_size=8, parallelism="fsdp",
+        checkpoint_manager=mgr,
+        preemption_guard=_FakeGuard(3),
+        log=None,
+    )
+    assert hist_b[-1]["preempted"] is True
+    assert mgr.latest_step() == 3
+
+    pipe_c, desc, feats = _pipe()
+    pipe_c.fit(
+        desc, feats, epochs=3, batch_size=8, parallelism="fsdp",
+        checkpoint_manager=mgr, resume=True, log=None,
+    )
+    mgr.close()
+    _assert_trees_equal(_params(pipe_a), _params(pipe_c))
+
+
+def test_fsdp_step_interval_checkpoints(tmp_path):
+    """checkpoint_every_steps under fsdp: interval saves carry the
+    canonical layout (restorable through the standard template), and
+    resuming from one is exact."""
+    pipe_a, desc, feats = _pipe()
+    pipe_a.fit(
+        desc, feats, epochs=2, batch_size=8, parallelism="fsdp",
+        log=None,
+    )
+
+    pipe_b, desc, feats = _pipe(checkpoint_every_steps=1)
+    mgr = CheckpointManager(
+        str(tmp_path / "fs"), best_metric=None, max_to_keep=20
+    )
+    pipe_b.fit(
+        desc, feats, epochs=1, batch_size=8, parallelism="fsdp",
+        checkpoint_manager=mgr, log=None,
+    )
+    # 2 steps/epoch: interval save at 1, epoch-boundary save at 2.
+    assert mgr.all_steps() == [1, 2]
+    # The interval save restores into a canonical (un-sharded)
+    # template — proof it was gathered before hitting disk.
+    from tpucap.train import TrainState, build_optimizer
+
+    pipe_t, _, _ = _pipe()
+    opt = build_optimizer(pipe_t.config.train)
+    template = TrainState.create(
+        pipe_t.params["decoder"], opt, jax.random.key(0)
+    )
+    mgr.restore(template, step=1)
+
+    pipe_c, desc, feats = _pipe()
+    pipe_c.fit(
+        desc, feats, epochs=2, batch_size=8, parallelism="fsdp",
+        checkpoint_manager=mgr, resume=True, log=None,
+    )
+    mgr.close()
+    _assert_trees_equal(_params(pipe_a), _params(pipe_c))

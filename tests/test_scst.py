@@ -418,3 +418,116 @@ def test_fit_scst_improves_reward_on_memorizable_fixture(rng):
         desc, feats, epochs=10, batch_size=8, temperature=1.0, log=None
     )
     assert hist[-1]["baseline"] > hist[0]["baseline"]
+
+
+def test_scst_fsdp_step_update_exact(rng):
+    """The FSDP SCST update (params/opt state 1/N per device, gather
+    differentiated just-in-time) equals the single-device update on the
+    concatenated batch — the SURVEY §2.4 DP-row exactness standard
+    applied to the ZeRO layout."""
+    from tpucap.core import make_mesh
+    from tpucap.parallel import fsdp_gather_tree, shard_fsdp_tree
+
+    dec, params = tiny_decoder(vocab=17)
+    B = 8
+    feats = jnp.asarray(rng.normal(size=(B, FEAT)), jnp.float32)
+    sampled = jnp.asarray(
+        rng.integers(3, 17, size=(B, 6)), jnp.int32
+    )
+    for b in range(B):
+        sampled = sampled.at[b, 3 + b % 3 :].set(0)
+    adv = jnp.asarray(rng.normal(size=(B,)), jnp.float32)
+
+    opt = optax.adam(1e-2)
+    single = make_scst_step(dec, opt, start_id=1)
+    s0 = TrainState.create(params, opt, jax.random.key(0))
+    s1, m1 = single(s0, feats, sampled, adv)
+
+    mesh = make_mesh(8)
+    template = TrainState.create(params, opt, jax.random.key(0))
+    fsdp = make_scst_step(
+        dec, opt, start_id=1, mesh=mesh,
+        fsdp_state_template=template, min_size=64,
+    )
+    sh = shard_fsdp_tree(template, mesh, min_size=64)
+    s2, m2 = fsdp(sh, feats, sampled, adv)
+
+    np.testing.assert_allclose(
+        float(m1["loss"]), float(m2["loss"]), rtol=1e-6
+    )
+    for a, b in zip(
+        jax.tree.leaves(s1.params),
+        jax.tree.leaves(
+            jax.device_get(fsdp_gather_tree(s2.params, mesh))
+        ),
+        strict=True,
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-6
+        )
+
+
+def test_scst_fsdp_rollout_greedy_matches_single_device(rng):
+    """The FSDP rollout gathers the sharded params in-program; its
+    greedy half must equal the single-device greedy decode on canonical
+    params (sampling stays decorrelated per shard by design)."""
+    from tpucap.core import make_mesh
+    from tpucap.parallel import shard_fsdp_tree
+
+    dec, params = tiny_decoder(vocab=29)
+    feats = jnp.asarray(rng.normal(size=(8, FEAT)), jnp.float32)
+    mesh = make_mesh(8)
+    single = make_scst_rollout(
+        dec, start_id=1, end_id=2, max_len=7
+    )
+    fsdp = make_scst_rollout(
+        dec, start_id=1, end_id=2, max_len=7, mesh=mesh,
+        fsdp_params_template=params, min_size=64,
+    )
+    sharded = shard_fsdp_tree(params, mesh, min_size=64)
+    _, g1 = single(params, feats, jax.random.key(0))
+    s2, g2 = fsdp(sharded, feats, jax.random.key(0))
+    np.testing.assert_array_equal(
+        np.asarray(g1.tokens), np.asarray(g2.tokens)
+    )
+    assert s2.tokens.shape == (8, 7)
+
+
+def test_fit_scst_fsdp_matches_dp(toy_corpus, rng):
+    """fit_scst(parallelism='fsdp') walks the same trajectory as 'dp':
+    rollouts shard the batch identically (same decorrelated sample
+    keys), the update is exact in both layouts, and the final params
+    come back canonical."""
+    desc = {f"i{k}": [toy_corpus[k]] for k in range(8)}
+    feats = {i: rng.normal(size=(128,)).astype(np.float32) for i in desc}
+
+    ref = make_pipe(toy_corpus)
+    ref.fit(desc, feats, epochs=2, log=None)
+    h_dp = ref.fit_scst(
+        desc, feats, epochs=1, batch_size=8, parallelism="dp", log=None
+    )
+
+    pipe = make_pipe(toy_corpus)
+    pipe.fit(desc, feats, epochs=2, log=None)
+    h_fs = pipe.fit_scst(
+        desc, feats, epochs=1, batch_size=8, parallelism="fsdp",
+        log=None,
+    )
+    np.testing.assert_allclose(
+        h_dp[0]["loss"], h_fs[0]["loss"], rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        h_dp[0]["reward"], h_fs[0]["reward"], rtol=1e-6
+    )
+    for a, b in zip(
+        jax.tree.leaves(ref.params["decoder"]),
+        jax.tree.leaves(pipe.params["decoder"]),
+        strict=True,
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-6
+        )
+    caps = pipe.generate(
+        np.stack([feats["i0"], feats["i1"]]), method="greedy"
+    )
+    assert len(caps) == 2

@@ -54,24 +54,26 @@ def _add_optimizer_flags(p):
     p.add_argument("--grad-accum-steps", type=int, default=None,
                    help="scan each batch as N microbatches (exact "
                    "full-batch update, 1/N peak activation memory; "
-                   "parallelism none|dp)")
+                   "parallelism none|dp|fsdp|tp|dp_tp — pp "
+                   "microbatches by construction, sp/ep shard "
+                   "activations instead)")
     p.add_argument("--steps-per-dispatch", type=int, default=None,
                    help="run N optimizer steps per compiled program "
                    "call (lax.scan over N stacked batches) — amortizes "
                    "per-dispatch host overhead; the update sequence is "
-                   "exactly the per-step one (parallelism none|dp, no "
-                   "--ema-decay)")
+                   "exactly the per-step one (parallelism none|dp|fsdp|"
+                   "tp|dp_tp, no --ema-decay)")
     p.add_argument("--checkpoint-every-steps", type=int, default=None,
                    help="also checkpoint every N optimizer steps "
                    "(mid-epoch; --resume restores the exact position) "
                    "— bounds a hard kill's lost work to < N steps on "
-                   "long epochs (parallelism none|dp)")
+                   "long epochs (parallelism none|dp|fsdp)")
     p.add_argument("--train-precision", default=None,
                    choices=["f32", "bf16"],
                    help="training compute dtype: f32 (default, exact "
                    "Keras-parity numerics) or bf16 mixed precision "
                    "(bf16 matmuls, f32 master weights/optimizer; "
-                   "parallelism none|dp and --finetune-encoder)")
+                   "every parallelism and --finetune-encoder)")
     p.add_argument("--grad-clip-norm", type=float, default=None,
                    help="global-norm gradient clipping (0 = off)")
     p.add_argument("--scheduled-sampling", type=float, default=None,
@@ -79,7 +81,7 @@ def _add_optimizer_flags(p):
                    "max probability of replacing each teacher-forcing "
                    "input token with the model's own first-pass "
                    "prediction, ramped per epoch by --ss-schedule "
-                   "(parallelism none|dp)")
+                   "(parallelism none|dp|fsdp)")
     p.add_argument("--ss-schedule", default=None,
                    choices=["linear", "inv_sigmoid", "constant"],
                    help="scheduled-sampling ramp (default linear)")
@@ -1683,6 +1685,22 @@ def cmd_bench(args, extra):
 
 
 def main(argv=None):
+    # Honor JAX_PLATFORMS even where a sitecustomize hook force-
+    # registers a device plugin at interpreter start (the axon/TPU
+    # tunnel build does): plugin registration overrides the env var,
+    # so `JAX_PLATFORMS=cpu python -m tpucap ...` would silently run
+    # on the remote TPU — minutes of tunnel compiles for a CPU-shaped
+    # job. Re-asserting through jax.config wins over the hook. No-op
+    # when jax already initialized its backends (in-process callers
+    # like the test suite set the config themselves).
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        try:
+            import jax
+
+            jax.config.update("jax_platforms", plat)
+        except Exception:
+            pass  # backends already initialized; leave them be
     ap = argparse.ArgumentParser(prog="tpucap")
     sub = ap.add_subparsers(dest="cmd", required=True)
 

@@ -97,6 +97,7 @@ def make_tp_train_step(
     true_vocab: int | None = None,
     compute_dtype=None,
     grad_accum_steps: int = 1,
+    multi_steps: int = 1,
     donate: bool = False,
 ):
     """Vocab-parallel training step: each shard computes only its (B, T,
@@ -350,9 +351,33 @@ def make_tp_train_step(
             metrics,
         )
 
+    body_fn = shard_body
     batch_spec = P(data_axis) if data_axis else P()
+    if multi_steps > 1:
+        # Multi-step dispatch (the dp.py recipe): inputs are (N, B, ...)
+        # stacks — sharded on the SECOND (batch) axis under 2-D DPxTP,
+        # replicated under pure tp — and the shard body lax.scans the
+        # single-step body N times, so one dispatch runs N vocab-psum'd
+        # optimizer steps with the exact per-step update sequence (the
+        # scan carries the full TrainState; nothing about the tp
+        # collectives changes per iteration). Metrics come back SUMMED
+        # over the N steps, matching the dp/fsdp multi-step contract.
+        batch_spec = P(None, data_axis) if data_axis else P()
+
+        def multi_body(state: TrainState, features, tokens):
+            def body(st, xs):
+                f, t = xs
+                return shard_body(st, f, t)
+
+            state, ms = jax.lax.scan(body, state, (features, tokens))
+            return state, jax.tree_util.tree_map(
+                lambda x: jnp.sum(x, axis=0), ms
+            )
+
+        body_fn = multi_body
+
     sharded = shard_map(
-        shard_body,
+        body_fn,
         mesh=mesh,
         in_specs=(P(), batch_spec, batch_spec),
         out_specs=(P(), P()),

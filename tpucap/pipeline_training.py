@@ -258,12 +258,26 @@ class _PipelineTraining:
                 f"steps_per_dispatch={spd} must be >= 1"
             )
         if spd > 1:
-            if parallelism not in ("none", "dp", "fsdp"):
+            if parallelism not in ("none", "dp", "fsdp", "tp", "dp_tp"):
+                # tp scans like dp (r5): the vocab collectives are
+                # per-iteration invariant, so the step body nests
+                # cleanly in a scan over stacked batches. pp keeps the
+                # guard for an ARCHITECTURAL reason: its step already
+                # amortizes dispatch over num_microbatches ppermute
+                # stages (its own inner scan) — nesting a second
+                # steps-axis scan multiplies compiled program size for
+                # overhead that is already amortized. sp/ep keep it
+                # for a MEASURED-economics reason: their steps exist
+                # for long-sequence / MoE shapes where the device step
+                # is milliseconds-plus, so the ~1 ms per-dispatch host
+                # overhead this flag amortizes (PERF.md, +78% on the
+                # sub-ms LSTM step) is already noise there.
                 raise NotImplementedError(
-                    "steps_per_dispatch scans the single-device/"
-                    f"data-parallel/fsdp step body; parallelism="
-                    f"{parallelism!r} builds its own step — drop the "
-                    "flag or use 'none'/'dp'/'fsdp'"
+                    "steps_per_dispatch scans the single-device/dp/"
+                    f"fsdp/tp step body; parallelism={parallelism!r} "
+                    "amortizes dispatch its own way (pp: microbatch "
+                    "ppermute scan; sp/ep: ms-scale steps) — drop the "
+                    "flag or use 'none'/'dp'/'fsdp'/'tp'/'dp_tp'"
                 )
             if cfg.ema_decay:
                 raise NotImplementedError(
@@ -397,20 +411,25 @@ class _PipelineTraining:
                 )
                 self._decode_cache.clear()
                 self._bf16_params = None
-            step = make_tp_train_step(
-                self.decoder,
-                optimizer,
-                self._mesh,
-                pad_id=0,
-                data_axis="data" if parallelism == "dp_tp" else None,
-                label_smoothing=cfg.label_smoothing,
-                # ls/V and the smoothing logit-sum use the TRUE vocab
-                # when the padding branch above widened it.
-                true_vocab=unpad_to,
-                compute_dtype=compute_dtype,
-                grad_accum_steps=cfg.grad_accum_steps,
-                donate=True,
-            )
+            def _mk_tp_step(ms):
+                return make_tp_train_step(
+                    self.decoder,
+                    optimizer,
+                    self._mesh,
+                    pad_id=0,
+                    data_axis="data" if parallelism == "dp_tp" else None,
+                    label_smoothing=cfg.label_smoothing,
+                    # ls/V and the smoothing logit-sum use the TRUE
+                    # vocab when the padding branch above widened it.
+                    true_vocab=unpad_to,
+                    compute_dtype=compute_dtype,
+                    grad_accum_steps=cfg.grad_accum_steps,
+                    multi_steps=ms,
+                    donate=True,
+                )
+
+            step = _mk_tp_step(1)
+            multi_step = _mk_tp_step(spd) if spd > 1 else None
         elif parallelism in ("pp", "dp_pp"):
             from tpucap.parallel import make_pp_train_step, stack_pp_layers
 
@@ -624,11 +643,12 @@ class _PipelineTraining:
         if resume:
             if checkpoint_manager is None:
                 raise ValueError("resume=True needs a checkpoint_manager")
-            if parallelism not in ("none", "dp"):
+            if parallelism not in ("none", "dp", "fsdp"):
                 raise NotImplementedError(
                     "resume restores the canonical param layout; "
                     f"parallelism={parallelism!r} trains on a "
-                    "transformed layout — use 'none'/'dp'"
+                    "transformed layout (tp pads the vocab, pp stacks "
+                    "stages) — use 'none'/'dp'/'fsdp'"
                 )
             if cfg.ema_decay:
                 raise NotImplementedError(
@@ -638,12 +658,14 @@ class _PipelineTraining:
         if cfg.checkpoint_every_steps > 0 and parallelism not in (
             "none",
             "dp",
+            "fsdp",
         ):
             raise NotImplementedError(
                 "checkpoint_every_steps saves the canonical param "
                 f"layout mid-epoch; parallelism={parallelism!r} trains "
-                "on a transformed layout — use 'none'/'dp' (other "
-                "layouts checkpoint at epoch boundaries)"
+                "on a transformed layout (tp pads the vocab, pp stacks "
+                "stages) — use 'none'/'dp'/'fsdp' (other layouts "
+                "checkpoint at epoch boundaries)"
             )
         guard = preemption_guard
         if handle_preemption and guard is None:
@@ -666,9 +688,29 @@ class _PipelineTraining:
             # announcement is latched and acted on after the next step,
             # not delivered with default (fatal) semantics.
             if resume and checkpoint_manager.latest_step() is not None:
-                self.state = own_state(
-                    checkpoint_manager.restore(self.state)
-                )
+                if parallelism == "fsdp":
+                    # Checkpoints on disk carry the canonical layout
+                    # (every fsdp save gathers first); restore_sharded
+                    # materializes each leaf directly INTO the live 1/N
+                    # ZeRO layout of self.state — no host-side full
+                    # copy, no re-placement. Duck-typed managers
+                    # without it restore canonically and re-shard.
+                    if hasattr(checkpoint_manager, "restore_sharded"):
+                        restored = checkpoint_manager.restore_sharded(
+                            self.state
+                        )
+                    else:
+                        from tpucap.parallel import shard_fsdp_tree
+
+                        restored = shard_fsdp_tree(
+                            checkpoint_manager.restore(self.state),
+                            self._mesh,
+                        )
+                    self.state = own_state(restored)
+                else:
+                    self.state = own_state(
+                        checkpoint_manager.restore(self.state)
+                    )
                 done = int(jax.device_get(self.state.step))
                 start_epoch = done // steps_per_epoch
                 resume_batch = done % steps_per_epoch
@@ -812,7 +854,16 @@ class _PipelineTraining:
                         # epoch's last step is covered by the epoch-
                         # boundary save). The save's device_get syncs
                         # dispatch — paid once per N steps by request.
-                        _sentinel_save(checkpoint_manager, self.state)
+                        interval_state = self.state
+                        if parallelism == "fsdp":
+                            # Canonical layout on disk, same contract
+                            # as the epoch-boundary and rescue saves.
+                            from tpucap.parallel import fsdp_gather_tree
+
+                            interval_state = fsdp_gather_tree(
+                                self.state, self._mesh
+                            )
+                        _sentinel_save(checkpoint_manager, interval_state)
                         if spd > 1:
                             done_now = epoch * steps_per_epoch + b_i + 1
                             next_save = (
@@ -1276,12 +1327,10 @@ class _PipelineTraining:
         )
         fsdp_template = None
         if parallelism == "fsdp":
-            if cfg.ema_decay:
-                raise NotImplementedError(
-                    "ema_decay tracks canonical-layout params; "
-                    "parallelism='fsdp' trains on sharded params — "
-                    "drop the flag or use 'dp'"
-                )
+            # ema composes (same rule as fit): the sharded leaves are
+            # canonical-SHAPE global arrays, so the elementwise shadow
+            # update runs shard-local; the shadow is gathered with the
+            # params at the end.
             from tpucap.parallel import shard_fsdp_tree
 
             # Joint params + adam state drop to 1/N per device — the
@@ -1359,6 +1408,12 @@ class _PipelineTraining:
         self.params["encoder"] = final_params["encoder"]
         self.params["decoder"] = final_params["decoder"]
         if ema is not None:
+            if parallelism == "fsdp":
+                # The shadow tracked the sharded leaves; expose the
+                # canonical replicated layout like the params above.
+                from tpucap.parallel import fsdp_gather_tree
+
+                ema = jax.device_get(fsdp_gather_tree(ema, mesh))
             self.ema_params = dict(ema)  # {"encoder", "decoder"}
         self._decode_cache.clear()
         self._bf16_params = None
@@ -1718,8 +1773,12 @@ class _PipelineTraining:
         update shard the image batch over the data mesh (shards sample
         with decorrelated keys; the update psums raw-sum gradients and
         normalizes by the global token count, exactly the
-        single-device update on the concatenated batch). The reward
-        pass stays on the host either way.
+        single-device update on the concatenated batch) | 'fsdp' —
+        additionally drops params + Adam state to 1/N per device
+        (ZeRO): the rollout all_gathers params once per program and the
+        update differentiates through the just-in-time gather (r5,
+        same recipe as fit's fsdp step). The reward pass stays on the
+        host either way.
         """
         from tpucap.train.metrics import CiderDScorer
         from tpucap.train.scst import make_scst_rollout, make_scst_step
@@ -1755,13 +1814,13 @@ class _PipelineTraining:
                     f"clamping batch_size to {len(ids)}"
                 )
             batch_size = len(ids)
-        if parallelism not in (None, "none", "dp"):
+        if parallelism not in (None, "none", "dp", "fsdp"):
             raise NotImplementedError(
-                f"fit_scst supports parallelism None|'none'|'dp', "
-                f"got {parallelism!r}"
+                f"fit_scst supports parallelism None|'none'|'dp'|"
+                f"'fsdp', got {parallelism!r}"
             )
         mesh = None
-        if parallelism == "dp":
+        if parallelism in ("dp", "fsdp"):
             mesh = make_mesh(self.config.mesh.n_devices)
             data_n = dict(mesh.shape)["data"]
             if batch_size % data_n:
@@ -1786,6 +1845,15 @@ class _PipelineTraining:
         state = TrainState.create(
             self.params["decoder"], optimizer, jax.random.key(cfg.seed)
         )
+        fsdp_template = None
+        if parallelism == "fsdp":
+            from tpucap.parallel import shard_fsdp_tree
+
+            # The canonical state is the layout template (shapes only);
+            # the live state drops to 1/N per device — SCST's Adam
+            # state is the same 3x-params HBM tax as CE training.
+            fsdp_template = state
+            state = shard_fsdp_tree(state, mesh)
         rollout = make_scst_rollout(
             self.decoder,
             start_id=start_id,
@@ -1794,12 +1862,16 @@ class _PipelineTraining:
             temperature=temperature,
             top_k=top_k,
             mesh=mesh,
+            fsdp_params_template=(
+                fsdp_template.params if fsdp_template else None
+            ),
         )
         step = make_scst_step(
             self.decoder,
             optimizer,
             start_id=start_id,
             mesh=mesh,
+            fsdp_state_template=fsdp_template,
             donate=True,
         )
         from tpucap.train import own_state
@@ -1863,7 +1935,16 @@ class _PipelineTraining:
                     f"loss={entry['loss']:.4f}"
                 )
         self.state = state
-        self.params["decoder"] = state.params
+        final_params = state.params
+        if parallelism == "fsdp":
+            # The pipeline object always exposes the canonical layout;
+            # self.state keeps the sharded form.
+            from tpucap.parallel import fsdp_gather_tree
+
+            final_params = jax.device_get(
+                fsdp_gather_tree(state.params, mesh)
+            )
+        self.params["decoder"] = final_params
         self._decode_cache.clear()
         self._bf16_params = None
         return history
@@ -1971,9 +2052,19 @@ class _PipelineTraining:
                 )
             batch_size = F.shape[0]
         if parallelism not in (None, "none", "dp"):
+            # Architectural bound, not a gap: word-mode distillation
+            # trains the STUDENT — the small model by construction (the
+            # point of distilling) — so ZeRO-sharding its params/Adam
+            # state (fsdp) saves ~nothing, and the teacher runs forward
+            # -only (no optimizer state at all). Models big enough to
+            # need sharded training are teachers, and sequence mode
+            # already forwards to student.fit, which composes with
+            # every fit parallelism including fsdp.
             raise NotImplementedError(
-                f"fit_distill supports parallelism None|'none'|'dp', "
-                f"got {parallelism!r}"
+                f"word-mode fit_distill supports parallelism None|"
+                f"'none'|'dp', got {parallelism!r} — the student is "
+                "small by construction (use mode='sequence' for the "
+                "full fit parallelism surface)"
             )
         mesh = None
         if parallelism == "dp":

@@ -53,6 +53,8 @@ def make_scst_rollout(
     top_k: int | None = None,
     mesh=None,
     axis: str = "data",
+    fsdp_params_template=None,
+    min_size: int | None = None,
 ) -> Callable:
     """-> jitted ``rollout(params, features, rng) -> (sample, greedy)``
     (two DecodeResults from one device program).
@@ -60,11 +62,38 @@ def make_scst_rollout(
     ``mesh`` shards the feature batch over ``axis`` under shard_map
     (params replicated); the sampling key is folded with the shard
     index so shards draw independent rollouts. Results come back as
-    the full global batch."""
+    the full global batch.
+
+    ``fsdp_params_template`` (with ``mesh``) accepts params in the
+    1/N ZeRO layout of :func:`tpucap.parallel.shard_fsdp_tree` (same
+    ``min_size``): the program all_gathers them once up front — the
+    rollout itself is unchanged, and the per-call gather is the same
+    traffic the fsdp train step pays anyway."""
+    gather = None
+    param_specs = None
+    if fsdp_params_template is not None:
+        if mesh is None:
+            raise ValueError("fsdp_params_template needs a mesh")
+        from tpucap.parallel.fsdp import (
+            DEFAULT_MIN_SIZE,
+            fsdp_dims,
+            fsdp_specs,
+            gather_full_fn,
+        )
+
+        ms = DEFAULT_MIN_SIZE if min_size is None else min_size
+        n = dict(mesh.shape)[axis]
+        dims = fsdp_dims(fsdp_params_template, n, min_size=ms)
+        param_specs = fsdp_specs(
+            fsdp_params_template, n, axis=axis, min_size=ms
+        )
+        gather = gather_full_fn(dims, axis=axis)
 
     def body(params, features, rng):
         if mesh is not None:
             rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+        if gather is not None:
+            params = gather(params)
         state = decoder.init_state(params, features)
         sampled = sample_decode(
             decoder.step,
@@ -99,7 +128,11 @@ def make_scst_rollout(
         shard_map(
             body,
             mesh=mesh,
-            in_specs=(P(), P(axis), P()),
+            in_specs=(
+                param_specs if param_specs is not None else P(),
+                P(axis),
+                P(),
+            ),
             out_specs=P(axis),
             check_vma=False,
         )
@@ -167,6 +200,8 @@ def make_scst_step(
     pad_id: int = 0,
     mesh=None,
     axis: str = "data",
+    fsdp_state_template=None,
+    min_size: int | None = None,
     donate: bool = False,
 ) -> Callable:
     """-> jitted ``step(state, features, sampled, advantages)
@@ -177,7 +212,16 @@ def make_scst_step(
     its RAW-SUM policy loss, gradients and token counts are psum'd, and
     the update normalizes once by the GLOBAL count — exactly the
     single-device update on the concatenated batch (params/opt_state
-    replicated, every shard applies the identical update)."""
+    replicated, every shard applies the identical update).
+
+    ``fsdp_state_template`` (with ``mesh``) takes/returns the
+    TrainState in the 1/N ZeRO layout (:func:`shard_fsdp_tree`, same
+    ``min_size``): the differentiated loss all_gathers params
+    just-in-time, and the gather's AD transpose (a psum_scatter)
+    delivers sharded gradient slices with the same factor-N
+    bookkeeping as the fsdp CE step — the update equals the
+    single-device update on the concatenated batch
+    (tests/test_scst.py fsdp exactness)."""
 
     def loss_fn(params, features, sampled, advantages):
         return scst_loss(
@@ -206,6 +250,8 @@ def make_scst_step(
         )
 
     if mesh is None:
+        if fsdp_state_template is not None:
+            raise ValueError("fsdp_state_template needs a mesh")
 
         def step(state, features, sampled, advantages):
             (_, metrics), grads = jax.value_and_grad(
@@ -217,6 +263,75 @@ def make_scst_step(
 
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
+
+    if fsdp_state_template is not None:
+        from tpucap.parallel.fsdp import (
+            DEFAULT_MIN_SIZE,
+            fsdp_dims,
+            fsdp_specs,
+            gather_full_fn,
+        )
+
+        ms = DEFAULT_MIN_SIZE if min_size is None else min_size
+        n = dict(mesh.shape)[axis]
+        dims_params = fsdp_dims(
+            fsdp_state_template.params, n, min_size=ms
+        )
+        state_specs = fsdp_specs(
+            fsdp_state_template, n, axis=axis, min_size=ms
+        )
+        gather_full = gather_full_fn(dims_params, axis=axis)
+
+        def shard_body_fsdp(state, features, sampled, advantages):
+            # Same exactness recipe as the replicated dp body below
+            # (psum the forward sums, normalize INSIDE the
+            # differentiated loss), composed with the fsdp gather: the
+            # just-in-time all_gather's transpose is a psum_scatter,
+            # so sharded leaves arrive as N * true_grad[slice] (divide
+            # by N) while replicated leaves need the pmean — the
+            # parallel/fsdp.py factor-N bookkeeping verbatim.
+            def local_loss(shard_params):
+                pg_local, ntok_local, logp_local = scst_loss_sums(
+                    decoder,
+                    gather_full(shard_params),
+                    features,
+                    sampled,
+                    advantages,
+                    start_id=start_id,
+                    pad_id=pad_id,
+                )
+                pg = jax.lax.psum(pg_local, axis)
+                ntok = jnp.maximum(jax.lax.psum(ntok_local, axis), 1.0)
+                logp = jax.lax.psum(logp_local, axis)
+                loss = pg / ntok
+                return loss, {
+                    "loss": loss,
+                    "tokens": ntok,
+                    "sample_logp": logp / ntok,
+                }
+
+            (_, metrics), grads = jax.value_and_grad(
+                local_loss, has_aux=True
+            )(state.params)
+            grads = jax.tree_util.tree_map(
+                lambda g, d: (
+                    g / n if d >= 0 else jax.lax.pmean(g, axis)
+                ),
+                grads,
+                dims_params,
+            )
+            return _apply(state, grads, metrics)
+
+        return jax.jit(
+            shard_map(
+                shard_body_fsdp,
+                mesh=mesh,
+                in_specs=(state_specs, P(axis), P(axis), P(axis)),
+                out_specs=(state_specs, P()),
+                check_vma=False,
+            ),
+            donate_argnums=(0,) if donate else (),
+        )
 
     def shard_body(state, features, sampled, advantages):
         # Exactness recipe (same as tpucap.parallel.dp's CE step, and
