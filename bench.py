@@ -47,6 +47,40 @@ def time_fn(run, sync, *, iters, inner, warmup):
     return compile_s, float(np.median(times)), times
 
 
+def fit_device_step(run, sync, med, inner, *, iters):
+    """Fit the ``med(inner) = step + RTT/inner`` model FOR THIS RUN by
+    taking one extra (cheaper) sample at a shallower dispatch depth and
+    solving the two-point system — so the residual sync-RTT share of
+    the reported median is quantified per run instead of footnoted
+    (docs/PERF.md r4 fit, made self-verifying; a locally-attached-TPU
+    rerun should show rtt_ms ~ 0 and device_step ~ the median).
+
+    -> {"device_step_ms_fit", "rtt_ms_fit", "rtt_share_of_median"} or
+    None when the fit is unusable (inner == 1, negative RTT from noise).
+    """
+    shallow = max(1, inner // 8)
+    if shallow >= inner:
+        return None
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        for _ in range(shallow - 1):
+            run()
+        sync(run())
+        times.append((time.perf_counter() - t0) / shallow)
+    med_s = float(np.median(times))
+    # med_s = step + RTT/shallow ; med = step + RTT/inner
+    rtt = (med_s - med) / (1.0 / shallow - 1.0 / inner)
+    step = med - rtt / inner
+    if not (np.isfinite(rtt) and np.isfinite(step)) or rtt < 0 or step <= 0:
+        return None  # noise inverted the two points; don't report junk
+    return {
+        "device_step_ms_fit": round(step * 1000, 3),
+        "rtt_ms_fit": round(rtt * 1000, 3),
+        "rtt_share_of_median": round((rtt / inner) / med, 4),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=256)
@@ -238,6 +272,17 @@ def main():
         "self-draft ceiling + random-draft floor vs plain greedy)",
     )
     ap.add_argument(
+        "--assert-scaling",
+        action="store_true",
+        help="with --mode host-decode --threads 1,2,4,...: FAIL (exit 4) "
+        "unless decode throughput scales across the swept pool sizes "
+        "(>=60%% parallel efficiency between consecutive counts, up to "
+        "the host's core count) — the self-verifying form of the "
+        "config-5 input-stage scaling claim for a real multi-core host "
+        "(this 1-vCPU box can only run the no-regression end; see "
+        "docs/OPERATIONS.md)",
+    )
+    ap.add_argument(
         "--serve-requests",
         type=int,
         default=4096,
@@ -359,8 +404,10 @@ def main():
             int(t) for t in (args.threads or "0").split(",") if t.strip()
         ]
         best_med, best_n = None, 0
+        meds: dict[int, float] = {}
         for n in sweep:
             med = measure(n)
+            meds[n] = med
             print(
                 f"# threads={n or 'auto'}: {med * 1000:.1f}ms/batch = "
                 f"{args.batch / med:.0f} img/s, {total_mb / med:.0f}MB/s "
@@ -369,6 +416,55 @@ def main():
             )
             if best_med is None or med < best_med:
                 best_med, best_n = med, n
+        if args.assert_scaling:
+            # Self-verifying scaling claim: between consecutive explicit
+            # pool sizes (both within the host's core budget) demand
+            # >=60% parallel efficiency; oversubscribed points must at
+            # least not regress >15% (thread overhead bound). Exit 4 on
+            # failure so CI treats it as a real assertion.
+            cores = os.cpu_count() or 1
+            explicit = sorted(n for n in meds if n > 0)
+            usable = [n for n in explicit if n <= cores]
+            if len(usable) < 2:
+                print(
+                    f"# --assert-scaling: only {usable or explicit} "
+                    f"thread counts fit this host's {cores} core(s) — "
+                    "scaling cannot be asserted here; run on a "
+                    "multi-core host (docs/OPERATIONS.md recipe)",
+                    file=sys.stderr,
+                )
+                raise SystemExit(4)
+            failures = []
+            for a, b in zip(usable, usable[1:]):
+                speedup = meds[a] / meds[b]
+                need = 0.6 * (b / a)
+                tag = "ok" if speedup >= need else "FAIL"
+                print(
+                    f"# scaling {a}->{b} threads: speedup "
+                    f"{speedup:.2f}x (need >= {need:.2f}x) {tag}",
+                    file=sys.stderr,
+                )
+                if speedup < need:
+                    failures.append((a, b, speedup, need))
+            for n in (x for x in explicit if x > cores):
+                if meds[n] > 1.15 * best_med:
+                    failures.append((best_n, n, best_med / meds[n], 0.87))
+                    print(
+                        f"# oversubscribed threads={n} regressed "
+                        f"{meds[n] / best_med:.2f}x vs best FAIL",
+                        file=sys.stderr,
+                    )
+            if failures:
+                print(
+                    f"# --assert-scaling FAILED: {failures}",
+                    file=sys.stderr,
+                )
+                raise SystemExit(4)
+            print(
+                f"# --assert-scaling PASSED across threads={usable} "
+                f"on {cores} cores",
+                file=sys.stderr,
+            )
         ips = args.batch / best_med
         result = {
             "metric": f"host JPEG decode (batch {args.batch}, 500x375 "
@@ -1215,6 +1311,17 @@ def main():
     cps = args.batch / med
     per_chip_target = 10000.0 / 8.0  # north-star on v5e-8, per chip
 
+    # Per-run step+RTT/inner fit: quantify how much of the median is
+    # residual tunnel-sync artifact (BASELINE metric honesty; VERDICT r4
+    # next-8). One extra shallow-depth sample set, solved two-point.
+    step_fit = fit_device_step(
+        lambda: run(*inputs),
+        lambda res: np.asarray(res.lengths),
+        med,
+        args.inner,
+        iters=args.iters,
+    )
+
     # True per-image latency: a batch-1 program timed per-call with a
     # host sync each call (BASELINE.md "p50 per-image latency" row).
     # Distinct from the amortized number below — med/batch is batch
@@ -1251,12 +1358,20 @@ def main():
     }
     if p50_batch1_ms is not None:
         result["p50_batch1_latency_ms"] = round(p50_batch1_ms, 3)
+    if step_fit is not None:
+        result.update(step_fit)
     print(
         f"# compile={compile_s:.1f}s median_step={med * 1000:.1f}ms "
         f"amortized_ms_per_image={med / args.batch * 1000:.3f}ms "
         + (
             f"p50_batch1_latency={p50_batch1_ms:.2f}ms "
             if p50_batch1_ms is not None
+            else ""
+        )
+        + (
+            f"device_step_fit={step_fit['device_step_ms_fit']:.1f}ms "
+            f"rtt_fit={step_fit['rtt_ms_fit']:.1f}ms "
+            if step_fit is not None
             else ""
         )
         + f"times={[round(t, 4) for t in times]}",
