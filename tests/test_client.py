@@ -297,3 +297,26 @@ def test_caption_jpegs_many_one_request(client, pipe, rng):
     assert client.caption_jpegs_many(blobs[:1]) == [
         client.caption(blobs[0])
     ]
+
+
+def test_caption_batch_per_row_dials(client, pipe, rng):
+    """Per-row dials (r5): prefixes/include_words_rows give each row
+    its own opening/constraint in ONE /caption_batch request; shared +
+    per-row together fail client-side before any round-trip."""
+    w0, w1 = _vocab_word(pipe), _vocab_word(pipe, skip=1)
+    feats = rng.normal(size=(3, 128)).astype(np.float32)
+    got = client.caption_features_many(feats, prefixes=[w0, "", w1])
+    assert got[0].startswith(w0) and got[2].startswith(w1)
+    assert got[1] == pipe.generate(
+        feats[1:2], method="beam", beam_width=2
+    )[0]
+    got = client.caption_features_many(
+        feats[:2], include_words_rows=[[w0], []]
+    )
+    assert w0 in got[0].split()
+    with pytest.raises(TypeError, match="not both"):
+        client.caption_features_many(
+            feats, prefix=w0, prefixes=[w0, "", ""]
+        )
+    with pytest.raises(TypeError, match="sequence of per-row"):
+        client.caption_features_many(feats, prefixes=w0)

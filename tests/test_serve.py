@@ -321,3 +321,53 @@ def test_submit_many_is_atomic_under_overload(pipe, rng, monkeypatch):
             assert isinstance(f.result(timeout=120), str)
     finally:
         srv.close()
+
+
+def test_submit_many_per_row_dials(pipe, rng):
+    """Per-row prefixes (r5): each row decodes with its OWN forced
+    opening, matching per-row generate_continuation; rows with "" take
+    the plain path — all in one atomic admission."""
+    words = list(pipe.tokenizer.word_index)[:2]
+    feats = rng.normal(size=(3, 128)).astype(np.float32)
+    prefixes = [words[0], "", words[1]]
+    with CaptionServer(
+        pipe, max_batch=8, max_delay_ms=50, method="greedy"
+    ) as srv:
+        futs = srv.submit_many(feats, prefixes=prefixes)
+        got = [f.result(timeout=120) for f in futs]
+    assert got[0] == pipe.generate_continuation(
+        feats[:1], words[0], method="greedy"
+    )[0]
+    assert got[1] == pipe.generate(feats[1:2], method="greedy")[0]
+    assert got[2] == pipe.generate_continuation(
+        feats[2:], words[1], method="greedy"
+    )[0]
+    assert got[0].startswith(words[0]) and got[2].startswith(words[1])
+
+
+def test_submit_many_per_row_dial_validation(pipe, rng):
+    """Per-row dial errors are atomic (nothing enqueues) and name the
+    offending row; shared + per-row dials together are refused; length
+    mismatches are refused."""
+    feats = rng.normal(size=(3, 128)).astype(np.float32)
+    word = next(iter(pipe.tokenizer.word_index))
+    with CaptionServer(
+        pipe, max_batch=8, max_delay_ms=1, method="greedy"
+    ) as srv:
+        with pytest.raises(ValueError, match="row 1"):
+            srv.submit_many(
+                feats, prefixes=[word, "zzzunknownword", word]
+            )
+        assert srv._queue.qsize() == 0  # bad row admitted nothing
+        with pytest.raises(ValueError, match="not.*both|OR"):
+            srv.submit_many(
+                feats, prefix=word, prefixes=[word, "", ""]
+            )
+        with pytest.raises(ValueError, match="match the 3 rows"):
+            srv.submit_many(feats, prefixes=[word])
+        with pytest.raises(ValueError, match="LIST"):
+            srv.submit_many(feats, prefixes=word)
+        # Server still healthy.
+        futs = srv.submit_many(feats, prefixes=[word, "", ""])
+        caps = [f.result(timeout=120) for f in futs]
+        assert len(caps) == 3 and caps[0].startswith(word)

@@ -714,3 +714,60 @@ def test_request_body_ceiling_413(pipe, rng):
         assert payload["caption"] == pipe.generate(
             feats[None], method="greedy"
         )[0]
+
+
+def test_caption_batch_per_row_prefixes(server, pipe, rng):
+    """/caption_batch "prefixes" (r5): each row gets its own forced
+    opening; mixing with shared dials or wrong lengths is a 400."""
+    words = list(pipe.tokenizer.word_index)[:2]
+    feats = rng.normal(size=(3, 128)).astype(np.float32)
+    body = json.dumps(
+        {
+            "features": feats.tolist(),
+            "prefixes": [words[0], "", words[1]],
+        }
+    ).encode()
+    status, payload = _request(server, "POST", "/caption_batch", body)
+    assert status == 200
+    caps = payload["captions"]
+    assert caps[0] == pipe.generate_continuation(
+        feats[:1], words[0], method="greedy"
+    )[0]
+    assert caps[1] == pipe.generate(feats[1:2], method="greedy")[0]
+    assert caps[2].startswith(words[1])
+    # Shared + per-row together -> 400.
+    status, payload = _request(
+        server, "POST", "/caption_batch",
+        json.dumps(
+            {
+                "features": feats.tolist(),
+                "prefix": words[0],
+                "prefixes": [words[0], "", ""],
+            }
+        ).encode(),
+    )
+    assert status == 400 and "not both" in payload["error"]
+    # Wrong length -> 400 naming the expectation.
+    status, payload = _request(
+        server, "POST", "/caption_batch",
+        json.dumps(
+            {"features": feats.tolist(), "prefixes": [words[0]]}
+        ).encode(),
+    )
+    assert status == 400 and "one entry per row" in payload["error"]
+    # Bad row dial -> 400 naming the row, server stays healthy.
+    status, payload = _request(
+        server, "POST", "/caption_batch",
+        json.dumps(
+            {
+                "features": feats.tolist(),
+                "prefixes": ["zzzunknownword", "", ""],
+            }
+        ).encode(),
+    )
+    assert status == 400 and "row 0" in payload["error"]
+    status, payload = _request(
+        server, "POST", "/caption_batch",
+        json.dumps({"features": feats.tolist()}).encode(),
+    )
+    assert status == 200 and len(payload["captions"]) == 3

@@ -184,19 +184,43 @@ class CaptionClient:
         *,
         prefix: str | None = None,
         include_words: Sequence[str] | None = None,
+        prefixes: Sequence[str] | None = None,
+        include_words_rows: Sequence[Sequence[str]] | None = None,
         model: str | None = None,
     ) -> list[str]:
         """Caption MANY feature rows in one request (``POST
         /caption_batch``) — the single-connection alternative to
         :meth:`caption_many`'s thread fan-out; the server submits the
         rows together so its micro-batcher coalesces them into one
-        device batch. All rows share the same dials."""
+        device batch. ``prefix``/``include_words`` apply to every row;
+        ``prefixes``/``include_words_rows`` (r5) give each row its own
+        dial (one entry per row; "" / [] = none for that row)."""
         if hasattr(rows, "tolist"):
             rows = rows.tolist()
         body = {"features": list(rows)}
         m = self.model if model is None else model
         if m:
             body["model"] = m
+        self._add_batch_dials(
+            body, prefix, include_words, prefixes, include_words_rows
+        )
+        return self._request(
+            "POST", "/caption_batch", json.dumps(body).encode()
+        )["captions"]
+
+    @staticmethod
+    def _add_batch_dials(
+        body, prefix, include_words, prefixes, include_words_rows
+    ) -> None:
+        """Shared /caption_batch dial plumbing (shared XOR per-row —
+        the server enforces the same rule; failing here saves a
+        round-trip)."""
+        per_row = prefixes is not None or include_words_rows is not None
+        if per_row and (prefix or include_words):
+            raise TypeError(
+                "pass shared dials (prefix/include_words) OR per-row "
+                "dials (prefixes/include_words_rows), not both"
+            )
         if prefix:
             body["prefix"] = prefix
         if include_words:
@@ -206,9 +230,17 @@ class CaptionClient:
                     f"string {include_words!r}"
                 )
             body["include_words"] = list(include_words)
-        return self._request(
-            "POST", "/caption_batch", json.dumps(body).encode()
-        )["captions"]
+        if prefixes is not None:
+            if isinstance(prefixes, (str, bytes)):
+                raise TypeError(
+                    "prefixes must be a sequence of per-row strings, "
+                    f"got a string {prefixes!r}"
+                )
+            body["prefixes"] = list(prefixes)
+        if include_words_rows is not None:
+            body["include_words_rows"] = [
+                list(w) for w in include_words_rows
+            ]
 
     def caption_jpegs_many(
         self,
@@ -216,6 +248,8 @@ class CaptionClient:
         *,
         prefix: str | None = None,
         include_words: Sequence[str] | None = None,
+        prefixes: Sequence[str] | None = None,
+        include_words_rows: Sequence[Sequence[str]] | None = None,
         model: str | None = None,
     ) -> list[str]:
         """Caption MANY JPEGs in one request (``POST /caption_batch``
@@ -223,7 +257,9 @@ class CaptionClient:
         :meth:`caption_many`: the server decodes/preprocesses the rows,
         runs the encoder on-device, and its micro-batcher coalesces
         them into one device batch (the config-5 shape over one HTTP
-        call). All rows share the same dials."""
+        call). ``prefix``/``include_words`` apply to every row;
+        ``prefixes``/``include_words_rows`` (r5) give each row its own
+        dial."""
         import base64
 
         blobs = list(jpegs)
@@ -237,15 +273,9 @@ class CaptionClient:
         m = self.model if model is None else model
         if m:
             body["model"] = m
-        if prefix:
-            body["prefix"] = prefix
-        if include_words:
-            if isinstance(include_words, (str, bytes)):
-                raise TypeError(
-                    "include_words must be a sequence of words, got a "
-                    f"string {include_words!r}"
-                )
-            body["include_words"] = list(include_words)
+        self._add_batch_dials(
+            body, prefix, include_words, prefixes, include_words_rows
+        )
         return self._request(
             "POST", "/caption_batch", json.dumps(body).encode()
         )["captions"]

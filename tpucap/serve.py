@@ -272,14 +272,22 @@ class CaptionServer:
         xs,
         prefix: str | None = None,
         include_words=None,
+        *,
+        prefixes=None,
+        include_words_rows=None,
     ) -> list[Future]:
         """Enqueue MANY rows in one atomic admission — all rows are
         accepted or none are. The shared dials (``prefix`` /
-        ``include_words``) are validated once, shapes are checked
-        before anything enqueues, and the capacity check covers the
-        whole set under the submit lock — so a multi-row request can
-        never be half-admitted (rows the batcher would decode for a
-        client that already got its 503 back)."""
+        ``include_words``) apply to every row; ``prefixes`` /
+        ``include_words_rows`` (r5) give each row its OWN dial (length-N
+        lists; empty string / empty list = none for that row) — the
+        queue already carries (prefix, include_words) per row, so
+        heterogeneous rows batch together exactly like rows from
+        separate connections. Every dial is validated BEFORE anything
+        enqueues and the capacity check covers the whole set under the
+        submit lock, so a multi-row request can never be half-admitted
+        (rows the batcher would decode for a client that already got
+        its 400/503 back)."""
         xs = np.asarray(xs)
         expect = self._expected_shape()
         if xs.ndim != len(expect) + 1 or xs.shape[1:] != expect:
@@ -289,8 +297,42 @@ class CaptionServer:
             )
         if xs.shape[0] == 0:
             return []
-        iw = self._validate_dials(prefix, include_words)
-        return self._enqueue_rows(list(xs), prefix or "", iw)
+        if prefixes is None and include_words_rows is None:
+            iw = self._validate_dials(prefix, include_words)
+            return self._enqueue_rows(list(xs), prefix or "", iw)
+        if prefix or include_words:
+            raise ValueError(
+                "submit_many takes shared dials (prefix/include_words) "
+                "OR per-row dials (prefixes/include_words_rows), not "
+                "both"
+            )
+        n = xs.shape[0]
+        if prefixes is None:
+            prefixes = [""] * n
+        if include_words_rows is None:
+            include_words_rows = [()] * n
+        if isinstance(prefixes, (str, bytes)):
+            raise ValueError(
+                "prefixes must be a LIST of per-row strings (use "
+                "prefix= for one shared opening)"
+            )
+        if len(prefixes) != n or len(include_words_rows) != n:
+            raise ValueError(
+                f"per-row dials must match the {n} rows: got "
+                f"{len(prefixes)} prefixes, "
+                f"{len(include_words_rows)} include_words_rows"
+            )
+        # Validate EVERY row's dial up front (admission atomicity: a
+        # bad row-3 dial fails the whole request before row 0 enqueues).
+        row_dials = []
+        for i, (p, w) in enumerate(zip(prefixes, include_words_rows)):
+            p = p or ""
+            try:
+                iw = self._validate_dials(p, w)
+            except ValueError as e:
+                raise ValueError(f"row {i}: {e}") from None
+            row_dials.append((p, iw))
+        return self._enqueue_rows_dials(list(xs), row_dials)
 
     def _validate_dials(self, prefix, include_words) -> tuple:
         """Admission-time validation of the per-request decode dials;
@@ -383,6 +425,13 @@ class CaptionServer:
         """Capacity-check and enqueue a set of validated rows under ONE
         lock acquisition: admission is atomic for the whole set (and
         against concurrent submitters)."""
+        return self._enqueue_rows_dials(rows, [(prefix, iw)] * len(rows))
+
+    def _enqueue_rows_dials(
+        self, rows: list, dials: list
+    ) -> list[Future]:
+        """Atomic admission with a validated (prefix, include_words)
+        dial per row — the shared-dial path is the constant-list case."""
         with self._submit_lock:
             if self._closed:
                 raise RuntimeError("server is closed")
@@ -394,7 +443,7 @@ class CaptionServer:
                 )
             now = time.perf_counter()
             futs: list[Future] = []
-            for x in rows:
+            for x, (prefix, iw) in zip(rows, dials):
                 fut: Future = Future()
                 self._queue.put((x, prefix, iw, fut, now))
                 futs.append(fut)

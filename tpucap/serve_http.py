@@ -23,7 +23,11 @@ Endpoints:
                                {"captions": [...]} — the
                                single-connection way to fill a device
                                batch; rows share the request's
-                               prefix/include_words dials
+                               prefix/include_words dials, OR carry
+                               per-row ones via ``"prefixes":
+                               [...]`` / ``"include_words_rows":
+                               [[...], ...]`` (one entry per row;
+                               ""/[] = none for that row)
 - ``POST /caption_stream``     JPEG bytes -> ndjson STREAM of
                                {"words": [...]} spans as the caption
                                decodes, then {"caption": ..., "done":
@@ -679,6 +683,36 @@ class CaptionHTTPServer:
                                     "— split the request"
                                 )
 
+                        # Per-row dials (r5): "prefixes" /
+                        # "include_words_rows" give each row its own
+                        # opening/constraint; validated length-first so
+                        # a malformed request fails before decode work.
+                        row_prefixes = payload.get("prefixes")
+                        row_iw = payload.get("include_words_rows")
+
+                        def _check_row_dials(n_rows: int):
+                            for nm, v in (
+                                ("prefixes", row_prefixes),
+                                ("include_words_rows", row_iw),
+                            ):
+                                if v is None:
+                                    continue
+                                if (
+                                    not isinstance(v, list)
+                                    or len(v) != n_rows
+                                ):
+                                    raise ValueError(
+                                        f"{nm} must be a list with "
+                                        f"one entry per row "
+                                        f"({n_rows}), got "
+                                        f"{type(v).__name__}"
+                                        + (
+                                            f" of {len(v)}"
+                                            if isinstance(v, list)
+                                            else ""
+                                        )
+                                    )
+
                         if imgs_b64 is not None:
                             import base64
 
@@ -696,6 +730,7 @@ class CaptionHTTPServer:
                             # oversized request must cost its 400,
                             # not a full batch decode.
                             _check_cap(len(imgs_b64), _row_cap(srv))
+                            _check_row_dials(len(imgs_b64))
                             blobs = [
                                 base64.b64decode(b) for b in imgs_b64
                             ]
@@ -721,6 +756,7 @@ class CaptionHTTPServer:
                                     "/caption_features for one row"
                                 )
                             _check_cap(rows.shape[0], _row_cap(srv))
+                            _check_row_dials(rows.shape[0])
                         # Atomic admission (submit_many): dials and
                         # shapes validate BEFORE anything enqueues and
                         # the capacity check covers the whole set, so
@@ -732,16 +768,33 @@ class CaptionHTTPServer:
                             payload.get("include_words")
                             or include_words
                         )
-                        if (bprefix or biw) and not isinstance(
-                            srv, CaptionServer
-                        ):
+                        per_row = (
+                            row_prefixes is not None
+                            or row_iw is not None
+                        )
+                        if (bprefix or biw) and per_row:
+                            raise ValueError(
+                                "caption_batch takes shared dials "
+                                "(prefix/include_words) OR per-row "
+                                "dials (prefixes/include_words_rows), "
+                                "not both"
+                            )
+                        if (
+                            bprefix or biw or per_row
+                        ) and not isinstance(srv, CaptionServer):
                             raise ValueError(
                                 "prefix/include_words need "
                                 "engine='batch' (the continuous "
                                 "engines have no forced-prefix/"
                                 "constrained path)"
                             )
-                        if isinstance(srv, CaptionServer):
+                        if per_row:
+                            futs = srv.submit_many(
+                                rows,
+                                prefixes=row_prefixes,
+                                include_words_rows=row_iw,
+                            )
+                        elif isinstance(srv, CaptionServer):
                             futs = srv.submit_many(
                                 rows,
                                 prefix=bprefix or None,
