@@ -366,3 +366,36 @@ def test_cli_train_flags_reach_trainconfig():
     assert t.ss_schedule == "inv_sigmoid"
     assert t.checkpoint_every_steps == 7
     assert t.steps_per_dispatch == 4
+
+
+def test_multistep_tp_grad_accum_composes():
+    """spd x grad-accum under tp: the steps-axis scan wraps the
+    microbatch-accumulating body unchanged — N dispatches of the
+    accumulating step equal one multi-step dispatch."""
+    from jax.sharding import Mesh
+
+    from tpucap.parallel.tp import make_tp_train_step
+
+    mesh = Mesh(np.asarray(jax.devices()).reshape(8), ("model",))
+    V8 = 32
+    dec = build_decoder(
+        "lstm1", vocab_size=V8, feature_dim=FEAT, embed_dim=8,
+        hidden_dim=16,
+    )
+    params = dec.init(jax.random.key(0))
+    rng = np.random.default_rng(0)
+    feats = rng.normal(size=(N, B, FEAT)).astype(np.float32)
+    tokens = rng.integers(1, V8, size=(N, B, T)).astype(np.int32)
+    tokens[:, :, 0] = START
+    tokens[:, :, -2:] = PAD
+    opt = optax.adam(1e-3)
+    kw = dict(deterministic=True, grad_accum_steps=2)
+    single = make_tp_train_step(dec, opt, mesh, **kw)
+    multi = make_tp_train_step(dec, opt, mesh, multi_steps=N, **kw)
+    s1 = TrainState.create(params, opt, jax.random.key(1))
+    s1, sums1 = _sequential(single, s1, feats, tokens)
+    s2 = TrainState.create(params, opt, jax.random.key(1))
+    s2, m2 = multi(s2, jnp.asarray(feats), jnp.asarray(tokens))
+    _assert_trees_equal(s1.params, s2.params, atol=1e-6)
+    for k, v in sums1.items():
+        np.testing.assert_allclose(float(m2[k]), v, rtol=1e-5)
