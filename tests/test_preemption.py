@@ -681,3 +681,78 @@ def test_fsdp_step_interval_checkpoints(tmp_path):
     )
     mgr.close()
     _assert_trees_equal(_params(pipe_a), _params(pipe_c))
+
+
+def test_fsdp_sharded_checkpoints_resume_exact(tmp_path):
+    """fit(sharded_checkpoints=True): every save hands orbax the live
+    1/N ZeRO layout (no gather) — the disk format is unchanged, so a
+    canonical-template restore works AND resume lands bit-identical to
+    the canonical-checkpoint fsdp run."""
+    pipe_a, desc, feats = _pipe()
+    pipe_a.fit(
+        desc, feats, epochs=4, batch_size=8, parallelism="fsdp",
+        log=None,
+    )
+
+    pipe_b, desc, feats = _pipe()
+    mgr = CheckpointManager(str(tmp_path / "z"), best_metric=None)
+    pipe_b.fit(
+        desc, feats, epochs=2, batch_size=8, parallelism="fsdp",
+        sharded_checkpoints=True, checkpoint_manager=mgr, log=None,
+    )
+    # Layout-agnostic disk proof: the sharded-written checkpoint
+    # restores through the CANONICAL template.
+    from tpucap.train import TrainState, build_optimizer
+
+    pipe_t, _, _ = _pipe()
+    opt = build_optimizer(pipe_t.config.train)
+    template = TrainState.create(
+        pipe_t.params["decoder"], opt, jax.random.key(0)
+    )
+    restored = mgr.restore(template)
+    assert int(jax.device_get(restored.step)) == 4  # 2 epochs x 2 steps
+
+    pipe_c, desc, feats = _pipe()
+    pipe_c.fit(
+        desc, feats, epochs=4, batch_size=8, parallelism="fsdp",
+        sharded_checkpoints=True, checkpoint_manager=mgr, resume=True,
+        log=None,
+    )
+    mgr.close()
+    _assert_trees_equal(_params(pipe_a), _params(pipe_c))
+
+
+def test_fsdp_sharded_rescue_and_interval(tmp_path):
+    """Sharded-layout mid-epoch saves: the FakeGuard rescue and the
+    step-interval checkpoints write without gathering and restore
+    through the canonical template."""
+    pipe, desc, feats = _pipe(checkpoint_every_steps=1)
+    mgr = CheckpointManager(
+        str(tmp_path / "zr"), best_metric=None, max_to_keep=20
+    )
+    hist = pipe.fit(
+        desc, feats, epochs=2, batch_size=8, parallelism="fsdp",
+        sharded_checkpoints=True, checkpoint_manager=mgr,
+        preemption_guard=_FakeGuard(3),
+        log=None,
+    )
+    assert hist[-1]["preempted"] is True
+    assert mgr.latest_step() == 3  # mid-epoch-1 rescue, sharded-written
+    from tpucap.train import TrainState, build_optimizer
+
+    pipe_t, _, _ = _pipe()
+    opt = build_optimizer(pipe_t.config.train)
+    template = TrainState.create(
+        pipe_t.params["decoder"], opt, jax.random.key(0)
+    )
+    mgr.restore(template, step=3)
+    mgr.close()
+
+
+def test_sharded_checkpoints_guards(tmp_path):
+    pipe, desc, feats = _pipe()
+    with pytest.raises(ValueError, match="sharded_checkpoints"):
+        pipe.fit(
+            desc, feats, epochs=1, batch_size=8, parallelism="dp",
+            sharded_checkpoints=True, log=None,
+        )

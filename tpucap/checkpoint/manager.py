@@ -73,7 +73,9 @@ class CheckpointManager:
         if not self._async:
             self._mgr.wait_until_finished()
 
-    def save_rescue(self, state: TrainState) -> None:
+    def save_rescue(
+        self, state: TrainState, *, sharded: bool = False
+    ) -> None:
         """Mid-epoch rescue / step-interval checkpoint. Saved WITHOUT
         metrics: orbax's best-metric retention can then neither select
         it as best nor delete it (``keep_checkpoints_without_metrics``,
@@ -86,11 +88,16 @@ class CheckpointManager:
         new save lands (epoch-boundary saves always carry metrics and
         are never touched). No-op when the manager already holds this
         exact step (a step-interval save racing an epoch-boundary
-        save)."""
+        save). ``sharded=True`` writes through :meth:`save_sharded`
+        (each process writes only its shards — no host gather; same
+        disk format)."""
         step = int(jax.device_get(state.step))
         if self.latest_step() == step:
             return
-        self.save(state, metrics=None)
+        if sharded:
+            self.save_sharded(state, metrics=None)
+        else:
+            self.save(state, metrics=None)
         if self.best_metric:
             self.wait()
             for s in self._mgr.all_steps():

@@ -701,6 +701,9 @@ def cmd_train(args):
         stream=stream,
         resume=getattr(args, "resume", False),
         handle_preemption=getattr(args, "handle_preemption", False),
+        sharded_checkpoints=getattr(
+            args, "sharded_checkpoints", False
+        ),
     )
     if logger:
         for h in history:
@@ -1781,6 +1784,11 @@ def main(argv=None):
                    help="on SIGTERM: finish the in-flight step, write a "
                    "mid-epoch rescue checkpoint, exit cleanly — rerun "
                    "with --resume to continue (TPU preemption recipe)")
+    p.add_argument("--sharded-checkpoints", action="store_true",
+                   help="with --parallelism fsdp: write checkpoints in "
+                   "the live 1/N ZeRO layout (each process saves only "
+                   "its shards — no gather, no host-size copy; same "
+                   "disk format, restores everywhere)")
     p.add_argument("--scst-epochs", type=int, default=0,
                    help="after CE training, run N epochs of self-"
                    "critical sequence training (REINFORCE on CIDEr-D "

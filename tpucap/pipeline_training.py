@@ -33,7 +33,7 @@ from tpucap.train.evaluate import evaluate_captions
 from tpucap.train.sequences import batch_iterator
 
 
-def _sentinel_save(mgr, state) -> None:
+def _sentinel_save(mgr, state, *, sharded: bool = False) -> None:
     """Save a MID-EPOCH checkpoint (preemption rescue / step-interval):
     a METRIC-LESS checkpoint, so best-checkpoint selection stays
     epoch-driven AND retention cannot evict it (a never-best sentinel
@@ -41,9 +41,15 @@ def _sentinel_save(mgr, state) -> None:
     and deleted inside the save call once max_to_keep better
     checkpoints exist — the rescue must instead be exempt from the
     metric policy entirely; CheckpointManager.save_rescue owns that
-    plus the one-rescue-at-a-time cleanup)."""
+    plus the one-rescue-at-a-time cleanup). ``sharded=True`` writes the
+    live device layout (no gather; fsdp ZeRO checkpointing)."""
     if hasattr(mgr, "save_rescue"):
-        mgr.save_rescue(state)
+        if sharded:
+            mgr.save_rescue(state, sharded=True)
+        else:
+            # Positional-only call keeps duck-typed managers (tests)
+            # that predate the kwarg working.
+            mgr.save_rescue(state)
         return
     # Duck-typed managers (tests): plain metric-less save with the same
     # same-step dedup.
@@ -72,6 +78,7 @@ class _PipelineTraining:
         resume: bool = False,
         handle_preemption: bool = False,
         preemption_guard=None,
+        sharded_checkpoints: bool = False,
         log=print,
     ):
         """parallelism: 'none' | 'dp' (batch sharded, psum grads) | 'tp'
@@ -91,6 +98,14 @@ class _PipelineTraining:
         update-exact; any decoder family).
         ``data_parallel=True`` is the back-compat spelling of
         parallelism='dp'.
+
+        ``sharded_checkpoints=True`` (fsdp only) writes every
+        checkpoint — epoch-boundary, rescue, step-interval — in the
+        live 1/N ZeRO layout (each process hands orbax only its
+        shards; no gather, no host-side full copy). The disk format is
+        unchanged, so the checkpoints restore through both the
+        canonical template and ``resume=True``'s restore_sharded, and
+        averaging / h5 export keep working.
 
         ``stream=True`` is the at-scale input path: tokens materialize
         (tiny), but feature rows are assembled PER BATCH by indexing
@@ -667,6 +682,29 @@ class _PipelineTraining:
                 "stages) — use 'none'/'dp'/'fsdp' (other layouts "
                 "checkpoint at epoch boundaries)"
             )
+        if sharded_checkpoints:
+            # ZeRO checkpointing: every save hands orbax the LIVE 1/N
+            # device layout (each process writes only its shards; no
+            # gather, no host-side full copy) — for when the gathered
+            # state would not fit one host/device. Disk format is the
+            # same StandardSave tree, so the checkpoints stay
+            # layout-agnostic on restore (canonical restore, averaging
+            # and h5 export all still work).
+            if parallelism != "fsdp":
+                raise ValueError(
+                    "sharded_checkpoints=True is the fsdp ZeRO "
+                    "checkpointing path (params already live 1/N per "
+                    f"device); parallelism={parallelism!r} keeps "
+                    "canonical-layout state — drop the flag"
+                )
+            if checkpoint_manager is not None and not hasattr(
+                checkpoint_manager, "save_sharded"
+            ):
+                raise ValueError(
+                    "sharded_checkpoints=True needs a manager with "
+                    "save_sharded/restore_sharded "
+                    "(tpucap.checkpoint.CheckpointManager)"
+                )
         guard = preemption_guard
         if handle_preemption and guard is None:
             from tpucap.train import PreemptionGuard
@@ -855,7 +893,10 @@ class _PipelineTraining:
                         # boundary save). The save's device_get syncs
                         # dispatch — paid once per N steps by request.
                         interval_state = self.state
-                        if parallelism == "fsdp":
+                        if (
+                            parallelism == "fsdp"
+                            and not sharded_checkpoints
+                        ):
                             # Canonical layout on disk, same contract
                             # as the epoch-boundary and rescue saves.
                             from tpucap.parallel import fsdp_gather_tree
@@ -863,7 +904,11 @@ class _PipelineTraining:
                             interval_state = fsdp_gather_tree(
                                 self.state, self._mesh
                             )
-                        _sentinel_save(checkpoint_manager, interval_state)
+                        _sentinel_save(
+                            checkpoint_manager,
+                            interval_state,
+                            sharded=sharded_checkpoints,
+                        )
                         if spd > 1:
                             done_now = epoch * steps_per_epoch + b_i + 1
                             next_save = (
@@ -902,7 +947,10 @@ class _PipelineTraining:
                     history.append(epoch_metrics)
                     if checkpoint_manager is not None:
                         rescue_state = self.state
-                        if parallelism == "fsdp":
+                        if (
+                            parallelism == "fsdp"
+                            and not sharded_checkpoints
+                        ):
                             # Same canonical-layout contract as the
                             # epoch-boundary save below: gather the
                             # shards first — a raw sharded rescue would
@@ -913,7 +961,11 @@ class _PipelineTraining:
                             rescue_state = fsdp_gather_tree(
                                 self.state, self._mesh
                             )
-                        _sentinel_save(checkpoint_manager, rescue_state)
+                        _sentinel_save(
+                            checkpoint_manager,
+                            rescue_state,
+                            sharded=sharded_checkpoints,
+                        )
                     if log:
                         log(
                             f"preempted at epoch {epoch} step "
@@ -982,15 +1034,28 @@ class _PipelineTraining:
                     if monitor_key != "val_loss" and monitor_key in epoch_metrics:
                         ckpt_metrics[monitor_key] = epoch_metrics[monitor_key]
                     save_state = self.state
-                    if parallelism == "fsdp":
-                        # Checkpoints carry the canonical (replicated)
-                        # layout so restore templates, averaging, and h5
-                        # export stay layout-agnostic; fit re-shards on the
-                        # next run.
-                        from tpucap.parallel import fsdp_gather_tree
+                    if parallelism == "fsdp" and sharded_checkpoints:
+                        # ZeRO checkpointing: orbax gets the live
+                        # sharded arrays — each process writes only its
+                        # 1/N, nothing is gathered. Same disk format.
+                        checkpoint_manager.save_sharded(
+                            self.state, metrics=ckpt_metrics
+                        )
+                    else:
+                        if parallelism == "fsdp":
+                            # Checkpoints carry the canonical
+                            # (replicated) layout so restore templates,
+                            # averaging, and h5 export stay
+                            # layout-agnostic; fit re-shards on the
+                            # next run.
+                            from tpucap.parallel import fsdp_gather_tree
 
-                        save_state = fsdp_gather_tree(self.state, self._mesh)
-                    checkpoint_manager.save(save_state, metrics=ckpt_metrics)
+                            save_state = fsdp_gather_tree(
+                                self.state, self._mesh
+                            )
+                        checkpoint_manager.save(
+                            save_state, metrics=ckpt_metrics
+                        )
                 # Keras EarlyStopping(monitor=..., mode=..., patience=N):
                 # stop once the monitor hasn't improved for N epochs. The
                 # best checkpoint is already retained by the manager, so
