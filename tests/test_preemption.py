@@ -756,3 +756,147 @@ def test_sharded_checkpoints_guards(tmp_path):
             desc, feats, epochs=1, batch_size=8, parallelism="dp",
             sharded_checkpoints=True, log=None,
         )
+
+
+# ---------------------------------------------------------- fit_finetune
+
+
+def _ft_pipe(**train_overrides):
+    # feature_dim must be TinyCNN's actual output width (128) — the
+    # joint step feeds REAL encoder features to the decoder.
+    cfg = Config(
+        encoder=EncoderConfig(name="tiny_cnn", feature_dim=128),
+        decoder=DecoderConfig(
+            embed_dim=16, hidden_dim=16, dropout_rate=0.0
+        ),
+        train=TrainConfig(
+            epochs=1, batch_size=4, seed=0, learning_rate=1e-2,
+            **train_overrides,
+        ),
+        decode=DecodeConfig(max_len=8),
+    )
+    pipe = CaptioningPipeline(cfg)
+    words = "a b c d e f g h".split()
+    desc = {
+        f"im{i}": [f"startseq {words[i]} {words[(i+3) % 8]} endseq"] * 2
+        for i in range(8)
+    }
+    pipe.fit_tokenizer(desc)
+    pipe.build()
+    rng = np.random.default_rng(1)
+    images = {
+        k: rng.normal(size=(32, 32, 3)).astype(np.float32) for k in desc
+    }
+    return pipe, desc, images
+
+
+def _joint_params(pipe):
+    return jax.device_get(
+        {"encoder": pipe.params["encoder"],
+         "decoder": pipe.params["decoder"]}
+    )
+
+
+@pytest.mark.parametrize("par", ["none", "fsdp"])
+def test_finetune_resume_is_exact(tmp_path, par):
+    """fit_finetune resume parity (r5): interrupted-then-resumed joint
+    fine-tuning lands on encoder AND decoder params bit-identical to
+    the uninterrupted run — single-device and ZeRO-sharded."""
+    bs = 4 if par == "none" else 8
+    pipe_a, desc, images = _ft_pipe()
+    pipe_a.fit_finetune(
+        desc, images, epochs=4, batch_size=bs, parallelism=par,
+        log=None,
+    )
+
+    pipe_b, desc, images = _ft_pipe()
+    mgr = CheckpointManager(str(tmp_path / f"ft{par}"), best_metric=None)
+    pipe_b.fit_finetune(
+        desc, images, epochs=2, batch_size=bs, parallelism=par,
+        checkpoint_manager=mgr, log=None,
+    )
+    pipe_c, desc, images = _ft_pipe()
+    hist = pipe_c.fit_finetune(
+        desc, images, epochs=4, batch_size=bs, parallelism=par,
+        checkpoint_manager=mgr, resume=True, log=None,
+    )
+    mgr.close()
+    assert [h["epoch"] for h in hist] == [2, 3]
+    _assert_trees_equal(_joint_params(pipe_a), _joint_params(pipe_c))
+
+
+def test_finetune_mid_epoch_rescue_and_resume(tmp_path):
+    """FakeGuard preemption mid-fine-tune: rescue checkpoint written,
+    'preempted' history entry, resumed run matches uninterrupted."""
+    pipe_a, desc, images = _ft_pipe()
+    pipe_a.fit_finetune(desc, images, epochs=3, batch_size=4, log=None)
+
+    pipe_b, desc, images = _ft_pipe()
+    mgr = CheckpointManager(str(tmp_path / "ftm"), best_metric=None)
+    hist = pipe_b.fit_finetune(
+        desc, images, epochs=3, batch_size=4,
+        checkpoint_manager=mgr, preemption_guard=_FakeGuard(3),
+        log=None,
+    )
+    assert hist[-1]["preempted"] is True
+    assert mgr.latest_step() == 3
+
+    pipe_c, desc, images = _ft_pipe()
+    pipe_c.fit_finetune(
+        desc, images, epochs=3, batch_size=4,
+        checkpoint_manager=mgr, resume=True, log=None,
+    )
+    mgr.close()
+    _assert_trees_equal(_joint_params(pipe_a), _joint_params(pipe_c))
+
+
+def test_finetune_step_interval_and_sharded(tmp_path):
+    """checkpoint_every_steps during fine-tuning (interval saves land
+    mid-epoch) and the fsdp ZeRO (sharded_checkpoints) format, which
+    must still restore through a canonical template."""
+    pipe, desc, images = _ft_pipe(checkpoint_every_steps=1)
+    mgr = CheckpointManager(
+        str(tmp_path / "fts"), best_metric=None, max_to_keep=20
+    )
+    # encoder_lr_scale=1.0 keeps the optimizer bare so the canonical
+    # template below shares its opt_state structure.
+    pipe.fit_finetune(
+        desc, images, epochs=1, batch_size=8, parallelism="fsdp",
+        encoder_lr_scale=1.0,
+        sharded_checkpoints=True, checkpoint_manager=mgr, log=None,
+    )
+    # 16 rows / bs 8 = 2 steps: interval at 1, epoch boundary at 2.
+    assert mgr.all_steps() == [1, 2]
+    from tpucap.train import TrainState, build_optimizer
+
+    pipe_t, _, _ = _ft_pipe()
+    opt = build_optimizer(pipe_t.config.train)
+    template = TrainState.create(
+        {"encoder": pipe_t.params["encoder"],
+         "decoder": pipe_t.params["decoder"]},
+        opt,
+        jax.random.key(0),
+    )
+    mgr.restore(template, step=2)
+    mgr.close()
+
+
+def test_finetune_checkpoint_guards(tmp_path):
+    pipe, desc, images = _ft_pipe()
+    with pytest.raises(ValueError, match="checkpoint_manager"):
+        pipe.fit_finetune(
+            desc, images, epochs=1, resume=True, log=None
+        )
+    with pytest.raises(NotImplementedError, match="save_lora"):
+        mgr = CheckpointManager(
+            str(tmp_path / "ftg"), best_metric=None
+        )
+        pipe.fit_finetune(
+            desc, images, epochs=1, lora_rank=2,
+            checkpoint_manager=mgr, log=None,
+        )
+    with pytest.raises(ValueError, match="sharded_checkpoints"):
+        pipe.fit_finetune(
+            desc, images, epochs=1, parallelism="dp",
+            sharded_checkpoints=True, log=None,
+        )

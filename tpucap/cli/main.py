@@ -471,6 +471,18 @@ def _cmd_train_finetune(args, pipe, prepared):
     parallelism = getattr(args, "parallelism", None)
     if getattr(args, "data_parallel", False):
         parallelism = "dp"
+    mgr = None
+    wants_ckpt = (
+        getattr(args, "resume", False)
+        or getattr(args, "handle_preemption", False)
+        or getattr(args, "checkpoint_every_steps", None)
+    )
+    if wants_ckpt and not getattr(args, "lora_rank", 0):
+        from tpucap.checkpoint import CheckpointManager
+
+        mgr = CheckpointManager(
+            args.checkpoint_dir, best_metric="val_loss"
+        )
     history = pipe.fit_finetune(
         prepared,
         images,
@@ -483,7 +495,21 @@ def _cmd_train_finetune(args, pipe, prepared):
         augment_shift=getattr(args, "augment_shift", 0) or 0,
         lora_rank=getattr(args, "lora_rank", 0),
         lora_alpha=getattr(args, "lora_alpha", None),
+        checkpoint_manager=mgr,
+        resume=getattr(args, "resume", False),
+        handle_preemption=getattr(args, "handle_preemption", False),
+        sharded_checkpoints=getattr(
+            args, "sharded_checkpoints", False
+        ),
     )
+    if mgr is not None:
+        mgr.close()
+    if not history:
+        print(
+            "nothing to train: the restored checkpoint already covers "
+            f"the requested epochs; checkpoints in {args.checkpoint_dir}"
+        )
+        return
     if getattr(args, "lora_out", None):
         pipe.save_lora(args.lora_out)
         print(f"LoRA adapters in {args.lora_out}")
@@ -504,6 +530,15 @@ def _cmd_train_finetune(args, pipe, prepared):
     )
     pipe.save(bundle)
     _maybe_save_ema_bundle(args, pipe)
+    if history[-1].get("preempted"):
+        print(
+            f"preempted after {len(history)} epoch entries; rescue "
+            "checkpoint written — rerun the same command with "
+            f"--resume to continue (checkpoints in "
+            f"{args.checkpoint_dir}; bundle in {bundle} carries the "
+            "mid-run weights)"
+        )
+        return
     print(
         f"finetuned {len(history)} epochs; final loss "
         f"{history[-1]['loss']:.4f}; bundle in {bundle}"
@@ -570,13 +605,12 @@ def cmd_train(args):
     if getattr(args, "resume", False) or getattr(
         args, "handle_preemption", False
     ):
+        # fit AND fit_finetune both carry the checkpoint/preemption
+        # dials (r5); LoRA checkpoints adapters via save_lora and the
+        # EMA shadow is not restored — those still refuse.
         bad = [
             flag
             for flag, val in (
-                (
-                    "--finetune-encoder",
-                    getattr(args, "finetune_encoder", False),
-                ),
                 ("--lora-rank", getattr(args, "lora_rank", 0)),
                 ("--ema-decay", getattr(args, "ema_decay", None)),
             )
@@ -585,7 +619,7 @@ def cmd_train(args):
         if bad:
             raise SystemExit(
                 f"--resume/--handle-preemption need the step-"
-                f"checkpointed fit path; drop {', '.join(bad)}"
+                f"checkpointed TrainState path; drop {', '.join(bad)}"
             )
     if getattr(args, "finetune_encoder", False):
         _validate_finetune_flags(args)

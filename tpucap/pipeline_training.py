@@ -1242,6 +1242,11 @@ class _PipelineTraining:
         augment_shift: int = 0,
         lora_rank: int = 0,
         lora_alpha: float | None = None,
+        checkpoint_manager=None,
+        resume: bool = False,
+        handle_preemption: bool = False,
+        preemption_guard=None,
+        sharded_checkpoints: bool = False,
         log=print,
     ) -> list[dict]:
         """End-to-end fine-tuning: train the ENCODER and decoder jointly
@@ -1286,7 +1291,21 @@ class _PipelineTraining:
         restricts adapters to the decoder) — ~1-2% trainable params,
         Adam state shrunk accordingly, few-MB adapter artifact
         (:meth:`save_lora`). encoder_lr_scale is ignored under LoRA
-        (one lr for the adapters)."""
+        (one lr for the adapters).
+
+        Checkpoint/preemption dials (r5, fit parity — backbone
+        fine-tunes are the longest runs and the likeliest to be
+        preempted): ``checkpoint_manager`` saves the joint
+        {'encoder','decoder'} TrainState at every epoch boundary
+        (train-loss keyed) and honors
+        ``config.train.checkpoint_every_steps`` mid-epoch;
+        ``handle_preemption``/``preemption_guard`` latch SIGTERM,
+        finish the in-flight step, write a rescue checkpoint and
+        return with a ``preempted`` history entry; ``resume=True``
+        continues bit-identically (restore_sharded under fsdp;
+        shuffle permutations replayed); ``sharded_checkpoints=True``
+        (fsdp only) writes every save in the live 1/N ZeRO layout —
+        same disk format, no gather."""
         from tpucap.train import build_optimizer
         from tpucap.train.finetune import (
             encoder_learning_rate_optimizer,
@@ -1326,6 +1345,48 @@ class _PipelineTraining:
                 f"fit_finetune supports parallelism None|'none'|'dp'|"
                 f"'fsdp', got {parallelism!r}"
             )
+        # Checkpoint / preemption dials (r5 — fit parity for the
+        # at-scale path, where runs are LONGEST: a backbone fine-tune
+        # is exactly the job that gets preempted mid-epoch).
+        if lora_rank and (
+            checkpoint_manager is not None
+            or resume
+            or handle_preemption
+            or preemption_guard is not None
+        ):
+            raise NotImplementedError(
+                "LoRA fine-tuning checkpoints its few-MB adapter "
+                "artifact via save_lora (the base never moves, so "
+                "there is no joint TrainState worth snapshotting) — "
+                "drop the checkpoint/preemption dials or train full "
+                "weights"
+            )
+        if resume:
+            if checkpoint_manager is None:
+                raise ValueError(
+                    "resume=True needs a checkpoint_manager"
+                )
+            if cfg.ema_decay:
+                raise NotImplementedError(
+                    "resume does not restore the EMA shadow; drop "
+                    "ema_decay or restart"
+                )
+        if sharded_checkpoints:
+            if parallelism != "fsdp":
+                raise ValueError(
+                    "sharded_checkpoints=True is the fsdp ZeRO "
+                    "checkpointing path (params already live 1/N per "
+                    f"device); parallelism={parallelism!r} keeps "
+                    "canonical-layout state — drop the flag"
+                )
+            if checkpoint_manager is not None and not hasattr(
+                checkpoint_manager, "save_sharded"
+            ):
+                raise ValueError(
+                    "sharded_checkpoints=True needs a manager with "
+                    "save_sharded/restore_sharded "
+                    "(tpucap.checkpoint.CheckpointManager)"
+                )
         if lora_rank:
             return self._fit_finetune_lora(
                 store,
@@ -1438,30 +1499,142 @@ class _PipelineTraining:
 
         state = own_state(state)
         ema, ema_update = self._make_ema(cfg, state.params)
-        for epoch in range(epochs):
-            metrics_sum: dict = {}
-            n = 0
-            for bi, bt in batch_iterator((F_idx, T), batch_size, rng=rng):
-                bf = store[np.asarray(bi)]  # minibatch-sized image gather
-                if mesh is not None:
-                    bf, bt = shard_batch(mesh, (bf, bt))
-                state, metrics = step(state, bf, bt)
-                if ema_update is not None:
-                    ema = ema_update(ema, state.params)
-                n += 1
-                for k, v in metrics.items():
-                    metrics_sum[k] = metrics_sum.get(k, 0.0) + v
-            metrics_sum = jax.device_get(metrics_sum)
-            epoch_metrics = {
-                k: float(v) / max(n, 1) for k, v in metrics_sum.items()
-            }
-            epoch_metrics["epoch"] = epoch
-            history.append(epoch_metrics)
-            if log:
-                log(
-                    f"epoch {epoch}: loss={epoch_metrics.get('loss', 0):.4f} "
-                    f"acc={epoch_metrics.get('accuracy', 0):.4f}"
-                )
+
+        def _gathered(s):
+            """Canonical-layout state for a checkpoint write (no-op
+            outside fsdp or when the ZeRO (sharded) format is asked)."""
+            if parallelism == "fsdp" and not sharded_checkpoints:
+                from tpucap.parallel import fsdp_gather_tree
+
+                return fsdp_gather_tree(s, mesh)
+            return s
+
+        steps_per_epoch = max(1, F_idx.shape[0] // batch_size)
+        start_epoch = 0
+        resume_batch = 0
+        guard = preemption_guard
+        if handle_preemption and guard is None:
+            from tpucap.train import PreemptionGuard
+
+            guard = PreemptionGuard()
+        import contextlib
+
+        _guard_ctx = (
+            guard
+            if guard is not None and hasattr(guard, "__enter__")
+            else contextlib.nullcontext()
+        )
+        preempted = False
+        with _guard_ctx:
+            if resume and checkpoint_manager.latest_step() is not None:
+                # Same recipe as fit(): restore INTO the live layout
+                # (restore_sharded under fsdp — checkpoints on disk are
+                # layout-agnostic), derive the position from the step
+                # counter, replay the consumed shuffle permutations.
+                if parallelism == "fsdp" and hasattr(
+                    checkpoint_manager, "restore_sharded"
+                ):
+                    restored = checkpoint_manager.restore_sharded(state)
+                elif parallelism == "fsdp":
+                    from tpucap.parallel import shard_fsdp_tree
+
+                    restored = shard_fsdp_tree(
+                        checkpoint_manager.restore(state), mesh
+                    )
+                else:
+                    restored = checkpoint_manager.restore(state)
+                state = own_state(restored)
+                done = int(jax.device_get(state.step))
+                start_epoch = done // steps_per_epoch
+                resume_batch = done % steps_per_epoch
+                for _ in range(start_epoch):
+                    rng.shuffle(np.arange(F_idx.shape[0]))
+                if log:
+                    log(
+                        f"resumed from step {done} (epoch "
+                        f"{start_epoch}, batch {resume_batch})"
+                    )
+            for epoch in range(start_epoch, epochs):
+                metrics_sum: dict = {}
+                n = 0
+                skip = resume_batch if epoch == start_epoch else 0
+                for b_i, (bi, bt) in enumerate(
+                    batch_iterator((F_idx, T), batch_size, rng=rng)
+                ):
+                    if b_i < skip:
+                        # Permutation already consumed; these batches
+                        # already trained before the preemption.
+                        continue
+                    bf = store[np.asarray(bi)]  # minibatch image gather
+                    if mesh is not None:
+                        bf, bt = shard_batch(mesh, (bf, bt))
+                    state, metrics = step(state, bf, bt)
+                    if ema_update is not None:
+                        ema = ema_update(ema, state.params)
+                    n += 1
+                    for k, v in metrics.items():
+                        metrics_sum[k] = metrics_sum.get(k, 0.0) + v
+                    if (
+                        checkpoint_manager is not None
+                        and cfg.checkpoint_every_steps > 0
+                        and b_i + 1 < steps_per_epoch
+                        and (epoch * steps_per_epoch + b_i + 1)
+                        % cfg.checkpoint_every_steps
+                        == 0
+                    ):
+                        _sentinel_save(
+                            checkpoint_manager,
+                            _gathered(state),
+                            sharded=sharded_checkpoints,
+                        )
+                    if guard is not None and guard.fired:
+                        preempted = True
+                        break
+                metrics_sum = jax.device_get(metrics_sum)
+                epoch_metrics = {
+                    k: float(v) / max(n, 1)
+                    for k, v in metrics_sum.items()
+                }
+                epoch_metrics["epoch"] = epoch
+                if preempted:
+                    epoch_metrics["preempted"] = True
+                    history.append(epoch_metrics)
+                    if checkpoint_manager is not None:
+                        _sentinel_save(
+                            checkpoint_manager,
+                            _gathered(state),
+                            sharded=sharded_checkpoints,
+                        )
+                    if log:
+                        log(
+                            f"preempted at epoch {epoch} step "
+                            f"{int(jax.device_get(state.step))}; "
+                            "rescue checkpoint written — rerun with "
+                            "resume=True to continue"
+                        )
+                    break
+                history.append(epoch_metrics)
+                if log:
+                    log(
+                        f"epoch {epoch}: "
+                        f"loss={epoch_metrics.get('loss', 0):.4f} "
+                        f"acc={epoch_metrics.get('accuracy', 0):.4f}"
+                    )
+                if checkpoint_manager is not None:
+                    # Epoch-boundary save keyed on train loss (the
+                    # reference's no-val ModelCheckpoint shape; fit's
+                    # val plumbing applies to feature-based training).
+                    ckpt_metrics = {
+                        "val_loss": epoch_metrics.get("loss", 0.0)
+                    }
+                    if sharded_checkpoints:
+                        checkpoint_manager.save_sharded(
+                            state, metrics=ckpt_metrics
+                        )
+                    else:
+                        checkpoint_manager.save(
+                            _gathered(state), metrics=ckpt_metrics
+                        )
         final_params = state.params
         if parallelism == "fsdp":
             # The pipeline object always exposes the canonical layout.
