@@ -448,3 +448,34 @@ def test_cli_karpathy_json_workflow(tmp_path, capsys):
     with pytest.raises(SystemExit, match="--tokens"):
         main(["train", *common, "--features", feats,
               "--checkpoint-dir", ckpt, "--epochs", "1"])
+
+
+@pytest.mark.slow
+def test_cli_finetune_resume_workflow(tmp_path, capsys):
+    """r5: --finetune-encoder composes with checkpointing + --resume —
+    the CLI creates a manager on --checkpoint-dir, interval-saves, and
+    the rerun restores the exact position."""
+    img_dir, token_file, train_file, _ = generate_fixture_dataset(
+        tmp_path, n_images=6, image_size=32, seed=3
+    )
+    ckpt = str(tmp_path / "ftck")
+    common = [
+        "train", "--finetune-encoder", "--encoder", "tiny_cnn",
+        "--max-len", "12", "--tokens", token_file,
+        "--split", train_file, "--images", str(img_dir),
+        "--checkpoint-dir", ckpt, "--batch-size", "6",
+        "--checkpoint-every-steps", "1",
+    ]
+    main(common + ["--epochs", "2"])
+    out = capsys.readouterr().out
+    assert "finetuned 2 epochs" in out
+
+    main(common + ["--epochs", "4", "--resume"])
+    out = capsys.readouterr().out
+    assert "resumed from step" in out
+    assert "finetuned 2 epochs" in out  # only the remaining two
+
+    # Nothing left: resume past the requested horizon is a clean no-op.
+    main(common + ["--epochs", "4", "--resume"])
+    out = capsys.readouterr().out
+    assert "nothing to train" in out
