@@ -531,3 +531,93 @@ def test_fit_scst_fsdp_matches_dp(toy_corpus, rng):
         np.stack([feats["i0"], feats["i1"]]), method="greedy"
     )
     assert len(caps) == 2
+
+
+def test_fit_scst_resume_is_exact(toy_corpus, rng, tmp_path):
+    """SCST checkpoint/resume (r5): rollout keys derive from the
+    restored step counter and epoch permutations replay, so an
+    interrupted-then-resumed run lands on params bit-identical to an
+    uninterrupted one."""
+    from tpucap.checkpoint import CheckpointManager
+
+    desc = {f"i{k}": [toy_corpus[k]] for k in range(8)}
+    feats = {i: rng.normal(size=(128,)).astype(np.float32) for i in desc}
+
+    pipe_a = make_pipe(toy_corpus)
+    pipe_a.fit(desc, feats, epochs=2, log=None)
+    pipe_a.fit_scst(desc, feats, epochs=4, batch_size=4, log=None)
+
+    pipe_b = make_pipe(toy_corpus)
+    pipe_b.fit(desc, feats, epochs=2, log=None)
+    mgr = CheckpointManager(str(tmp_path / "sr"), best_metric=None)
+    pipe_b.fit_scst(
+        desc, feats, epochs=2, batch_size=4,
+        checkpoint_manager=mgr, log=None,
+    )
+    pipe_c = make_pipe(toy_corpus)
+    pipe_c.fit(desc, feats, epochs=2, log=None)
+    hist = pipe_c.fit_scst(
+        desc, feats, epochs=4, batch_size=4,
+        checkpoint_manager=mgr, resume=True, log=None,
+    )
+    mgr.close()
+    assert [h["epoch"] for h in hist] == [2, 3]
+    for a, b in zip(
+        jax.tree.leaves(pipe_a.params["decoder"]),
+        jax.tree.leaves(pipe_c.params["decoder"]),
+        strict=True,
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fit_scst_preemption_rescue(toy_corpus, rng, tmp_path):
+    """FakeGuard mid-SCST: rescue written, 'preempted' entry, resumed
+    run matches the uninterrupted trajectory bit-exactly."""
+    from tpucap.checkpoint import CheckpointManager
+
+    class _FakeGuard:
+        def __init__(self, after):
+            self.after, self.calls = after, 0
+
+        @property
+        def fired(self):
+            self.calls += 1
+            return self.calls >= self.after
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *exc):
+            return None
+
+    desc = {f"i{k}": [toy_corpus[k]] for k in range(8)}
+    feats = {i: rng.normal(size=(128,)).astype(np.float32) for i in desc}
+
+    pipe_a = make_pipe(toy_corpus)
+    pipe_a.fit(desc, feats, epochs=2, log=None)
+    pipe_a.fit_scst(desc, feats, epochs=3, batch_size=4, log=None)
+
+    pipe_b = make_pipe(toy_corpus)
+    pipe_b.fit(desc, feats, epochs=2, log=None)
+    mgr = CheckpointManager(str(tmp_path / "sp"), best_metric=None)
+    hist = pipe_b.fit_scst(
+        desc, feats, epochs=3, batch_size=4,
+        checkpoint_manager=mgr, preemption_guard=_FakeGuard(3),
+        log=None,
+    )
+    assert hist[-1]["preempted"] is True
+    assert mgr.latest_step() == 3  # 2 steps/epoch; rescue mid-epoch-1
+
+    pipe_c = make_pipe(toy_corpus)
+    pipe_c.fit(desc, feats, epochs=2, log=None)
+    pipe_c.fit_scst(
+        desc, feats, epochs=3, batch_size=4,
+        checkpoint_manager=mgr, resume=True, log=None,
+    )
+    mgr.close()
+    for a, b in zip(
+        jax.tree.leaves(pipe_a.params["decoder"]),
+        jax.tree.leaves(pipe_c.params["decoder"]),
+        strict=True,
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -1994,6 +1994,11 @@ class _PipelineTraining:
         temperature: float = 1.0,
         top_k: int | None = None,
         parallelism: str | None = None,
+        checkpoint_manager=None,
+        resume: bool = False,
+        handle_preemption: bool = False,
+        preemption_guard=None,
+        sharded_checkpoints: bool = False,
         log=print,
     ) -> list[dict]:
         """Self-critical sequence training (Rennie et al. 2017) —
@@ -2017,6 +2022,18 @@ class _PipelineTraining:
         update differentiates through the just-in-time gather (r5,
         same recipe as fit's fsdp step). The reward pass stays on the
         host either way.
+
+        Checkpoint/preemption dials (r5 — completes fit/fit_finetune
+        parity across every training surface): epoch-boundary saves
+        are keyed on the NEGATED greedy-baseline reward (the quantity
+        SCST directly optimizes; min-neg == best-reward under the
+        manager's default 'val_loss'/min policy),
+        ``config.train.checkpoint_every_steps`` interval-saves
+        mid-epoch, ``handle_preemption``/``preemption_guard`` write a
+        rescue and stop, and ``resume=True`` continues the exact
+        trajectory (rollout keys derive from the restored step counter;
+        epoch permutations are replayed). ``sharded_checkpoints=True``
+        (fsdp) saves the live ZeRO layout.
         """
         from tpucap.train.metrics import CiderDScorer
         from tpucap.train.scst import make_scst_rollout, make_scst_step
@@ -2057,6 +2074,24 @@ class _PipelineTraining:
                 f"fit_scst supports parallelism None|'none'|'dp'|"
                 f"'fsdp', got {parallelism!r}"
             )
+        if resume and checkpoint_manager is None:
+            raise ValueError("resume=True needs a checkpoint_manager")
+        if sharded_checkpoints:
+            if parallelism != "fsdp":
+                raise ValueError(
+                    "sharded_checkpoints=True is the fsdp ZeRO "
+                    "checkpointing path; parallelism="
+                    f"{parallelism!r} keeps canonical-layout state — "
+                    "drop the flag"
+                )
+            if checkpoint_manager is not None and not hasattr(
+                checkpoint_manager, "save_sharded"
+            ):
+                raise ValueError(
+                    "sharded_checkpoints=True needs a manager with "
+                    "save_sharded/restore_sharded "
+                    "(tpucap.checkpoint.CheckpointManager)"
+                )
         mesh = None
         if parallelism in ("dp", "fsdp"):
             mesh = make_mesh(self.config.mesh.n_devices)
@@ -2116,62 +2151,172 @@ class _PipelineTraining:
 
         state = own_state(state)
 
+        def _gathered(s):
+            """Canonical layout for checkpoint writes (no-op outside
+            fsdp or under the ZeRO sharded format)."""
+            if parallelism == "fsdp" and not sharded_checkpoints:
+                from tpucap.parallel import fsdp_gather_tree
+
+                return fsdp_gather_tree(s, mesh)
+            return s
+
         key = jax.random.key(cfg.seed + 1)
         order_rng = np.random.default_rng(cfg.seed)
         history: list[dict] = []
         global_step = 0
-        for epoch in range(epochs):
-            perm = order_rng.permutation(len(ids))
-            ep = {"loss": 0.0, "reward": 0.0, "baseline": 0.0, "n": 0}
-            # Drop the remainder like batch_iterator: fixed program
-            # shapes, and every image comes back around next epoch
-            # under a different permutation.
-            for s in range(0, len(ids) - batch_size + 1, batch_size):
-                take = perm[s : s + batch_size]
-                feats = jnp.asarray(feats_all[take])
-                sampled, baseline = rollout(
-                    state.params,
-                    feats,
-                    jax.random.fold_in(key, global_step),
-                )
-                samp_caps = ids_to_captions(
-                    self.tokenizer,
-                    sampled.tokens,
-                    sampled.lengths,
-                    end_id=end_id,
-                )
-                base_caps = ids_to_captions(
-                    self.tokenizer,
-                    baseline.tokens,
-                    baseline.lengths,
-                    end_id=end_id,
-                )
-                rewards = np.empty(len(take), np.float32)
-                base_r = np.empty(len(take), np.float32)
-                for j, row in enumerate(take):
-                    refs = refs_of[ids[row]]
-                    rewards[j] = scorer.score(refs, samp_caps[j].split())
-                    base_r[j] = scorer.score(refs, base_caps[j].split())
-                adv = rewards - base_r
-                state, metrics = step(
-                    state, feats, sampled.tokens, jnp.asarray(adv)
-                )
-                global_step += 1
-                ep["loss"] += float(metrics["loss"])
-                ep["reward"] += float(rewards.mean())
-                ep["baseline"] += float(base_r.mean())
-                ep["n"] += 1
-            n = max(1, ep.pop("n"))
-            entry = {k: v / n for k, v in ep.items()}
-            entry["advantage"] = entry["reward"] - entry["baseline"]
-            entry["epoch"] = epoch
-            history.append(entry)
-            if log:
-                log(
-                    f"scst epoch {epoch}: reward={entry['reward']:.4f} "
-                    f"baseline={entry['baseline']:.4f} "
-                    f"loss={entry['loss']:.4f}"
-                )
+        start_epoch = 0
+        resume_batch = 0
+        guard = preemption_guard
+        if handle_preemption and guard is None:
+            from tpucap.train import PreemptionGuard
+
+            guard = PreemptionGuard()
+        import contextlib
+
+        _guard_ctx = (
+            guard
+            if guard is not None and hasattr(guard, "__enter__")
+            else contextlib.nullcontext()
+        )
+        preempted = False
+        with _guard_ctx:
+            if resume and checkpoint_manager.latest_step() is not None:
+                # fit's recipe: restore INTO the live layout, derive
+                # the position from the step counter (rollout keys are
+                # fold_in(key, global_step), so the sampling sequence
+                # continues exactly), replay consumed permutations.
+                if parallelism == "fsdp" and hasattr(
+                    checkpoint_manager, "restore_sharded"
+                ):
+                    restored = checkpoint_manager.restore_sharded(state)
+                elif parallelism == "fsdp":
+                    from tpucap.parallel import shard_fsdp_tree
+
+                    restored = shard_fsdp_tree(
+                        checkpoint_manager.restore(state), mesh
+                    )
+                else:
+                    restored = checkpoint_manager.restore(state)
+                state = own_state(restored)
+                global_step = int(jax.device_get(state.step))
+                start_epoch = global_step // steps_per_epoch
+                resume_batch = global_step % steps_per_epoch
+                for _ in range(start_epoch):
+                    order_rng.permutation(len(ids))
+                if log:
+                    log(
+                        f"resumed from step {global_step} (epoch "
+                        f"{start_epoch}, batch {resume_batch})"
+                    )
+            for epoch in range(start_epoch, epochs):
+                perm = order_rng.permutation(len(ids))
+                ep = {"loss": 0.0, "reward": 0.0, "baseline": 0.0, "n": 0}
+                skip = resume_batch if epoch == start_epoch else 0
+                # Drop the remainder like batch_iterator: fixed program
+                # shapes, and every image comes back around next epoch
+                # under a different permutation.
+                for b_i, s in enumerate(
+                    range(0, len(ids) - batch_size + 1, batch_size)
+                ):
+                    if b_i < skip:
+                        # Already trained before the preemption; the
+                        # epoch's permutation is consumed above.
+                        continue
+                    take = perm[s : s + batch_size]
+                    feats = jnp.asarray(feats_all[take])
+                    sampled, baseline = rollout(
+                        state.params,
+                        feats,
+                        jax.random.fold_in(key, global_step),
+                    )
+                    samp_caps = ids_to_captions(
+                        self.tokenizer,
+                        sampled.tokens,
+                        sampled.lengths,
+                        end_id=end_id,
+                    )
+                    base_caps = ids_to_captions(
+                        self.tokenizer,
+                        baseline.tokens,
+                        baseline.lengths,
+                        end_id=end_id,
+                    )
+                    rewards = np.empty(len(take), np.float32)
+                    base_r = np.empty(len(take), np.float32)
+                    for j, row in enumerate(take):
+                        refs = refs_of[ids[row]]
+                        rewards[j] = scorer.score(
+                            refs, samp_caps[j].split()
+                        )
+                        base_r[j] = scorer.score(
+                            refs, base_caps[j].split()
+                        )
+                    adv = rewards - base_r
+                    state, metrics = step(
+                        state, feats, sampled.tokens, jnp.asarray(adv)
+                    )
+                    global_step += 1
+                    ep["loss"] += float(metrics["loss"])
+                    ep["reward"] += float(rewards.mean())
+                    ep["baseline"] += float(base_r.mean())
+                    ep["n"] += 1
+                    if (
+                        checkpoint_manager is not None
+                        and cfg.checkpoint_every_steps > 0
+                        and b_i + 1 < steps_per_epoch
+                        and global_step % cfg.checkpoint_every_steps
+                        == 0
+                    ):
+                        _sentinel_save(
+                            checkpoint_manager,
+                            _gathered(state),
+                            sharded=sharded_checkpoints,
+                        )
+                    if guard is not None and guard.fired:
+                        preempted = True
+                        break
+                n = max(1, ep.pop("n"))
+                entry = {k: v / n for k, v in ep.items()}
+                entry["advantage"] = entry["reward"] - entry["baseline"]
+                entry["epoch"] = epoch
+                if preempted:
+                    entry["preempted"] = True
+                    history.append(entry)
+                    if checkpoint_manager is not None:
+                        _sentinel_save(
+                            checkpoint_manager,
+                            _gathered(state),
+                            sharded=sharded_checkpoints,
+                        )
+                    if log:
+                        log(
+                            f"scst preempted at epoch {epoch} step "
+                            f"{global_step}; rescue checkpoint written "
+                            "— rerun with resume=True to continue"
+                        )
+                    break
+                history.append(entry)
+                if log:
+                    log(
+                        f"scst epoch {epoch}: "
+                        f"reward={entry['reward']:.4f} "
+                        f"baseline={entry['baseline']:.4f} "
+                        f"loss={entry['loss']:.4f}"
+                    )
+                if checkpoint_manager is not None:
+                    # Keyed on the NEGATED greedy-baseline reward: the
+                    # quantity SCST directly optimizes, negated so the
+                    # manager's default min-is-best 'val_loss' policy
+                    # retains the highest-reward epoch.
+                    ckpt_metrics = {"val_loss": -entry["baseline"]}
+                    if sharded_checkpoints:
+                        checkpoint_manager.save_sharded(
+                            state, metrics=ckpt_metrics
+                        )
+                    else:
+                        checkpoint_manager.save(
+                            _gathered(state), metrics=ckpt_metrics
+                        )
         self.state = state
         final_params = state.params
         if parallelism == "fsdp":
