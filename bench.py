@@ -323,6 +323,14 @@ def main():
     )
     args = ap.parse_args()
 
+    if args.assert_scaling and args.mode != "host-decode":
+        # A CI gate wired to the wrong mode must fail loudly, not
+        # exit 0 having asserted nothing.
+        raise SystemExit(
+            f"--assert-scaling only applies to --mode host-decode "
+            f"(got --mode {args.mode})"
+        )
+
     import os
 
     if args.mode != "host-decode" and os.environ.get(

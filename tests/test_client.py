@@ -320,3 +320,8 @@ def test_caption_batch_per_row_dials(client, pipe, rng):
         )
     with pytest.raises(TypeError, match="sequence of per-row"):
         client.caption_features_many(feats, prefixes=w0)
+    with pytest.raises(TypeError, match="include_words_rows\\[1\\]"):
+        # A bare string row would char-split into letters server-side.
+        client.caption_features_many(
+            feats[:2], include_words_rows=[[w0], w1]
+        )

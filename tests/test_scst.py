@@ -118,11 +118,15 @@ def test_scst_pad_rows_contribute_nothing(rng):
         )
 
 
-def test_scst_step_reinforce_direction(rng):
+def test_scst_step_reinforce_direction():
     """One update with positive advantage on a sampled sequence raises
-    its log-likelihood; negative advantage lowers it."""
+    its log-likelihood; negative advantage lowers it. Local rng: the
+    property holds for small steps but sgd(0.5) can overshoot on
+    unlucky draws, so the data must not depend on how many draws other
+    tests consumed from the shared session rng."""
+    local = np.random.default_rng(7)
     dec, params = tiny_decoder()
-    feats = jnp.asarray(rng.normal(size=(1, FEAT)), jnp.float32)
+    feats = jnp.asarray(local.normal(size=(1, FEAT)), jnp.float32)
     sampled = jnp.asarray([[4, 5, 2, 0, 0]], jnp.int32)
 
     def seq_logp(params):
@@ -621,3 +625,49 @@ def test_fit_scst_preemption_rescue(toy_corpus, rng, tmp_path):
         strict=True,
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_scst_fsdp_global_norm_clip_matches_single(rng):
+    """grad_clip_norm under SCST fsdp must clip on the GLOBAL psum'd
+    norm (the optax chain wrapper would see only shard-local slices) —
+    update equals the single-device chained-clip update."""
+    import optax
+
+    from tpucap.core import make_mesh
+    from tpucap.parallel import fsdp_gather_tree, shard_fsdp_tree
+
+    CLIP = 0.05  # small so clipping actually engages
+    dec, params = tiny_decoder(vocab=17)
+    B = 8
+    feats = jnp.asarray(rng.normal(size=(B, FEAT)), jnp.float32)
+    sampled = jnp.asarray(rng.integers(3, 17, size=(B, 6)), jnp.int32)
+    adv = jnp.asarray(rng.normal(size=(B,)) * 10, jnp.float32)
+
+    single_opt = optax.chain(
+        optax.clip_by_global_norm(CLIP), optax.adam(1e-2)
+    )
+    single = make_scst_step(dec, single_opt, start_id=1)
+    s0 = TrainState.create(params, single_opt, jax.random.key(0))
+    s1, _ = single(s0, feats, sampled, adv)
+
+    mesh = make_mesh(8)
+    bare = optax.adam(1e-2)
+    template = TrainState.create(params, bare, jax.random.key(0))
+    fsdp = make_scst_step(
+        dec, bare, start_id=1, mesh=mesh,
+        fsdp_state_template=template, min_size=64,
+        grad_clip_norm=CLIP,
+    )
+    sh = shard_fsdp_tree(template, mesh, min_size=64)
+    s2, _ = fsdp(sh, feats, sampled, adv)
+
+    for a, b in zip(
+        jax.tree.leaves(s1.params),
+        jax.tree.leaves(
+            jax.device_get(fsdp_gather_tree(s2.params, mesh))
+        ),
+        strict=True,
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-6
+        )

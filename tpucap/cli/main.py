@@ -477,7 +477,16 @@ def _cmd_train_finetune(args, pipe, prepared):
         or getattr(args, "handle_preemption", False)
         or getattr(args, "checkpoint_every_steps", None)
     )
-    if wants_ckpt and not getattr(args, "lora_rank", 0):
+    if wants_ckpt and getattr(args, "lora_rank", 0):
+        # Refuse loudly: silently skipping the manager would let a user
+        # who asked for kill-insurance lose the whole run.
+        raise SystemExit(
+            "--lora-rank checkpoints its adapter artifact via "
+            "--lora-out, not the joint TrainState; drop "
+            "--resume/--handle-preemption/--checkpoint-every-steps "
+            "or train full weights"
+        )
+    if wants_ckpt:
         from tpucap.checkpoint import CheckpointManager
 
         mgr = CheckpointManager(

@@ -238,9 +238,17 @@ class CaptionClient:
                 )
             body["prefixes"] = list(prefixes)
         if include_words_rows is not None:
-            body["include_words_rows"] = [
-                list(w) for w in include_words_rows
-            ]
+            rows_out = []
+            for i, w in enumerate(include_words_rows):
+                if isinstance(w, (str, bytes)):
+                    # list("dog") would silently become single letters
+                    # — the same trap the shared path guards against.
+                    raise TypeError(
+                        f"include_words_rows[{i}] must be a sequence "
+                        f"of words, got a string {w!r}"
+                    )
+                rows_out.append(list(w))
+            body["include_words_rows"] = rows_out
 
     def caption_jpegs_many(
         self,

@@ -970,8 +970,13 @@ class _PipelineTraining:
                         log(
                             f"preempted at epoch {epoch} step "
                             f"{int(jax.device_get(self.state.step))}; "
-                            "rescue checkpoint written — rerun with "
-                            "resume=True to continue"
+                            + (
+                                "rescue checkpoint written — rerun "
+                                "with resume=True to continue"
+                                if checkpoint_manager is not None
+                                else "NO checkpoint_manager — "
+                                "mid-run state was NOT saved"
+                            )
                         )
                     break
                 if eval_step is not None:
@@ -1609,8 +1614,13 @@ class _PipelineTraining:
                         log(
                             f"preempted at epoch {epoch} step "
                             f"{int(jax.device_get(state.step))}; "
-                            "rescue checkpoint written — rerun with "
-                            "resume=True to continue"
+                            + (
+                                "rescue checkpoint written — rerun "
+                                "with resume=True to continue"
+                                if checkpoint_manager is not None
+                                else "NO checkpoint_manager — "
+                                "mid-run state was NOT saved"
+                            )
                         )
                     break
                 history.append(epoch_metrics)
@@ -2105,8 +2115,19 @@ class _PipelineTraining:
         from tpucap.train import build_optimizer
 
         steps_per_epoch = max(1, len(ids) // batch_size)
+        clip = 0.0
+        opt_cfg = cfg
+        if parallelism == "fsdp" and cfg.grad_clip_norm:
+            # Global-norm clipping must see the psum'd GLOBAL norm;
+            # the optax chain wrapper would clip each shard on its
+            # local norm (the fit/fit_finetune fsdp recipe). Build the
+            # optimizer bare and hand the threshold to the fsdp step.
+            import dataclasses as _dc
+
+            clip = float(cfg.grad_clip_norm)
+            opt_cfg = _dc.replace(cfg, grad_clip_norm=0.0)
         optimizer = build_optimizer(
-            cfg, total_steps=epochs * steps_per_epoch
+            opt_cfg, total_steps=epochs * steps_per_epoch
         )
         if self._freeze_embeddings:
             from tpucap.train import freeze_subtree_updates
@@ -2145,6 +2166,7 @@ class _PipelineTraining:
             start_id=start_id,
             mesh=mesh,
             fsdp_state_template=fsdp_template,
+            grad_clip_norm=clip,
             donate=True,
         )
         from tpucap.train import own_state
@@ -2291,8 +2313,14 @@ class _PipelineTraining:
                     if log:
                         log(
                             f"scst preempted at epoch {epoch} step "
-                            f"{global_step}; rescue checkpoint written "
-                            "— rerun with resume=True to continue"
+                            f"{global_step}; "
+                            + (
+                                "rescue checkpoint written — rerun "
+                                "with resume=True to continue"
+                                if checkpoint_manager is not None
+                                else "NO checkpoint_manager — "
+                                "mid-run state was NOT saved"
+                            )
                         )
                     break
                 history.append(entry)

@@ -713,6 +713,37 @@ class CaptionHTTPServer:
                                         )
                                     )
 
+                        # Dial plumbing resolved UP FRONT so every
+                        # admission check (conflict, engine support)
+                        # can run before any decode work is spent.
+                        bprefix = payload.get("prefix", "") or prefix
+                        biw = (
+                            payload.get("include_words")
+                            or include_words
+                        )
+                        per_row = (
+                            row_prefixes is not None
+                            or row_iw is not None
+                        )
+                        if (bprefix or biw) and per_row:
+                            raise ValueError(
+                                "caption_batch takes shared dials "
+                                "(prefix/include_words) OR per-row "
+                                "dials (prefixes/include_words_rows), "
+                                "not both"
+                            )
+
+                        def _check_engine(srv):
+                            if (
+                                bprefix or biw or per_row
+                            ) and not isinstance(srv, CaptionServer):
+                                raise ValueError(
+                                    "prefix/include_words need "
+                                    "engine='batch' (the continuous "
+                                    "engines have no forced-prefix/"
+                                    "constrained path)"
+                                )
+
                         if imgs_b64 is not None:
                             import base64
 
@@ -726,11 +757,12 @@ class CaptionHTTPServer:
                                     "images_b64 wants a non-empty "
                                     "LIST of base64 JPEG strings"
                                 )
-                            # Cap BEFORE any base64/JPEG work: an
-                            # oversized request must cost its 400,
-                            # not a full batch decode.
+                            # EVERY admission check BEFORE any base64/
+                            # JPEG work: a rejected request must cost
+                            # its 400, not a full batch decode.
                             _check_cap(len(imgs_b64), _row_cap(srv))
                             _check_row_dials(len(imgs_b64))
+                            _check_engine(srv)
                             blobs = [
                                 base64.b64decode(b) for b in imgs_b64
                             ]
@@ -757,37 +789,13 @@ class CaptionHTTPServer:
                                 )
                             _check_cap(rows.shape[0], _row_cap(srv))
                             _check_row_dials(rows.shape[0])
+                            _check_engine(srv)
                         # Atomic admission (submit_many): dials and
                         # shapes validate BEFORE anything enqueues and
                         # the capacity check covers the whole set, so
                         # a failed batch never leaves accepted rows
                         # behind for the batcher to decode after the
                         # client already got its 400/503 (ADVICE r3).
-                        bprefix = payload.get("prefix", "") or prefix
-                        biw = (
-                            payload.get("include_words")
-                            or include_words
-                        )
-                        per_row = (
-                            row_prefixes is not None
-                            or row_iw is not None
-                        )
-                        if (bprefix or biw) and per_row:
-                            raise ValueError(
-                                "caption_batch takes shared dials "
-                                "(prefix/include_words) OR per-row "
-                                "dials (prefixes/include_words_rows), "
-                                "not both"
-                            )
-                        if (
-                            bprefix or biw or per_row
-                        ) and not isinstance(srv, CaptionServer):
-                            raise ValueError(
-                                "prefix/include_words need "
-                                "engine='batch' (the continuous "
-                                "engines have no forced-prefix/"
-                                "constrained path)"
-                            )
                         if per_row:
                             futs = srv.submit_many(
                                 rows,

@@ -202,6 +202,7 @@ def make_scst_step(
     axis: str = "data",
     fsdp_state_template=None,
     min_size: int | None = None,
+    grad_clip_norm: float = 0.0,
     donate: bool = False,
 ) -> Callable:
     """-> jitted ``step(state, features, sampled, advantages)
@@ -221,7 +222,13 @@ def make_scst_step(
     delivers sharded gradient slices with the same factor-N
     bookkeeping as the fsdp CE step — the update equals the
     single-device update on the concatenated batch
-    (tests/test_scst.py fsdp exactness)."""
+    (tests/test_scst.py fsdp exactness).
+
+    ``grad_clip_norm`` (fsdp only): global-norm clipping on the psum'd
+    GLOBAL gradient norm — pass the optimizer WITHOUT its optax clip
+    wrapper, which would clip each device on its shard-local norm (the
+    parallel/fsdp.py rule; the replicated dp/single-device paths keep
+    the chained clip, whose full-tree grads make it exact there)."""
 
     def loss_fn(params, features, sampled, advantages):
         return scst_loss(
@@ -249,6 +256,12 @@ def make_scst_step(
             metrics,
         )
 
+    if grad_clip_norm and fsdp_state_template is None:
+        raise ValueError(
+            "grad_clip_norm here is the FSDP global-norm clip; the "
+            "replicated paths clip exactly through the optax chain — "
+            "leave clip_by_global_norm in the optimizer instead"
+        )
     if mesh is None:
         if fsdp_state_template is not None:
             raise ValueError("fsdp_state_template needs a mesh")
@@ -267,6 +280,7 @@ def make_scst_step(
     if fsdp_state_template is not None:
         from tpucap.parallel.fsdp import (
             DEFAULT_MIN_SIZE,
+            clip_global_fn,
             fsdp_dims,
             fsdp_specs,
             gather_full_fn,
@@ -281,6 +295,9 @@ def make_scst_step(
             fsdp_state_template, n, axis=axis, min_size=ms
         )
         gather_full = gather_full_fn(dims_params, axis=axis)
+        clip_global = clip_global_fn(
+            dims_params, axis=axis, grad_clip_norm=grad_clip_norm
+        )
 
         def shard_body_fsdp(state, features, sampled, advantages):
             # Same exactness recipe as the replicated dp body below
@@ -320,6 +337,7 @@ def make_scst_step(
                 grads,
                 dims_params,
             )
+            grads = clip_global(grads)
             return _apply(state, grads, metrics)
 
         return jax.jit(
